@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode defaults are tuned for the test harness (local[32],
+  * 32 shuffle partitions); on a real cluster the same builder is used
+  * with `master` unset and shuffle partitions sized to ~2-3x total
+  * cores (or left to AQE coalescing, which is enabled here).
+  */
+object GraftSession {
+
+  /** Apply engine-required SQL confs to an existing session (used when
+    * the driver harness owns the builder, e.g. Verify/Bench). Safe to
+    * call repeatedly; all confs are runtime-settable.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // The driver-generated events.parquet carries TIMESTAMP(NANOS),
+    // which Spark's parquet reader rejects by default; read as raw
+    // nanosecond longs and convert explicitly (core.Tables.events).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    // Runtime re-planning: partition coalescing + skew-join splitting.
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  def build(appName: String = "graft",
+            master: Option[String] = Some(s"local[$defaultCpus]"),
+            shufflePartitions: Int = defaultCpus): SparkSession = {
+    val b = SparkSession.builder().appName(appName)
+    master.foreach(b.master)
+    val spark = b
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+}

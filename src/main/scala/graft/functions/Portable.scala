@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable building blocks: every helper here has a documented
+  * bit-identical DuckDB spelling, so operators built from them can be
+  * verified against a SQL oracle (driver correctness gate).
+  *
+  * Design rule for oracle-checked operators:
+  *   - hashing goes through md5 (identical hex in any engine);
+  *   - money/metric sums go through DECIMAL (exact, order-independent),
+  *     never through raw double accumulation (order-dependent);
+  *   - single-row double arithmetic (ratios of exact values) is fine —
+  *     IEEE ops on identical operands are bit-identical everywhere.
+  */
+object Portable {
+
+  /** 32-bit hash of a string via md5 prefix. Unsigned, fits a long.
+    * DuckDB: `('0x' || substr(md5(s), 1, 8))::BIGINT`
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant for hash families (minhash, LSH planes).
+    * DuckDB: `('0x' || substr(md5(seed || '|' || s), 1, 8))::BIGINT`
+    */
+  def hash32(c: Column, seed: String): Column =
+    hash32(concat(lit(seed), lit("|"), c))
+
+  /** Whitespace-normalized lowercase text.
+    * DuckDB: `trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word tokens of normalized text.
+    * DuckDB: `string_split(trim(regexp_replace(lower(s),'\s+',' ','g')), ' ')`
+    */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Consecutive n-gram "shingles" of a token array, joined with one
+    * space. Empty result when fewer than n tokens.
+    * DuckDB: `list_transform(generate_series(1, len(w)-(n-1)),
+    *            i -> array_to_string(w[i:i+(n-1)], ' '))`
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+
+  /** Exact decimal view of a double metric column: per-row cast is
+    * deterministic (nearest-decimal of an identical double), and the
+    * subsequent SUM is exact integer arithmetic — hence independent of
+    * partition/merge order, unlike SUM(double).
+    * DuckDB: `CAST(x AS DECIMAL(18,p))`
+    */
+  def dec(c: Column, scale: Int = 2): Column =
+    c.cast(s"decimal(18,$scale)")
+
+  /** Polynomial rolling hash of an array of longs, mod 1e9+7.
+    * DuckDB: `list_reduce(list_prepend(0, xs), (a,b) -> (a*31 + b) % 1000000007)`
+    */
+  def polyHash(hashes: Column): Column =
+    aggregate(hashes, lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+}

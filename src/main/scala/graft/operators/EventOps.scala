@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Portable._
+
+/** Event-time operators over the `events` table (SURVEY.md §2.6
+  * windows, §2.7 stateful, §2.8 CEP — batch semantics; streaming
+  * variants live in graft.streaming). `ts_ns` is the exact
+  * nanosecond-epoch long (see core.Tables.events), `ts` its
+  * microsecond TimestampType view.
+  */
+object EventOps extends graft.QueryModule {
+
+  /** Tumbling event-time window aggregate (W1):
+    * `join/WindowJoin.java:43`-style bucketing. Window start emitted
+    * as epoch seconds for engine-portable comparison. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** HotItems flagship (A2+A6, `topn/HotItems.java:41-84`): sliding
+    * 1h/15min window count per user, then top-N users per window.
+    * Same two-shuffle shape as the reference: window-agg exchange,
+    * then rank exchange on the window.
+    */
+  def hotUsers(events: DataFrame, n: Int): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("user_id"), col("n_events"))
+    val rank = Window.partitionBy(col("w_start"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rn", row_number().over(rank)).filter(col("rn") <= n)
+  }
+
+  /** Per-user session windows, 30-minute gap (A4/W3,
+    * `windowing/SessionWindow.java:52-56`). Uses Spark's native
+    * session_window; at scale this is a single exchange on user_id
+    * followed by in-partition session merge.
+    */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+        col("n_events"), col("total"))
+
+  /** Tumbling-window equi-join (J1, `join/WindowJoin.java:39-58`):
+    * views and purchases of the same user in the same 15-min window.
+    */
+  def windowJoin(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), window(col("ts"), "15 minutes").as("w"),
+        col("event_id").as("view_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), window(col("ts"), "15 minutes").as("pw"),
+        col("event_id").as("purchase_id"))
+    v.join(p, col("user_id") === col("p_user") && col("w") === col("pw"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("w_start"),
+        col("view_id"), col("purchase_id"))
+  }
+
+  /** Interval join (J2, `join/IntervalJoin.java:40-54`): purchase
+    * within [click.ts, click.ts + 10 min] per user. Exact-ns bounds.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ns").as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_ns").as("p_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + lit(600L * 1000 * 1000 * 1000))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Strict-contiguity CEP pair (C2, `cep/CEPTimeout.java:53-69`):
+    * a `view` immediately followed by an `error` on the same user
+    * within 2 minutes. lag() over per-user event-time order.
+    */
+  def adjacentPairs(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_type") === "view" && col("event_type") === "error" &&
+        col("ts_ns") - col("prev_ts") <= lit(120L * 1000 * 1000 * 1000))
+      .select(col("user_id"), col("prev_id").as("view_id"),
+        col("event_id").as("error_id"))
+  }
+
+  /** Relaxed-contiguity CEP (C1, `cep/FlinkCEP.java:48-97`
+    * followedByAny): each signup followed (not necessarily
+    * immediately) by ≥1 purchase within 1 hour; reports how many and
+    * the first one. Range join + group — the scale-safe rewrite of an
+    * NFA scan.
+    */
+  def followedBy(events: DataFrame): DataFrame = {
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts_ns").as("s_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ns").as("p_ts"))
+    s.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") > col("s_ts") &&
+        col("p_ts") <= col("s_ts") + lit(3600L * 1000 * 1000 * 1000))
+      .groupBy(col("user_id"), col("signup_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        // µs-truncated on output: the oracle engine reads TIMESTAMP_NS
+        // parquet at µs precision
+        expr("(min(p_ts) div 1000) * 1000").as("first_purchase_ts"))
+  }
+
+  /** Fraud pattern (T1, `state/TimerService.java:68-139` batch
+    * analog): a small event (< 1.0) immediately followed by a large
+    * one (> 500.0) on the same user within 60 s.
+    */
+  def fraudAlerts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_value") < 1.0 && col("value") > 500.0 &&
+        col("ts_ns") - col("prev_ts") <= lit(60L * 1000 * 1000 * 1000))
+      .select(col("user_id"), col("prev_id").as("small_id"),
+        col("event_id").as("large_id"), col("value").as("large_value"))
+  }
+
+  /** MATCH_RECOGNIZE V-shape analog (C3, `flink-sql/sql/dml/CEP.md`):
+    * per-user maximal strictly-falling runs of `value` with ≥ 3
+    * points, via run-length grouping (lag sign change + cumulative
+    * sum) — the declarative rewrite of PATTERN (A B+ C)'s B+ leg.
+    */
+  def fallingRuns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("falls",
+        when(col("value") < lag(col("value"), 1).over(w), 1).otherwise(0))
+      .withColumn("run_id", sum(lit(1) - col("falls")).over(cum))
+      .filter(col("falls") === 1)
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("n_falls"),
+        expr("(min(ts_ns) div 1000) * 1000").as("run_start_ts"),
+        expr("(max(ts_ns) div 1000) * 1000").as("run_end_ts"))
+      .filter(col("n_falls") >= 2)
+      .drop("run_id")
+  }
+
+  // ---- driver bindings -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_window_tumbling" -> ((s, d) => tumblingCounts(Tables.events(s, d))),
+    "q11_hot_users"       -> ((s, d) => hotUsers(Tables.events(s, d), 3)),
+    "q12_session_stats"   -> ((s, d) => sessionStats(Tables.events(s, d))),
+    "q13_window_join"     -> ((s, d) => windowJoin(Tables.events(s, d))),
+    "q14_interval_join"   -> ((s, d) => intervalJoin(Tables.events(s, d))),
+    "q15_cep_adjacent"    -> ((s, d) => adjacentPairs(Tables.events(s, d))),
+    "q16_cep_followedby"  -> ((s, d) => followedBy(Tables.events(s, d))),
+    "q17_fraud"           -> ((s, d) => fraudAlerts(Tables.events(s, d))),
+    "q18_falling_runs"    -> ((s, d) => fallingRuns(Tables.events(s, d)))
+  )
+
+  private val NS = "1000000000"
+
+  def oracle: Map[String, String] = Map(
+    "q10_window_tumbling" -> """
+      SELECT (epoch_ns(ts) // 600000000000) * 600 AS w_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY 1, 2""",
+    "q11_hot_users" -> """
+      WITH c AS (
+        SELECT (epoch_ns(ts) // 900000000000 - k) * 900 AS w_start,
+               user_id, count(*) AS n_events
+        FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+        GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT w_start, user_id, n_events,
+               row_number() OVER (PARTITION BY w_start
+                 ORDER BY n_events DESC, user_id ASC) AS rn
+        FROM c)
+      WHERE rn <= 3""",
+    "q12_session_stats" -> """
+      WITH t AS (
+        SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_us,
+               lag(epoch_ns(ts) // 1000) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_us
+        FROM events),
+      s AS (
+        SELECT user_id, value, ts_us,
+               sum(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM t)
+      SELECT user_id, min(ts_us) // 1000000 AS sess_start,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total
+      FROM s GROUP BY user_id, sess_id""",
+    "q13_window_join" -> """
+      SELECT v.user_id, (epoch_ns(v.ts) // 900000000000) * 900 AS w_start,
+             v.event_id AS view_id, p.event_id AS purchase_id
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND epoch_ns(v.ts) // 900000000000 = epoch_ns(p.ts) // 900000000000
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
+    "q14_interval_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+       AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 600000000000
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    "q15_cep_adjacent" -> """
+      WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+               lag(event_type) OVER w AS prev_type,
+               lag(event_id) OVER w AS prev_id,
+               lag(epoch_ns(ts)) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      SELECT user_id, prev_id AS view_id, event_id AS error_id
+      FROM t
+      WHERE prev_type = 'view' AND event_type = 'error'
+        AND ts_ns - prev_ts <= 120000000000""",
+    "q16_cep_followedby" -> """
+      SELECT s.user_id, s.event_id AS signup_id,
+             count(*) AS n_purchases,
+             min(epoch_ns(p.ts)) AS first_purchase_ts
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+       AND epoch_ns(p.ts) > epoch_ns(s.ts)
+       AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 3600000000000
+      WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+      GROUP BY s.user_id, s.event_id""",
+    "q17_fraud" -> """
+      WITH t AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+               lag(value) OVER w AS prev_value,
+               lag(event_id) OVER w AS prev_id,
+               lag(epoch_ns(ts)) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      SELECT user_id, prev_id AS small_id, event_id AS large_id,
+             value AS large_value
+      FROM t
+      WHERE prev_value < 1.0 AND value > 500.0
+        AND ts_ns - prev_ts <= 60000000000""",
+    "q18_falling_runs" -> """
+      WITH t AS (
+        SELECT user_id, value, event_id, epoch_ns(ts) AS ts_ns,
+               CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS falls
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      r AS (
+        SELECT user_id, ts_ns, falls,
+               sum(1 - falls) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM t)
+      SELECT user_id, count(*) AS n_falls,
+             min(ts_ns) AS run_start_ts, max(ts_ns) AS run_end_ts
+      FROM r WHERE falls = 1
+      GROUP BY user_id, run_id
+      HAVING count(*) >= 2"""
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal-column plumbing: images/audio/video travel as opaque
+  * `binary` payload columns with a typed metadata struct; decode /
+  * feature-extraction runs batched per partition (the Scala analog of
+  * `mapInPandas` — one decoder instance per partition, vectorized
+  * batches, no per-row setup cost).
+  *
+  * The actual codec is STUBBED (no image/audio libs in this
+  * container): `decodeStub` derives a deterministic fake feature
+  * vector from the payload bytes. The Spark-side plumbing — schema,
+  * partitioning, batch shape, per-partition resource lifecycle — is
+  * real and tested; swapping `decodeStub` for a JNI/FFI codec is a
+  * one-function change.
+  */
+object Multimodal extends graft.QueryModule {
+
+  /** Opaque media record: payload + typed metadata, as it would land
+    * from an object-store manifest at 100 TB. */
+  case class MediaRecord(media_id: Long, kind: String, width: Int,
+                         height: Int, payload: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           mean_byte: Double, head_hash: Long)
+
+  /** Build a deterministic media table from `documents` (payload =
+    * utf-8 text bytes standing in for encoded media). */
+  def mediaTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height"),
+      encode(col("text"), "utf-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic:
+    * byte statistics + a rolling hash of the first 16 bytes. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+    val headHash = bytes.take(16).foldLeft(0L)((a, b) =>
+      (a * 31 + (b & 0xff)) % 1000000007L)
+    MediaFeatures(r.media_id, r.kind, bytes.length, mean, headHash)
+  }
+
+  /** Batched per-partition decode — the mapInPandas-shaped hot path.
+    * One iterator pass per partition: decoder init happens once per
+    * partition (where a real codec would allocate its context).
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder context would be created here
+      it.map(decodeStub)
+    }
+  }
+
+  def featureQuery(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(Tables.documents(s, d))).toDF()
+
+  // ---- driver bindings -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_media_features" -> ((s, d) => featureQuery(s, d))
+  )
+
+  /** The stub decode is pure byte arithmetic, so even this op gets a
+    * full oracle: utf-8 payload bytes are reproduced in SQL via the
+    * text's code units (ASCII corpus). */
+  def oracle: Map[String, String] = Map(
+    "q40_media_features" -> """
+      WITH t AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+               list_transform(string_split(text, ''), c -> ord(c)) AS bytes
+        FROM documents)
+      SELECT media_id, kind, len(bytes) AS n_bytes,
+             CASE WHEN len(bytes) = 0 THEN 0.0
+                  ELSE CAST(list_sum(bytes) AS DOUBLE) / len(bytes) END
+               AS mean_byte,
+             list_reduce(list_prepend(0::BIGINT, list_slice(bytes, 1, 16)),
+               (a, b) -> (a * 31 + b) % 1000000007) AS head_hash
+      FROM t"""
+  )
+}

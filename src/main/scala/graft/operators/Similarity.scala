@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: the correctness baseline. Query set
+  *     broadcast against the corpus → map-side scoring, one final
+  *     rank shuffle on query_id. Works at any corpus size when the
+  *     query set is small.
+  *   - LSH (random-hyperplane signs): each vector gets a small bucket
+  *     id; candidates are bucket-equi-join only. At 100 TB this is the
+  *     scale path: bucketing is one narrow map, and the join fans out
+  *     only within buckets (expected corpus/2^planes per bucket).
+  *
+  * All float math is double-precision sequential folds, bit-identical
+  * to the DuckDB oracle's list_reduce (both engines execute the same
+  * IEEE op sequence). Hyperplane components are md5-derived constants
+  * computed once in Scala and inlined as literals into both the Spark
+  * plan and the oracle SQL.
+  */
+object Similarity extends graft.QueryModule {
+
+  /** Sequential dot product of two double arrays (matches DuckDB
+    * list_reduce(list_prepend(0.0, list_zip->mult)) fold order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  /** Cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val (da, db) = (asDouble(a), asDouble(b))
+    dot(da, db) / (norm(da) * norm(db))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id <
+    * nQueries), the k most similar other vectors. */
+  def knnBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val scored = q.join(broadcast(c),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane components in [-1, 1]:
+    * md5("p<plane>_<dim>") → 32-bit int → scaled. Same formula is
+    * inlined into the oracle SQL as literals.
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val mdt = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+    }
+    def h32(s: String): Long = {
+      val hex = mdt.get().digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    Array.tabulate(nPlanes, dims)((p, i) => (h32(s"p${p}_$i") % 2001 - 1000) / 1000.0)
+  }
+  val nPlanes = 8
+  val dims = 64
+
+  /** Sign-LSH bucket id of an embedding: bit p = (v · plane_p) > 0. */
+  def lshBucket(emb: Column): Column = {
+    val v = asDouble(emb)
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH ANN: top-k by cosine among same-bucket candidates only. */
+  def knnLsh(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("bucket"))
+    val scored = q.join(c, col("q_bucket") === col("bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  // ---- driver bindings -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
+    "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5))
+  )
+
+  private val dotSql = (a: String, b: String) => s"""
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(list_zip($a, $b), z -> z[1] * z[2])), (x, y) -> x + y)"""
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // Double.toString prints the shortest round-tripping decimal, and
+  // DuckDB's decimal-literal → DOUBLE parse is correctly rounded, so
+  // these literals reproduce the exact Scala doubles.
+  private def planesSqlLit: String =
+    planes.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n               ", "]::DOUBLE[][]")
+
+  def oracle: Map[String, String] = Map(
+    "q30_knn_cosine" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < 16),
+      c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${cosSql("q_emb", "c_emb")} AS sim
+        FROM q JOIN c ON query_id <> neighbor_id)
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5""",
+    "q31_knn_lsh" -> s"""
+      WITH planes AS (
+        SELECT $planesSqlLit AS ps),
+      b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               list_reduce(list_prepend(0::BIGINT, generate_series(0, 7)),
+                 (acc, p) -> acc + CASE WHEN
+                   (${dotSql("emb", "ps[p + 1]")}) > 0
+                   THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM embeddings CROSS JOIN planes),
+      q AS (
+        SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+        FROM b WHERE vec_id < 16),
+      c AS (
+        SELECT vec_id AS neighbor_id, emb AS c_emb, bucket FROM b),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${cosSql("q_emb", "c_emb")} AS sim
+        FROM q JOIN c ON q_bucket = bucket AND query_id <> neighbor_id)
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5"""
+  )
+}
