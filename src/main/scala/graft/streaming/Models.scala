@@ -1,0 +1,52 @@
+package graft.streaming
+
+/** Typed record models for the streaming operators — the reference's
+  * POJO schemas (SURVEY.md §1.2) as case classes with Spark product
+  * encoders. `seq` fields (where present) carry arrival order so
+  * per-key processing is deterministic within a micro-batch (Flink
+  * guarantees per-partition order; Spark's groupByKey does not, so
+  * stateful ops sort each key-group by seq).
+  */
+object Models {
+
+  /** `state/pojo/Transaction.java:5-6` + arrival order. */
+  case class Transaction(accountId: Long, amount: Double, seq: Long)
+
+  /** `state/pojo/Alert.java:5`. */
+  case class FraudAlert(accountId: Long, triggerSeq: Long)
+
+  /** `state/event/Event.java:10-12` (type is enum a..g as string). */
+  case class DfaEvent(sourceAddress: Int, eventType: String, seq: Long)
+
+  /** `state/event/Alert.java:12-16`. */
+  case class DfaAlert(sourceAddress: Int, state: String, transition: String)
+
+  /** `topn/pojo/ItemViewCount.java:9-13`. */
+  case class ItemViewCount(itemId: Long, windowEnd: Long, viewCount: Long)
+
+  case class RankedItem(windowEnd: Long, rank: Int, itemId: Long, viewCount: Long)
+
+  /** `connect/pojo/Order.java:9-24`. */
+  case class Order(time: Long, orderId: String, userId: String,
+                   goodsId: Int, price: Int, cityId: Int)
+
+  /** Two-stream match output: side is "big"/"small"; unmatched rows
+    * surface with kind="timeout" and one side null (the reference's
+    * side outputs, `DoubleStreamMatch.java:50-53`, as a tag column). */
+  case class OrderMatch(orderId: String, kind: String,
+                        bigTime: Option[Long], smallTime: Option[Long])
+
+  /** `state/pojo/Action.java:8-9`. */
+  case class Action(userId: Long, action: String, seq: Long)
+
+  /** `state/pojo/Pattern.java:8-9`. */
+  case class ActionPattern(firstAction: String, secondAction: String)
+
+  case class PatternMatch(userId: Long, firstAction: String, secondAction: String)
+
+  /** Keyed count-window output (A5/W5): aggregate over the last
+    * `size` records, emitted every `slide` records per key. */
+  case class CountWindowSum(key: String, endSeq: Long, n: Int, total: Long)
+
+  case class KeyedValue(key: String, value: Long, seq: Long)
+}

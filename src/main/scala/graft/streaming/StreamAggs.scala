@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative streaming aggregations (SURVEY.md §2.4 A1/A2/A4/A7,
+  * §2.6 W1-W3, W8-W9). These work unchanged on batch and streaming
+  * DataFrames — the streaming variants need only `withWatermark` and
+  * an output mode at the sink:
+  *   - running per-key counts (A1) → outputMode("update"), the analog
+  *     of Flink's per-record continuous emission;
+  *   - windowed aggs (A2/W1-W2) → append mode once the watermark
+  *     closes the window.
+  */
+object StreamAggs {
+
+  /** A1: keyed running aggregate (`wordcount/WordCount.java:55-57`).
+    * Streaming: update mode emits refreshed counts each trigger. */
+  def runningCounts(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+
+  /** P1+A1 composed: the full WordCount pipeline over a text column. */
+  def wordCounts(lines: DataFrame, text: Column): DataFrame =
+    lines.select(explode(graft.operators.TextOps.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** W1/W2 + W8/W9: watermarked tumbling/sliding window counts.
+    * `slide == size` gives tumbling. */
+  def windowedCounts(df: DataFrame, ts: Column, key: Column,
+                     size: String, slide: String,
+                     watermarkDelay: String): DataFrame =
+    df.withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(window(col("__ts"), size, slide).as("w"), key.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("key"), col("cnt"))
+
+  /** W3/A4: watermarked session windows with per-key gap merge
+    * (`windowing/SessionWindow.java:52-56`). */
+  def sessionSums(df: DataFrame, ts: Column, key: Column, value: Column,
+                  gap: String, watermarkDelay: String): DataFrame =
+    df.withColumn("__ts", ts).withColumn("__v", value)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(session_window(col("__ts"), gap).as("w"), key.as("key"))
+      .agg(sum(col("__v")).as("total"))
+      .select(col("key"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("total"))
+
+  /** J1: stream-stream tumbling-window equi-join
+    * (`join/WindowJoin.java:39-58`): bucket both sides into the same
+    * tumbling window column and equi-join on (key, window). Both
+    * sides need watermarks in streaming mode.
+    */
+  def windowJoin(left: DataFrame, leftTs: Column, leftKey: Column,
+                 right: DataFrame, rightTs: Column, rightKey: Column,
+                 size: String, watermarkDelay: String): DataFrame = {
+    val l = left.withColumn("__ts", leftTs).withWatermark("__ts", watermarkDelay)
+      .withColumn("__w", window(col("__ts"), size))
+      .withColumn("__k", leftKey)
+    val r = right.withColumn("__rts", rightTs).withWatermark("__rts", watermarkDelay)
+      .withColumn("__rw", window(col("__rts"), size))
+      .withColumn("__rk", rightKey)
+    l.join(r, col("__k") === col("__rk") && col("__w") === col("__rw"))
+      .drop("__w", "__rw", "__ts", "__rts", "__rk")
+      .withColumnRenamed("__k", "join_key")
+  }
+
+  /** J2: interval join (`join/IntervalJoin.java:40-54`):
+    * lowerBound/upperBound relative to the left timestamp, both sides
+    * watermarked — Spark's canonical stream-stream range join.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, leftKey: Column,
+                   right: DataFrame, rightTs: String, rightKey: Column,
+                   lower: String, upper: String,
+                   watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, leftKey === rightKey &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lower") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+import graft.streaming.Models._
+
+/** Runnable end-to-end demo of the streaming operators: fraud
+  * detection across micro-batches, keyed upsert sink, session
+  * windows. `sbt "runMain graft.tools.StreamDemo"`.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // fraud detector: small txn in batch 1, large txn in batch 2
+    val in = MemoryStream[Transaction]
+    val q = Stateful.fraudDetector(in.toDS(), flagTtlMs = None)
+      .writeStream.format("memory").queryName("drive_fraud")
+      .outputMode("append").start()
+    in.addData(Transaction(42L, 0.10, 0)); q.processAllAvailable()
+    in.addData(Transaction(42L, 750.0, 1)); q.processAllAvailable()
+    println("FRAUD_ALERTS=" + spark.table("drive_fraud").collect().mkString(";"))
+    q.stop()
+
+    // keyed upsert sink (K5/K7/K8 shape) with an in-memory client
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    object MemClient extends Sinks.UpsertClient {
+      def upsert(k: String, v: String): Unit = seen.put(k, v)
+    }
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = in2.toDF().toDF("k", "v")
+      .writeStream.foreachBatch(Sinks.upsertBatch(() => MemClient, "k", "v") _)
+      .start()
+    in2.addData(("a", 1L), ("a", 2L), ("b", 9L))
+    q2.processAllAvailable(); q2.stop()
+    println("KV_SINK=" + seen)
+
+    // session windows on deliberately unsorted input
+    val rows = Seq(("k", 40L, 2), ("k", 1L, 1), ("k", 2L, 1))
+      .toDF("key", "ts", "value")
+    println("SESS=" + StreamAggs.sessionSums(rows,
+      timestamp_millis(col("ts")), col("key"), col("value"),
+      "3 milliseconds", "0 milliseconds").collect().mkString(";"))
+
+    spark.stop()
+  }
+}

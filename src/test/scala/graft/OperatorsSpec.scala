@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators._
+import graft.streaming.Sources
+
+/** Batch-operator sanity specs over the sf0.001 test tables, plus the
+  * reference WordCount golden fixture and the binary serde round-trip.
+  * (Full value-level correctness is the DuckDB oracle gate —
+  * tools/check_oracle.py; these specs guard shapes and invariants.)
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("wordcount matches a hand-counted line (reference P1 tokenizer)") {
+    val lines = Seq("To be, or not to be,--that is the question:--",
+      "Whether 'tis nobler in the mind to suffer").toDF("text")
+    val got = TextOps.wordCount(lines.withColumnRenamed("text", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(got("to") == 3 && got("be") == 2 && got("the") == 2 && got("tis") == 1)
+  }
+
+  test("every SparkEntry query runs and has oracle column parity") {
+    val qs = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.keySet.subsetOf(qs.keySet))
+    for ((name, fn) <- qs) {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name produced no columns")
+      df.count() // must execute
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("top-N per group never exceeds N and ranks within group") {
+    val top = Relational.topPartsByFlag(Tables.lineitem(spark, sf), 3)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+      .as[(String, Long, Int)].collect()
+    assert(top.forall { case (_, n, maxrn) => n <= 3 && maxrn <= 3 })
+  }
+
+  test("minhash signature has k elements; jaccard is within [0,1]") {
+    val sig = Dedup.minhashSignature(Tables.documents(spark, sf), 16)
+      .select(size(col("sig"))).as[Int].collect()
+    assert(sig.nonEmpty && sig.forall(_ == 16))
+    val j = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 0.0)
+      .select("jaccard").as[Double].collect()
+    assert(j.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("lsh knn results are a subset of brute-force candidates' scores") {
+    val bf = Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.knnLsh(Tables.embeddings(spark, sf), 4, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // every LSH pair's cosine equals the brute-force cosine when present
+    for ((q, n, s) <- lsh if bf.contains((q, n)))
+      assert(math.abs(bf((q, n)) - s) < 1e-12)
+  }
+
+  test("binary little-endian int32 decode round-trips (EventDeSerializer layout)") {
+    val payloads = Seq((1, 0x0A0B0C0D, 3), (2, -42, 6)).map {
+      case (id, addr, tpe) =>
+        (id, Sources.leInt32Bytes(addr) ++ Sources.leInt32Bytes(tpe), addr, tpe)
+    }
+    val df = payloads.toDF("id", "payload", "addr", "tpe")
+    val got = df.select(
+        col("addr"), Sources.leInt32(col("payload"), 0).as("d_addr"),
+        col("tpe"), Sources.leInt32(col("payload"), 4).as("d_tpe"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(got.forall { case (a, da, t, dt) => a == da && t == dt })
+  }
+
+  test("media feature extraction is deterministic and typed") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaTable(Tables.documents(spark, sf)))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(f => f.mean_byte > 0 && f.n_bytes > 0))
+    assert(rows.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
+  }
+}

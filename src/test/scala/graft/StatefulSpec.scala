@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Models._
+import graft.streaming.{Dfa, Stateful}
+
+/** Golden tests for the stateful operators, using the reference's own
+  * fixtures (FIXTURES.md §3, §9, §11; expected outputs from the
+  * reference source comments).
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §3: exact transactions.csv contents.
+  private val txns = Seq(
+    (1L, 13.01), (2L, 25.00), (3L, 0.09), (3L, 510.00), (5L, 102.62),
+    (6L, 91.50), (7L, 0.02), (8L, 30.01), (9L, 701.83), (5L, 31.92)
+  ).zipWithIndex.map { case ((a, amt), i) => Transaction(a, amt, i.toLong) }
+
+  test("fraud detector alerts exactly for account 3 (batch)") {
+    val alerts = Stateful.fraudDetector(spark.createDataset(txns)).collect()
+    assert(alerts.map(_.accountId).toSeq == Seq(3L))
+  }
+
+  test("fraud detector carries the small-txn flag across micro-batches") {
+    // flagTtlMs=None: a pending processing-time timeout would make the
+    // engine schedule timer-check batches forever under trigger(0)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Transaction]
+    val q = Stateful.fraudDetector(in.toDS(), flagTtlMs = None)
+      .writeStream.format("memory").queryName("fraud_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Transaction(7L, 0.50, 0))   // small → flag
+      q.processAllAvailable()
+      in.addData(Transaction(7L, 900.0, 1))  // large in NEXT batch → alert
+      q.processAllAvailable()
+      val got = spark.table("fraud_out").as[FraudAlert].collect()
+      assert(got.toSeq == Seq(FraudAlert(7L, 1)))
+    } finally q.stop()
+  }
+
+  test("DFA accepts the legal paths and alerts on illegal transitions") {
+    // a→W, b→Y, e→Z, g→Terminal is legal end-to-end (State.java:23-60);
+    // then 'f' from Initial is illegal; key 2 goes c→X, d→Z, then 'a'
+    // from Z is illegal.
+    val events = Seq(
+      DfaEvent(1, "a", 0), DfaEvent(1, "b", 1), DfaEvent(1, "e", 2),
+      DfaEvent(1, "g", 3), DfaEvent(1, "f", 4),
+      DfaEvent(2, "c", 0), DfaEvent(2, "d", 1), DfaEvent(2, "a", 2))
+    val alerts = Stateful.stateMachine(spark.createDataset(events))
+      .collect().sortBy(_.sourceAddress)
+    assert(alerts.toSeq == Seq(
+      DfaAlert(1, "Initial", "f"), DfaAlert(2, "Z", "a")))
+  }
+
+  test("DFA state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DfaEvent]
+    val q = Stateful.stateMachine(in.toDS())
+      .writeStream.format("memory").queryName("dfa_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(DfaEvent(9, "a", 0))  // Initial → W
+      q.processAllAvailable()
+      in.addData(DfaEvent(9, "e", 1))  // e illegal from W → alert with state W
+      q.processAllAvailable()
+      val got = spark.table("dfa_out").as[DfaAlert].collect()
+      assert(got.toSeq == Seq(DfaAlert(9, "W", "e")))
+    } finally q.stop()
+  }
+
+  test("top-N per window ranks by count desc (batch)") {
+    val counts = Seq(
+      ItemViewCount(101, 1000, 5), ItemViewCount(102, 1000, 9),
+      ItemViewCount(103, 1000, 9), ItemViewCount(104, 1000, 1),
+      ItemViewCount(101, 2000, 2))
+    val got = Stateful.topNPerWindow(spark.createDataset(counts), 2)
+      .collect().sortBy(r => (r.windowEnd, r.rank))
+    assert(got.toSeq == Seq(
+      RankedItem(1000, 1, 102, 9), RankedItem(1000, 2, 103, 9),
+      RankedItem(2000, 1, 101, 2)))
+  }
+
+  test("count window: size 4 slide 2 emits every 2 records over last 4") {
+    val vals = (1 to 7).map(i => KeyedValue("k", i.toLong, i.toLong))
+    val got = Stateful.countWindowSum(spark.createDataset(vals), 4, 2)
+      .collect().sortBy(_.endSeq)
+    // after 2: [1,2]=3; after 4: [1..4]=10; after 6: [3..6]=18
+    assert(got.toSeq == Seq(
+      CountWindowSum("k", 2, 2, 3), CountWindowSum("k", 4, 4, 10),
+      CountWindowSum("k", 6, 4, 18)))
+  }
+
+  test("two-stream match pairs big/small and times out singletons (batch)") {
+    val tagged = Seq(
+      ("big", Order(1000, "o1", "u1", 1, 10, 1)),
+      ("small", Order(1500, "o1", "u1", 1, 10, 1)),
+      ("big", Order(2000, "o2", "u2", 2, 20, 1)))
+    val got = Stateful.matchOrders(spark.createDataset(tagged))
+      .collect().sortBy(_.orderId)
+    assert(got.toSeq == Seq(
+      OrderMatch("o1", "match", Some(1000), Some(1500)),
+      OrderMatch("o2", "timeout", Some(2000), None)))
+  }
+
+  test("broadcast pattern match finds user 1002 (reference fixture)") {
+    // FIXTURES.md §9 / BroadcastStreamConnect.java:62-71
+    val actions = Seq(
+      Action(1001, "User logout", 0), Action(1002, "Add to cart", 1),
+      Action(1003, "Payment complete", 2), Action(1002, "User logout", 3))
+    val got = Stateful.patternMatch(spark.createDataset(actions),
+      ActionPattern("Add to cart", "User logout")).collect()
+    assert(got.toSeq == Seq(PatternMatch(1002, "Add to cart", "User logout")))
+  }
+
+  test("DFA transition table matches the reference diagram") {
+    assert(Dfa.transition("Initial", "a").contains("W"))
+    assert(Dfa.transition("X", "d").contains("Z"))
+    assert(Dfa.transition("Z", "g").contains(Dfa.Terminal))
+    assert(Dfa.transition("W", "e").isEmpty)
+  }
+}

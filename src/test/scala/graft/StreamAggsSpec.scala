@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamAggs
+
+/** Golden tests for declarative streaming aggregations against the
+  * reference fixtures (FIXTURES.md §1, §4, §6).
+  */
+class StreamAggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session windows reproduce the reference's expected sessions") {
+    // SessionWindow.java:63-78 fixture; gap 3 ms; expected sessions
+    // (comments :71-74): a@[1]=1, b@[1..5]=3, c@[6,11]... with gap 3:
+    // c@6 and c@11 are separate; a@1 and a@10 separate.
+    val rows = Seq(("a", 1L, 1), ("b", 1L, 1), ("b", 3L, 1), ("b", 5L, 1),
+      ("c", 6L, 1), ("a", 10L, 1), ("c", 11L, 1)).toDF("key", "ts", "value")
+    val got = StreamAggs.sessionSums(rows,
+        timestamp_millis(col("ts")), col("key"), col("value"),
+        "3 milliseconds", "0 milliseconds")
+      .select("key", "total").as[(String, Long)].collect().toSeq
+      .sorted
+    assert(got == Seq(("a", 1L), ("a", 1L), ("b", 3L), ("c", 1L), ("c", 1L)))
+  }
+
+  test("streaming word count updates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamAggs.wordCounts(in.toDF(), col("value"))
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("complete").start()
+    try {
+      in.addData("To be or not to be")
+      q.processAllAvailable()
+      in.addData("to be")
+      q.processAllAvailable()
+      val counts = spark.table("wc_out").as[(String, Long)].collect().toMap
+      assert(counts("to") == 3 && counts("be") == 3 && counts("or") == 1)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window closes and appends finalized counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("ts_ms", "k")
+    val q = StreamAggs.windowedCounts(df, timestamp_millis(col("ts_ms")),
+        col("k"), "10 seconds", "10 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1000L, "x"), (2000L, "x"), (11000L, "y"))
+      q.processAllAvailable()
+      // watermark now 11s → window [0,10s) finalized
+      in.addData((25000L, "z"))
+      q.processAllAvailable()
+      val got = spark.table("win_out").select("key", "cnt")
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(got.contains(("x", 2L)))
+    } finally q.stop()
+  }
+
+  test("interval join matches the reference's orange/green semantics") {
+    // IntervalJoin.java:23-38: orange.ts - 2s <= green.ts <= orange.ts + 1s
+    val base = 1599534710000L
+    val orange = Seq(("key", 1, base + 1000L), ("key", 5, base + 5000L))
+      .toDF("name", "o_value", "o_ts_ms")
+      .withColumn("o_ts", timestamp_millis(col("o_ts_ms")))
+    val green = Seq(("key", 0, base), ("key", 3, base + 3000L),
+        ("key", 6, base + 6000L))
+      .toDF("g_name", "g_value", "g_ts_ms")
+      .withColumn("g_ts", timestamp_millis(col("g_ts_ms")))
+    val got = StreamAggs.intervalJoin(
+        orange, "o_ts", col("name"),
+        green, "g_ts", col("g_name"),
+        "2 seconds", "1 second", "0 seconds")
+      .select("o_value", "g_value").as[(Int, Int)].collect().toSeq.sorted
+    // orange@1s matches green@0s (within -2s..+1s); orange@5s matches
+    // green@3s and green@6s
+    assert(got == Seq((1, 0), (5, 3), (5, 6)))
+  }
+
+  test("window join pairs same-key same-window rows") {
+    val l = Seq(("tom", 3, 1000L), ("alice", 5, 1500L), ("tom", 4, 2500L))
+      .toDF("name", "grade", "ts_ms")
+    val r = Seq(("tom", 9000, 1800L), ("alice", 8000, 4000L))
+      .toDF("s_name", "salary", "s_ts_ms")
+    val got = StreamAggs.windowJoin(
+        l, timestamp_millis(col("ts_ms")), col("name"),
+        r, timestamp_millis(col("s_ts_ms")), col("s_name"),
+        "2 seconds", "0 seconds")
+      .select("join_key", "grade", "salary")
+      .as[(String, Int, Int)].collect().toSeq.sorted
+    // inner join: only tom's grade in [0,2s) meets tom's salary there;
+    // alice's salary lands in [4s,6s) with no grade partner
+    assert(got == Seq(("tom", 3, 9000)))
+  }
+}
