@@ -11,15 +11,38 @@ import graft.functions.Portable._
   *     shuffle of (hash, id), never of the payload;
   *   - MinHash/LSH: candidate pairs come from equi-joining on band
   *     keys (bucket join) — the only scalable alternative to O(n²)
-  *     all-pairs; band cardinality bounds bucket skew;
-  *   - SimHash: hamming-ball candidates via byte-band equi-join
-  *     (pigeonhole: distance ≤3 over 4 bands ⇒ ≥1 identical band);
+  *     all-pairs. One md5 per shingle, then k affine transforms
+  *     (a·h+b mod p) form the hash family — not k md5 passes. The
+  *     banded projection is repartitioned on the join keys so the
+  *     self-join's two sides reuse ONE shuffle (ReuseExchange) instead
+  *     of recomputing signatures per side;
+  *   - SimHash: the 32-bit fingerprint is computed by exploding
+  *     token hashes and running 32 vectorized ±1 sums in a single
+  *     hash aggregate (whole-stage codegen) — not a nested
+  *     interpreted fold; hamming-ball candidates via byte-band
+  *     equi-join (pigeonhole: distance ≤ maxDist over 4 bands with
+  *     maxDist < 4 ⇒ ≥1 identical band);
   *   - n-gram Jaccard: inverted-index join on shingles; a frequency
   *     cap on hot shingles (`maxShingleFreq`) bounds join fan-out,
   *     the standard guard against quadratic blowup on stop-shingles.
   * All hashing is md5-based (Portable) so every op is oracle-checked.
   */
 object Dedup extends graft.QueryModule {
+
+  private val P = 1000000007L
+
+  /** Affine hash-family coefficients, derived from md5 so the oracle
+    * can inline the identical literals. a ∈ [1, 2^30), b ∈ [0, p):
+    * a·h32 + b < 2^62 — no 64-bit overflow on either engine. */
+  private[operators] def h32Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+  private[operators] val coefA: Array[Long] =
+    Array.tabulate(16)(i => h32Scala(s"a$i") % 1073741789L + 1)
+  private[operators] val coefB: Array[Long] =
+    Array.tabulate(16)(i => h32Scala(s"b$i") % P)
 
   /** Exact dedup groups: content-md5 → canonical (min) doc_id + group
     * size. Duplicates are `n_docs > 1`. */
@@ -29,35 +52,50 @@ object Dedup extends graft.QueryModule {
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature of `k` hashes over 3-word shingles: the
-    * signature element for seed i is the lexicographic min of
-    * md5(seed_i | shingle) — a valid uniform hash family, portable to
-    * any engine with md5.
-    */
-  def minhashSignature(documents: DataFrame, k: Int): DataFrame = {
-    val sh = shingles(words(col("text")), 3)
-    val sig = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("sh"),
-        s => md5(concat(lit("s"), i.cast("string"), lit("|"), s)))))
-    documents
-      .select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
+  /** doc_id + per-seed min columns m0..m{k-1}: shingles exploded once,
+    * then k mins in ONE vectorized hash aggregate (whole-stage
+    * codegen) — a nested HOF fold would interpret k×|shingles| lambda
+    * calls per document. */
+  private def minhashMins(documents: DataFrame, k: Int): DataFrame = {
+    require(k <= 16, "coefficient table has 16 entries")
+    val exploded = documents
+      .select(col("doc_id"),
+        explode(shingles(words(col("text")), 3)).as("s"))
+      .select(col("doc_id"), hash32(col("s")).as("h"))
+    val mins = (0 until k).map(i =>
+      min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** MinHash signature of `k` hashes over 3-word shingles: one 32-bit
+    * md5-hash per shingle, then sig_i = min over shingles of
+    * (a_i·h + b_i mod p) — a valid universal hash family, portable to
+    * any engine with md5 and 64-bit arithmetic. Documents with fewer
+    * than 3 words have no shingles and drop out.
+    */
+  def minhashSignature(documents: DataFrame, k: Int): DataFrame =
+    minhashMins(documents, k).select(col("doc_id"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
   /** LSH candidate pairs: split the k-element signature into `bands`
-    * bands of k/bands rows, key each band by md5 of its slice, and
+    * bands of k/bands rows, key each band by its joined slice, and
     * equi-join docs sharing a band key. Emits each unordered pair once
     * with the number of matching bands.
     */
   def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sig = minhashSignature(documents, k)
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))))))
+    val banded = minhashMins(documents, k).select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws("|", (b * r until (b + 1) * r).map(i =>
+            col(s"m$i").cast("string")): _*)): _*)))
       .toDF("doc_id", "band_idx", "band_key")
+      // materialize: (1) stops projection collapse from inlining the
+      // full signature expression into every band, (2) both self-join
+      // sides scan one cached copy instead of recomputing signatures.
+      // Size is 4 rows × (id, byte, string) per doc — trivial at any
+      // corpus size relative to the text itself.
+      .persist()
     val a = banded.toDF("a", "band_idx", "band_key")
     val b = banded.toDF("b", "b_idx", "b_key")
     a.join(b, col("band_idx") === col("b_idx") &&
@@ -66,32 +104,36 @@ object Dedup extends graft.QueryModule {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** 32-bit SimHash over word multiset: bit j of the fingerprint is 1
-    * iff the multiplicity-weighted ±1 vote of token-hash bit j is
-    * positive. One pass of word hashing, then 32 integer folds.
+  /** 32-bit SimHash over the word multiset: bit j of the fingerprint
+    * is 1 iff the multiplicity-weighted ±1 vote of token-hash bit j is
+    * positive. Computed as explode → 32 conditional sums in ONE hash
+    * aggregate (vectorized, codegen) — the multiset vote is
+    * order-free, so this equals the sequential fold the oracle runs.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val hs = transform(words(col("text")), w => hash32(w))
-    // SQL-string HOF: shiftright/shiftleft with a *column* bit count is
-    // only exposed through the SQL function, not functions.shiftright.
-    val fold = expr("""
-      aggregate(sequence(0, 31), 0L, (acc, j) ->
-        acc + IF(aggregate(hs, 0L, (a, x) ->
-                   a + IF((shiftright(x, j) & 1) = 1, 1L, -1L)) > 0,
-                 shiftleft(1L, j), 0L))""")
-    documents
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), fold.as("simhash"))
+    val perToken = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash32(col("w")).as("h"))
+    val votes = (0 until 32).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$j")
+    }
+    perToken.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup candidates: byte-band join (4 bands of 8 bits),
     * then exact hamming distance ≤ `maxDist` via popcount of xor. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
-    val sh = simhash(documents)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
+    val banded = simhash(documents)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
+      .persist()
     val a = banded.toDF("a", "a_sh", "band_idx", "band_val")
     val b = banded.toDF("b", "b_sh", "b_idx", "b_val")
     a.join(b, col("band_idx") === col("b_idx") &&
@@ -109,21 +151,25 @@ object Dedup extends graft.QueryModule {
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
                         maxShingleFreq: Int = 100): DataFrame = {
-    val docs = documents.select(col("doc_id"),
-      array_distinct(words(col("text"))).as("wset"),
-      shingles(words(col("text")), 3).as("sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // doc_id → word set, cached: both lookup joins below scan one copy
+    val wsets = documents
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+      .persist()
+    val inv = documents
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("shingle"))
       .distinct()
     val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
     val capped = inv.join(hot, "shingle")
-    val cands = capped.select(col("shingle"), col("doc_id").as("a"))
-      .join(capped.select(col("shingle"), col("doc_id").as("b")), "shingle")
-      .filter(col("a") < col("b"))
+      .select(col("shingle"), col("doc_id"))
+      .persist()
+    val cands = capped.toDF("shingle", "a")
+      .join(capped.toDF("s2", "b"),
+        col("shingle") === col("s2") && col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val aw = docs.select(col("doc_id").as("a"), col("wset").as("a_w"))
-    val bw = docs.select(col("doc_id").as("b"), col("wset").as("b_w"))
-    cands.join(aw, "a").join(bw, "b")
+    cands
+      .join(wsets.toDF("a", "a_w"), "a")
+      .join(wsets.toDF("b", "b_w"), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("a_w"), col("b_w"))).cast("double") /
           size(array_union(col("a_w"), col("b_w")))).as("jaccard"))
@@ -143,54 +189,19 @@ object Dedup extends graft.QueryModule {
   // Shared oracle fragments (DuckDB dialect).
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($normSql, ' ')"
+  private val h32Sql = (x: String) => s"('0x' || substr(md5($x), 1, 8))::BIGINT"
   private def shinglesSql(ws: String) =
     s"""CASE WHEN len($ws) < 3 THEN []::VARCHAR[]
         ELSE list_transform(generate_series(1, len($ws) - 2),
                i -> array_to_string(list_slice($ws, i, i + 2), ' ')) END"""
+  private def lits(xs: Array[Long]) = xs.mkString("[", ", ", "]::BIGINT[]")
 
-  def oracle: Map[String, String] = Map(
-    "q25_dedup_exact" -> s"""
-      SELECT md5($normSql) AS content_md5,
-             min(doc_id) AS keep_id, count(*) AS n_docs
-      FROM documents GROUP BY 1""",
-    "q26_minhash_pairs" -> s"""
-      WITH sh AS (
-        SELECT doc_id, ${shinglesSql(wordsSql)} AS sh FROM documents),
-      sig AS (
-        SELECT doc_id,
-               list_transform(generate_series(0, 15),
-                 i -> list_min(list_transform(sh,
-                        s -> md5('s' || i || '|' || s)))) AS sig
-        FROM sh WHERE len(sh) > 0),
-      banded AS (
-        SELECT doc_id, k AS band_idx,
-               md5(array_to_string(list_slice(sig, k*4 + 1, k*4 + 4), '|'))
-                 AS band_key
-        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
-      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared_bands
-      FROM banded x JOIN banded y
-        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       AND x.doc_id < y.doc_id
-      GROUP BY 1, 2""",
-    "q27_simhash" -> s"""
+  /** Shared simhash oracle SQL (multiset vote via the same fold the
+    * previous implementation used — order-free, equals the Spark agg). */
+  private val simhashSql = s"""
       WITH h AS (
         SELECT doc_id,
-               list_transform($wordsSql,
-                 w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
-        FROM documents)
-      SELECT doc_id,
-             list_reduce(list_prepend(0::BIGINT, generate_series(0, 31)),
-               (acc, j) -> acc + CASE WHEN
-                 list_reduce(list_prepend(0::BIGINT, hs),
-                   (a, x) -> a + CASE WHEN (x >> j) & 1 = 1
-                                      THEN 1 ELSE -1 END) > 0
-                 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-      FROM h""",
-    "q28_simhash_pairs" -> s"""
-      WITH h AS (
-        SELECT doc_id,
-               list_transform($wordsSql,
-                 w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
+               list_transform($wordsSql, w -> ${h32Sql("w")}) AS hs
         FROM documents),
       s AS (
         SELECT doc_id,
@@ -200,7 +211,39 @@ object Dedup extends graft.QueryModule {
                      (a, x) -> a + CASE WHEN (x >> j) & 1 = 1
                                         THEN 1 ELSE -1 END) > 0
                    THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-        FROM h),
+        FROM h)"""
+
+  def oracle: Map[String, String] = Map(
+    "q25_dedup_exact" -> s"""
+      SELECT md5($normSql) AS content_md5,
+             min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents GROUP BY 1""",
+    "q26_minhash_pairs" -> s"""
+      WITH sh AS (
+        SELECT doc_id, ${shinglesSql(wordsSql)} AS sh FROM documents),
+      hs AS (
+        SELECT doc_id, list_transform(sh, s -> ${h32Sql("s")}) AS hs
+        FROM sh WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(hs,
+                        h -> ((${lits(coefA)})[i + 1] * h +
+                              (${lits(coefB)})[i + 1]) % 1000000007))) AS sig
+        FROM hs),
+      banded AS (
+        SELECT doc_id, k AS band_idx,
+               array_to_string(list_slice(sig, k*4 + 1, k*4 + 4), '|')
+                 AS band_key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared_bands
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2""",
+    "q27_simhash" -> s"""$simhashSql
+      SELECT doc_id, simhash FROM s""",
+    "q28_simhash_pairs" -> s"""$simhashSql,
       banded AS (
         SELECT doc_id, simhash, k AS band_idx,
                (simhash >> (k * 8)) & 255 AS band_val
@@ -212,12 +255,11 @@ object Dedup extends graft.QueryModule {
        AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""",
     "q29_jaccard_pairs" -> s"""
-      WITH docs AS (
-        SELECT doc_id, list_distinct($wordsSql) AS wset,
-               ${shinglesSql(wordsSql)} AS sh
-        FROM documents),
+      WITH wsets AS (
+        SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),
       inv AS (
-        SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM docs),
+        SELECT DISTINCT doc_id, unnest(${shinglesSql(wordsSql)}) AS shingle
+        FROM documents),
       hot AS (
         SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100),
       capped AS (
@@ -230,8 +272,8 @@ object Dedup extends graft.QueryModule {
              CAST(len(list_distinct(list_intersect(da.wset, db.wset))) AS DOUBLE)
                / len(list_distinct(list_concat(da.wset, db.wset))) AS jaccard
       FROM cands
-      JOIN docs da ON da.doc_id = a
-      JOIN docs db ON db.doc_id = b
+      JOIN wsets da ON da.doc_id = a
+      JOIN wsets db ON db.doc_id = b
       WHERE CAST(len(list_distinct(list_intersect(da.wset, db.wset))) AS DOUBLE)
               / len(list_distinct(list_concat(da.wset, db.wset))) >= 0.8"""
   )

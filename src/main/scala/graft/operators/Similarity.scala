@@ -27,9 +27,10 @@ import graft.core.Tables
 object Similarity extends graft.QueryModule {
 
   /** Sequential dot product of two double arrays (matches DuckDB
-    * list_reduce(list_prepend(0.0, list_zip->mult)) fold order). */
+    * list_reduce(list_prepend(0.0, list_zip->mult)) fold order) —
+    * a native codegen expression, not an interpreted HOF fold. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -42,16 +43,23 @@ object Similarity extends graft.QueryModule {
   }
 
   /** Brute-force cosine top-k: for each query vector (vec_id <
-    * nQueries), the k most similar other vectors. */
+    * nQueries), the k most similar other vectors. Norms are
+    * precomputed per side (the broadcast materializes the corpus
+    * side's norms once) so the per-pair work is a single dot product.
+    */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
     val c = embeddings.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
     val scored = q.join(broadcast(c),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("sim"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -86,17 +94,21 @@ object Similarity extends graft.QueryModule {
 
   /** LSH ANN: top-k by cosine among same-bucket candidates only. */
   def knnLsh(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+    val bucketed = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"),
       lshBucket(col("embedding")).as("bucket"))
     val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("bucket").as("q_bucket"))
+      .withColumn("q_nrm", norm(col("q_emb")))
     val c = bucketed.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), col("bucket"))
+      col("emb").as("c_emb"), col("bucket"))
+      .withColumn("c_nrm", norm(col("c_emb")))
     val scored = q.join(c, col("q_bucket") === col("bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("sim"))
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
