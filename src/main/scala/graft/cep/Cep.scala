@@ -1,0 +1,164 @@
+package graft.cep
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Complex event processing (SURVEY.md §2.8) — the reference's
+  * FlinkCEP surface re-built as an NFA library:
+  *   - contiguity modes: strict `next` vs relaxed `followedBy` vs
+  *     branching `followedByAny` (`cep/FlinkCEP.java:55-64`);
+  *   - `within` windows with timed-out partial matches surfaced as a
+  *     side channel (`cep/CEPTimeout.java:72-103`);
+  *   - one-or-more quantifiers and previous-event-referencing
+  *     predicates — enough to express MATCH_RECOGNIZE
+  *     `PATTERN (A B+ C) DEFINE B AS price < LAST(price)`
+  *     (`flink-sql/sql/dml/CEP.md:72-91`).
+  *
+  * The NFA core is engine-agnostic Scala; `matchBatch` runs it per key
+  * inside flatMapGroups, `Streaming.matchStream` carries partials in
+  * flatMapGroupsWithState across micro-batches.
+  */
+object Cep {
+
+  sealed trait Contiguity
+  /** Strict: the very next event must match or the partial dies. */
+  case object Next extends Contiguity
+  /** Relaxed: skip non-matching events; consume the first match. */
+  case object FollowedBy extends Contiguity
+  /** Relaxed + branching: every future match spawns a new branch. */
+  case object FollowedByAny extends Contiguity
+
+  /** One pattern step. `pred` sees the candidate event and the events
+    * matched so far (so DOWN can test price < last price). */
+  case class Step[T](name: String, contiguity: Contiguity,
+                     oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean)
+
+  case class PatternSpec[T](steps: Vector[Step[T]], withinMs: Option[Long]) {
+    def next(name: String, oneOrMore: Boolean = false)
+            (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
+      copy(steps = steps :+ Step(name, Next, oneOrMore, pred))
+    def followedBy(name: String, oneOrMore: Boolean = false)
+                  (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
+      copy(steps = steps :+ Step(name, FollowedBy, oneOrMore, pred))
+    def followedByAny(name: String, oneOrMore: Boolean = false)
+                     (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
+      copy(steps = steps :+ Step(name, FollowedByAny, oneOrMore, pred))
+    def within(ms: Long): PatternSpec[T] = copy(withinMs = Some(ms))
+  }
+
+  def begin[T](name: String, oneOrMore: Boolean = false)
+              (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
+    PatternSpec(Vector(Step(name, FollowedBy, oneOrMore, pred)), None)
+
+  /** A partial match: per matched event, the index of the step that
+    * consumed it. `stepIdx` = index of the step matched last. */
+  case class Partial[T](entries: Vector[(Int, T)], startTs: Long) {
+    def stepIdx: Int = entries.last._1
+    def events: Seq[T] = entries.map(_._2)
+  }
+
+  case class MatchResult[T](kind: String, entries: Vector[(Int, T)])
+
+  /** The NFA. Feed events in event-time order per key. */
+  final class Nfa[T](val spec: PatternSpec[T], tsOf: T => Long)
+      extends Serializable {
+    private val steps = spec.steps
+
+    /** Advance all partials with one event. Returns (surviving
+      * partials, completed matches, timed-out partials). */
+    def onEvent(partials: List[Partial[T]],
+                e: T): (List[Partial[T]], List[MatchResult[T]], List[MatchResult[T]]) = {
+      val ts = tsOf(e)
+      val live = List.newBuilder[Partial[T]]
+      val done = List.newBuilder[MatchResult[T]]
+      val timedOut = List.newBuilder[MatchResult[T]]
+
+      for (p <- partials) {
+        if (spec.withinMs.exists(w => ts - p.startTs > w)) {
+          timedOut += MatchResult("timeout", p.entries)
+        } else {
+          val cur = steps(p.stepIdx)
+          val nextIdx = p.stepIdx + 1
+          val last = steps.length - 1
+          val loopHit = cur.oneOrMore && cur.pred(e, p.events)
+          val advHit = nextIdx < steps.length &&
+            steps(nextIdx).pred(e, p.events)
+          if (loopHit) {
+            val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs)
+            live += ext
+            if (p.stepIdx == last) done += MatchResult("match", ext.entries)
+          }
+          if (advHit) {
+            val adv = Partial(p.entries :+ (nextIdx, e), p.startTs)
+            if (nextIdx == last) {
+              done += MatchResult("match", adv.entries)
+              if (steps(nextIdx).oneOrMore) live += adv // B+ can extend
+            } else live += adv
+          }
+          // does the un-extended partial survive this event?
+          val survives =
+            (if (nextIdx < steps.length) steps(nextIdx).contiguity
+             else FollowedBy) match {
+              case Next          => false              // strict: no skipping
+              case FollowedBy    => !advHit && !loopHit // greedy consumption
+              case FollowedByAny => true               // branch on every match
+            }
+          if (survives) live += p
+        }
+      }
+      // every event matching step 0 starts a new partial
+      if (steps(0).pred(e, Nil)) {
+        val p0 = Partial(Vector((0, e)), ts)
+        if (steps.length == 1) done += MatchResult("match", p0.entries)
+        else live += p0
+      }
+      (live.result(), done.result(), timedOut.result())
+    }
+
+    /** Run a whole ordered sequence (batch per-key path). Partials
+      * still pending at the end are neither matched nor timed out. */
+    def run(events: Seq[T]): (List[MatchResult[T]], List[MatchResult[T]]) = {
+      var partials = List.empty[Partial[T]]
+      val done = List.newBuilder[MatchResult[T]]
+      val timedOut = List.newBuilder[MatchResult[T]]
+      for (e <- events) {
+        val (p2, d, t) = onEvent(partials, e)
+        partials = p2
+        done ++= d
+        timedOut ++= t
+      }
+      (done.result(), timedOut.result())
+    }
+
+    def toNamed(m: MatchResult[T]): Map[String, Seq[T]] =
+      m.entries.groupBy { case (i, _) => steps(i).name }
+        .map { case (n, es) => n -> es.map(_._2).toSeq }
+  }
+
+  /** Batch CEP: per-key ordered NFA scan via flatMapGroups.
+    * `select` projects each completed match (step name → events). */
+  def matchBatch[T, K, R: Encoder](ds: Dataset[T], keyFn: T => K,
+      orderBy: T => Long, pattern: PatternSpec[T], tsOf: T => Long)
+      (select: (K, Map[String, Seq[T]]) => R)
+      (implicit ke: Encoder[K]): Dataset[R] = {
+    val nfa = new Nfa[T](pattern, tsOf)
+    ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
+      val (done, _) = nfa.run(it.toSeq.sortBy(orderBy))
+      done.iterator.map(m => select(k, nfa.toNamed(m)))
+    }
+  }
+
+  /** Batch CEP including the timeout side channel: emits
+    * (kind, named events) where kind ∈ match | timeout. */
+  def matchBatchWithTimeouts[T, K, R: Encoder](ds: Dataset[T], keyFn: T => K,
+      orderBy: T => Long, pattern: PatternSpec[T], tsOf: T => Long)
+      (select: (K, String, Map[String, Seq[T]]) => R)
+      (implicit ke: Encoder[K]): Dataset[R] = {
+    val nfa = new Nfa[T](pattern, tsOf)
+    ds.groupByKey(keyFn).flatMapGroups { (k: K, it: Iterator[T]) =>
+      val (done, timedOut) = nfa.run(it.toSeq.sortBy(orderBy))
+      (done ::: timedOut).iterator
+        .map(m => select(k, m.kind, nfa.toNamed(m)))
+    }
+  }
+}

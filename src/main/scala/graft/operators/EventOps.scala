@@ -163,9 +163,59 @@ object EventOps extends graft.QueryModule {
       .drop("run_id")
   }
 
+  /** JSON prop extraction + aggregation (P2/P4, `json/TwitterJson
+    * .java:67-98`, `connect/DoubleStreamMatch.java:80-91`): schema-on-
+    * read field access over the `props` JSON column. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  /** Batch count-window analog (A5/W5, `windowing/WindowWordCount
+    * .java:40-58`): per-key sliding window over the last `size`
+    * records, emitted every `slide` records (rows frame + row_number
+    * filter — the declarative form; the streaming form is
+    * streaming.Stateful.countWindowSum). */
+  def countWindowSums(events: DataFrame, size: Int, slide: Int): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val frame = order.rowsBetween(-(size - 1), 0)
+    events
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n", count(lit(1)).over(frame))
+      .withColumn("total", sum(dec(col("value"))).over(frame))
+      .filter(pmod(col("rn"), lit(slide)) === 0)
+      .select(col("user_id"), col("rn").as("end_rn"), col("n"), col("total"))
+  }
+
+  /** Packed-IPv4 int → dotted quad (`state/event/Event.java:54-61`
+    * formatAddress) as pure bit-op expressions — no UDF. */
+  def ipv4(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .withColumn("ip", expr(
+        """concat_ws('.', shiftright(user_id, 24) & 255,
+           shiftright(user_id, 16) & 255, shiftright(user_id, 8) & 255,
+           user_id & 255)"""))
+
+  /** Tumbling window with offset (W6, commented
+    * `windowing/WindowWordCount.java:51`): 10-minute windows aligned
+    * 3 minutes past the epoch boundary. */
+  def offsetWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "10 minutes", "3 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("n"))
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_json_props"      -> ((s, d) => jsonProps(Tables.events(s, d))),
+    "q19_count_window"    -> ((s, d) => countWindowSums(Tables.events(s, d), 10, 5)),
+    "q32_ipv4"            -> ((s, d) => ipv4(Tables.events(s, d))),
+    "q33_offset_window"   -> ((s, d) => offsetWindowCounts(Tables.events(s, d))),
     "q10_window_tumbling" -> ((s, d) => tumblingCounts(Tables.events(s, d))),
     "q11_hot_users"       -> ((s, d) => hotUsers(Tables.events(s, d), 3)),
     "q12_session_stats"   -> ((s, d) => sessionStats(Tables.events(s, d))),
@@ -177,9 +227,32 @@ object EventOps extends graft.QueryModule {
     "q18_falling_runs"    -> ((s, d) => fallingRuns(Tables.events(s, d)))
   )
 
-  private val NS = "1000000000"
-
   def oracle: Map[String, String] = Map(
+    "q09_json_props" -> """
+      SELECT event_type, count(*) AS n,
+             sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+             max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type""",
+    "q19_count_window" -> """
+      WITH t AS (
+        SELECT user_id,
+               row_number() OVER w AS rn,
+               count(*) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n,
+               sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS total
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      SELECT user_id, rn AS end_rn, n, total
+      FROM t WHERE rn % 5 = 0""",
+    "q32_ipv4" -> """
+      SELECT DISTINCT user_id,
+             ((user_id >> 24) & 255) || '.' || ((user_id >> 16) & 255) || '.'
+               || ((user_id >> 8) & 255) || '.' || (user_id & 255) AS ip
+      FROM events""",
+    "q33_offset_window" -> """
+      SELECT ((epoch_ns(ts) // 1000000000 - 180) // 600) * 600 + 180 AS w_start,
+             count(*) AS n
+      FROM events GROUP BY 1""",
     "q10_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 600000000000) * 600 AS w_start, event_type,
              count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total

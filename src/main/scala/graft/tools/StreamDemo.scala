@@ -51,6 +51,31 @@ object StreamDemo {
       timestamp_millis(col("ts")), col("key"), col("value"),
       "3 milliseconds", "0 milliseconds").collect().mkString(";"))
 
+    // streaming CEP: the reference FlinkCEP fixture split mid-pattern
+    // across two micro-batches — partials carried in state
+    import graft.cep.{Cep, CepStreaming}
+    import graft.cep.CepStreaming.CepRow
+    val fixture = Seq(
+      (1L, "barfoo", 1.0, None), (2L, "start", 2.0, None),
+      (3L, "foobar", 3.0, None), (4L, "foo", 4.0, Some(1.0)),
+      (5L, "middle", 5.0, None), (6L, "middle", 6.0, Some(2.0)),
+      (7L, "bar", 3.0, Some(3.0)), (42L, "42", 42.0, None),
+      (8L, "end", 1.0, None)
+    ).zipWithIndex.map { case ((id, n, p, v), i) =>
+      CepRow("k", id, n, p, v, 1000L + i) }
+    val pattern = Cep.begin[CepRow]("start") { (e, _) => e.name == "start" }
+      .followedByAny("middle") { (e, _) => e.volume.isDefined && e.name == "middle" }
+      .followedByAny("end") { (e, _) => e.name == "end" }
+    val cepIn = MemoryStream[CepRow]
+    val q3 = CepStreaming.matchPattern(cepIn.toDS(), pattern)
+      .writeStream.format("memory").queryName("drive_cep")
+      .outputMode("append").start()
+    val (b1, b2) = fixture.splitAt(5)
+    cepIn.addData(b1: _*); q3.processAllAvailable()
+    cepIn.addData(b2: _*); q3.processAllAvailable()
+    println("CEP=" + spark.table("drive_cep").collect().mkString(";"))
+    q3.stop()
+
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.cep.Cep
+import graft.cep.CepStreaming
+import graft.cep.CepStreaming.{CepMatch, CepRow}
+
+/** CEP golden tests against the reference fixtures:
+  * FlinkCEP.java:36-46 (relaxed contiguity + subtype → match 2,6,8),
+  * CEPTimeout.java:41-51 (strict `next` + within + timeout channel),
+  * flink-sql/sql/dml/CEP.md:53-111 (MATCH_RECOGNIZE V-shape).
+  */
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FlinkCEP.java:36-46: (id, name, price, volume) — volume marks SubEvent
+  private def flinkCepFixture: Seq[CepRow] = Seq(
+    (1L, "barfoo", 1.0, None), (2L, "start", 2.0, None),
+    (3L, "foobar", 3.0, None), (4L, "foo", 4.0, Some(1.0)),
+    (5L, "middle", 5.0, None), (6L, "middle", 6.0, Some(2.0)),
+    (7L, "bar", 3.0, Some(3.0)), (42L, "42", 42.0, None),
+    (8L, "end", 1.0, None)
+  ).zipWithIndex.map { case ((id, n, p, v), i) =>
+    CepRow("k", id, n, p, v, 1000L + i)
+  }
+
+  private val startMiddleEnd = Cep.begin[CepRow]("start") {
+      (e, _) => e.name == "start" }
+    .followedByAny("middle") { (e, _) => e.volume.isDefined && e.name == "middle" }
+    .followedByAny("end") { (e, _) => e.name == "end" }
+
+  test("relaxed contiguity + subtype reproduces the reference match 2,6,8") {
+    val got = Cep.matchBatch(spark.createDataset(flinkCepFixture),
+      (r: CepRow) => r.key, (r: CepRow) => r.tsMs, startMiddleEnd,
+      (r: CepRow) => r.tsMs) { (k, m) =>
+      (k, m("start").head.id, m("middle").head.id, m("end").head.id)
+    }.collect()
+    assert(got.toSeq == Seq(("k", 2L, 6L, 8L)))
+  }
+
+  test("strict next + within: matches adjacent error pairs, times out the rest") {
+    // CEPTimeout.java:41-51 shape: any event followed immediately by an
+    // 'error' within 2 s. Events 100 ms apart except a 3 s gap before
+    // the last pair — the partial started at id 42 times out.
+    val rows = Seq(
+      (1L, "foo", 0L), (2L, "error", 100L), (3L, "critical", 200L),
+      (4L, "bar", 300L), (5L, "33", 400L), (6L, "error", 500L),
+      (7L, "bar", 600L), (42L, "55", 700L), (8L, "error", 3800L)
+    ).map { case (id, n, ts) => CepRow("k", id, n, 1.0, None, ts) }
+    val pattern = Cep.begin[CepRow]("start") { (_, _) => true }
+      .next("end") { (e, _) => e.name == "error" }
+      .within(2000)
+    val got = Cep.matchBatchWithTimeouts(spark.createDataset(rows),
+      (r: CepRow) => r.key, (r: CepRow) => r.tsMs, pattern,
+      (r: CepRow) => r.tsMs) { (k, kind, m) =>
+      (kind, m("start").head.id)
+    }.collect().toSeq.sorted
+    // matches: (1→2), (5→6). Strict `next` kills every other partial
+    // on its first non-matching successor (7's partial dies when 42
+    // arrives); only 42's partial is still alive when 8 arrives 3.1 s
+    // later — past `within` → the timeout channel
+    assert(got.filter(_._1 == "match").map(_._2) == Seq(1L, 5L))
+    assert(got.filter(_._1 == "timeout").map(_._2).toSet == Set(42L))
+  }
+
+  test("MATCH_RECOGNIZE V-shape: PATTERN (A B+ C) via prev-referencing predicates") {
+    // flink-sql/sql/dml/CEP.md ticker: ACME prices 12,17,19,21,25,12,
+    // 15,20,24,25 → falling run 25→12 then rising 12→15: the doc's
+    // expected match starts at the row before the drop (10:00:04),
+    // bottom 10:00:07, up 10:00:08 — here ids 4..6
+    val prices = Seq(12.0, 17.0, 19.0, 21.0, 25.0, 12.0, 15.0, 20.0, 24.0, 25.0)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      CepRow("ACME", i.toLong, "tick", p, None, 1000L * i)
+    }
+    val vshape = Cep.begin[CepRow]("A") { (_, _) => true }
+      .next("B", oneOrMore = true) { (e, prev) => e.price < prev.last.price }
+      .next("C") { (e, prev) => e.price > prev.last.price }
+    val got = Cep.matchBatch(spark.createDataset(rows),
+      (r: CepRow) => r.key, (r: CepRow) => r.tsMs, vshape,
+      (r: CepRow) => r.tsMs) { (k, m) =>
+      (m("A").head.id, m("B").map(_.id).mkString("+"), m("C").head.id)
+    }.collect().toSeq
+    assert(got.contains((4L, "5", 6L)))
+  }
+
+  test("streaming CEP carries partial matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CepRow]
+    val q = CepStreaming.matchPattern(in.toDS(), startMiddleEnd)
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = flinkCepFixture.splitAt(5) // split mid-pattern
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("cep_out").as[CepMatch].collect()
+      assert(got.toSeq == Seq(CepMatch("k", "match", Seq(2L, 6L, 8L))))
+    } finally q.stop()
+  }
+}
