@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed `Aggregator[IN, BUF, OUT]` ports of the reference's
+  * AggregateFunction surface (`topn/HotItems.java:162-185`:
+  * createAccumulator/add/merge/getResult ↔ zero/reduce/merge/finish).
+  */
+object Aggregators {
+
+  /** 1:1 port of the reference CountAgg (`HotItems.java:162-185`). */
+  class CountAgg[T] extends Aggregator[T, Long, Long] {
+    def zero: Long = 0L
+    def reduce(acc: Long, in: T): Long = acc + 1
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(acc: Long): Long = acc
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  case class Scored(sim: Double, id: Long)
+
+  /** Bounded top-k by (sim desc, id asc): the partial-aggregatable
+    * alternative to a rank-over-window — each map task keeps at most
+    * k candidates, so no full sort/shuffle of all scored pairs. The
+    * ordering is total (ties broken by id), so the result equals the
+    * window formulation exactly.
+    */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    private def trim(xs: Seq[Scored]): Seq[Scored] =
+      xs.sortWith(better).take(k)
+    def zero: Seq[Scored] = Seq.empty
+    def reduce(acc: Seq[Scored], in: Scored): Seq[Scored] = trim(acc :+ in)
+    def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = trim(a ++ b)
+    def finish(acc: Seq[Scored]): Seq[Scored] = acc
+    def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+  }
+
+  /** Column form: topK(k)(simCol, idCol) → array<struct<sim,id>>. */
+  def topK(k: Int)(sim: Column, id: Column): Column = {
+    implicit val enc: Encoder[Scored] = Encoders.product[Scored]
+    udaf(new TopK(k), enc).apply(sim, id)
+  }
+}

@@ -43,9 +43,11 @@ object Similarity extends graft.QueryModule {
   }
 
   /** Brute-force cosine top-k: for each query vector (vec_id <
-    * nQueries), the k most similar other vectors. Norms are
-    * precomputed per side (the broadcast materializes the corpus
-    * side's norms once) so the per-pair work is a single dot product.
+    * nQueries), the k most similar other vectors. The SMALL query set
+    * is broadcast; the corpus streams in parallel across partitions
+    * (at 100 TB the corpus never moves — only k rows per query per
+    * partition reach the final top-k shuffle). Norms are precomputed
+    * per side so the per-pair work is a single dot product.
     */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") < nQueries)
@@ -55,15 +57,27 @@ object Similarity extends graft.QueryModule {
     val c = embeddings.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_nrm", norm(col("c_emb")))
-    val scored = q.join(broadcast(c),
+    val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
           .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k via a bounded Aggregator (partial-aggregated:
+    * each map task keeps ≤ k candidates — no full sort/shuffle of all
+    * scored pairs). Total order (sim desc, id asc) matches the
+    * rank-over-window formulation exactly.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Aggregators.topK(k)(
+        col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.sim").as("sim"), (col("pos") + 1).cast("int").as("rn"))
 
   /** Deterministic pseudo-random hyperplane components in [-1, 1]:
     * md5("p<plane>_<dim>") → 32-bit int → scaled. Same formula is
@@ -104,14 +118,12 @@ object Similarity extends graft.QueryModule {
     val c = bucketed.select(col("vec_id").as("neighbor_id"),
       col("emb").as("c_emb"), col("bucket"))
       .withColumn("c_nrm", norm(col("c_emb")))
-    val scored = q.join(c, col("q_bucket") === col("bucket") &&
+    val scored = c.join(broadcast(q), col("q_bucket") === col("bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
           .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    rankTopK(scored, k)
   }
 
   // ---- driver bindings -------------------------------------------------

@@ -49,4 +49,7 @@ object Models {
   case class CountWindowSum(key: String, endSeq: Long, n: Int, total: Long)
 
   case class KeyedValue(key: String, value: Long, seq: Long)
+
+  /** `windowing/CustomizeEvictorAndTrigger.java:34` car tuple. */
+  case class Car(carId: Int, speed: Int, distance: Double, ts: Long)
 }

@@ -224,6 +224,43 @@ object Stateful extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  // ---- W4: delta trigger + time evictor (`windowing/CustomizeEvictorAndTrigger.java:49-61`)
+
+  /** Global window with a delta trigger and a time evictor: per car,
+    * buffer points; when the distance delta since the last firing
+    * point exceeds `triggerMeters`, evict points older than
+    * `evictionMs` (relative to the newest point, like Flink's
+    * TimeEvictor.evictBefore) and emit the max-speed point of what
+    * remains; the firing point becomes the new delta reference.
+    * State = (reference distance, kept points) — bounded by the
+    * eviction horizon, not stream history.
+    */
+  def deltaTriggerMaxSpeed(cars: Dataset[Car], triggerMeters: Double,
+                           evictionMs: Long): Dataset[Car] = {
+    import cars.sparkSession.implicits._
+    def fn(carId: Int, it: Iterator[Car],
+           state: GroupState[(Double, Seq[(Int, Int, Double, Long)])]): Iterator[Car] = {
+      val (ref0, buf0) = state.getOption.getOrElse((Double.NaN, Seq.empty))
+      var ref = ref0
+      var buf = buf0.map { case (c, s, d, t) => Car(c, s, d, t) }
+      val out = Seq.newBuilder[Car]
+      for (c <- it.toSeq.sortBy(_.ts)) {
+        buf :+= c
+        if (ref.isNaN) ref = c.distance           // first point = reference
+        else if (c.distance - ref > triggerMeters) {
+          buf = buf.filter(_.ts > c.ts - evictionMs)
+          out += buf.maxBy(p => (p.speed, -p.ts)) // max speed, earliest wins
+          ref = c.distance
+        }
+      }
+      state.update((ref, buf.map(c => (c.carId, c.speed, c.distance, c.ts))))
+      out.result().iterator
+    }
+    cars.groupByKey(_.carId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   // ---- J5: broadcast pattern match (`join/BroadcastStreamConnect.java:82-159`)
 
   /** Per-user two-step sequence match against a broadcast pattern:

@@ -76,6 +76,19 @@ object StreamDemo {
     println("CEP=" + spark.table("drive_cep").collect().mkString(";"))
     q3.stop()
 
+    // delta trigger + time evictor (W4): fires at distance jumps,
+    // second firing sees only the points inside the 10 s evictor
+    val pts = Seq(
+      Car(1, 10, 0.0, 0L), Car(1, 20, 30.0, 5000L), Car(1, 15, 60.0, 8000L),
+      Car(1, 5, 100.0, 20000L), Car(1, 30, 120.0, 25000L),
+      Car(2, 99, 10.0, 0L), Car(2, 40, 70.0, 1000L))
+    println("DELTA=" + Stateful
+      .deltaTriggerMaxSpeed(spark.createDataset(pts), 50.0, 10000L)
+      .collect().sortBy(c => (c.carId, c.ts)).mkString(";"))
+    println("DELTA_EMPTY=" + Stateful
+      .deltaTriggerMaxSpeed(spark.createDataset(Seq(Car(9, 5, 0.0, 0L))),
+        50.0, 10000L).collect().length)
+
     spark.stop()
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.core.Tables
+import graft.operators._
+
+/** Physical-plan assertions: the scale properties that make these
+  * operators viable at 100 TB must be visible in the plan, not
+  * assumed — filter/projection pushdown into the parquet scan,
+  * broadcast of dims, map-side partial aggregation, whole-stage
+  * codegen on the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 pushes the shipdate filter and pruned schema into the scan") {
+    val plan = planOf(Relational.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), s"no pushed filter:\n$plan")
+    // only the 6 needed columns reach the scan (5 used + filter col)
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no FileScan:\n$plan"))
+    for (unused <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_tax"))
+      assert(!scanLine.contains(unused), s"reads unused $unused:\n$scanLine")
+  }
+
+  test("q01 aggregates map-side before the exchange (partial/final)") {
+    val plan = planOf(Relational.pricingSummary(Tables.lineitem(spark, sf)))
+    val firstExchange = plan.indexOf("Exchange hashpartitioning")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstExchange >= 0 && firstAgg >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — a
+    // partial HashAggregate must appear BELOW (after) the exchange
+    assert(plan.indexOf("HashAggregate", firstExchange) > firstExchange,
+      s"no partial aggregation below the exchange:\n$plan")
+  }
+
+  test("q05 joins the dims via broadcast, not shuffle") {
+    val plan = planOf(Relational.revenueByRegion(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    for ((name, df) <- Seq(
+      "q01" -> Relational.pricingSummary(Tables.lineitem(spark, sf)),
+      "q20" -> TextOps.wordCount(Tables.documents(spark, sf)),
+      "q27" -> Dedup.simhash(Tables.documents(spark, sf)))) {
+      df.collect() // execute THIS QueryExecution so AQE finalizes it
+      val plan = planOf(df)
+      // '*(' marks a WholeStageCodegen stage in the final plan
+      assert(plan.contains("*("), s"$name not codegen'd:\n$plan")
+    }
+  }
+
+  test("q02 projection prunes the parquet read schema to 6 columns") {
+    val plan = planOf(Relational.revenueItems(Tables.lineitem(spark, sf)))
+    val schema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // needs qty, shipdate (filters) + orderkey, linenumber, price, disc
+    assert(!schema.contains("l_partkey") && !schema.contains("l_suppkey"),
+      s"unused columns read:\n$schema")
+  }
+
+  test("knn corpus side is broadcast (no shuffle of scored pairs)") {
+    val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    // top-k via partial-aggregatable udaf, not a rank window sort
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
+      s"rank window crept back in:\n$plan")
+  }
+}

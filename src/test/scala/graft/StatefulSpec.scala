@@ -115,6 +115,18 @@ class StatefulSpec extends SparkSpec {
     assert(got.toSeq == Seq(PatternMatch(1002, "Add to cart", "User logout")))
   }
 
+  test("delta trigger fires on distance jumps and evicts old points (W4)") {
+    // trigger 50 m, evictor 10 s (CustomizeEvictorAndTrigger.java:43-44)
+    val pts = Seq(
+      Car(1, 10, 0.0, 0L), Car(1, 20, 30.0, 5000L),
+      Car(1, 15, 60.0, 8000L),    // delta 60 > 50 → fire: max speed 20
+      Car(1, 5, 100.0, 20000L),
+      Car(1, 30, 120.0, 25000L))  // delta 60 > 50 → fire: evict ≤15 s → max 30
+    val got = Stateful.deltaTriggerMaxSpeed(spark.createDataset(pts), 50.0, 10000L)
+      .collect().sortBy(_.ts)
+    assert(got.map(c => (c.speed, c.ts)).toSeq == Seq((20, 5000L), (30, 25000L)))
+  }
+
   test("DFA transition table matches the reference diagram") {
     assert(Dfa.transition("Initial", "a").contains("W"))
     assert(Dfa.transition("X", "d").contains("Z"))
