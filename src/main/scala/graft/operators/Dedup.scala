@@ -58,9 +58,12 @@ object Dedup extends graft.QueryModule {
     * calls per document. */
   private def minhashMins(documents: DataFrame, k: Int): DataFrame = {
     require(k <= 16, "coefficient table has 16 entries")
+    // materialize the token array first: inside a HOF lambda there is
+    // no common-subexpression reuse, so shingling words(text) directly
+    // would re-run the regex split per element_at reference
     val exploded = documents
-      .select(col("doc_id"),
-        explode(shingles(words(col("text")), 3)).as("s"))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
       .select(col("doc_id"), hash32(col("s")).as("h"))
     val mins = (0 until k).map(i =>
       min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i"))
@@ -151,12 +154,16 @@ object Dedup extends graft.QueryModule {
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
                         maxShingleFreq: Int = 100): DataFrame = {
-    // doc_id → word set, cached: both lookup joins below scan one copy
+    // doc_id → SORTED word set, cached: both lookup joins below scan
+    // one copy; sorting once per doc lets the per-pair jaccard be a
+    // single codegen merge walk (SortedArrayJaccard)
     val wsets = documents
-      .select(col("doc_id"), array_distinct(words(col("text"))).as("wset"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(words(col("text")))).as("wset"))
       .persist()
     val inv = documents
-      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
       .distinct()
     val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
@@ -171,8 +178,8 @@ object Dedup extends graft.QueryModule {
       .join(wsets.toDF("a", "a_w"), "a")
       .join(wsets.toDF("b", "b_w"), "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("a_w"), col("b_w"))).cast("double") /
-          size(array_union(col("a_w"), col("b_w")))).as("jaccard"))
+        graft.functions.VectorExpressions
+          .sortedJaccard(col("a_w"), col("b_w")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -45,13 +45,15 @@ object TextOps extends graft.QueryModule {
     * (bit-portable); no multi-row float accumulation.
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
-    documents.select(
-      col("doc_id"),
-      size(ws).as("n_tokens"),
-      length(regexp_replace(normText(col("text")), " ", "")).as("n_word_chars"),
-      size(filter(ws, w => array_contains(stopArr, w))).as("n_stop"))
+    documents
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        normText(col("text")).as("norm"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        length(regexp_replace(col("norm"), " ", "")).as("n_word_chars"),
+        size(filter(col("ws"), w => array_contains(stopArr, w))).as("n_stop"))
     .select(
       col("doc_id"), col("n_tokens"),
       (col("n_word_chars").cast("double") / col("n_tokens")).as("avg_word_len"),
@@ -69,12 +71,13 @@ object TextOps extends graft.QueryModule {
     * a broadcast-style lookup — no shuffle.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val scored = documents.select(
-      col("doc_id") +: dicts.map { case (name, dict) =>
-        val arr = array(dict.map(lit): _*)
-        size(filter(ws, w => array_contains(arr, w))).as(s"score_$name")
-      }: _*)
+    val scored = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id") +: dicts.map { case (name, dict) =>
+          val arr = array(dict.map(lit): _*)
+          size(filter(col("ws"), w => array_contains(arr, w))).as(s"score_$name")
+        }: _*)
     val best = dicts.map { case (name, _) => col(s"score_$name") }
       .reduceLeft((a, b) => greatest(a, b))
     val pred = dicts.foldRight(lit("und"): Column) { case ((name, _), acc) =>
