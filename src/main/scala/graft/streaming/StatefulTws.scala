@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.streaming.Models._
+
+/** Spark 4 `transformWithState` ports (the successor API to
+  * flatMapGroupsWithState — native state TTL, typed state variables,
+  * explicit timers; SURVEY.md §2.7 T1/T5). The same operators exist on
+  * flatMapGroupsWithState in [[Stateful]]; these variants use the
+  * first-class TTL the reference configures via StateTtlConfig
+  * (`state/StateTtl.java:15-22`) and the fraud flag timer
+  * (`state/TimerService.java:68-139`).
+  *
+  * Streaming runs require the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass` →
+  * RocksDBStateStoreProvider) — the same backend the reference
+  * recommends for large keyed state (`checkpointing/Checkpointing
+  * .java:63-67`).
+  */
+object StatefulTws extends Serializable {
+
+  /** T1+T5: fraud detector with the small-txn flag in a ValueState
+    * whose expiry is a NATIVE state TTL (OnCreateAndWrite semantics,
+    * like the reference's StateTtlConfig) instead of a hand-rolled
+    * timer. */
+  class FraudProcessor(flagTtl: Duration)
+      extends StatefulProcessor[Long, Transaction, FraudAlert] {
+    @transient private var flag: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      flag = getHandle.getValueState[Boolean]("flag",
+        Encoders.scalaBoolean, TTLConfig(flagTtl))
+
+    override def handleInputRows(accountId: Long, rows: Iterator[Transaction],
+        timerValues: TimerValues): Iterator[FraudAlert] = {
+      val out = Seq.newBuilder[FraudAlert]
+      var flagged = flag.exists() && flag.get()
+      for (t <- rows.toSeq.sortBy(_.seq)) {
+        if (flagged) {
+          if (t.amount > Stateful.LargeAmount) out += FraudAlert(accountId, t.seq)
+          flagged = false
+        }
+        if (t.amount < Stateful.SmallAmount) flagged = true
+      }
+      if (flagged) flag.update(true) else flag.clear()
+      out.result().iterator
+    }
+  }
+
+  def fraudDetector(txns: Dataset[Transaction],
+                    flagTtl: Duration = Duration.ofMinutes(1)): Dataset[FraudAlert] = {
+    import txns.sparkSession.implicits._
+    txns.groupByKey(_.accountId)
+      .transformWithState(new FraudProcessor(flagTtl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}

@@ -89,6 +89,14 @@ object StreamDemo {
       .deltaTriggerMaxSpeed(spark.createDataset(Seq(Car(9, 5, 0.0, 0L))),
         50.0, 10000L).collect().length)
 
+    // transformWithState (Spark 4) fraud variant, reference fixture
+    val txns = Seq((1L, 13.01), (2L, 25.00), (3L, 0.09), (3L, 510.00),
+      (5L, 102.62), (6L, 91.50), (7L, 0.02), (8L, 30.01), (9L, 701.83),
+      (5L, 31.92)).zipWithIndex.map { case ((a, amt), i) =>
+      Transaction(a, amt, i.toLong) }
+    println("TWS_ALERTS=" + StatefulTws
+      .fraudDetector(spark.createDataset(txns)).collect().mkString(";"))
+
     spark.stop()
   }
 }

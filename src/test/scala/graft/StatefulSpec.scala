@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Models._
-import graft.streaming.{Dfa, Stateful}
+import graft.streaming.{Dfa, Stateful, StatefulTws}
 
 /** Golden tests for the stateful operators, using the reference's own
   * fixtures (FIXTURES.md §3, §9, §11; expected outputs from the
@@ -113,6 +113,43 @@ class StatefulSpec extends SparkSpec {
     val got = Stateful.patternMatch(spark.createDataset(actions),
       ActionPattern("Add to cart", "User logout")).collect()
     assert(got.toSeq == Seq(PatternMatch(1002, "Add to cart", "User logout")))
+  }
+
+  test("transformWithState fraud detector matches the fixture (batch)") {
+    val alerts = StatefulTws.fraudDetector(spark.createDataset(txns)).collect()
+    assert(alerts.map(_.accountId).toSeq == Seq(3L))
+  }
+
+  test("transformWithState carries TTL'd flag state across micro-batches") {
+    // TimeMode.ProcessingTime keeps scheduling timer-check batches, so
+    // processAllAvailable never settles — poll progress/output instead
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def pollUntil(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      val in = MemoryStream[Transaction]
+      val q = StatefulTws.fraudDetector(in.toDS(),
+          java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(Transaction(7L, 0.50, 0))
+        pollUntil(q.recentProgress.map(_.numInputRows).sum >= 1,
+          "first txn consumed")
+        in.addData(Transaction(7L, 900.0, 1))
+        pollUntil(spark.table("tws_out").count() >= 1, "alert emitted")
+        val got = spark.table("tws_out").as[FraudAlert].collect()
+        assert(got.toSeq == Seq(FraudAlert(7L, 1)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("delta trigger fires on distance jumps and evicts old points (W4)") {
