@@ -97,6 +97,19 @@ object StreamDemo {
     println("TWS_ALERTS=" + StatefulTws
       .fraudDetector(spark.createDataset(txns)).collect().mkString(";"))
 
+    // async enrichment (J7): ordered bounded-window futures
+    {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val enriched = AsyncEnrich.enrich(
+        spark.createDataset(1 to 10).repartition(1),
+        capacity = 4, ordered = true, 5.seconds) { i =>
+        Future { Thread.sleep((11 - i) % 3); s"v$i" }  // later items faster
+      }.collect()
+      println("ASYNC=" + enriched.mkString(","))
+    }
+
     spark.stop()
   }
 }

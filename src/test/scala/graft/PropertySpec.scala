@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.cep.Cep
+import graft.cep.CepStreaming.CepRow
+import graft.functions.Aggregators
+import graft.functions.Aggregators.Scored
+import graft.streaming.Dfa
+
+/** Property tests (SURVEY.md §5 strategy item 4) over the pure-logic
+  * cores — no SparkSession needed, so these run in milliseconds.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // ---- TopK aggregator: the distributed-correctness property --------
+
+  private val topk = new Aggregators.TopK(5)
+  private val scoredGen: Gen[Scored] = for {
+    s <- Gen.chooseNum(-1.0, 1.0)
+    id <- Gen.chooseNum(0L, 50L)
+  } yield Scored(s, id)
+  private val scoredList = Gen.listOf(scoredGen)
+
+  private def runSeq(xs: Seq[Scored]) = xs.foldLeft(topk.zero)(topk.reduce)
+
+  property("TopK.merge is order-insensitive (shuffle-safe)") =
+    forAll(scoredList, scoredList) { (a, b) =>
+      topk.merge(runSeq(a), runSeq(b)) == topk.merge(runSeq(b), runSeq(a))
+    }
+
+  property("TopK partial-agg equals single-pass (partition-split safe)") =
+    forAll(scoredList, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut.min(xs.size))
+      topk.merge(runSeq(l), runSeq(r)) == runSeq(xs)
+    }
+
+  property("TopK result is sorted desc and bounded by k") =
+    forAll(scoredList) { xs =>
+      val out = topk.finish(runSeq(xs))
+      out.size <= 5 &&
+        out.sliding(2).forall {
+          // generated input may contain exact duplicates — both kept
+          case Seq(a, b) => a.sim > b.sim || (a.sim == b.sim && a.id <= b.id)
+          case _ => true
+        }
+    }
+
+  // ---- DFA: alerts ⇔ illegal transitions ----------------------------
+
+  private val eventGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g")
+
+  property("DFA transition is defined iff the diagram has the edge") =
+    forAll(Gen.oneOf("Initial", "W", "X", "Y", "Z"), eventGen) { (s, e) =>
+      val legal = Set(("Initial", "a"), ("Initial", "c"), ("W", "b"),
+        ("X", "b"), ("X", "d"), ("Y", "e"), ("Z", "g"))
+      Dfa.transition(s, e).isDefined == legal((s, e))
+    }
+
+  // ---- CEP NFA vs a naive reference implementation ------------------
+
+  private val nameGen = Gen.oneOf("x", "error")
+  private val rowsGen: Gen[List[CepRow]] =
+    Gen.listOf(nameGen).map(_.zipWithIndex.map { case (n, i) =>
+      CepRow("k", i.toLong, n, 1.0, None, 1000L * i)
+    })
+
+  property("strict-pair NFA == naive adjacent scan") =
+    forAll(rowsGen) { rows =>
+      val pattern = Cep.begin[CepRow]("s") { (_, _) => true }
+        .next("e") { (e, _) => e.name == "error" }
+      val nfa = new Cep.Nfa[CepRow](pattern, _.tsMs)
+      val (matches, _) = nfa.run(rows)
+      val got = matches.map(m => (m.entries(0)._2.id, m.entries(1)._2.id))
+      val expected = rows.sliding(2).collect {
+        case List(a, b) if b.name == "error" => (a.id, b.id)
+      }.toList
+      got == expected
+    }
+
+  property("relaxed followedByAny finds every (start, later-error) pair") =
+    forAll(rowsGen) { rows =>
+      val pattern = Cep.begin[CepRow]("s") { (e, _) => e.name == "x" }
+        .followedByAny("e") { (e, _) => e.name == "error" }
+      val nfa = new Cep.Nfa[CepRow](pattern, _.tsMs)
+      val (matches, _) = nfa.run(rows)
+      val got = matches.map(m => (m.entries(0)._2.id, m.entries(1)._2.id)).toSet
+      val expected = (for {
+        s <- rows if s.name == "x"
+        e <- rows if e.name == "error" && e.id > s.id
+      } yield (s.id, e.id)).toSet
+      got == expected
+    }
+}

@@ -80,6 +80,30 @@ class StreamAggsSpec extends SparkSpec {
     assert(got == Seq((1, 0), (5, 3), (5, 6)))
   }
 
+  test("async enrichment: ordered preserves order, unordered completes all") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val ds = spark.createDataset(1 to 100)
+    val ordered = graft.streaming.AsyncEnrich
+      .enrich(ds, capacity = 8, ordered = true, 10.seconds) { i =>
+        Future { Thread.sleep((i % 3)); i * 2 }
+      }.collect()
+    assert(ordered.toSeq.sorted == (1 to 100).map(_ * 2)) // all results
+    // ordered mode: per-partition order preserved ⇒ globally each
+    // partition's slice is ascending
+    val perPart = graft.streaming.AsyncEnrich
+      .enrich(ds.repartition(1), capacity = 8, ordered = true, 10.seconds) { i =>
+        Future { Thread.sleep((101 - i) % 5); i }
+      }.collect()
+    assert(perPart.toSeq == (1 to 100))
+    val unordered = graft.streaming.AsyncEnrich
+      .enrich(ds, capacity = 8, ordered = false, 10.seconds) { i =>
+        Future { i + 1000 }
+      }.collect()
+    assert(unordered.toSeq.sorted == (1 to 100).map(_ + 1000))
+  }
+
   test("window join pairs same-key same-window rows") {
     val l = Seq(("tom", 3, 1000L), ("alice", 5, 1500L), ("tom", 4, 2500L))
       .toDF("name", "grade", "ts_ms")
