@@ -51,8 +51,13 @@ object Cep {
     PatternSpec(Vector(Step(name, FollowedBy, oneOrMore, pred)), None)
 
   /** A partial match: per matched event, the index of the step that
-    * consumed it. `stepIdx` = index of the step matched last. */
-  case class Partial[T](entries: Vector[(Int, T)], startTs: Long) {
+    * consumed it. `stepIdx` = index of the step matched last.
+    * `matched` marks a partial that already emitted a completed match
+    * (a one-or-more final step keeps extending) — such partials are
+    * dropped silently on `within` expiry, never reported as timeouts.
+    */
+  case class Partial[T](entries: Vector[(Int, T)], startTs: Long,
+                        matched: Boolean = false) {
     def stepIdx: Int = entries.last._1
     def events: Seq[T] = entries.map(_._2)
   }
@@ -75,7 +80,7 @@ object Cep {
 
       for (p <- partials) {
         if (spec.withinMs.exists(w => ts - p.startTs > w)) {
-          timedOut += MatchResult("timeout", p.entries)
+          if (!p.matched) timedOut += MatchResult("timeout", p.entries)
         } else {
           val cur = steps(p.stepIdx)
           val nextIdx = p.stepIdx + 1
@@ -84,16 +89,20 @@ object Cep {
           val advHit = nextIdx < steps.length &&
             steps(nextIdx).pred(e, p.events)
           if (loopHit) {
-            val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs)
+            val isFinal = p.stepIdx == last
+            val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs,
+              p.matched || isFinal)
             live += ext
-            if (p.stepIdx == last) done += MatchResult("match", ext.entries)
+            if (isFinal) done += MatchResult("match", ext.entries)
           }
           if (advHit) {
-            val adv = Partial(p.entries :+ (nextIdx, e), p.startTs)
             if (nextIdx == last) {
+              val adv = Partial(p.entries :+ (nextIdx, e), p.startTs,
+                matched = true)
               done += MatchResult("match", adv.entries)
               if (steps(nextIdx).oneOrMore) live += adv // B+ can extend
-            } else live += adv
+            } else live += Partial(p.entries :+ (nextIdx, e), p.startTs,
+              p.matched)
           }
           // does the un-extended partial survive this event?
           val survives =

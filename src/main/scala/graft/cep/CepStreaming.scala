@@ -20,19 +20,25 @@ object CepStreaming {
   case class CepMatch(key: String, kind: String, ids: Seq[Long])
 
   /** Run a pattern over a (possibly streaming) Dataset[CepRow]. State
-    * carries live partials as (stepIdx, row) vectors. On streaming
-    * input, an event-time timeout flushes nothing by itself (pending
-    * partials either complete, die, or time out against later events'
-    * timestamps) — `within` timeouts are emitted as kind="timeout".
+    * carries live partials as (matched-flag, (stepIdx, row) entries).
+    * `within` timeouts are emitted as kind="timeout" when a later
+    * event on the same key passes the bound; `idleTimeoutMs` (strongly
+    * recommended for unbounded key spaces) additionally evicts a key's
+    * partials after that much processing-time inactivity — without it,
+    * keys that go permanently idle retain their partials forever.
+    * With an idle timeout, run with a nonzero trigger interval (see
+    * the Stateful timer note).
     */
-  def matchPattern(rows: Dataset[CepRow],
-                   pattern: PatternSpec[CepRow]): Dataset[CepMatch] = {
+  def matchPattern(rows: Dataset[CepRow], pattern: PatternSpec[CepRow],
+                   idleTimeoutMs: Option[Long] = None): Dataset[CepMatch] = {
     import rows.sparkSession.implicits._
     val nfa = new Nfa[CepRow](pattern, _.tsMs)
     def fn(key: String, it: Iterator[CepRow],
-           state: GroupState[Seq[Seq[(Int, CepRow)]]]): Iterator[CepMatch] = {
+           state: GroupState[Seq[(Boolean, Seq[(Int, CepRow)])]]): Iterator[CepMatch] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var partials = state.getOption.getOrElse(Seq.empty)
-        .map(es => Partial(es.toVector, es.head._2.tsMs)).toList
+        .map { case (m, es) => Partial(es.toVector, es.head._2.tsMs, m) }
+        .toList
       val out = Seq.newBuilder[CepMatch]
       for (e <- it.toSeq.sortBy(r => (r.tsMs, r.id))) {
         val (p2, done, timedOut) = nfa.onEvent(partials, e)
@@ -42,11 +48,16 @@ object CepStreaming {
         }
       }
       if (partials.isEmpty) state.remove()
-      else state.update(partials.map(_.entries.toSeq))
+      else {
+        state.update(partials.map(p => (p.matched, p.entries.toSeq)))
+        idleTimeoutMs.foreach(state.setTimeoutDuration)
+      }
       out.result().iterator
     }
+    val timeout =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     rows.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 }

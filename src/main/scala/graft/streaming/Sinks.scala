@@ -40,21 +40,34 @@ object Sinks {
     }
 
   /** K5: batched upsert via foreachBatch — dedup each micro-batch to
-    * last-write-wins per key (deterministic replay), then hand the
-    * batch to the client. `batchSize` mirrors the reference's JDBC
-    * batching knob (`jdbc/JDBCSink.java:47,66-69`).
+    * ONE row per key before writing, then hand the rows to the client
+    * in groups of `batchSize` (the reference's JDBC batching knob,
+    * `jdbc/JDBCSink.java:47,66-69`). Winner per key is max_by(orderCol)
+    * — an explicit total order, NOT first/last (which are
+    * partition-order-nondeterministic after the shuffle and would make
+    * checkpoint replays write different values).
     */
   def upsertBatch(client: () => UpsertClient, keyCol: String, valueCol: String,
-                  batchSize: Int = 5000)(batch: DataFrame, epochId: Long): Unit = {
+                  orderCol: String, batchSize: Int = 5000)
+                 (batch: DataFrame, epochId: Long): Unit = {
     val deduped = batch
       .groupBy(col(keyCol).cast("string").as("k"))
-      .agg(last(col(valueCol).cast("string")).as("v"))
+      .agg(max_by(col(valueCol).cast("string"),
+        struct(col(orderCol), col(valueCol))).as("v"))
     val c = client()
     c.open()
     // driver-side iteration is fine for dim-sized sinks; large facts
     // use keyValueWriter (per-partition, parallel)
-    try deduped.toLocalIterator().forEachRemaining { row =>
-      c.upsert(row.getString(0), row.getString(1))
+    try {
+      val it = deduped.toLocalIterator()
+      val buf = new scala.collection.mutable.ArrayBuffer[(String, String)](batchSize)
+      def flush(): Unit = { buf.foreach { case (k, v) => c.upsert(k, v) }; buf.clear() }
+      while (it.hasNext) {
+        val row = it.next()
+        buf += ((row.getString(0), row.getString(1)))
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
     } finally c.close()
   }
 

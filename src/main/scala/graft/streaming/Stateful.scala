@@ -122,10 +122,14 @@ object Stateful extends Serializable {
         return emit(windowEnd, items)
       }
       val buf = state.getOption.getOrElse(Seq.empty) ++ it
-      if (watermarkOrNeg(state) >= 0) {
-        // streaming: hold until the watermark passes windowEnd
+      val wm = watermarkOrNeg(state)
+      if (wm >= 0) {
+        // streaming: hold until the watermark passes windowEnd. Clamp:
+        // a late row for an already-passed window would otherwise make
+        // setTimeoutTimestamp throw (timestamp before watermark) and
+        // kill the query.
         state.update(buf)
-        state.setTimeoutTimestamp(windowEnd + 1)
+        state.setTimeoutTimestamp(math.max(windowEnd + 1, wm + 1))
         Iterator.empty
       } else {
         // batch: no watermark machinery — emit immediately
@@ -175,7 +179,10 @@ object Stateful extends Serializable {
   /** Keyed match of big/small order streams: first arrival is
     * buffered, the partner emits a match; a partner that never arrives
     * before the event-time timeout surfaces as kind="timeout" with one
-    * side null (side outputs as a tag column).
+    * side null (side outputs as a tag column). A same-side re-arrival
+    * overwrites the buffered order — the reference's ValueState.update
+    * semantics (`DoubleStreamMatch.java:160-181`), so only the latest
+    * unmatched order per key surfaces.
     */
   def matchOrders(tagged: Dataset[(String, Order)],
                   timeoutMs: Long = 60 * 1000): Dataset[OrderMatch] = {
@@ -206,8 +213,11 @@ object Stateful extends Serializable {
       pending match {
         case Some((side, time)) =>
           state.update((side, time))
-          if (watermarkOrNeg(state) >= 0)
-            state.setTimeoutTimestamp(time + timeoutMs)
+          val wm = watermarkOrNeg(state)
+          if (wm >= 0)
+            // clamped: a base time already past the watermark must not
+            // produce a timeout timestamp the engine rejects
+            state.setTimeoutTimestamp(math.max(time + timeoutMs, wm + 1))
           else {
             // batch: no watermark — flush unmatched immediately
             state.remove()

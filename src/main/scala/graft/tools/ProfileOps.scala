@@ -30,6 +30,7 @@ object ProfileOps {
     val w = words(col("text"))
     val fast = docs
       .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3) // sequence(0, neg) would descend
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("shingle"))
     time("shingles element_at HOF")(fast.count())

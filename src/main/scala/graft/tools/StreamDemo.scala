@@ -38,7 +38,8 @@ object StreamDemo {
     }
     val in2 = MemoryStream[(String, Long)]
     val q2 = in2.toDF().toDF("k", "v")
-      .writeStream.foreachBatch(Sinks.upsertBatch(() => MemClient, "k", "v") _)
+      .writeStream
+      .foreachBatch(Sinks.upsertBatch(() => MemClient, "k", "v", "v") _)
       .start()
     in2.addData(("a", 1L), ("a", 2L), ("b", 9L))
     q2.processAllAvailable(); q2.stop()

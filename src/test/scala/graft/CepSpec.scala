@@ -83,6 +83,22 @@ class CepSpec extends SparkSpec {
     assert(got.contains((4L, "5", 6L)))
   }
 
+  test("a completed one-or-more match is not re-reported as a timeout") {
+    // A@0, B@1 completes A B+ (match); the partial stays live to extend
+    // B+, then expires at ts=20 — expiry of an already-matched partial
+    // must be silent, not a contradictory "timeout"
+    val rows = Seq(
+      CepRow("k", 1, "a", 1.0, None, 0L), CepRow("k", 2, "b", 1.0, None, 1000L),
+      CepRow("k", 9, "z", 1.0, None, 20000L))
+    val pattern = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+      .next("B", oneOrMore = true) { (e, _) => e.name == "b" }
+      .within(10000)
+    val got = Cep.matchBatchWithTimeouts(spark.createDataset(rows),
+      (r: CepRow) => r.key, (r: CepRow) => r.tsMs, pattern,
+      (r: CepRow) => r.tsMs) { (k, kind, m) => kind }.collect().toSeq
+    assert(got == Seq("match"))
+  }
+
   test("streaming CEP carries partial matches across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepRow]

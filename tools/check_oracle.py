@@ -30,10 +30,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+from decimal import Decimal
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            first = next((v for v in df[c] if v is not None), None)
+            if isinstance(first, Decimal):
+                continue  # compare decimals exactly, never via float
             try:
                 df[c] = df[c].astype(float)
             except (ValueError, TypeError):
@@ -46,7 +51,8 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         got = canon(pd.read_parquet(f"{OUT}/{name}"))
-        want = canon(con.sql(sql).df())
+        # .arrow() keeps DECIMAL as Decimal (df() degrades it to float64)
+        want = canon(con.sql(sql).arrow().to_pandas())
         if list(got.columns) != list(want.columns):
             fails.append((name, f"cols {list(got.columns)} vs {list(want.columns)}"))
             continue
