@@ -111,6 +111,14 @@ object StreamDemo {
       println("ASYNC=" + enriched.mkString(","))
     }
 
+    // SQL front-end: Time.md-style windowed SQL over registered views
+    graft.sql.SqlInterface.registerTables(spark, "/root/testdata/sf0.001")
+    println("SQL_WCD=" + graft.sql.SqlInterface
+      .windowedCountDistinct(spark).count() + " windows")
+    println("SQL_ROW=" + spark.sql(
+      "SELECT count(*) FROM events WHERE event_type = 'error'")
+      .collect().head.getLong(0))
+
     spark.stop()
   }
 }

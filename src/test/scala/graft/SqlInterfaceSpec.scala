@@ -1,0 +1,44 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.EventOps
+import graft.sql.SqlInterface
+
+/** The SQL front-end must agree with the DataFrame operators — same
+  * engine, two surfaces. */
+class SqlInterfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("SQL windowed count-distinct equals the DataFrame formulation") {
+    SqlInterface.registerTables(spark, sf)
+    val sql = SqlInterface.windowedCountDistinct(spark)
+      .as[(Long, Long)].collect().toSet
+    val df = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "10 minutes"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .select(org.apache.spark.sql.functions.unix_timestamp($"window.start"), $"n")
+      .as[(Long, Long)].collect().toSet
+    assert(sql == df && sql.nonEmpty)
+  }
+
+  test("SQL session windows equal the session operator's groups") {
+    SqlInterface.registerTables(spark, sf)
+    val sql = SqlInterface.sessionCounts(spark)
+      .as[(Long, Long, Long)].collect().toSet
+    val df = EventOps.sessionStats(Tables.events(spark, sf))
+      .select($"user_id", $"sess_start", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sql == df && sql.nonEmpty)
+  }
+
+  test("relational queries run through plain SQL text") {
+    SqlInterface.registerTables(spark, sf)
+    val rows = spark.sql("""
+      SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 100000 GROUP BY l_returnflag""").collect()
+    assert(rows.nonEmpty)
+  }
+}
