@@ -126,11 +126,80 @@ object Similarity extends graft.QueryModule {
     rankTopK(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (dedup family): all
+    * unordered pairs in the SAME sign-LSH bucket with cosine ≥
+    * `threshold`. The bucket join bounds candidates (expected
+    * corpus²/2^planes per bucket pair-count) — never all-pairs.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"),
+        lshBucket(col("embedding")).as("bucket"))
+      .withColumn("nrm", norm(col("emb")))
+      .persist()
+    val a = bucketed.select(col("vec_id").as("a"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket").as("b_bucket"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids =
+    * vectors with vec_id ≡ 0 mod `centroidMod`, broadcast), every
+    * vector assigned to its max-cosine centroid, queries probe the
+    * `nProbe` nearest centroids and score only vectors assigned there.
+    * The scale path when sign-LSH recall is insufficient: assignment
+    * is one broadcast map pass, candidate fan-in is corpus/nCentroids
+    * × nProbe.
+    */
+  def knnIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+             centroidMod: Int = 127, nProbe: Int = 2): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val scoredCents = base.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+          .as("c_sim"))
+    // assignment: max cosine, ties to the smallest centroid id
+    val assign = scoredCents
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("centroid"))
+    val probes = scoredCents.filter(col("vec_id") < nQueries)
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(graft.functions.Aggregators.topK(nProbe)(
+        col("c_sim"), col("c_id")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("centroid"))
+    val cands = probes
+      .join(assign, "centroid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = base.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val c = base.select(col("vec_id").as("neighbor_id"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val scored = cands.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
+    rankTopK(scored, k)
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
-    "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5))
+    "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5)),
+    "q35_cosine_dups" -> ((s, d) => cosineNearDupPairs(Tables.embeddings(s, d), 0.2)),
+    "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -146,7 +215,64 @@ object Similarity extends graft.QueryModule {
     planes.map(_.mkString("[", ", ", "]"))
       .mkString("[", ",\n               ", "]::DOUBLE[][]")
 
+  private def bucketsSql = s"""
+      planes AS (
+        SELECT $planesSqlLit AS ps),
+      b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               list_reduce(list_prepend(0::BIGINT, generate_series(0, 7)),
+                 (acc, p) -> acc + CASE WHEN
+                   (${dotSql("emb", "ps[p + 1]")}) > 0
+                   THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM embeddings CROSS JOIN planes)"""
+
   def oracle: Map[String, String] = Map(
+    "q35_cosine_dups" -> s"""
+      WITH $bucketsSql
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             ${cosSql("x.emb", "y.emb")} AS sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ${cosSql("x.emb", "y.emb")} >= 0.2""",
+    "q36_knn_ivf" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cents AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      sc AS (
+        SELECT base.vec_id, c_id,
+               ${cosSql("emb", "c_emb")} AS c_sim
+        FROM base CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c_sim DESC, c_id ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c_sim DESC, c_id ASC) AS rn
+          FROM sc WHERE vec_id < 16)
+        WHERE rn <= 2),
+      cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.centroid = a.centroid
+        WHERE p.query_id <> a.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${cosSql("q.emb", "c.emb")} AS sim
+        FROM cands
+        JOIN base q ON q.vec_id = query_id
+        JOIN base c ON c.vec_id = neighbor_id)
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5""",
     "q30_knn_cosine" -> s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

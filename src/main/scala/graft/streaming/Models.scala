@@ -24,6 +24,12 @@ object Models {
   /** `topn/pojo/ItemViewCount.java:9-13`. */
   case class ItemViewCount(itemId: Long, windowEnd: Long, viewCount: Long)
 
+  /** Streaming variant: carries the event-time column the watermark is
+    * declared on (EventTimeTimeout requires the watermarked attribute
+    * to survive into the stateful operator's input encoder). */
+  case class TimedItemViewCount(itemId: Long, windowEnd: Long,
+                                viewCount: Long, eventTime: java.sql.Timestamp)
+
   case class RankedItem(windowEnd: Long, rank: Int, itemId: Long, viewCount: Long)
 
   /** `connect/pojo/Order.java:9-24`. */

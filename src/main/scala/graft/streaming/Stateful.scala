@@ -108,37 +108,53 @@ object Stateful extends Serializable {
     * Input must carry a watermark on a timestamp derived from
     * windowEnd for the timeout to fire.
     */
-  def topNPerWindow(counts: Dataset[ItemViewCount], n: Int): Dataset[RankedItem] = {
-    import counts.sparkSession.implicits._
-    def emit(windowEnd: Long, items: Seq[ItemViewCount]): Iterator[RankedItem] =
+  private def topNFn[T](n: Int, toIvc: T => ItemViewCount)
+      (windowEnd: Long, it: Iterator[T],
+       state: GroupState[Seq[ItemViewCount]]): Iterator[RankedItem] = {
+    def emit(items: Seq[ItemViewCount]): Iterator[RankedItem] =
       items.sortBy(i => (-i.viewCount, i.itemId)).take(n).zipWithIndex
         .map { case (i, r) => RankedItem(windowEnd, r + 1, i.itemId, i.viewCount) }
         .iterator
-    def fn(windowEnd: Long, it: Iterator[ItemViewCount],
-           state: GroupState[Seq[ItemViewCount]]): Iterator[RankedItem] = {
-      if (state.hasTimedOut) {
-        val items = state.getOption.getOrElse(Seq.empty)
-        state.remove()
-        return emit(windowEnd, items)
-      }
-      val buf = state.getOption.getOrElse(Seq.empty) ++ it
-      val wm = watermarkOrNeg(state)
-      if (wm >= 0) {
-        // streaming: hold until the watermark passes windowEnd. Clamp:
-        // a late row for an already-passed window would otherwise make
-        // setTimeoutTimestamp throw (timestamp before watermark) and
-        // kill the query.
-        state.update(buf)
-        state.setTimeoutTimestamp(math.max(windowEnd + 1, wm + 1))
-        Iterator.empty
-      } else {
-        // batch: no watermark machinery — emit immediately
-        emit(windowEnd, buf)
-      }
+    if (state.hasTimedOut) {
+      val items = state.getOption.getOrElse(Seq.empty)
+      state.remove()
+      return emit(items)
     }
+    val buf = state.getOption.getOrElse(Seq.empty) ++ it.map(toIvc)
+    val wm = watermarkOrNeg(state)
+    if (wm >= 0) {
+      // streaming: hold until the watermark passes windowEnd. Clamp:
+      // a late row for an already-passed window would otherwise make
+      // setTimeoutTimestamp throw (timestamp before watermark) and
+      // kill the query.
+      state.update(buf)
+      state.setTimeoutTimestamp(math.max(windowEnd + 1, wm + 1))
+      Iterator.empty
+    } else {
+      // batch: no watermark machinery — emit immediately
+      emit(buf)
+    }
+  }
+
+  def topNPerWindow(counts: Dataset[ItemViewCount], n: Int): Dataset[RankedItem] = {
+    import counts.sparkSession.implicits._
     counts.groupByKey(_.windowEnd)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(fn)
+        GroupStateTimeout.EventTimeTimeout)(topNFn[ItemViewCount](n, identity))
+  }
+
+  /** Streaming top-N over TimedItemViewCount: EventTimeTimeout needs
+    * the watermarked attribute to survive into the operator's input
+    * encoder, so the event-time column is part of the model — declare
+    * `withWatermark("eventTime", ...)` upstream. */
+  def topNPerWindowStreaming(counts: Dataset[TimedItemViewCount],
+                             n: Int): Dataset[RankedItem] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.windowEnd)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        topNFn[TimedItemViewCount](n,
+          t => ItemViewCount(t.itemId, t.windowEnd, t.viewCount)))
   }
 
   // ---- A5/W5: count windows (`windowing/WindowWordCount.java:40-58`) --

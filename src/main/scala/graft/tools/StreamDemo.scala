@@ -111,6 +111,25 @@ object StreamDemo {
       println("ASYNC=" + enriched.mkString(","))
     }
 
+    // streaming top-N: window emits when the watermark passes its end
+    {
+      def ivc(id: Long, we: Long, n: Long) =
+        TimedItemViewCount(id, we, n, new java.sql.Timestamp(we))
+      val tin = MemoryStream[TimedItemViewCount]
+      val tq = Stateful.topNPerWindowStreaming(
+          tin.toDS().withWatermark("eventTime", "0 milliseconds"), 2)
+        .writeStream.format("memory").queryName("drive_topn")
+        .outputMode("append").start()
+      tin.addData(ivc(101, 1000, 5), ivc(102, 1000, 9), ivc(103, 1000, 7))
+      tq.processAllAvailable()
+      val held = spark.table("drive_topn").count()
+      tin.addData(ivc(900, 60000, 1)) // advance watermark past windowEnd
+      tq.processAllAvailable(); tq.processAllAvailable()
+      println(s"TOPN_HELD=$held TOPN=" +
+        spark.table("drive_topn").collect().sortBy(_.getInt(1)).mkString(";"))
+      tq.stop()
+    }
+
     // SQL front-end: Time.md-style windowed SQL over registered views
     graft.sql.SqlInterface.registerTables(spark, "/root/testdata/sf0.001")
     println("SQL_WCD=" + graft.sql.SqlInterface

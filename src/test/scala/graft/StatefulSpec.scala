@@ -83,6 +83,33 @@ class StatefulSpec extends SparkSpec {
       RankedItem(2000, 1, 101, 2)))
   }
 
+  test("streaming top-N emits when the watermark passes windowEnd") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def ivc(itemId: Long, windowEnd: Long, n: Long) =
+      TimedItemViewCount(itemId, windowEnd, n,
+        new java.sql.Timestamp(windowEnd))
+    val in = MemoryStream[TimedItemViewCount]
+    val ds = in.toDS()
+      .withWatermark("eventTime", "0 milliseconds")
+      .as[TimedItemViewCount]
+    val q = Stateful.topNPerWindowStreaming(ds, 2)
+      .writeStream.format("memory").queryName("topn_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ivc(101, 1000, 5), ivc(102, 1000, 9))
+      q.processAllAvailable()
+      assert(spark.table("topn_out").count() == 0) // window still open
+      in.addData(ivc(900, 60000, 1))               // advances watermark
+      q.processAllAvailable()
+      q.processAllAvailable() // extra batch lets the timer fire
+      val got = spark.table("topn_out").as[RankedItem].collect()
+        .sortBy(_.rank)
+      assert(got.toSeq == Seq(
+        RankedItem(1000, 1, 102, 9), RankedItem(1000, 2, 101, 5)))
+    } finally q.stop()
+  }
+
   test("count window: size 4 slide 2 emits every 2 records over last 4") {
     val vals = (1 to 7).map(i => KeyedValue("k", i.toLong, i.toLong))
     val got = Stateful.countWindowSum(spark.createDataset(vals), 4, 2)
