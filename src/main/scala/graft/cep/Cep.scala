@@ -20,6 +20,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
+  /** AFTER MATCH SKIP strategies (`flink-sql/sql/dml/CEP.md:82`,
+    * Flink AfterMatchSkipStrategy). Applied when a match completes:
+    *   - NoSkip: keep everything (followedByAny-style all matches);
+    *   - SkipPastLastEvent: drop every live partial that started at or
+    *     before the match's last event (non-overlapping matches);
+    *   - SkipToLast(step): drop partials that started before the last
+    *     event the named step consumed.
+    */
+  sealed trait AfterMatchSkip
+  case object NoSkip extends AfterMatchSkip
+  case object SkipPastLastEvent extends AfterMatchSkip
+  case class SkipToLast(step: String) extends AfterMatchSkip
+
   sealed trait Contiguity
   /** Strict: the very next event must match or the partial dies. */
   case object Next extends Contiguity
@@ -33,7 +46,9 @@ object Cep {
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean)
 
-  case class PatternSpec[T](steps: Vector[Step[T]], withinMs: Option[Long]) {
+  case class PatternSpec[T](steps: Vector[Step[T]], withinMs: Option[Long],
+                            skip: AfterMatchSkip = NoSkip) {
+    def afterMatchSkip(s: AfterMatchSkip): PatternSpec[T] = copy(skip = s)
     def next(name: String, oneOrMore: Boolean = false)
             (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
       copy(steps = steps :+ Step(name, Next, oneOrMore, pred))
@@ -121,7 +136,23 @@ object Cep {
         if (steps.length == 1) done += MatchResult("match", p0.entries)
         else live += p0
       }
-      (live.result(), done.result(), timedOut.result())
+      // with a skip strategy, co-completing matches at one event are
+      // pruned to the first (Flink's documented b+c example)
+      val doneList =
+        if (spec.skip == NoSkip) done.result() else done.result().take(1)
+      val survivors = (spec.skip, doneList.headOption) match {
+        case (NoSkip, _) | (_, None) => live.result()
+        case (SkipPastLastEvent, Some(_)) =>
+          // resume strictly after the match's last event (= e)
+          live.result().filter(p => tsOf(p.entries.head._2) > ts)
+        case (SkipToLast(name), Some(m)) =>
+          val stepIdx = steps.indexWhere(_.name == name)
+          val boundary = m.entries.reverse
+            .collectFirst { case (i, ev) if i == stepIdx => tsOf(ev) }
+            .getOrElse(ts)
+          live.result().filter(p => tsOf(p.entries.head._2) >= boundary)
+      }
+      (survivors, doneList, timedOut.result())
     }
 
     /** Run a whole ordered sequence (batch per-key path). Partials

@@ -111,6 +111,24 @@ object StreamDemo {
       println("ASYNC=" + enriched.mkString(","))
     }
 
+    // CEP AFTER MATCH SKIP + Kafka decode/encode round-trip
+    {
+      val seq = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 4L), ("b", 5L))
+        .map { case (n, id) => CepRow("k", id, n, 1.0, None, 1000L * id) }
+      val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+        .followedByAny("B") { (e, _) => e.name == "b" }
+        .afterMatchSkip(Cep.SkipPastLastEvent)
+      val skipped = Cep.matchBatch(spark.createDataset(seq),
+        (r: CepRow) => r.key, (r: CepRow) => r.tsMs, p,
+        (r: CepRow) => r.tsMs) { (k, m) =>
+        (m("A").head.id, m("B").head.id) }.collect().sortBy(_._1)
+      println("SKIP=" + skipped.mkString(";"))
+      val sample = """{"lt":"click","plat":"app","timestamp":1597980113000,"user_id":1}"""
+      val rt = KafkaPipeline.encode(KafkaPipeline.decode(
+        Seq(sample.getBytes("UTF-8")).toDF("value"))).collect().head.getString(0)
+      println("KAFKA_RT=" + rt)
+    }
+
     // streaming top-N: window emits when the watermark passes its end
     {
       def ivc(id: Long, we: Long, n: Long) =

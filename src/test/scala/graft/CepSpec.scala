@@ -99,6 +99,24 @@ class CepSpec extends SparkSpec {
     assert(got == Seq("match"))
   }
 
+  test("AFTER MATCH SKIP PAST LAST EVENT yields non-overlapping matches") {
+    // a a b a b: NoSkip pairs every 'a' with every later 'b' (relaxed
+    // followedByAny); SkipPastLastEvent restarts after each match
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 4L), ("b", 5L))
+      .map { case (n, id) => CepRow("k", id, n, 1.0, None, 1000L * id) }
+    def run(skip: Cep.AfterMatchSkip) = {
+      val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+        .followedByAny("B") { (e, _) => e.name == "b" }
+        .afterMatchSkip(skip)
+      Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+        (r: CepRow) => r.tsMs, p, (r: CepRow) => r.tsMs) { (k, m) =>
+        (m("A").head.id, m("B").head.id)
+      }.collect().toSeq.sorted
+    }
+    assert(run(Cep.NoSkip) == Seq((1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (4L, 5L)))
+    assert(run(Cep.SkipPastLastEvent) == Seq((1L, 3L), (4L, 5L)))
+  }
+
   test("streaming CEP carries partial matches across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepRow]

@@ -80,6 +80,26 @@ class StreamAggsSpec extends SparkSpec {
     assert(got == Seq((1, 0), (5, 3), (5, 6)))
   }
 
+  test("Kafka2Kafka decode/encode round-trips the reference Log sample") {
+    import graft.streaming.KafkaPipeline
+    // FIXTURES.md §12 sample record
+    val sample = """{"lt":"click","plat":"app","timestamp":1597980113000,"user_id":1}"""
+    val raw = Seq(sample.getBytes("UTF-8")).toDF("value")
+    val decoded = KafkaPipeline.decode(raw)
+    val row = decoded.select("plat", "lt", "user_id", "timestamp")
+      .as[(String, String, Int, Long)].collect().head
+    assert(row == ("app", "click", 1, 1597980113000L))
+    // event-time column carries the epoch millis
+    assert(decoded.select(unix_timestamp(col("event_time")))
+      .as[Long].collect().head == 1597980113L)
+    // encode ∘ decode preserves every field (JSON key order may differ)
+    val rt = KafkaPipeline.decode(
+      KafkaPipeline.encode(decoded).select(col("value").cast("binary")))
+      .select("plat", "lt", "user_id", "timestamp")
+      .as[(String, String, Int, Long)].collect().head
+    assert(rt == row)
+  }
+
   test("async enrichment: ordered preserves order, unordered completes all") {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
