@@ -193,13 +193,28 @@ object Similarity extends graft.QueryModule {
     rankTopK(scored, k)
   }
 
+  /** ANN evaluation: per-query recall of the LSH top-k against the
+    * brute-force ground truth (|lsh ∩ exact| / k). The query every ANN
+    * deployment needs before trusting its index. */
+  def lshRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = knnBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnLsh(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
     "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5)),
     "q35_cosine_dups" -> ((s, d) => cosineNearDupPairs(Tables.embeddings(s, d), 0.2)),
-    "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5))
+    "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5)),
+    "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -227,6 +242,35 @@ object Similarity extends graft.QueryModule {
         FROM embeddings CROSS JOIN planes)"""
 
   def oracle: Map[String, String] = Map(
+    "q38_lsh_recall" -> s"""
+      WITH $bucketsSql,
+      bfq AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM b WHERE vec_id < 16),
+      bf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("q_emb", "c.emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM bfq JOIN b c ON query_id <> c.vec_id)
+        WHERE rn <= 5),
+      lq AS (
+        SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+        FROM b WHERE vec_id < 16),
+      lsh AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("q_emb", "c.emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM lq JOIN b c ON q_bucket = c.bucket AND query_id <> c.vec_id)
+        WHERE rn <= 5)
+      SELECT bf.query_id,
+             count(lsh.neighbor_id) AS n_hits,
+             CAST(count(lsh.neighbor_id) AS DOUBLE) / 5 AS recall
+      FROM bf LEFT JOIN lsh
+        ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+      GROUP BY bf.query_id""",
     "q35_cosine_dups" -> s"""
       WITH $bucketsSql
       SELECT x.vec_id AS a, y.vec_id AS b,

@@ -155,6 +155,10 @@ object StreamDemo {
     println("SQL_ROW=" + spark.sql(
       "SELECT count(*) FROM events WHERE event_type = 'error'")
       .collect().head.getLong(0))
+    graft.functions.GraftExtensions.register(spark)
+    println("SQL_FN=" + spark.sql(
+      "SELECT graft_dot(embedding::array<double>, embedding::array<double>) " +
+        "FROM embeddings WHERE vec_id = 0").collect().head.getDouble(0))
 
     spark.stop()
   }

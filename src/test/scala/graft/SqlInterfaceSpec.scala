@@ -33,6 +33,18 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(sql == df && sql.nonEmpty)
   }
 
+  test("custom codegen expressions are callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val jac = spark.sql(
+      "SELECT graft_jaccard(array('a','b','c'), array('b','c','d'))")
+      .collect().head.getDouble(0)
+    assert(jac == 0.5)
+  }
+
   test("relational queries run through plain SQL text") {
     SqlInterface.registerTables(spark, sf)
     val rows = spark.sql("""
