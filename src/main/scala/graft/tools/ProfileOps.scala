@@ -63,6 +63,21 @@ object ProfileOps {
       .filter(col("jaccard") >= 0.8)
     time("jaccard join+filter")(joined.count())
 
+    // bucketed co-located join: zero shuffle exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS li_drive"); spark.sql("DROP TABLE IF EXISTS ord_drive")
+    graft.core.Bucketing.writeBucketed(Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity")), "li_drive", "l_orderkey", 8)
+    graft.core.Bucketing.writeBucketed(Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice")), "ord_drive", "o_orderkey", 8)
+    val bj = spark.table("li_drive").join(spark.table("ord_drive"),
+      col("l_orderkey") === col("o_orderkey"))
+    bj.collect()
+    val bplan = bj.queryExecution.executedPlan.toString
+    println("BUCKETED_JOIN shuffle=" + bplan.contains("Exchange hashpartitioning")
+      + " smj=" + bplan.contains("SortMergeJoin") + " rows=" + bj.count())
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     // q20 wordcount + q11 hot users for reference
     time("q20 wordcount")(graft.operators.TextOps.wordCount(docs).count())
     time("q11 hot users")(graft.operators.EventOps.hotUsers(
