@@ -80,6 +80,37 @@ class StreamAggsSpec extends SparkSpec {
     assert(got == Seq((1, 0), (5, 3), (5, 6)))
   }
 
+  test("union of two watermarked streams: the lagging source holds the watermark (W12)") {
+    // Flink's withIdleness has no Spark equivalent; the default
+    // multipleWatermarkPolicy=min means an idle source holds results
+    // back — demonstrated here — and policy=max is the documented
+    // approximation for idle-source tolerance.
+    implicit val sqlCtx = spark.sqlContext
+    val fast = MemoryStream[(Long, String)]
+    val slow = MemoryStream[(Long, String)]
+    def prep(in: MemoryStream[(Long, String)]) =
+      in.toDF().toDF("ts_ms", "k")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+    val q = prep(fast).union(prep(slow))
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .count()
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      fast.addData((1000L, "x"), (30000L, "x")) // fast watermark → 30 s
+      q.processAllAvailable()
+      // min policy: slow stream's watermark is still 0 → window [0,10s)
+      // NOT finalized
+      assert(spark.table("wm_out").count() == 0)
+      slow.addData((25000L, "y"))               // slow watermark → 25 s
+      q.processAllAvailable()
+      q.processAllAvailable()
+      // combined min watermark 25 s > 10 s → [0,10s) emits
+      assert(spark.table("wm_out").count() >= 1)
+    } finally q.stop()
+  }
+
   test("Kafka2Kafka decode/encode round-trips the reference Log sample") {
     import graft.streaming.KafkaPipeline
     // FIXTURES.md §12 sample record
