@@ -20,7 +20,8 @@ object EventOps extends graft.QueryModule {
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col("event_type"), col("n"), col("total"))
 
@@ -48,7 +49,8 @@ object EventOps extends graft.QueryModule {
   def sessionStats(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total"))
       .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
         col("n_events"), col("total"))
 
@@ -68,18 +70,20 @@ object EventOps extends graft.QueryModule {
   }
 
   /** Interval join (J2, `join/IntervalJoin.java:40-54`): purchase
-    * within [click.ts, click.ts + 10 min] per user. Exact-ns bounds.
+    * within [click.ts, click.ts + 10 min] per user. Bounds evaluated
+    * at µs precision (`ts_ns div 1000`) — the portable resolution of
+    * TIMESTAMP(NANOS) parquet across engines.
     */
   def intervalJoin(events: DataFrame): DataFrame = {
     val c = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts_ns").as("c_ts"))
+        expr("ts_ns div 1000").as("c_ts"))
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts_ns").as("p_ts"))
+        expr("ts_ns div 1000").as("p_ts"))
     c.join(p, col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + lit(600L * 1000 * 1000 * 1000))
+        col("p_ts") <= col("c_ts") + lit(600L * 1000 * 1000))
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
@@ -88,14 +92,17 @@ object EventOps extends graft.QueryModule {
     * within 2 minutes. lag() over per-user event-time order.
     */
   def adjacentPairs(events: DataFrame): DataFrame = {
+    // order + bound at µs precision so any engine reading the same
+    // parquet at µs resolution agrees on adjacency
+    val e = events.withColumn("ts_us", expr("ts_ns div 1000"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").asc, col("event_id").asc)
-    events
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    e
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .filter(col("prev_type") === "view" && col("event_type") === "error" &&
-        col("ts_ns") - col("prev_ts") <= lit(120L * 1000 * 1000 * 1000))
+        col("ts_us") - col("prev_ts") <= lit(120L * 1000 * 1000))
       .select(col("user_id"), col("prev_id").as("view_id"),
         col("event_id").as("error_id"))
   }
@@ -109,17 +116,17 @@ object EventOps extends graft.QueryModule {
   def followedBy(events: DataFrame): DataFrame = {
     val s = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("signup_id"),
-        col("ts_ns").as("s_ts"))
+        expr("ts_ns div 1000").as("s_ts"))
     val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts_ns").as("p_ts"))
+      .select(col("user_id").as("p_user"), expr("ts_ns div 1000").as("p_ts"))
     s.join(p, col("user_id") === col("p_user") &&
         col("p_ts") > col("s_ts") &&
-        col("p_ts") <= col("s_ts") + lit(3600L * 1000 * 1000 * 1000))
+        col("p_ts") <= col("s_ts") + lit(3600L * 1000 * 1000))
       .groupBy(col("user_id"), col("signup_id"))
       .agg(count(lit(1)).as("n_purchases"),
-        // µs-truncated on output: the oracle engine reads TIMESTAMP_NS
-        // parquet at µs precision
-        expr("(min(p_ts) div 1000) * 1000").as("first_purchase_ts"))
+        // emitted at ns scale (µs-truncated) — the portable rendering
+        // of TIMESTAMP_NS parquet across engines
+        expr("min(p_ts) * 1000").as("first_purchase_ts"))
   }
 
   /** Fraud pattern (T1, `state/TimerService.java:68-139` batch
@@ -127,14 +134,15 @@ object EventOps extends graft.QueryModule {
     * one (> 500.0) on the same user within 60 s.
     */
   def fraudAlerts(events: DataFrame): DataFrame = {
+    val e = events.withColumn("ts_us", expr("ts_ns div 1000"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").asc, col("event_id").asc)
-    events
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    e
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
       .filter(col("prev_value") < 1.0 && col("value") > 500.0 &&
-        col("ts_ns") - col("prev_ts") <= lit(60L * 1000 * 1000 * 1000))
+        col("ts_us") - col("prev_ts") <= lit(60L * 1000 * 1000))
       .select(col("user_id"), col("prev_id").as("small_id"),
         col("event_id").as("large_id"), col("value").as("large_value"))
   }
@@ -145,20 +153,21 @@ object EventOps extends graft.QueryModule {
     * sum) — the declarative rewrite of PATTERN (A B+ C)'s B+ leg.
     */
   def fallingRuns(events: DataFrame): DataFrame = {
+    val e = events.withColumn("ts_us", expr("ts_ns div 1000"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
     val cum = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    events
+    e
       .withColumn("falls",
         when(col("value") < lag(col("value"), 1).over(w), 1).otherwise(0))
       .withColumn("run_id", sum(lit(1) - col("falls")).over(cum))
       .filter(col("falls") === 1)
       .groupBy(col("user_id"), col("run_id"))
       .agg(count(lit(1)).as("n_falls"),
-        expr("(min(ts_ns) div 1000) * 1000").as("run_start_ts"),
-        expr("(max(ts_ns) div 1000) * 1000").as("run_end_ts"))
+        expr("min(ts_us) * 1000").as("run_start_ts"),
+        expr("max(ts_us) * 1000").as("run_end_ts"))
       .filter(col("n_falls") >= 2)
       .drop("run_id")
   }
@@ -188,7 +197,8 @@ object EventOps extends graft.QueryModule {
       .withColumn("n", count(lit(1)).over(frame))
       .withColumn("total", sum(dec(col("value"))).over(frame))
       .filter(pmod(col("rn"), lit(slide)) === 0)
-      .select(col("user_id"), col("rn").as("end_rn"), col("n"), col("total"))
+      .select(col("user_id"), col("rn").as("end_rn"), col("n"),
+        col("total").cast("double").as("total"))
   }
 
   /** Packed-IPv4 int → dotted quad (`state/event/Event.java:54-61`
@@ -230,7 +240,8 @@ object EventOps extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q09_json_props" -> """
       SELECT event_type, count(*) AS n,
-             sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+             CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+               AS sum_k,
              max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       FROM events GROUP BY event_type""",
     "q19_count_window" -> """
@@ -242,7 +253,7 @@ object EventOps extends graft.QueryModule {
                  OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS total
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
-      SELECT user_id, rn AS end_rn, n, total
+      SELECT user_id, rn AS end_rn, n, CAST(total AS DOUBLE) AS total
       FROM t WHERE rn % 5 = 0""",
     "q32_ipv4" -> """
       SELECT DISTINCT user_id,
@@ -255,7 +266,8 @@ object EventOps extends graft.QueryModule {
       FROM events GROUP BY 1""",
     "q10_window_tumbling" -> """
       SELECT (epoch_ns(ts) // 600000000000) * 600 AS w_start, event_type,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""",
     "q11_hot_users" -> """
       WITH c AS (
@@ -284,7 +296,7 @@ object EventOps extends graft.QueryModule {
         FROM t)
       SELECT user_id, min(ts_us) // 1000000 AS sess_start,
              count(*) AS n_events,
-             sum(CAST(value AS DECIMAL(18,2))) AS total
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM s GROUP BY user_id, sess_id""",
     "q13_window_join" -> """
       SELECT v.user_id, (epoch_ns(v.ts) // 900000000000) * 900 AS w_start,

@@ -33,14 +33,20 @@ object Relational extends graft.QueryModule {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(price).as("sum_base_price"),
-        sum((price * disc).cast("decimal(28,4)")).as("sum_disc_price"),
+        sum(dec(col("l_quantity"))).as("qd"),
+        sum(price).as("bd"),
+        sum((price * disc).cast("decimal(28,4)")).as("dd"),
         count(lit(1)).as("count_order"))
       // raw double division of exact values: bit-identical in any
       // engine (unlike round(), whose half-way mode is engine-specific)
-      .withColumn("avg_qty",
-        col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_qty", col("qd").cast("double") / col("count_order"))
+      // sums are exact decimals internally (order-free); emitted as
+      // DOUBLE so both engines render the identical float64
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qd").cast("double").as("sum_qty"),
+        col("bd").cast("double").as("sum_base_price"),
+        col("dd").cast("double").as("sum_disc_price"),
+        col("count_order"), col("avg_qty"))
   }
 
   /** Filter + computed projection; predicate and 4-column read schema
@@ -53,7 +59,7 @@ object Relational extends graft.QueryModule {
         col("l_orderkey"), col("l_linenumber"),
         (dec(col("l_extendedprice")) *
           (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("decimal(28,4)").as("revenue"),
+          .cast("decimal(28,4)").cast("double").as("revenue"),
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag"))
 
   /** Top-N per group via rank-over-window — the batch form of the
@@ -68,6 +74,8 @@ object Relational extends graft.QueryModule {
       .orderBy(col("qty").desc, col("l_partkey").asc)
     agg.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
+      // rank on the exact decimal; emit as double
+      .withColumn("qty", col("qty").cast("double"))
   }
 
   /** Keyed max-by: keep the record with the max metric per key
@@ -95,7 +103,7 @@ object Relational extends graft.QueryModule {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(dec(col("o_totalprice"))).as("total_revenue"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"),
         count(lit(1)).as("n_orders"))
 
   /** Union of two same-schema tagged streams (J8). */
@@ -145,11 +153,12 @@ object Relational extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                 AS DECIMAL(28,4))) AS sum_disc_price,
+                 AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
              count(*) AS count_order,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                / count(*) AS avg_qty
@@ -158,14 +167,14 @@ object Relational extends graft.QueryModule {
       GROUP BY l_returnflag, l_linestatus""",
     "q02_revenue_items" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                  AS DECIMAL(28,4)) AS revenue,
+                  AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
              l_returnflag || '/' || l_linestatus AS flag
       FROM lineitem
       WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'""",
     "q03_top_parts" -> """
-      SELECT * FROM (
+      SELECT l_returnflag, l_partkey, CAST(qty AS DOUBLE) AS qty, rn FROM (
         SELECT l_returnflag, l_partkey, qty,
                row_number() OVER (PARTITION BY l_returnflag
                                   ORDER BY qty DESC, l_partkey ASC) AS rn
@@ -183,7 +192,8 @@ object Relational extends graft.QueryModule {
       WHERE rn = 1""",
     "q05_region_revenue" -> """
       SELECT r_name,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey

@@ -23,7 +23,8 @@ object Skew extends graft.QueryModule {
       .groupBy(col("event_type"), col("salt"))      // stage 1: heavy, spread
       .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pt"))
       .groupBy(col("event_type"))                   // stage 2: 5 × saltBuckets rows
-      .agg(sum(col("pn")).as("n"), sum(col("pt")).as("total"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pt")).cast("double").as("total"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_salted_agg" -> ((s, d) => saltedAgg(Tables.events(s, d), 16))
@@ -33,7 +34,7 @@ object Skew extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q37_salted_agg" -> """
       SELECT event_type, count(*) AS n,
-             sum(CAST(value AS DECIMAL(18,2))) AS total
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events GROUP BY event_type"""
   )
 }
