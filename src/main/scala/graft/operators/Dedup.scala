@@ -80,10 +80,24 @@ object Dedup extends graft.QueryModule {
     minhashMins(documents, k).select(col("doc_id"),
       array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
 
+  /** All unordered (ids[i], ids[j]) pairs, i < j, of a pre-sorted
+    * array — the in-bucket pair generator shared by the LSH-style
+    * candidate ops. Bucket membership lists are collected per band
+    * key, so candidates come from ONE aggregation instead of a
+    * persisted self-join (no cached intermediate to leak, one shuffle
+    * instead of two join sides). Bucket sizes are bounded by band
+    * selectivity (and by explicit frequency caps where semantics allow),
+    * which keeps the collected id lists small at any corpus size.
+    */
+  private[operators] def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** LSH candidate pairs: split the k-element signature into `bands`
-    * bands of k/bands rows, key each band by its joined slice, and
-    * equi-join docs sharing a band key. Emits each unordered pair once
-    * with the number of matching bands.
+    * bands of k/bands rows, key each band by its joined slice, group
+    * docs by band key, and emit in-bucket pairs. Emits each unordered
+    * pair once with the number of matching bands.
     */
   def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val r = k / bands
@@ -93,17 +107,12 @@ object Dedup extends graft.QueryModule {
           concat_ws("|", (b * r until (b + 1) * r).map(i =>
             col(s"m$i").cast("string")): _*)): _*)))
       .toDF("doc_id", "band_idx", "band_key")
-      // materialize: (1) stops projection collapse from inlining the
-      // full signature expression into every band, (2) both self-join
-      // sides scan one cached copy instead of recomputing signatures.
-      // Size is 4 rows × (id, byte, string) per doc — trivial at any
-      // corpus size relative to the text itself.
-      .persist()
-    val a = banded.toDF("a", "band_idx", "band_key")
-    val b = banded.toDF("b", "b_idx", "b_key")
-    a.join(b, col("band_idx") === col("b_idx") &&
-        col("band_key") === col("b_key") && col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
@@ -128,21 +137,26 @@ object Dedup extends graft.QueryModule {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: byte-band join (4 bands of 8 bits),
-    * then exact hamming distance ≤ `maxDist` via popcount of xor. */
+  /** SimHash near-dup candidates: byte-band bucketing (4 bands of
+    * 8 bits), in-bucket pairs, then exact hamming distance ≤ `maxDist`
+    * via popcount of xor. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
     val banded = simhash(documents)
       .select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)")))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
-      .persist()
-    val a = banded.toDF("a", "a_sh", "band_idx", "band_val")
-    val b = banded.toDF("b", "b_sh", "b_idx", "b_val")
-    a.join(b, col("band_idx") === col("b_idx") &&
-        col("band_val") === col("b_val") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      // sorts by doc_id (first struct field) → pairs have a.doc_id <
+      // b.doc_id by construction
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -154,26 +168,25 @@ object Dedup extends graft.QueryModule {
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
                         maxShingleFreq: Int = 100): DataFrame = {
-    // doc_id → SORTED word set, cached: both lookup joins below scan
-    // one copy; sorting once per doc lets the per-pair jaccard be a
-    // single codegen merge walk (SortedArrayJaccard)
+    // doc_id → SORTED word set: sorting once per doc lets the per-pair
+    // jaccard be a single codegen merge walk (SortedArrayJaccard).
+    // Computed per lookup join below (2× word-split of matched docs)
+    // rather than persisted — keeps the operator cache-free.
     val wsets = documents
       .select(col("doc_id"),
         array_sort(array_distinct(words(col("text")))).as("wset"))
-      .persist()
+    // inverted index: shingle → docs, with hot shingles (> freq cap)
+    // dropped in the same aggregation that buckets the index
     val inv = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
       .distinct()
-    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleFreq)
-    val capped = inv.join(hot, "shingle")
-      .select(col("shingle"), col("doc_id"))
-      .persist()
-    val cands = capped.toDF("shingle", "a")
-      .join(capped.toDF("s2", "b"),
-        col("shingle") === col("s2") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val cands = inv
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleFreq))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     cands
       .join(wsets.toDF("a", "a_w"), "a")
       .join(wsets.toDF("b", "b_w"), "b")

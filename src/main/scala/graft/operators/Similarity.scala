@@ -132,16 +132,26 @@ object Similarity extends graft.QueryModule {
     * corpus²/2^planes per bucket pair-count) — never all-pairs.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // candidate ids from one bucket aggregation (ids only — the
+    // vectors never enter the collect_list), then the embeddings are
+    // fetched back by equi-join per side. Cache-free: buckets are
+    // computed once, and no persisted frame outlives the query.
     val bucketed = embeddings.select(col("vec_id"),
-        asDouble(col("embedding")).as("emb"),
-        lshBucket(col("embedding")).as("bucket"))
+      lshBucket(col("embedding")).as("bucket"))
+    val cands = bucketed
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val base = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
-      .persist()
-    val a = bucketed.select(col("vec_id").as("a"), col("emb").as("a_emb"),
-      col("nrm").as("a_nrm"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("b"), col("emb").as("b_emb"),
-      col("nrm").as("b_nrm"), col("bucket").as("b_bucket"))
-    a.join(b, col("bucket") === col("b_bucket") && col("a") < col("b"))
+    cands
+      .join(base.select(col("vec_id").as("a"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), "a")
+      .join(base.select(col("vec_id").as("b"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), "b")
       .select(col("a"), col("b"),
         (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
           .as("sim"))
@@ -182,8 +192,10 @@ object Similarity extends graft.QueryModule {
       .join(assign, "centroid")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val q = base.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-      col("nrm").as("q_nrm"))
+    // only real queries are broadcast — never the whole corpus
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
     val c = base.select(col("vec_id").as("neighbor_id"),
       col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val scored = cands.join(broadcast(q), "query_id").join(c, "neighbor_id")

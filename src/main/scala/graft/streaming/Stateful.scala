@@ -123,13 +123,19 @@ object Stateful extends Serializable {
     val buf = state.getOption.getOrElse(Seq.empty) ++ it.map(toIvc)
     val wm = watermarkOrNeg(state)
     if (wm >= 0) {
-      // streaming: hold until the watermark passes windowEnd. Clamp:
-      // a late row for an already-passed window would otherwise make
-      // setTimeoutTimestamp throw (timestamp before watermark) and
-      // kill the query.
-      state.update(buf)
-      state.setTimeoutTimestamp(math.max(windowEnd + 1, wm + 1))
-      Iterator.empty
+      // streaming: hold until the watermark passes windowEnd. Rows for
+      // a window the watermark has already passed are DROPPED (the
+      // window fired and its state is gone; re-arming a timer would
+      // emit a duplicate partial ranking — the no-allowedLateness
+      // delta documented in SURVEY.md §7.4).
+      if (windowEnd + 1 <= wm) {
+        state.remove()
+        Iterator.empty
+      } else {
+        state.update(buf)
+        state.setTimeoutTimestamp(windowEnd + 1)
+        Iterator.empty
+      }
     } else {
       // batch: no watermark machinery — emit immediately
       emit(buf)
