@@ -153,11 +153,24 @@ object Dedup extends graft.QueryModule {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
-        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
-          .as("hamming"))
-      .distinct()
+      .select(col("band_idx"),
+        explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("band_idx"), col("p.a.doc_id").as("a"),
+        col("p.b.doc_id").as("b"),
+        col("p.a.simhash").bitwiseXOR(col("p.b.simhash")).as("x"))
+      // first-matching-band: keep a pair only in its LOWEST matching
+      // band (band j matches iff byte j of the xor is zero) — every
+      // qualifying pair is emitted exactly once, so no distinct
+      // shuffle over the candidate multiset is needed
+      .filter({
+        def m(j: Int): Column =
+          (shiftright(col("x"), j * 8).bitwiseAND(lit(255))) === 0
+        col("band_idx") === 0 ||
+          (col("band_idx") === 1 && !m(0)) ||
+          (col("band_idx") === 2 && !m(0) && !m(1)) ||
+          (col("band_idx") === 3 && !m(0) && !m(1) && !m(2))
+      })
+      .select(col("a"), col("b"), bit_count(col("x")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
@@ -175,14 +188,19 @@ object Dedup extends graft.QueryModule {
     val wsets = documents
       .select(col("doc_id"),
         array_sort(array_distinct(words(col("text")))).as("wset"))
-    // inverted index: shingle → docs, with hot shingles (> freq cap)
-    // dropped in the same aggregation that buckets the index
+    // inverted index: shingle-hash → docs, with hot shingles (> freq
+    // cap) dropped in the same aggregation that buckets the index.
+    // Keyed by the 32-bit md5 hash, not the shingle string: the
+    // distinct + group shuffles move 8-byte keys. (Hash collisions
+    // only widen the CANDIDATE set — membership is decided by the
+    // exact jaccard filter — and the oracle hashes identically.)
     val inv = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+      .select(col("doc_id"), hash32(col("shingle")).as("sh"))
       .distinct()
     val cands = inv
-      .groupBy(col("shingle"))
+      .groupBy(col("sh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleFreq))
       .select(explode(sortedPairs(col("ids"))).as("p"))
@@ -278,16 +296,17 @@ object Dedup extends graft.QueryModule {
       WITH wsets AS (
         SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),
       inv AS (
-        SELECT DISTINCT doc_id, unnest(${shinglesSql(wordsSql)}) AS shingle
+        SELECT DISTINCT doc_id,
+               ${h32Sql("unnest(" + shinglesSql(wordsSql) + ")")} AS sh
         FROM documents),
       hot AS (
-        SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 100),
+        SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 100),
       capped AS (
-        SELECT inv.doc_id, inv.shingle FROM inv JOIN hot USING (shingle)),
+        SELECT inv.doc_id, inv.sh FROM inv JOIN hot USING (sh)),
       cands AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM capped x JOIN capped y
-          ON x.shingle = y.shingle AND x.doc_id < y.doc_id)
+          ON x.sh = y.sh AND x.doc_id < y.doc_id)
       SELECT a, b,
              CAST(len(list_distinct(list_intersect(da.wset, db.wset))) AS DOUBLE)
                / len(list_distinct(list_concat(da.wset, db.wset))) AS jaccard
