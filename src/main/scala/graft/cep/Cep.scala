@@ -41,23 +41,40 @@ object Cep {
   /** Relaxed + branching: every future match spawns a new branch. */
   case object FollowedByAny extends Contiguity
 
+  /** One-or-more expansion policy when an event satisfies BOTH the
+    * loop step and the following step (MATCH_RECOGNIZE B+ vs B+?,
+    * Flink `oneOrMore.greedy`):
+    *   - AllMatches: branch on both (every loop length is reported) —
+    *     the FlinkCEP followedByAny-style default;
+    *   - Greedy: prefer extending the loop (longest B+ run);
+    *   - Reluctant: prefer advancing (shortest B+ run).
+    */
+  sealed trait Quant
+  case object AllMatches extends Quant
+  case object Greedy extends Quant
+  case object Reluctant extends Quant
+
   /** One pattern step. `pred` sees the candidate event and the events
     * matched so far (so DOWN can test price < last price). */
   case class Step[T](name: String, contiguity: Contiguity,
-                     oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean)
+                     oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
+                     quant: Quant = AllMatches)
 
   case class PatternSpec[T](steps: Vector[Step[T]], withinMs: Option[Long],
                             skip: AfterMatchSkip = NoSkip) {
     def afterMatchSkip(s: AfterMatchSkip): PatternSpec[T] = copy(skip = s)
-    def next(name: String, oneOrMore: Boolean = false)
+    def next(name: String, oneOrMore: Boolean = false,
+             quant: Quant = AllMatches)
             (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
-      copy(steps = steps :+ Step(name, Next, oneOrMore, pred))
-    def followedBy(name: String, oneOrMore: Boolean = false)
+      copy(steps = steps :+ Step(name, Next, oneOrMore, pred, quant))
+    def followedBy(name: String, oneOrMore: Boolean = false,
+                   quant: Quant = AllMatches)
                   (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
-      copy(steps = steps :+ Step(name, FollowedBy, oneOrMore, pred))
-    def followedByAny(name: String, oneOrMore: Boolean = false)
+      copy(steps = steps :+ Step(name, FollowedBy, oneOrMore, pred, quant))
+    def followedByAny(name: String, oneOrMore: Boolean = false,
+                      quant: Quant = AllMatches)
                      (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
-      copy(steps = steps :+ Step(name, FollowedByAny, oneOrMore, pred))
+      copy(steps = steps :+ Step(name, FollowedByAny, oneOrMore, pred, quant))
     def within(ms: Long): PatternSpec[T] = copy(withinMs = Some(ms))
   }
 
@@ -100,9 +117,14 @@ object Cep {
           val cur = steps(p.stepIdx)
           val nextIdx = p.stepIdx + 1
           val last = steps.length - 1
-          val loopHit = cur.oneOrMore && cur.pred(e, p.events)
-          val advHit = nextIdx < steps.length &&
+          val loopPoss = cur.oneOrMore && cur.pred(e, p.events)
+          val advPoss = nextIdx < steps.length &&
             steps(nextIdx).pred(e, p.events)
+          // quantifier mode decides the both-possible tie
+          val loopHit = loopPoss &&
+            (cur.quant != Reluctant || !advPoss)
+          val advHit = advPoss &&
+            (!loopPoss || cur.quant != Greedy)
           if (loopHit) {
             val isFinal = p.stepIdx == last
             val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs,

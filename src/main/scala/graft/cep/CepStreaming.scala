@@ -60,4 +60,62 @@ object CepStreaming {
     rows.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
+
+  /** CepRow plus the watermarked event-time column — EventTimeTimeout
+    * requires the watermarked attribute to survive into the operator's
+    * input encoder (see graft.streaming.Models.TimedItemViewCount).
+    * Build with `eventTime = new java.sql.Timestamp(tsMs)` and declare
+    * `.withWatermark("eventTime", ...)` upstream.
+    */
+  case class TimedCepRow(key: String, id: Long, name: String, price: Double,
+                         volume: Option[Double], tsMs: Long,
+                         eventTime: java.sql.Timestamp)
+
+  /** Like matchPattern, but `within` timeouts flush on EVENT-TIME
+    * timers: once the watermark passes a partial's `startTs + within`,
+    * no in-order event can extend it, so the timeout fires even if the
+    * key never receives another event (matchPattern only notices
+    * expiry when a later same-key event arrives). This is the Flink
+    * `TimedOutPartialMatchHandler` cadence (`cep/CEPTimeout.java:
+    * 72-103`) under micro-batch watermark advancement.
+    */
+  def matchPatternEventTime(rows: Dataset[TimedCepRow],
+                            pattern: PatternSpec[TimedCepRow]): Dataset[CepMatch] = {
+    import rows.sparkSession.implicits._
+    require(pattern.withinMs.isDefined,
+      "event-time timeout flush needs a within() bound")
+    val nfa = new Nfa[TimedCepRow](pattern, _.tsMs)
+    val within = pattern.withinMs.get
+    def fn(key: String, it: Iterator[TimedCepRow],
+           state: GroupState[Seq[(Boolean, Seq[(Int, TimedCepRow)])]]): Iterator[CepMatch] = {
+      var partials = state.getOption.getOrElse(Seq.empty)
+        .map { case (m, es) => Partial(es.toVector, es.head._2.tsMs, m) }
+        .toList
+      val out = Seq.newBuilder[CepMatch]
+      for (e <- it.toSeq.sortBy(r => (r.tsMs, r.id))) {
+        val (p2, done, timedOut) = nfa.onEvent(partials, e)
+        partials = p2
+        (done ::: timedOut).foreach { m =>
+          out += CepMatch(key, m.kind, m.entries.map(_._2.id))
+        }
+      }
+      // event-time flush: expire partials no in-order event can extend
+      val wm = state.getCurrentWatermarkMs()
+      val (expired, live) = partials.partition(p => p.startTs + within <= wm)
+      expired.filterNot(_.matched).foreach { p =>
+        out += CepMatch(key, "timeout", p.entries.map(_._2.id))
+      }
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(live.map(p => (p.matched, p.entries.toSeq)))
+        // fire when the earliest live partial's window closes
+        val t = live.map(_.startTs + within).min + 1
+        state.setTimeoutTimestamp(math.max(t, wm + 1))
+      }
+      out.result().iterator
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

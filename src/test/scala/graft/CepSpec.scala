@@ -117,6 +117,51 @@ class CepSpec extends SparkSpec {
     assert(run(Cep.SkipPastLastEvent) == Seq((1L, 3L), (4L, 5L)))
   }
 
+  test("greedy vs reluctant one-or-more resolves the B/C tie differently") {
+    // B: price < 10, C: name == "c". Event 3 ("c", price 5) satisfies
+    // BOTH → the quantifier decides; event 4 ("c", price 20) only C.
+    val rows = Seq((1L, "a", 1.0), (2L, "x", 5.0), (3L, "c", 5.0),
+      (4L, "c", 20.0)).map { case (id, n, p) =>
+      CepRow("k", id, n, p, None, 1000L * id) }
+    def run(q: Cep.Quant) = {
+      val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+        .followedBy("B", oneOrMore = true, quant = q) { (e, _) => e.price < 10 }
+        .followedBy("C") { (e, _) => e.name == "c" }
+      Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+        (r: CepRow) => r.tsMs, p, (r: CepRow) => r.tsMs) { (k, m) =>
+        (m("B").map(_.id).mkString("+"), m("C").head.id)
+      }.collect().toSeq.sorted
+    }
+    assert(run(Cep.Greedy) == Seq(("2+3", 4L)))      // longest B+ run
+    assert(run(Cep.Reluctant) == Seq(("2", 3L)))     // shortest B+ run
+    assert(run(Cep.AllMatches) == Seq(("2", 3L), ("2+3", 4L)))
+  }
+
+  test("event-time timers flush within-timeouts on idle keys") {
+    import graft.cep.CepStreaming.TimedCepRow
+    implicit val sqlCtx = spark.sqlContext
+    def row(key: String, id: Long, name: String, ts: Long) =
+      TimedCepRow(key, id, name, 1.0, None, ts, new java.sql.Timestamp(ts))
+    val pattern = Cep.begin[TimedCepRow]("start") { (e, _) => e.name == "start" }
+      .followedBy("end") { (e, _) => e.name == "end" }
+      .within(2000)
+    val in = MemoryStream[TimedCepRow]
+    val q = CepStreaming.matchPatternEventTime(
+      in.toDS().withWatermark("eventTime", "0 seconds"), pattern)
+      .writeStream.format("memory").queryName("cep_et_out")
+      .outputMode("append").start()
+    try {
+      in.addData(row("a", 1, "start", 1000L)); q.processAllAvailable()
+      // key "a" never sees another event; key "b" advances the
+      // watermark past a's within-bound, then one more batch lets the
+      // timer fire
+      in.addData(row("b", 2, "other", 10000L)); q.processAllAvailable()
+      in.addData(row("b", 3, "other", 11000L)); q.processAllAvailable()
+      val got = spark.table("cep_et_out").as[CepMatch].collect()
+      assert(got.toSeq == Seq(CepMatch("a", "timeout", Seq(1L))))
+    } finally q.stop()
+  }
+
   test("streaming CEP carries partial matches across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[CepRow]
