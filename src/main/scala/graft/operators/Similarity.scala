@@ -205,6 +205,56 @@ object Similarity extends graft.QueryModule {
     rankTopK(scored, k)
   }
 
+  /** Lloyd refinement of the IVF coarse quantizer (the batch
+    * driver-loop iteration pattern, SURVEY.md §2.7 T7): start from the
+    * deterministic seed centroids (vec_id ≡ 0 mod `centroidMod`), then
+    * `iters` times assign every vector to its max-cosine centroid and
+    * recompute each centroid as the element-wise mean of its members.
+    * Emits the final (centroid, dim, mean) table.
+    *
+    * The mean is exact and order-free: every input component is a
+    * float32 (an exact multiple of 2⁻⁵²), so members are summed as
+    * int64 at scale 2⁵² — no floating accumulation order, no decimal
+    * rounding. Holds while members × max|v| × 2⁵² < 2⁶³; a 100 TB run
+    * swaps the int64 sum for a DECIMAL(38,x) sum.
+    */
+  def kmeansRefine(embeddings: DataFrame, centroidMod: Int = 127,
+                   iters: Int = 2): DataFrame = {
+    val pow52 = 4503599627370496.0 // 2^52
+    val base = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    var cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      val scored = base.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("emb"), col("c_id"),
+          (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+            .as("c_sim"))
+      // max cosine, ties to the smallest centroid id
+      val assign = scored
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).as("centroid"))
+      val comp = assign.join(base.select(col("vec_id"), col("emb")), "vec_id")
+        .select(col("centroid"), posexplode(col("emb")))
+        .toDF("centroid", "pos", "v")
+      means = comp
+        .groupBy(col("centroid"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(((sum((col("v") * pow52).cast("long")).cast("double") / pow52)
+          / count(lit(1))).as("mean"))
+      cents = means.groupBy(col("centroid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+          .as("pm"))
+        .select(col("centroid").as("c_id"),
+          expr("transform(pm, x -> x.mean)").as("c_emb"))
+        .withColumn("c_nrm", norm(col("c_emb")))
+    }
+    means.select(col("centroid"), col("dim"), col("mean"))
+  }
+
   /** ANN evaluation: per-query recall of the LSH top-k against the
     * brute-force ground truth (|lsh ∩ exact| / k). The query every ANN
     * deployment needs before trusting its index. */
@@ -225,6 +275,7 @@ object Similarity extends graft.QueryModule {
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
     "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5)),
     "q35_cosine_dups" -> ((s, d) => cosineNearDupPairs(Tables.embeddings(s, d), 0.2)),
+    "q34_kmeans_refine" -> ((s, d) => kmeansRefine(Tables.embeddings(s, d))),
     "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5)),
     "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5))
   )
@@ -253,7 +304,41 @@ object Similarity extends graft.QueryModule {
                    THEN (1::BIGINT << p) ELSE 0 END) AS bucket
         FROM embeddings CROSS JOIN planes)"""
 
+  /** One Lloyd iteration's CTE chain (assignment + int64-exact means
+    * at scale 2^52 + reassembled centroid lists). */
+  private def lloydSql(n: Int, centsIn: String) = s"""
+      sc$n AS (
+        SELECT b.vec_id, b.emb, c.c_id,
+               ${cosSql("b.emb", "c.c_emb")} AS s
+        FROM base b CROSS JOIN $centsIn c),
+      a$n AS (
+        SELECT vec_id, emb, c_id AS centroid FROM (
+          SELECT vec_id, emb, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, c_id ASC) AS rn
+          FROM sc$n)
+        WHERE rn = 1),
+      m$n AS (
+        SELECT centroid, dim,
+               (CAST(CAST(sum(CAST(emb[dim] * 4503599627370496.0 AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 4503599627370496.0) / count(*)
+                 AS mean
+        FROM a$n CROSS JOIN dims GROUP BY centroid, dim),
+      cents$n AS (
+        SELECT centroid AS c_id, list(mean ORDER BY dim) AS c_emb
+        FROM m$n GROUP BY centroid)"""
+
   def oracle: Map[String, String] = Map(
+    "q34_kmeans_refine" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      cents0 AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      ${lloydSql(1, "cents0")},
+      ${lloydSql(2, "cents1")}
+      SELECT centroid, dim, mean FROM m2""",
     "q38_lsh_recall" -> s"""
       WITH $bucketsSql,
       bfq AS (

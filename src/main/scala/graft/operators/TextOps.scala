@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.Portable._
 
@@ -97,9 +98,55 @@ object TextOps extends graft.QueryModule {
       polyHash(transform(words(col("text")), w => hash32(w))).as("fp"),
       md5(normText(col("text"))).as("content_md5"))
 
+  /** BM25 keyword ranking for a fixed term list — the lexical
+    * counterpart of the ANN ops for retrieval-style training-data
+    * selection. One narrow pass computes per-doc term frequencies
+    * (no explode/shuffle); corpus stats (N, avgdl, per-term df) are a
+    * single 1-row aggregate broadcast back; top-N is one rank.
+    *
+    * Portability: idf is the rational (N - df + 0.5)/(df + 0.5) —
+    * BM25's log is monotone, so ranking is preserved, while avoiding
+    * ln(), whose last-bit rounding differs across math libraries. The
+    * score is a fixed left-fold of per-term contributions, so both
+    * engines run the identical IEEE op sequence.
+    */
+  def bm25(documents: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(Seq(col("doc_id"), size(col("ws")).as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), w => w === lit(t))).cast("double").as(s"tf$i")
+        }: _*)
+    val statCols =
+      Seq(count(lit(1)).as("n_docs"),
+        (sum(col("dl").cast("decimal(18,0)")).cast("double") /
+          count(lit(1))).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val contribs = terms.indices.map { i =>
+      val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5))
+      idf * (col(s"tf$i") * (lit(k1) + lit(1.0))) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), contribs.reduceLeft(_ + _).as("score"))
+      .filter(col("score") > 0)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rn") <= topN)
+  }
+
   // ---- driver bindings -------------------------------------------------
 
+  private val bm25Terms = Seq("spark", "query", "fast")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
@@ -111,6 +158,43 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q39_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      val wsSql =
+        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n               ")
+      val dfCols = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(",\n               ")
+      val contribs = bm25Terms.indices.map(i =>
+        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ($k1 + 1.0)) " +
+        s"/ (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))")
+        .reduceLeft((a, c) => s"$a\n               + $c")
+      s"""
+      WITH t AS (
+        SELECT doc_id, $wsSql AS ws FROM documents),
+      d AS (
+        SELECT doc_id, len(ws) AS dl,
+               $tfCols
+        FROM t),
+      s AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*)
+                 AS avgdl,
+               $dfCols
+        FROM d),
+      sc AS (
+        SELECT doc_id,
+               $contribs AS score
+        FROM d CROSS JOIN s)
+      SELECT doc_id, score, rn FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM sc WHERE score > 0)
+      WHERE rn <= 20"""
+    },
     "q20_wordcount" -> """
       SELECT word, count(*) AS cnt
       FROM (SELECT unnest(list_filter(
