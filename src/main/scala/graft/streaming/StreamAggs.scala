@@ -66,6 +66,22 @@ object StreamAggs {
       .withColumnRenamed("__k", "join_key")
   }
 
+  /** Streaming exact dedup — the continuous-ingestion counterpart of
+    * the batch content-address dedup (operators.Dedup.exactGroups):
+    * rows whose `keyCols` repeat within the watermark delay are
+    * dropped, and state for keys older than the watermark is evicted
+    * automatically (`dropDuplicatesWithinWatermark`), so state is
+    * bounded by delay × arrival rate, not stream history. Dedup a
+    * document stream on its content md5 to admit each payload once.
+    */
+  def dedupWithinWatermark(df: DataFrame, ts: Column,
+                           watermarkDelay: String,
+                           keyCols: String*): DataFrame =
+    df.withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+      .drop("__ts")
+
   /** J2: interval join (`join/IntervalJoin.java:40-54`):
     * lowerBound/upperBound relative to the left timestamp, both sides
     * watermarked — Spark's canonical stream-stream range join.

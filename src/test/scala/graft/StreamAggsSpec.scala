@@ -60,6 +60,27 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup admits each content hash once within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("ts_ms", "doc_id", "content_md5")
+    val q = StreamAggs.dedupWithinWatermark(df,
+        timestamp_millis(col("ts_ms")), "10 seconds", "content_md5")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1000L, "d1", "H1"), (2000L, "d2", "H1"), (3000L, "d3", "H2"))
+      q.processAllAvailable()
+      // same hash again in a later batch, still inside the delay
+      in.addData((4000L, "d4", "H1"), (5000L, "d5", "H3"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id")
+        .as[String].collect().toSeq.sorted
+      // one row per distinct hash: d1 (H1), d3 (H2), d5 (H3)
+      assert(got == Seq("d1", "d3", "d5"))
+    } finally q.stop()
+  }
+
   test("interval join matches the reference's orange/green semantics") {
     // IntervalJoin.java:23-38: orange.ts - 2s <= green.ts <= orange.ts + 1s
     val base = 1599534710000L
