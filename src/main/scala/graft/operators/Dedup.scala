@@ -88,6 +88,17 @@ object Dedup extends graft.QueryModule {
     * instead of two join sides). Bucket sizes are bounded by band
     * selectivity (and by explicit frequency caps where semantics allow),
     * which keeps the collected id lists small at any corpus size.
+    *
+    * Skew note for a 100 TB run: a pathological bucket (a stop-band
+    * shared by millions of docs) concentrates its quadratic pair
+    * explosion in one task here, whereas a band-key self-join spreads
+    * the same pairs across tasks at the cost of shuffling both sides
+    * and computing signatures twice. Production guidance: keep this
+    * single-pass shape and CAP bucket size (pairs from a
+    * million-member bucket are never useful dedup candidates — that
+    * band is effectively a stop-shingle), as ngramJaccardPairs already
+    * does with `maxShingleFreq`; fall back to the self-join only if
+    * uncapped pathological buckets must be enumerated exactly.
     */
   private[operators] def sortedPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>

@@ -65,6 +65,33 @@ class PlanSpec extends SparkSpec {
       s"unused columns read:\n$schema")
   }
 
+  test("kmeans refinement broadcasts the centroid table every iteration") {
+    val plan = planOf(Similarity.kmeansRefine(Tables.embeddings(spark, sf)))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    // the corpus must never be exchanged for the assignment join
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for join:\n$plan")
+  }
+
+  test("bm25 broadcasts the 1-row stats aggregate back to the tf pass") {
+    val plan = planOf(TextOps.bm25(Tables.documents(spark, sf),
+      Seq("spark", "query", "fast")))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast:\n$plan")
+  }
+
+  test("LSH pair generation needs only three exchanges (sig, bucket, pair aggs)") {
+    val df = Dedup.minhashPairs(Tables.documents(spark, sf))
+    df.collect() // finalize AQE
+    // AQE appends the pre-adaptive plan under "== Initial Plan ==" —
+    // count shuffles in the executed section only. Minimal shape:
+    // shingle→signature agg on doc_id, band-bucket agg, pair-count
+    // agg — and no join exchanges (the old persisted self-join had 2
+    // more plus a cached scan per side).
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 3, s"$exchanges exchanges (want 3):\n$plan")
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
