@@ -3,7 +3,7 @@ package graft.streaming
 import java.time.Duration
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.streaming.Models._
 
 /** Spark 4 `transformWithState` ports (the successor API to
@@ -56,5 +56,54 @@ object StatefulTws extends Serializable {
     txns.groupByKey(_.accountId)
       .transformWithState(new FraudProcessor(flagTtl),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** T3+A6: the flagship windowed top-N (`topn/HotItems.java:86-147`)
+    * on the native API — the reference's ListState buffer is a typed
+    * `ListState[ItemViewCount]`, its event-time timer at windowEnd+1
+    * a first-class `registerTimer` with the emission in
+    * `handleExpiredTimer` (instead of flatMapGroupsWithState's
+    * hasTimedOut re-entry). Late rows for windows the watermark
+    * already fired are dropped (no allowedLateness, as documented).
+    */
+  class TopNProcessor(n: Int)
+      extends StatefulProcessor[Long, TimedItemViewCount, RankedItem] {
+    @transient private var buf: ListState[ItemViewCount] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[ItemViewCount]("buf",
+        Encoders.product[ItemViewCount], TTLConfig.NONE)
+
+    override def handleInputRows(windowEnd: Long,
+        rows: Iterator[TimedItemViewCount],
+        timerValues: TimerValues): Iterator[RankedItem] = {
+      if (windowEnd + 1 <= timerValues.getCurrentWatermarkInMs()) {
+        // late for an already-fired window — drop, never re-emit
+        return Iterator.empty
+      }
+      rows.foreach(r =>
+        buf.appendValue(ItemViewCount(r.itemId, r.windowEnd, r.viewCount)))
+      getHandle.registerTimer(windowEnd + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(windowEnd: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RankedItem] = {
+      val items = buf.get().toSeq
+      buf.clear()
+      items.sortBy(i => (-i.viewCount, i.itemId)).take(n).zipWithIndex
+        .map { case (i, r) =>
+          RankedItem(windowEnd, r + 1, i.itemId, i.viewCount) }
+        .iterator
+    }
+  }
+
+  def topNPerWindow(counts: Dataset[TimedItemViewCount],
+                    n: Int): Dataset[RankedItem] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.windowEnd)
+      .transformWithState(new TopNProcessor(n),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -179,6 +179,37 @@ class StatefulSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState top-N emits from a native event-time timer") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ivc(itemId: Long, windowEnd: Long, n: Long) =
+        TimedItemViewCount(itemId, windowEnd, n,
+          new java.sql.Timestamp(windowEnd))
+      val in = MemoryStream[TimedItemViewCount]
+      val ds = in.toDS()
+        .withWatermark("eventTime", "0 milliseconds")
+        .as[TimedItemViewCount]
+      val q = StatefulTws.topNPerWindow(ds, 2)
+        .writeStream.format("memory").queryName("tws_topn_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(ivc(101, 1000, 5), ivc(102, 1000, 9), ivc(103, 1000, 7))
+        q.processAllAvailable()
+        assert(spark.table("tws_topn_out").count() == 0) // window open
+        in.addData(ivc(900, 60000, 1)) // advances watermark past 1001
+        q.processAllAvailable()
+        q.processAllAvailable() // extra batch lets the timer fire
+        val got = spark.table("tws_topn_out").as[RankedItem].collect()
+          .sortBy(_.rank).toSeq.filter(_.windowEnd == 1000)
+        assert(got == Seq(
+          RankedItem(1000, 1, 102, 9), RankedItem(1000, 2, 103, 7)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("delta trigger fires on distance jumps and evicts old points (W4)") {
     // trigger 50 m, evictor 10 s (CustomizeEvictorAndTrigger.java:43-44)
     val pts = Seq(
