@@ -62,21 +62,24 @@ object Relational extends graft.QueryModule {
           .cast("decimal(28,4)").cast("double").as("revenue"),
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag"))
 
-  /** Top-N per group via rank-over-window — the batch form of the
-    * reference's windowed Top-N (`topn/HotItems.java:86-147`). One
-    * shuffle for the agg, one for the rank partition; ties broken by
-    * key for determinism.
+  /** Top-N per group — the batch form of the reference's windowed
+    * Top-N (`topn/HotItems.java:86-147`). The rank runs in the bounded
+    * topK Aggregator (partial-aggregatable: every map task keeps ≤ n
+    * candidates per flag) instead of a rank-over-window, which would
+    * sort ALL groups inside as many partitions as there are flags —
+    * the classic low-cardinality-partition skew at scale. The decimal
+    * sums are exact in double here (2-dp quantities, totals ≪ 2^53),
+    * so ordering by the double equals ordering by the decimal.
     */
-  def topPartsByFlag(lineitem: DataFrame, n: Int): DataFrame = {
-    val agg = lineitem.groupBy(col("l_returnflag"), col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qty").desc, col("l_partkey").asc)
-    agg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
-      // rank on the exact decimal; emit as double
-      .withColumn("qty", col("qty").cast("double"))
-  }
+  def topPartsByFlag(lineitem: DataFrame, n: Int): DataFrame =
+    lineitem.groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.Aggregators.topK(n)(
+        col("qty"), col("l_partkey")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"), col("col.id").as("l_partkey"),
+        col("col.sim").as("qty"), (col("pos") + 1).cast("int").as("rn"))
 
   /** Keyed max-by: keep the record with the max metric per key
     * (deterministic tie-break on highest key), via max(struct) so the
