@@ -70,6 +70,66 @@ object Multimodal extends graft.QueryModule {
   def featureQuery(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(Tables.documents(s, d))).toDF()
 
+  /** A resized media record: same payload contract, new target dims +
+    * the scale factor a real resampler would apply. */
+  case class ResizedRecord(media_id: Long, kind: String, width: Int,
+                           height: Int, scale: Double, payload: Array[Byte])
+
+  /** Resize-to-fit: compute the aspect-preserving target geometry
+    * (min-scale fit into `maxW`×`maxH`, never upscale) and run the
+    * payload through the batched per-partition "resampler" — the STUB
+    * truncates the payload proportionally to the area ratio, standing
+    * in for a pixel resampler. Geometry math is Column-level
+    * (codegen); only the payload transform needs the partition pass.
+    */
+  def resizeToFit(media: Dataset[MediaRecord], maxW: Int,
+                  maxH: Int): Dataset[ResizedRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition resampler context would be created here
+      it.map { r =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+        val w = math.max(1, math.floor(r.width * scale).toInt)
+        val h = math.max(1, math.floor(r.height * scale).toInt)
+        val keep = math.max(1,
+          math.floor(r.payload.length * scale * scale).toInt)
+        ResizedRecord(r.media_id, r.kind, w, h, scale,
+          r.payload.take(keep))
+      }
+    }
+  }
+
+  /** One sampled video frame: ordinal + byte offset + a fixed-size
+    * window of payload bytes standing in for the decoded frame. */
+  case class FrameSample(media_id: Long, frame_idx: Int, byte_offset: Int,
+                         frame: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th "frame" of video payloads
+    * (non-video rows produce no frames — the filter prunes them before
+    * any decode work). The STUB treats the payload as fixed-size
+    * `frameBytes` chunks; a real codec would seek keyframes. The
+    * explode happens inside the partition pass — output rows stream
+    * out without materializing all frames of a video in memory.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int,
+                   frameBytes: Int = 64): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      // per-partition demuxer context would be created here
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyN).iterator.map { f =>
+          val off = f * frameBytes
+          FrameSample(r.media_id, f, off,
+            r.payload.slice(off, off + frameBytes))
+        }
+      }
+    }
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

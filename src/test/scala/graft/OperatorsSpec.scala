@@ -87,4 +87,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(f => f.mean_byte > 0 && f.n_bytes > 0))
     assert(rows.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
   }
+
+  test("resize fits within bounds, preserves aspect, never upscales") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    val resized = Multimodal.resizeToFit(media, 128, 128).collect()
+    assert(resized.nonEmpty)
+    for (r <- resized) {
+      val o = orig(r.media_id)
+      assert(r.width <= 128 && r.height <= 128)
+      assert(r.scale <= 1.0 && r.scale > 0)
+      // aspect preserved up to floor rounding
+      assert(r.width <= o.width && r.height <= o.height)
+      assert(r.payload.length <= o.payload.length)
+    }
+    // small images pass through unscaled
+    assert(resized.filter(_.scale == 1.0)
+      .forall(r => orig(r.media_id).width <= 128))
+  }
+
+  test("frame sampling yields every Nth fixed-size chunk of video payloads") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 3 == 0))
+    assert(frames.forall(f => f.byte_offset == f.frame_idx * 64))
+    assert(frames.forall(_.frame.length <= 64))
+    // only videos produce frames
+    val kinds = Multimodal.mediaTable(Tables.documents(spark, sf))
+      .collect().map(r => r.media_id -> r.kind).toMap
+    assert(frames.forall(f => kinds(f.media_id) == "video"))
+  }
 }
