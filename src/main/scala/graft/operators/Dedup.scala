@@ -216,9 +216,15 @@ object Dedup extends graft.QueryModule {
       .filter(size(col("ids")).between(2, maxShingleFreq))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    // broadcast the doc→wset lookups: the candidate pairs (the big,
+    // skew-prone side) never shuffle and the jaccard runs map-side.
+    // Catalyst's size estimate for array columns overshoots the 10 MB
+    // auto-broadcast threshold, so the hint is explicit. (At corpus
+    // sizes where the word-set table outgrows broadcast, drop the
+    // hints — the pair side then shuffles on doc_id.)
     cands
-      .join(wsets.toDF("a", "a_w"), "a")
-      .join(wsets.toDF("b", "b_w"), "b")
+      .join(broadcast(wsets.toDF("a", "a_w")), "a")
+      .join(broadcast(wsets.toDF("b", "b_w")), "b")
       .select(col("a"), col("b"),
         graft.functions.VectorExpressions
           .sortedJaccard(col("a_w"), col("b_w")).as("jaccard"))
