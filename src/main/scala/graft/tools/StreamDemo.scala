@@ -148,6 +148,49 @@ object StreamDemo {
       tq.stop()
     }
 
+    // native transformWithState top-N: ListState + first-class
+    // event-time timer (RocksDB state store)
+    {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      def ivc(id: Long, we: Long, n: Long) =
+        TimedItemViewCount(id, we, n, new java.sql.Timestamp(we))
+      val tin = MemoryStream[TimedItemViewCount]
+      val tq = StatefulTws.topNPerWindow(
+          tin.toDS().withWatermark("eventTime", "0 milliseconds"), 2)
+        .writeStream.format("memory").queryName("drive_tws_topn")
+        .outputMode("append").start()
+      tin.addData(ivc(201, 1000, 4), ivc(202, 1000, 8))
+      tq.processAllAvailable()
+      tin.addData(ivc(900, 60000, 1))
+      tq.processAllAvailable(); tq.processAllAvailable()
+      println("TWS_TOPN=" + spark.table("drive_tws_topn").collect()
+        .sortBy(_.getInt(1)).mkString(";"))
+      tq.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    // event-time CEP timeout: the idle key's partial times out when
+    // OTHER keys advance the watermark — no follow-up event needed
+    {
+      import graft.cep.CepStreaming.TimedCepRow
+      def row(key: String, id: Long, name: String, ts: Long) =
+        TimedCepRow(key, id, name, 1.0, None, ts, new java.sql.Timestamp(ts))
+      val p = Cep.begin[TimedCepRow]("start") { (e, _) => e.name == "start" }
+        .followedBy("end") { (e, _) => e.name == "end" }
+        .within(2000)
+      val cin = MemoryStream[TimedCepRow]
+      val cq = CepStreaming.matchPatternEventTime(
+          cin.toDS().withWatermark("eventTime", "0 seconds"), p)
+        .writeStream.format("memory").queryName("drive_cep_et")
+        .outputMode("append").start()
+      cin.addData(row("idle", 1, "start", 1000L)); cq.processAllAvailable()
+      cin.addData(row("busy", 2, "other", 10000L)); cq.processAllAvailable()
+      cin.addData(row("busy", 3, "other", 11000L)); cq.processAllAvailable()
+      println("CEP_ET=" + spark.table("drive_cep_et").collect().mkString(";"))
+      cq.stop()
+    }
+
     // SQL front-end: Time.md-style windowed SQL over registered views
     graft.sql.SqlInterface.registerTables(spark, "/root/testdata/sf0.001")
     println("SQL_WCD=" + graft.sql.SqlInterface
