@@ -92,4 +92,43 @@ object GraftProperties extends Properties("graft") {
       } yield (s.id, e.id)).toSet
       got == expected
     }
+
+  // ---- quantifier modes: greedy ⊇-length, reluctant ⊆-length --------
+
+  private val pricesGen: Gen[List[CepRow]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1.0, 20.0)).map(_.zipWithIndex.map {
+      case (p, i) => CepRow("k", i.toLong, if (i == 0) "a" else "x", p,
+        None, 1000L * i)
+    })
+
+  property("greedy B+ matches are at least as long as reluctant ones") =
+    forAll(pricesGen) { rows =>
+      def run(q: Cep.Quant): List[Int] = {
+        val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+          .followedBy("B", oneOrMore = true, quant = q) { (e, _) => e.price < 10 }
+          .followedBy("C") { (e, _) => e.price >= 10 }
+        val nfa = new Cep.Nfa[CepRow](p, _.tsMs)
+        nfa.run(rows)._1.map(_.entries.count(_._1 == 1)).sorted
+      }
+      val (g, r) = (run(Cep.Greedy), run(Cep.Reluctant))
+      // same match count; per-match B-run never shorter under greedy
+      g.size == r.size && g.zip(r).forall { case (a, b) => a >= b }
+    }
+
+  // ---- in-bucket pair generation (the LSH candidate core) -----------
+
+  property("sortedPairs emits exactly the C(n,2) ordered pairs") = {
+    // mirror of the Column-level generator, on plain Scala: the
+    // Column expression is exercised end-to-end by the oracle gate
+    def pairs(ids: Seq[Long]): Seq[(Long, Long)] =
+      ids.zipWithIndex.flatMap { case (x, i) =>
+        ids.drop(i + 1).map(y => (x, y)) }
+    forAll(Gen.listOf(Gen.chooseNum(0L, 30L))) { raw =>
+      val ids = raw.distinct.sorted
+      val got = pairs(ids)
+      got.size == ids.size * (ids.size - 1) / 2 &&
+        got.forall { case (a, b) => a < b } &&
+        got.distinct.size == got.size
+    }
+  }
 }
