@@ -106,4 +106,52 @@ object StatefulTws extends Serializable {
       .transformWithState(new TopNProcessor(n),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** A5/W5 count windows on the native API: the ring buffer of the
+    * last `size` records and the emission phase live in two typed
+    * state variables (the flatMapGroupsWithState port packs both into
+    * one tuple blob — here each updates independently, so RocksDB
+    * writes only what changed). Same semantics as
+    * Stateful.countWindowSum: every `slide` records emit the sum of
+    * the last `size`, record order = seq within batch, arrival across
+    * batches. State is bounded by `size` rows per key.
+    */
+  class CountWindowProcessor(size: Int, slide: Int)
+      extends StatefulProcessor[String, KeyedValue, CountWindowSum] {
+    @transient private var ring: ListState[KeyedValue] = _
+    @transient private var since: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ring = getHandle.getListState[KeyedValue]("ring",
+        Encoders.product[KeyedValue], TTLConfig.NONE)
+      since = getHandle.getValueState[Int]("since",
+        Encoders.scalaInt, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: TimerValues): Iterator[CountWindowSum] = {
+      var buf = ring.get().toSeq
+      var phase = if (since.exists()) since.get() else 0
+      val out = Seq.newBuilder[CountWindowSum]
+      for (v <- rows.toSeq.sortBy(_.seq)) {
+        buf = (buf :+ v).takeRight(size)
+        phase += 1
+        if (phase == slide) {
+          out += CountWindowSum(key, v.seq, buf.size, buf.map(_.value).sum)
+          phase = 0
+        }
+      }
+      ring.put(buf.toArray)
+      since.update(phase)
+      out.result().iterator
+    }
+  }
+
+  def countWindowSum(values: Dataset[KeyedValue], size: Int,
+                     slide: Int): Dataset[CountWindowSum] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_.key)
+      .transformWithState(new CountWindowProcessor(size, slide),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

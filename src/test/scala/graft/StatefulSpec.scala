@@ -179,6 +179,36 @@ class StatefulSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState count window matches the fMGWS port (batch + stream)") {
+    // batch parity with Stateful.countWindowSum
+    val vals = (1 to 7).map(i => KeyedValue("k", i.toLong, i.toLong))
+    val batch = StatefulTws.countWindowSum(spark.createDataset(vals), 4, 2)
+      .collect().sortBy(_.endSeq)
+    assert(batch.toSeq == Seq(
+      CountWindowSum("k", 2, 2, 3), CountWindowSum("k", 4, 4, 10),
+      CountWindowSum("k", 6, 4, 18)))
+    // streaming: ring buffer + phase carried across micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[KeyedValue]
+      val q = StatefulTws.countWindowSum(in.toDS(), 4, 2)
+        .writeStream.format("memory").queryName("tws_cw_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData((1 to 3).map(i => KeyedValue("k", i.toLong, i.toLong)): _*)
+        q.processAllAvailable()
+        in.addData((4 to 7).map(i => KeyedValue("k", i.toLong, i.toLong)): _*)
+        q.processAllAvailable()
+        val got = spark.table("tws_cw_out").as[CountWindowSum].collect()
+          .sortBy(_.endSeq)
+        assert(got.toSeq == batch.toSeq) // batch ≡ streaming
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState top-N emits from a native event-time timer") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
