@@ -55,10 +55,20 @@ object Cep {
   case object Reluctant extends Quant
 
   /** One pattern step. `pred` sees the candidate event and the events
-    * matched so far (so DOWN can test price < last price). */
+    * matched so far (so DOWN can test price < last price).
+    * `entryPred`, when set, additionally sees which step consumed each
+    * prior event — required for SQL MATCH_RECOGNIZE navigation
+    * (`LAST(VAR.col, 1)` resolves against VAR's rows only). */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
-                     quant: Quant = AllMatches)
+                     quant: Quant = AllMatches,
+                     entryPred: Option[(T, Vector[(Int, T)]) => Boolean] = None) {
+    def hit(e: T, entries: Vector[(Int, T)]): Boolean =
+      entryPred match {
+        case Some(f) => f(e, entries)
+        case None    => pred(e, entries.map(_._2))
+      }
+  }
 
   case class PatternSpec[T](steps: Vector[Step[T]], withinMs: Option[Long],
                             skip: AfterMatchSkip = NoSkip) {
@@ -117,9 +127,9 @@ object Cep {
           val cur = steps(p.stepIdx)
           val nextIdx = p.stepIdx + 1
           val last = steps.length - 1
-          val loopPoss = cur.oneOrMore && cur.pred(e, p.events)
+          val loopPoss = cur.oneOrMore && cur.hit(e, p.entries)
           val advPoss = nextIdx < steps.length &&
-            steps(nextIdx).pred(e, p.events)
+            steps(nextIdx).hit(e, p.entries)
           // quantifier mode decides the both-possible tie
           val loopHit = loopPoss &&
             (cur.quant != Reluctant || !advPoss)
@@ -153,7 +163,7 @@ object Cep {
         }
       }
       // every event matching step 0 starts a new partial
-      if (steps(0).pred(e, Nil)) {
+      if (steps(0).hit(e, Vector.empty)) {
         val p0 = Partial(Vector((0, e)), ts)
         if (steps.length == 1) done += MatchResult("match", p0.entries)
         else live += p0

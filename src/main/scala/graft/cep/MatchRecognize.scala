@@ -1,0 +1,289 @@
+package graft.cep
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+/** SQL `MATCH_RECOGNIZE` front-end (SURVEY.md §2.8 C3,
+  * `flink-sql/sql/dml/CEP.md:8-33,72-111`) for the clause subset the
+  * reference documents:
+  *
+  *   PARTITION BY col / ORDER BY col / MEASURES expr AS alias, ... /
+  *   ONE ROW PER MATCH / AFTER MATCH SKIP {TO LAST var | PAST LAST ROW} /
+  *   PATTERN (A B+ C) / DEFINE var AS predicate, ...
+  *
+  * Predicates support comparisons over `VAR.col`, pattern navigation
+  * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, numeric/string
+  * literals, `IS [NOT] NULL`, AND/OR, and parentheses — enough to run
+  * the reference doc's two example queries verbatim (see
+  * MatchRecognizeSpec). Pattern variables match consecutive rows
+  * (SQL's strict contiguity); `+` quantifiers are greedy (SQL
+  * default). Execution compiles the clause onto the [[Cep]] NFA and
+  * scans each partition in order — the same engine the DSL uses, so
+  * the SQL surface and the programmatic surface cannot diverge.
+  *
+  * Null semantics: comparisons involving NULL are false (SQL unknown),
+  * `IS NULL` observes it — exactly what the doc's
+  * `LAST(PRICE_DOWN.price, 1) IS NULL AND ...` bootstrap relies on.
+  */
+object MatchRecognize {
+
+  // ---- AST -----------------------------------------------------------
+
+  private[cep] sealed trait Val
+  private[cep] case class ColRef(variable: String, col: String) extends Val
+  private[cep] case class Nav(fn: String, variable: String, col: String,
+                         offset: Int) extends Val
+  private[cep] case class Lit(v: Any) extends Val
+
+  private[cep] sealed trait Pred
+  private[cep] case class Cmp(l: Val, op: String, r: Val) extends Pred
+  private[cep] case class IsNull(v: Val, negated: Boolean) extends Pred
+  private[cep] case class BoolOp(l: Pred, op: String, r: Pred) extends Pred
+
+  private[cep] case class Clause(partitionBy: String, orderBy: String,
+      measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
+      pattern: Seq[(String, Boolean)], defines: Map[String, Pred])
+
+  // ---- tokenizer -----------------------------------------------------
+
+  private val tokenRe =
+    """\s*(?:(<=|>=|<>|!=|[(),+<>=])|('(?:[^'])*')|([A-Za-z_][A-Za-z_0-9.]*)|(-?\d+(?:\.\d+)?))""".r
+
+  private def tokenize(s: String): Vector[String] =
+    tokenRe.findAllMatchIn(s).map(_.subgroups.find(_ != null).get).toVector
+
+  private class P(tokens: Vector[String]) {
+    private var i = 0
+    def peek: Option[String] = if (i < tokens.length) Some(tokens(i)) else None
+    def next(): String = { val t = tokens(i); i += 1; t }
+    def kw(up: String): Boolean =
+      peek.exists(_.equalsIgnoreCase(up)) && { i += 1; true }
+    def expect(up: String): Unit =
+      if (!kw(up)) sys.error(s"expected $up at ${tokens.drop(i).take(5)}")
+    def done: Boolean = i >= tokens.length
+  }
+
+  // ---- parser --------------------------------------------------------
+
+  /** Accepts either a full `... MATCH_RECOGNIZE ( body ) ...` query or
+    * the bare body. */
+  private[cep] def parse(sql: String): Clause = {
+    val upper = sql.toUpperCase
+    val body = upper.indexOf("MATCH_RECOGNIZE") match {
+      case -1 => sql
+      case at =>
+        val open = sql.indexOf('(', at)
+        var depth = 0; var end = open
+        while ({ end < sql.length && {
+          sql(end) match { case '(' => depth += 1 case ')' => depth -= 1
+            case _ => }
+          depth != 0 } }) end += 1
+        sql.substring(open + 1, end)
+    }
+    val p = new P(tokenize(body))
+
+    p.expect("PARTITION"); p.expect("BY"); val part = p.next()
+    p.expect("ORDER"); p.expect("BY"); val order = p.next()
+
+    p.expect("MEASURES")
+    val measures = Seq.newBuilder[(Val, String)]
+    var more = true
+    while (more) {
+      val v = parseVal(p)
+      p.expect("AS")
+      measures += ((v, p.next()))
+      more = p.kw(",")
+    }
+
+    p.kw("ONE") && { p.expect("ROW"); p.expect("PER"); p.expect("MATCH"); true }
+
+    var skip: Cep.AfterMatchSkip = Cep.NoSkip
+    if (p.kw("AFTER")) {
+      p.expect("MATCH"); p.expect("SKIP")
+      if (p.kw("TO")) { p.expect("LAST"); skip = Cep.SkipToLast(p.next()) }
+      else { p.expect("PAST"); p.expect("LAST"); p.expect("ROW")
+        skip = Cep.SkipPastLastEvent }
+    }
+
+    p.expect("PATTERN"); p.expect("(")
+    val pat = Seq.newBuilder[(String, Boolean)]
+    while (!p.kw(")")) {
+      val v = p.next()
+      pat += ((v, p.kw("+")))
+    }
+
+    p.expect("DEFINE")
+    val defines = Map.newBuilder[String, Pred]
+    more = true
+    while (more) {
+      val v = p.next()
+      p.expect("AS")
+      defines += v -> parseOr(p)
+      more = p.kw(",")
+    }
+    Clause(part, order, measures.result(), skip, pat.result(),
+      defines.result())
+  }
+
+  private def parseVal(p: P): Val = p.next() match {
+    case f if f.equalsIgnoreCase("LAST") || f.equalsIgnoreCase("FIRST") =>
+      p.expect("(")
+      val ref = p.next()
+      val off = if (p.kw(",")) p.next().toInt else 0
+      p.expect(")")
+      val Array(v, c) = ref.split("\\.", 2)
+      Nav(f.toUpperCase, v, c, off)
+    case s if s.startsWith("'") => Lit(s.substring(1, s.length - 1))
+    case n if n.head.isDigit || n.head == '-' =>
+      Lit(if (n.contains('.')) n.toDouble else n.toLong)
+    case ref if ref.contains(".") =>
+      val Array(v, c) = ref.split("\\.", 2); ColRef(v, c)
+    case bare if bare.head.isLetter || bare.head == '_' =>
+      ColRef("", bare) // unqualified column → the row under evaluation
+    case other => sys.error(s"unexpected value token $other")
+  }
+
+  private def parseOr(p: P): Pred = {
+    var l = parseAnd(p)
+    while (p.kw("OR")) l = BoolOp(l, "OR", parseAnd(p))
+    l
+  }
+  private def parseAnd(p: P): Pred = {
+    var l = parseCmp(p)
+    while (p.kw("AND")) l = BoolOp(l, "AND", parseCmp(p))
+    l
+  }
+  private def parseCmp(p: P): Pred = {
+    if (p.kw("(")) { val inner = parseOr(p); p.expect(")"); return inner }
+    val l = parseVal(p)
+    if (p.kw("IS")) {
+      val neg = p.kw("NOT"); p.expect("NULL"); IsNull(l, neg)
+    } else {
+      val op = p.next()
+      Cmp(l, op, parseVal(p))
+    }
+  }
+
+  // ---- evaluation ----------------------------------------------------
+
+  private type Entry = (Int, Row)
+
+  private def resolve(v: Val, candidate: Option[Row], curVar: String,
+      varIdx: Map[String, Int], entries: Vector[Entry]): Option[Any] = v match {
+    case Lit(x) => Some(x)
+    case ColRef("", col) => // unqualified: the row under evaluation
+      candidate.flatMap(r => Option(r.getAs[Any](col)))
+    case ColRef(variable, col) =>
+      // SQL semantics: VAR.col = LAST(VAR.col, 0); the row under
+      // evaluation provisionally belongs to `curVar`
+      resolve(Nav("LAST", variable, col, 0), candidate, curVar, varIdx, entries)
+    case Nav(fn, variable, col, off) =>
+      val idx = varIdx.getOrElse(variable,
+        sys.error(s"unknown pattern variable $variable"))
+      val rows = entries.collect { case (i, r) if i == idx => r } ++
+        (if (variable == curVar) candidate.toSeq else Nil)
+      val picked =
+        if (fn == "LAST") rows.reverse.drop(off).headOption
+        else rows.drop(off).headOption
+      picked.flatMap(r => Option(r.getAs[Any](col)))
+  }
+
+  private def num(x: Any): Double = x match {
+    case n: Number => n.doubleValue()
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case d: java.sql.Date => d.getTime.toDouble
+    case other => sys.error(s"non-numeric operand $other")
+  }
+
+  private def eval(pred: Pred, candidate: Option[Row], curVar: String,
+      varIdx: Map[String, Int], entries: Vector[Entry]): Boolean = pred match {
+    case BoolOp(l, "AND", r) =>
+      eval(l, candidate, curVar, varIdx, entries) &&
+        eval(r, candidate, curVar, varIdx, entries)
+    case BoolOp(l, _, r) =>
+      eval(l, candidate, curVar, varIdx, entries) ||
+        eval(r, candidate, curVar, varIdx, entries)
+    case IsNull(v, neg) =>
+      resolve(v, candidate, curVar, varIdx, entries).isEmpty != neg
+    case Cmp(l, op, r) =>
+      (resolve(l, candidate, curVar, varIdx, entries),
+        resolve(r, candidate, curVar, varIdx, entries)) match {
+        case (Some(a), Some(b)) =>
+          (a, b) match {
+            case (sa: String, sb: String) => op match {
+              case "=" => sa == sb
+              case "<>" | "!=" => sa != sb
+              case "<" => sa < sb case ">" => sa > sb
+              case "<=" => sa <= sb case ">=" => sa >= sb
+            }
+            case _ =>
+              val (x, y) = (num(a), num(b))
+              op match {
+                case "=" => x == y
+                case "<>" | "!=" => x != y
+                case "<" => x < y case ">" => x > y
+                case "<=" => x <= y case ">=" => x >= y
+              }
+          }
+        case _ => false // NULL comparison → unknown → false
+      }
+  }
+
+  // ---- runner --------------------------------------------------------
+
+  /** Run the clause over a DataFrame, returning one row per match:
+    * the partition column followed by the measures. */
+  def run(df: DataFrame, sql: String): DataFrame = {
+    val clause = parse(sql)
+    val schema = df.schema
+    val varIdx = clause.pattern.map(_._1).zipWithIndex.toMap
+
+    def colType(v: Val) = v match {
+      case ColRef(_, c)  => schema(c).dataType
+      case Nav(_, _, c, _) => schema(c).dataType
+      case Lit(_: String) => org.apache.spark.sql.types.StringType
+      case Lit(_: Double) => org.apache.spark.sql.types.DoubleType
+      case Lit(_)         => org.apache.spark.sql.types.LongType
+    }
+    val outSchema = StructType(
+      schema(clause.partitionBy) +:
+        clause.measures.map { case (v, alias) =>
+          org.apache.spark.sql.types.StructField(alias, colType(v), true) })
+
+    val steps = clause.pattern.zipWithIndex.map { case ((v, oneOrMore), i) =>
+      val pred = clause.defines.get(v)
+      Cep.Step[Row](v,
+        contiguity = if (i == 0) Cep.FollowedBy else Cep.Next,
+        oneOrMore = oneOrMore,
+        pred = (_, _) => true,
+        quant = Cep.Greedy, // SQL default: greedy quantifiers
+        entryPred = Some((e, entries) => pred.forall(
+          eval(_, Some(e), v, varIdx, entries))))
+    }
+    val spec = Cep.PatternSpec[Row](steps.toVector, None, clause.skip)
+
+    val orderCol = clause.orderBy
+    val ordKey: Row => Double = r => r.getAs[Any](orderCol) match {
+      case n: Number => n.doubleValue()
+      case t: java.sql.Timestamp => t.getTime.toDouble
+      case d: java.sql.Date => d.getTime.toDouble
+      case s: String => sys.error(s"ORDER BY string column unsupported: $s")
+    }
+
+    val partitionBy = clause.partitionBy
+    val measures = clause.measures
+    val out = df.rdd
+      .groupBy(_.getAs[Any](partitionBy))
+      .flatMap { case (key, rows) =>
+        val nfa = new Cep.Nfa[Row](spec, r => ordKey(r).toLong)
+        val ordered = rows.toSeq.sortBy(ordKey)
+        val (matches, _) = nfa.run(ordered)
+        matches.map { m =>
+          val vals = measures.map { case (v, _) =>
+            resolve(v, None, curVar = "", varIdx, m.entries).orNull }
+          Row.fromSeq(key +: vals)
+        }
+      }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+}

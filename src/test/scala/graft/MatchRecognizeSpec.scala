@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import graft.cep.MatchRecognize
+
+/** The reference doc's two MATCH_RECOGNIZE queries run VERBATIM
+  * through the SQL front-end (`flink-sql/sql/dml/CEP.md:8-33` basic
+  * syntax, `:72-111` falling-price V-shape with its worked input and
+  * expected output). */
+class MatchRecognizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("basic-syntax example: PATTERN (A B C) with per-var name predicates") {
+    // CEP.md:8-24 — strict contiguity: only u1 has a,b,c adjacent
+    val rows = Seq(
+      (1L, 1000L, "a", 10L), (1L, 2000L, "b", 11L), (1L, 3000L, "c", 12L),
+      (2L, 1000L, "a", 20L), (2L, 2000L, "x", 21L), (2L, 3000L, "b", 22L),
+      (2L, 4000L, "c", 23L)
+    ).toDF("userid", "proctime", "name", "id")
+    val got = MatchRecognize.run(rows, """
+      SELECT T.aid, T.bid, T.cid
+      FROM MyTable
+          MATCH_RECOGNIZE (
+            PARTITION BY userid
+            ORDER BY proctime
+            MEASURES
+              A.id AS aid,
+              B.id AS bid,
+              C.id AS cid
+            PATTERN (A B C)
+            DEFINE
+              A AS name = 'a',
+              B AS name = 'b',
+              C AS name = 'c'
+          ) AS T""").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((1L, 10L, 11L, 12L)))
+  }
+
+  test("falling-price V-shape reproduces the doc's exact output row") {
+    // CEP.md:53-67 Ticker table (ACME, 01-Apr-11 10:00:00 .. 10:00:10)
+    val base = Timestamp.valueOf("2011-04-01 10:00:00").getTime
+    val prices = Seq(12L, 17L, 19L, 21L, 25L, 18L, 15L, 14L, 24L, 25L, 19L)
+    val taxes = Seq(1L, 2L, 1L, 3L, 2L, 1L, 1L, 2L, 2L, 2L, 1L)
+    val rows = prices.zip(taxes).zipWithIndex.map { case ((p, t), i) =>
+      ("ACME", new Timestamp(base + i * 1000L), p, t)
+    }.toDF("symbol", "rowtime", "price", "tax")
+
+    val got = MatchRecognize.run(rows, """
+      SELECT *
+      FROM Ticker
+          MATCH_RECOGNIZE (
+              PARTITION BY symbol
+              ORDER BY rowtime
+              MEASURES
+                  START_ROW.rowtime AS start_tstamp,
+                  LAST(PRICE_DOWN.rowtime) AS bottom_tstamp,
+                  LAST(PRICE_UP.rowtime) AS end_tstamp
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP TO LAST PRICE_UP
+              PATTERN (START_ROW PRICE_DOWN+ PRICE_UP)
+              DEFINE
+                  PRICE_DOWN AS
+                      (LAST(PRICE_DOWN.price, 1) IS NULL AND PRICE_DOWN.price < START_ROW.price) OR
+                          PRICE_DOWN.price < LAST(PRICE_DOWN.price, 1),
+                  PRICE_UP AS
+                      PRICE_UP.price > LAST(PRICE_DOWN.price, 1)
+          ) MR""").collect()
+
+    // doc CEP.md:107-111: exactly one summary row
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "ACME")
+    assert(r.getAs[Timestamp]("start_tstamp").getTime == base + 4000L)
+    assert(r.getAs[Timestamp]("bottom_tstamp").getTime == base + 7000L)
+    assert(r.getAs[Timestamp]("end_tstamp").getTime == base + 8000L)
+  }
+}
