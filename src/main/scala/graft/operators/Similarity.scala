@@ -258,12 +258,22 @@ object Similarity extends graft.QueryModule {
   /** ANN evaluation: per-query recall of the LSH top-k against the
     * brute-force ground truth (|lsh ∩ exact| / k). The query every ANN
     * deployment needs before trusting its index. */
-  def lshRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def lshRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    recallVs(knnLsh(embeddings, nQueries, k), embeddings, nQueries, k)
+
+  /** Same evaluation for the IVF index (probe-count recall tuning). */
+  def ivfRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                nProbe: Int = 2): DataFrame =
+    recallVs(knnIvf(embeddings, nQueries, k, nProbe = nProbe),
+      embeddings, nQueries, k)
+
+  private def recallVs(approx: DataFrame, embeddings: DataFrame,
+                       nQueries: Int, k: Int): DataFrame = {
     val bf = knnBruteForce(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = knnLsh(embeddings, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("hit"))
+    bf.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hits"))
       .withColumn("recall", col("n_hits").cast("double") / k)

@@ -66,6 +66,18 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(bf((q, n)) - s) < 1e-12)
   }
 
+  test("ivf recall is within [0,1] and improves with more probes") {
+    val emb = Tables.embeddings(spark, sf)
+    def mean(nProbe: Int): Double = {
+      val r = Similarity.ivfRecall(emb, 8, 5, nProbe)
+        .select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val (r1, r4) = (mean(1), mean(4))
+    assert(r1 >= 0.0 && r1 <= 1.0 && r4 >= 0.0 && r4 <= 1.0)
+    assert(r4 >= r1) // more probes never hurt recall
+  }
+
   test("binary little-endian int32 decode round-trips (EventDeSerializer layout)") {
     val payloads = Seq((1, 0x0A0B0C0D, 3), (2, -42, 6)).map {
       case (id, addr, tpe) =>
