@@ -125,11 +125,13 @@ object Stateful extends Serializable {
     if (wm >= 0) {
       // streaming: hold until the watermark passes windowEnd. Rows for
       // a window the watermark has already passed are DROPPED (the
-      // window fired and its state is gone; re-arming a timer would
-      // emit a duplicate partial ranking — the no-allowedLateness
-      // delta documented in SURVEY.md §7.4).
+      // no-allowedLateness delta documented in SURVEY.md §7.4) — but
+      // only the late INPUT rows. Input groups run before expired
+      // timers in the same micro-batch, so when the watermark first
+      // crosses windowEnd+1 the window's hasTimedOut invocation is
+      // still pending: state and timer must stay untouched or the
+      // buffered on-time rows would be silently lost.
       if (windowEnd + 1 <= wm) {
-        state.remove()
         Iterator.empty
       } else {
         state.update(buf)

@@ -110,6 +110,37 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late row in the firing batch does not destroy the buffered window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ivc(itemId: Long, windowEnd: Long, n: Long) =
+      TimedItemViewCount(itemId, windowEnd, n,
+        new java.sql.Timestamp(windowEnd))
+    val in = MemoryStream[TimedItemViewCount]
+    val ds = in.toDS()
+      .withWatermark("eventTime", "0 milliseconds")
+      .as[TimedItemViewCount]
+    val q = Stateful.topNPerWindowStreaming(ds, 2)
+      .writeStream.format("memory").queryName("topn_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: on-time rows for window 1000, plus a row far ahead
+      // that advances the watermark past 1001 for the NEXT batch
+      in.addData(ivc(101, 1000, 5), ivc(102, 1000, 9), ivc(900, 60000, 1))
+      q.processAllAvailable()
+      // batch 2: a late row for window 1000 lands in the same batch in
+      // which the watermark first crosses 1001. Input groups run before
+      // expired timers, so the late path must leave state/timer intact:
+      // the pending timer still emits the on-time ranking, late row dropped.
+      in.addData(ivc(103, 1000, 7))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("topn_late_out").as[RankedItem].collect()
+        .filter(_.windowEnd == 1000).sortBy(_.rank)
+      assert(got.toSeq == Seq(
+        RankedItem(1000, 1, 102, 9), RankedItem(1000, 2, 101, 5)))
+    } finally q.stop()
+  }
+
   test("count window: size 4 slide 2 emits every 2 records over last 4") {
     val vals = (1 to 7).map(i => KeyedValue("k", i.toLong, i.toLong))
     val got = Stateful.countWindowSum(spark.createDataset(vals), 4, 2)
