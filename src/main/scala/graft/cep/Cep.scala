@@ -46,8 +46,18 @@ object Cep {
     * Flink `oneOrMore.greedy`):
     *   - AllMatches: branch on both (every loop length is reported) —
     *     the FlinkCEP followedByAny-style default;
-    *   - Greedy: prefer extending the loop (longest B+ run);
-    *   - Reluctant: prefer advancing (shortest B+ run).
+    *   - Greedy: prefer the longest loop run THAT STILL COMPLETES the
+    *     pattern (true SQL backtracking: if the longer run dies, the
+    *     shorter alternative is reported, not lost);
+    *   - Reluctant: prefer the shortest completing loop run.
+    *
+    * Greedy/Reluctant are implemented by branching both ways at each
+    * tie and tagging each branch with a priority; a completed match is
+    * held back while any higher-priority sibling of the same match
+    * attempt is still alive, and released the moment every such
+    * sibling dies (or at end-of-input in batch / `within` expiry in
+    * streaming). AllMatches ties carry no priority and emit
+    * immediately.
     */
   sealed trait Quant
   case object AllMatches extends Quant
@@ -97,11 +107,31 @@ object Cep {
     * `matched` marks a partial that already emitted a completed match
     * (a one-or-more final step keeps extending) — such partials are
     * dropped silently on `within` expiry, never reported as timeouts.
+    * `origin` identifies the match attempt (the step-0 event that
+    * started it); `prio` is the branch-priority vector appended at
+    * each Greedy/Reluctant tie (lexicographically smaller = preferred).
     */
   case class Partial[T](entries: Vector[(Int, T)], startTs: Long,
-                        matched: Boolean = false) {
+                        matched: Boolean = false,
+                        origin: Long = -1L,
+                        prio: Vector[Int] = Vector.empty) {
     def stepIdx: Int = entries.last._1
     def events: Seq[T] = entries.map(_._2)
+  }
+
+  /** A completed match held back because a higher-priority branch of
+    * the same attempt is still alive (Greedy/Reluctant backtracking). */
+  case class Pending[T](origin: Long, prio: Vector[Int],
+                        entries: Vector[(Int, T)])
+
+  /** Full NFA state for one key: live partials, held-back completed
+    * matches, and the next match-attempt id. Plain case class so the
+    * streaming operators can persist it in GroupState. */
+  case class NfaState[T](partials: Seq[Partial[T]],
+                         pending: Seq[Pending[T]],
+                         nextOrigin: Long)
+  object NfaState {
+    def empty[T]: NfaState[T] = NfaState(Vector.empty, Vector.empty, 0L)
   }
 
   case class MatchResult[T](kind: String, entries: Vector[(Int, T)])
@@ -110,19 +140,37 @@ object Cep {
   final class Nfa[T](val spec: PatternSpec[T], tsOf: T => Long)
       extends Serializable {
     private val steps = spec.steps
+    /** Any Greedy/Reluctant loop step → ties branch both ways and
+      * completions go through the pending/priority machinery. */
+    private val needsBacktrack =
+      steps.exists(s => s.oneOrMore && s.quant != AllMatches)
 
-    /** Advance all partials with one event. Returns (surviving
-      * partials, completed matches, timed-out partials). */
-    def onEvent(partials: List[Partial[T]],
-                e: T): (List[Partial[T]], List[MatchResult[T]], List[MatchResult[T]]) = {
+    /** Lexicographic order on priority vectors; a proper prefix sorts
+      * before its extensions (the un-branched ancestor could still
+      * take the preferred side of a future tie). */
+    private def lexLt(a: Vector[Int], b: Vector[Int]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        if (a(i) != b(i)) return a(i) < b(i)
+        i += 1
+      }
+      a.length < b.length
+    }
+
+    /** Advance all partials with one event. Returns (new state,
+      * completed matches released this event, timed-out partials). */
+    def onEvent(st: NfaState[T],
+                e: T): (NfaState[T], List[MatchResult[T]], List[MatchResult[T]]) = {
       val ts = tsOf(e)
       val live = List.newBuilder[Partial[T]]
-      val done = List.newBuilder[MatchResult[T]]
-      val timedOut = List.newBuilder[MatchResult[T]]
+      val completed = List.newBuilder[Pending[T]]
+      val expired = List.newBuilder[Partial[T]]
+      var nextOrigin = st.nextOrigin
 
-      for (p <- partials) {
+      for (p <- st.partials) {
         if (spec.withinMs.exists(w => ts - p.startTs > w)) {
-          if (!p.matched) timedOut += MatchResult("timeout", p.entries)
+          if (!p.matched) expired += p
         } else {
           val cur = steps(p.stepIdx)
           val nextIdx = p.stepIdx + 1
@@ -130,33 +178,37 @@ object Cep {
           val loopPoss = cur.oneOrMore && cur.hit(e, p.entries)
           val advPoss = nextIdx < steps.length &&
             steps(nextIdx).hit(e, p.entries)
-          // quantifier mode decides the both-possible tie
-          val loopHit = loopPoss &&
-            (cur.quant != Reluctant || !advPoss)
-          val advHit = advPoss &&
-            (!loopPoss || cur.quant != Greedy)
-          if (loopHit) {
+          // Greedy/Reluctant tie: branch BOTH ways, tagging each side
+          // with its preference rank — backtracking via priorities.
+          val tie = loopPoss && advPoss && cur.quant != AllMatches
+          val (loopRank, advRank) =
+            if (!tie) (None, None)
+            else if (cur.quant == Greedy) (Some(0), Some(1))
+            else (Some(1), Some(0))
+          if (loopPoss) {
             val isFinal = p.stepIdx == last
+            val pr = p.prio ++ loopRank
             val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs,
-              p.matched || isFinal)
+              p.matched || isFinal, p.origin, pr)
             live += ext
-            if (isFinal) done += MatchResult("match", ext.entries)
+            if (isFinal) completed += Pending(p.origin, pr, ext.entries)
           }
-          if (advHit) {
+          if (advPoss) {
+            val pr = p.prio ++ advRank
             if (nextIdx == last) {
               val adv = Partial(p.entries :+ (nextIdx, e), p.startTs,
-                matched = true)
-              done += MatchResult("match", adv.entries)
+                matched = true, p.origin, pr)
+              completed += Pending(p.origin, pr, adv.entries)
               if (steps(nextIdx).oneOrMore) live += adv // B+ can extend
             } else live += Partial(p.entries :+ (nextIdx, e), p.startTs,
-              p.matched)
+              p.matched, p.origin, pr)
           }
           // does the un-extended partial survive this event?
           val survives =
             (if (nextIdx < steps.length) steps(nextIdx).contiguity
              else FollowedBy) match {
               case Next          => false              // strict: no skipping
-              case FollowedBy    => !advHit && !loopHit // greedy consumption
+              case FollowedBy    => !advPoss && !loopPoss // greedy consumption
               case FollowedByAny => true               // branch on every match
             }
           if (survives) live += p
@@ -164,41 +216,122 @@ object Cep {
       }
       // every event matching step 0 starts a new partial
       if (steps(0).hit(e, Vector.empty)) {
-        val p0 = Partial(Vector((0, e)), ts)
-        if (steps.length == 1) done += MatchResult("match", p0.entries)
+        val p0 = Partial(Vector((0, e)), ts, matched = false, nextOrigin)
+        nextOrigin += 1
+        if (steps.length == 1) completed += Pending(p0.origin, Vector.empty,
+          p0.entries)
         else live += p0
       }
-      // with a skip strategy, co-completing matches at one event are
-      // pruned to the first (Flink's documented b+c example)
-      val doneList =
-        if (spec.skip == NoSkip) done.result() else done.result().take(1)
-      val survivors = (spec.skip, doneList.headOption) match {
-        case (NoSkip, _) | (_, None) => live.result()
-        case (SkipPastLastEvent, Some(_)) =>
-          // resume strictly after the match's last event (= e)
-          live.result().filter(p => tsOf(p.entries.head._2) > ts)
-        case (SkipToLast(name), Some(m)) =>
-          val stepIdx = steps.indexWhere(_.name == name)
-          val boundary = m.entries.reverse
-            .collectFirst { case (i, ev) if i == stepIdx => tsOf(ev) }
-            .getOrElse(ts)
-          live.result().filter(p => tsOf(p.entries.head._2) >= boundary)
+      val (st2, done) =
+        resolve(NfaState(live.result(), st.pending ++ completed.result(),
+          nextOrigin))
+      // a timed-out branch of an attempt that completed is backtracking
+      // noise, not a timeout — suppress it
+      val matchedOrigins =
+        st2.pending.map(_.origin).toSet ++ done.map(_._1)
+      val timedOut = expired.result()
+        .filterNot(p => needsBacktrack && matchedOrigins(p.origin))
+        .map(p => MatchResult("timeout", p.entries))
+      (st2, done.map(d => MatchResult("match", d._2)), timedOut)
+    }
+
+    /** Expire partials whose `within` window has closed at watermark
+      * `wm` without consuming an event (event-time timer path).
+      * Removing a branch can release a held-back match of the same
+      * attempt, so this runs the release pass too. */
+    def expire(st: NfaState[T], wm: Long): (NfaState[T], List[MatchResult[T]], List[MatchResult[T]]) = {
+      if (spec.withinMs.isEmpty) return (st, Nil, Nil)
+      val within = spec.withinMs.get
+      val (dead, alive) = st.partials.partition(_.startTs + within <= wm)
+      if (dead.isEmpty) return (st, Nil, Nil)
+      val (st2, done) = resolve(NfaState(alive, st.pending, st.nextOrigin))
+      val matchedOrigins =
+        st2.pending.map(_.origin).toSet ++ done.map(_._1)
+      val timedOut = dead
+        .filterNot(p => p.matched || (needsBacktrack && matchedOrigins(p.origin)))
+        .map(p => MatchResult("timeout", p.entries))
+        .toList
+      (st2, done.map(d => MatchResult("match", d._2)), timedOut)
+    }
+
+    /** Release every pending match whose attempt has no live
+      * higher-priority branch left; apply the AFTER MATCH SKIP
+      * strategy to each released match in start order. Returns the
+      * pruned state and the released (origin, entries) list. */
+    private def resolve(st: NfaState[T]): (NfaState[T], List[(Long, Vector[(Int, T)])]) = {
+      if (st.pending.isEmpty) return (st, Nil)
+      var live = st.partials
+      var pending = st.pending
+      val released = List.newBuilder[(Long, Vector[(Int, T)])]
+      // candidates release in attempt order (SQL: matches report in
+      // order of their start), then by preference within an attempt
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        val byOrigin = pending.groupBy(_.origin)
+        val ready = byOrigin.toList.sortBy(_._1).find { case (o, ps) =>
+          val best = ps.map(_.prio).reduceLeft((a, b) => if (lexLt(b, a)) b else a)
+          val unthreatened =
+            !live.exists(p => p.origin == o && lexLt(p.prio, best))
+          // with a skip strategy matches resolve sequentially: an
+          // earlier attempt still in flight could complete, win, and
+          // prune this one — hold until it decides
+          val firstInLine = spec.skip == NoSkip ||
+            (!live.exists(_.origin < o) && !pending.exists(_.origin < o))
+          unthreatened && firstInLine
+        }
+        ready.foreach { case (o, ps) =>
+          val best = ps.map(_.prio).reduceLeft((a, b) => if (lexLt(b, a)) b else a)
+          val wins = ps.filter(_.prio == best)
+          wins.foreach(w => released += ((o, w.entries)))
+          // the attempt is decided: drop its losing branches
+          pending = pending.filterNot(_.origin == o)
+          live = live.filterNot(p => p.origin == o && lexLt(best, p.prio))
+          // AFTER MATCH SKIP prunes overlapping attempts (live AND held)
+          if (spec.skip != NoSkip) {
+            val m = wins.head.entries
+            val keepFrom: Long = spec.skip match {
+              case SkipPastLastEvent => tsOf(m.last._2) + 1
+              case SkipToLast(name) =>
+                val stepIdx = steps.indexWhere(_.name == name)
+                m.reverse.collectFirst {
+                  case (i, ev) if i == stepIdx => tsOf(ev)
+                }.getOrElse(tsOf(m.last._2))
+              case NoSkip => Long.MinValue
+            }
+            live = live.filter(p => tsOf(p.entries.head._2) >= keepFrom)
+            pending = pending.filter(p => tsOf(p.entries.head._2) >= keepFrom)
+          }
+          progressed = true
+        }
       }
-      (survivors, doneList, timedOut.result())
+      (NfaState(live, pending, st.nextOrigin), released.result())
+    }
+
+    /** End-of-input flush (batch): no further event can extend any
+      * branch, so every attempt's best completed match is final. */
+    def flush(st: NfaState[T]): (NfaState[T], List[MatchResult[T]]) = {
+      val (st2, done) = resolve(st.copy(partials = Vector.empty))
+      // restore live partials minus the attempts that just resolved
+      val decided = done.map(_._1).toSet
+      val liveLeft = st.partials.filterNot(p => decided(p.origin))
+      (NfaState(liveLeft, st2.pending, st.nextOrigin),
+        done.map(d => MatchResult("match", d._2)))
     }
 
     /** Run a whole ordered sequence (batch per-key path). Partials
       * still pending at the end are neither matched nor timed out. */
     def run(events: Seq[T]): (List[MatchResult[T]], List[MatchResult[T]]) = {
-      var partials = List.empty[Partial[T]]
+      var st = NfaState.empty[T]
       val done = List.newBuilder[MatchResult[T]]
       val timedOut = List.newBuilder[MatchResult[T]]
       for (e <- events) {
-        val (p2, d, t) = onEvent(partials, e)
-        partials = p2
+        val (s2, d, t) = onEvent(st, e)
+        st = s2
         done ++= d
         timedOut ++= t
       }
+      done ++= flush(st)._2
       (done.result(), timedOut.result())
     }
 

@@ -34,22 +34,20 @@ object CepStreaming {
     import rows.sparkSession.implicits._
     val nfa = new Nfa[CepRow](pattern, _.tsMs)
     def fn(key: String, it: Iterator[CepRow],
-           state: GroupState[Seq[(Boolean, Seq[(Int, CepRow)])]]): Iterator[CepMatch] = {
+           state: GroupState[NfaState[CepRow]]): Iterator[CepMatch] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var partials = state.getOption.getOrElse(Seq.empty)
-        .map { case (m, es) => Partial(es.toVector, es.head._2.tsMs, m) }
-        .toList
+      var st = state.getOption.getOrElse(NfaState.empty[CepRow])
       val out = Seq.newBuilder[CepMatch]
       for (e <- it.toSeq.sortBy(r => (r.tsMs, r.id))) {
-        val (p2, done, timedOut) = nfa.onEvent(partials, e)
-        partials = p2
+        val (s2, done, timedOut) = nfa.onEvent(st, e)
+        st = s2
         (done ::: timedOut).foreach { m =>
           out += CepMatch(key, m.kind, m.entries.map(_._2.id))
         }
       }
-      if (partials.isEmpty) state.remove()
+      if (st.partials.isEmpty && st.pending.isEmpty) state.remove()
       else {
-        state.update(partials.map(p => (p.matched, p.entries.toSeq)))
+        state.update(st)
         idleTimeoutMs.foreach(state.setTimeoutDuration)
       }
       out.result().iterator
@@ -87,29 +85,30 @@ object CepStreaming {
     val nfa = new Nfa[TimedCepRow](pattern, _.tsMs)
     val within = pattern.withinMs.get
     def fn(key: String, it: Iterator[TimedCepRow],
-           state: GroupState[Seq[(Boolean, Seq[(Int, TimedCepRow)])]]): Iterator[CepMatch] = {
-      var partials = state.getOption.getOrElse(Seq.empty)
-        .map { case (m, es) => Partial(es.toVector, es.head._2.tsMs, m) }
-        .toList
+           state: GroupState[NfaState[TimedCepRow]]): Iterator[CepMatch] = {
+      var st = state.getOption.getOrElse(NfaState.empty[TimedCepRow])
       val out = Seq.newBuilder[CepMatch]
       for (e <- it.toSeq.sortBy(r => (r.tsMs, r.id))) {
-        val (p2, done, timedOut) = nfa.onEvent(partials, e)
-        partials = p2
+        val (s2, done, timedOut) = nfa.onEvent(st, e)
+        st = s2
         (done ::: timedOut).foreach { m =>
           out += CepMatch(key, m.kind, m.entries.map(_._2.id))
         }
       }
       // event-time flush: expire partials no in-order event can extend
+      // (a branch death can also release a held-back greedy match)
       val wm = state.getCurrentWatermarkMs()
-      val (expired, live) = partials.partition(p => p.startTs + within <= wm)
-      expired.filterNot(_.matched).foreach { p =>
-        out += CepMatch(key, "timeout", p.entries.map(_._2.id))
+      val (st2, done, timedOut) = nfa.expire(st, wm)
+      (done ::: timedOut).foreach { m =>
+        out += CepMatch(key, m.kind, m.entries.map(_._2.id))
       }
-      if (live.isEmpty) state.remove()
+      if (st2.partials.isEmpty && st2.pending.isEmpty) state.remove()
       else {
-        state.update(live.map(p => (p.matched, p.entries.toSeq)))
+        state.update(st2)
         // fire when the earliest live partial's window closes
-        val t = live.map(_.startTs + within).min + 1
+        val t =
+          if (st2.partials.nonEmpty) st2.partials.map(_.startTs + within).min + 1
+          else wm + 1
         state.setTimeoutTimestamp(math.max(t, wm + 1))
       }
       out.result().iterator

@@ -47,10 +47,28 @@ object MatchRecognize {
   // ---- tokenizer -----------------------------------------------------
 
   private val tokenRe =
-    """\s*(?:(<=|>=|<>|!=|[(),+<>=])|('(?:[^'])*')|([A-Za-z_][A-Za-z_0-9.]*)|(-?\d+(?:\.\d+)?))""".r
+    """(?:(<=|>=|<>|!=|[(),+<>=])|('(?:[^'])*')|([A-Za-z_][A-Za-z_0-9.]*)|(-?\d+(?:\.\d+)?))""".r
 
-  private def tokenize(s: String): Vector[String] =
-    tokenRe.findAllMatchIn(s).map(_.subgroups.find(_ != null).get).toVector
+  /** Anchored tokenizer: every non-whitespace character must belong to
+    * a recognized token, so unsupported syntax (arithmetic, functions,
+    * ...) fails fast instead of silently mis-parsing into a
+    * structurally different clause. */
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < s.length) {
+      if (s(pos).isWhitespace) pos += 1
+      else tokenRe.findPrefixMatchOf(s.subSequence(pos, s.length)) match {
+        case Some(m) =>
+          out += m.subgroups.find(_ != null).get
+          pos += m.end
+        case None =>
+          sys.error("MATCH_RECOGNIZE: unsupported syntax at: " +
+            s.substring(pos, math.min(pos + 30, s.length)))
+      }
+    }
+    out.result()
+  }
 
   private class P(tokens: Vector[String]) {
     private var i = 0

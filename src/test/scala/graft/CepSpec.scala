@@ -137,6 +137,39 @@ class CepSpec extends SparkSpec {
     assert(run(Cep.AllMatches) == Seq(("2", 3L), ("2+3", 4L)))
   }
 
+  test("greedy B+ backtracks when the longer run never completes") {
+    // B: price < 10, C: price < 20; rows a, 4, 5. Event 3 satisfies
+    // both B and C; the greedy-extended run B={2,3} has no event left
+    // to complete C, so SQL semantics backtrack to B={2}, C=3.
+    val rows = Seq((1L, "a", 1.0), (2L, "x", 4.0), (3L, "x", 5.0))
+      .map { case (id, n, p) => CepRow("k", id, n, p, None, 1000L * id) }
+    val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+      .followedBy("B", oneOrMore = true, quant = Cep.Greedy) { (e, _) => e.price < 10 }
+      .followedBy("C") { (e, _) => e.price < 20 }
+    val got = Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+      (r: CepRow) => r.tsMs, p, (r: CepRow) => r.tsMs) { (k, m) =>
+      (m("B").map(_.id).mkString("+"), m("C").head.id)
+    }.collect().toSeq
+    assert(got == Seq(("2", 3L)))
+  }
+
+  test("reluctant B+ backtracks to the longer run when the short one dies") {
+    // A B+? C D(next): the preferred short branch takes C early but D
+    // never follows it; the longer B+ run's C D completes later.
+    val rows = Seq((1L, "a", 1.0), (2L, "x", 5.0), (3L, "c", 6.0),
+      (4L, "x", 50.0), (5L, "c", 7.0), (6L, "d", 50.0))
+      .map { case (id, n, p) => CepRow("k", id, n, p, None, 1000L * id) }
+    val p = Cep.begin[CepRow]("A") { (e, _) => e.name == "a" }
+      .followedBy("B", oneOrMore = true, quant = Cep.Reluctant) { (e, _) => e.price < 10 }
+      .followedBy("C") { (e, _) => e.name == "c" }
+      .next("D") { (e, _) => e.name == "d" }
+    val got = Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+      (r: CepRow) => r.tsMs, p, (r: CepRow) => r.tsMs) { (k, m) =>
+      (m("B").map(_.id).mkString("+"), m("C").head.id, m("D").head.id)
+    }.collect().toSeq
+    assert(got == Seq(("2+3", 5L, 6L)))
+  }
+
   test("event-time timers flush within-timeouts on idle keys") {
     import graft.cep.CepStreaming.TimedCepRow
     implicit val sqlCtx = spark.sqlContext

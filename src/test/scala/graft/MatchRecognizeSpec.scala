@@ -37,6 +37,43 @@ class MatchRecognizeSpec extends SparkSpec {
       r.getLong(3))).toSeq == Seq((1L, 10L, 11L, 12L)))
   }
 
+  test("greedy B+ backtracks when predicates overlap (A B+ C)") {
+    // B AS price < 10, C AS price < 20: the row with price 5 satisfies
+    // both. Greedy B+ prefers consuming it, but then C has no row left
+    // — SQL backtracks and reports B={4}, C=5.
+    val rows = Seq((1L, 99L), (2L, 4L), (3L, 5L))
+      .toDF("seq", "price").withColumn("sym",
+        org.apache.spark.sql.functions.lit("S"))
+    val got = MatchRecognize.run(rows, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES
+        LAST(B.price) AS b_price,
+        LAST(C.price) AS c_price
+      PATTERN (A B+ C)
+      DEFINE
+        A AS price > 50,
+        B AS price < 10,
+        C AS price < 20
+    """).collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 5L)))
+  }
+
+  test("unsupported syntax fails fast instead of mis-parsing") {
+    val rows = Seq((1L, 2L)).toDF("seq", "price").withColumn("sym",
+      org.apache.spark.sql.functions.lit("S"))
+    val err = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price * 2 AS doubled
+        PATTERN (A)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(err.getMessage.contains("unsupported syntax"))
+  }
+
   test("falling-price V-shape reproduces the doc's exact output row") {
     // CEP.md:53-67 Ticker table (ACME, 01-Apr-11 10:00:00 .. 10:00:10)
     val base = Timestamp.valueOf("2011-04-01 10:00:00").getTime
