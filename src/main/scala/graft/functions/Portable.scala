@@ -28,6 +28,15 @@ object Portable {
   def hash32(c: Column, seed: String): Column =
     hash32(concat(lit(seed), lit("|"), c))
 
+  /** 60-bit hash (15 md5 hex chars) for join/index keys where 32-bit
+    * collisions are likely at scale: birthday collisions start around
+    * 2³⁰ distinct keys instead of 2¹⁶. Unsigned, fits a long with no
+    * sign-bit ambiguity between engines.
+    * DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Whitespace-normalized lowercase text.
     * DuckDB: `trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`
     */

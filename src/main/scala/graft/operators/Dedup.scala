@@ -201,14 +201,17 @@ object Dedup extends graft.QueryModule {
         array_sort(array_distinct(words(col("text")))).as("wset"))
     // inverted index: shingle-hash → docs, with hot shingles (> freq
     // cap) dropped in the same aggregation that buckets the index.
-    // Keyed by the 32-bit md5 hash, not the shingle string: the
-    // distinct + group shuffles move 8-byte keys. (Hash collisions
-    // only widen the CANDIDATE set — membership is decided by the
-    // exact jaccard filter — and the oracle hashes identically.)
+    // Keyed by the 60-bit md5 prefix, not the shingle string: the
+    // distinct + group shuffles move 8-byte keys. A collision merges
+    // two shingles' doc lists, which can only LOSE candidates when the
+    // merged bucket crosses maxShingleFreq and is dropped whole (false
+    // candidates are removed by the exact jaccard filter either way) —
+    // at 60 bits that needs ~2³⁰ distinct shingles before the first
+    // collision, vs ~2¹⁶ for a 32-bit key.
     val inv = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
-      .select(col("doc_id"), hash32(col("shingle")).as("sh"))
+      .select(col("doc_id"), hash60(col("shingle")).as("sh"))
       .distinct()
     val cands = inv
       .groupBy(col("sh"))
@@ -245,6 +248,7 @@ object Dedup extends graft.QueryModule {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val wordsSql = s"string_split($normSql, ' ')"
   private val h32Sql = (x: String) => s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+  private val h60Sql = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
   private def shinglesSql(ws: String) =
     s"""CASE WHEN len($ws) < 3 THEN []::VARCHAR[]
         ELSE list_transform(generate_series(1, len($ws) - 2),
@@ -314,7 +318,7 @@ object Dedup extends graft.QueryModule {
         SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),
       inv AS (
         SELECT DISTINCT doc_id,
-               ${h32Sql("unnest(" + shinglesSql(wordsSql) + ")")} AS sh
+               ${h60Sql("unnest(" + shinglesSql(wordsSql) + ")")} AS sh
         FROM documents),
       hot AS (
         SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 100),

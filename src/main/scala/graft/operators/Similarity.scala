@@ -212,11 +212,14 @@ object Similarity extends graft.QueryModule {
     * recompute each centroid as the element-wise mean of its members.
     * Emits the final (centroid, dim, mean) table.
     *
-    * The mean is exact and order-free: every input component is a
-    * float32 (an exact multiple of 2⁻⁵²), so members are summed as
-    * int64 at scale 2⁵² — no floating accumulation order, no decimal
-    * rounding. Holds while members × max|v| × 2⁵² < 2⁶³; a 100 TB run
-    * swaps the int64 sum for a DECIMAL(38,x) sum.
+    * The mean is exact and order-free: components are integerized as
+    * floor(v·2⁵²) — multiplying a double by a power of two is exact,
+    * and floor (unlike a raw long cast, which truncates toward zero in
+    * Spark but rounds half-even in DuckDB) is engine-independent —
+    * then summed as DECIMAL(38,0), so no floating accumulation order
+    * and no group-size overflow bound. The only remaining bound is
+    * per-element: |v| < 2¹¹ keeps floor's long result in range, far
+    * above any real embedding component.
     */
   def kmeansRefine(embeddings: DataFrame, centroidMod: Int = 127,
                    iters: Int = 2): DataFrame = {
@@ -243,7 +246,8 @@ object Similarity extends graft.QueryModule {
         .toDF("centroid", "pos", "v")
       means = comp
         .groupBy(col("centroid"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(((sum((col("v") * pow52).cast("long")).cast("double") / pow52)
+        .agg(((sum(floor(col("v") * pow52).cast("decimal(38,0)"))
+          .cast("double") / pow52)
           / count(lit(1))).as("mean"))
       cents = means.groupBy(col("centroid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
@@ -330,9 +334,9 @@ object Similarity extends graft.QueryModule {
         WHERE rn = 1),
       m$n AS (
         SELECT centroid, dim,
-               (CAST(CAST(sum(CAST(emb[dim] * 4503599627370496.0 AS BIGINT))
-                     AS BIGINT) AS DOUBLE) / 4503599627370496.0) / count(*)
-                 AS mean
+               (CAST(sum(CAST(floor(emb[dim] * 4503599627370496.0)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+                 / 4503599627370496.0) / count(*) AS mean
         FROM a$n CROSS JOIN dims GROUP BY centroid, dim),
       cents$n AS (
         SELECT centroid AS c_id, list(mean ORDER BY dim) AS c_emb
