@@ -172,6 +172,43 @@ object EventOps extends graft.QueryModule {
       .drop("run_id")
   }
 
+  /** As-of join: each purchase matched to the same user's most recent
+    * view at or before it — the temporal-lookup operator (market-data
+    * joins, feature backfill) the reference's interval join (J2)
+    * cannot express without a per-row range scan.
+    *
+    * Scale shape: union both sides with a side tag, ONE shuffle on
+    * user_id, then a running `last(view, ignoreNulls)` over
+    * (ts, side, event_id) order — linear per key, no range-join
+    * explosion, no per-row lookup. At equal µs a view sorts before a
+    * purchase (side 0 < 1) and ties between views resolve to the
+    * larger event_id (later frame row wins).
+    *
+    * Oracle: DuckDB's native ASOF JOIN (views pre-deduped per
+    * (user, µs) to its max event_id, making the match unique).
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val e = events.withColumn("ts_us", expr("ts_ns div 1000"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"), col("event_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    v.unionByName(p)
+      .withColumn("view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("v_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1 && col("view_id").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts_us") * 1000).as("purchase_ts"),
+        col("view_id"), (col("v_ts") * 1000).as("view_ts"))
+  }
+
   /** JSON prop extraction + aggregation (P2/P4, `json/TwitterJson
     * .java:67-98`, `connect/DoubleStreamMatch.java:80-91`): schema-on-
     * read field access over the `props` JSON column. */
@@ -234,7 +271,8 @@ object EventOps extends graft.QueryModule {
     "q15_cep_adjacent"    -> ((s, d) => adjacentPairs(Tables.events(s, d))),
     "q16_cep_followedby"  -> ((s, d) => followedBy(Tables.events(s, d))),
     "q17_fraud"           -> ((s, d) => fraudAlerts(Tables.events(s, d))),
-    "q18_falling_runs"    -> ((s, d) => fallingRuns(Tables.events(s, d)))
+    "q18_falling_runs"    -> ((s, d) => fallingRuns(Tables.events(s, d))),
+    "q42_asof_join"       -> ((s, d) => asofJoin(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -362,6 +400,20 @@ object EventOps extends graft.QueryModule {
              min(ts_ns) AS run_start_ts, max(ts_ns) AS run_end_ts
       FROM r WHERE falls = 1
       GROUP BY user_id, run_id
-      HAVING count(*) >= 2"""
+      HAVING count(*) >= 2""",
+    "q42_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS v_ts,
+               max(event_id) AS view_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, epoch_ns(ts) // 1000),
+      p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_ns(ts) // 1000 AS p_ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, purchase_id, p_ts * 1000 AS purchase_ts,
+             view_id, v_ts * 1000 AS view_ts
+      FROM p ASOF JOIN v
+        ON p.user_id = v.user_id AND p.p_ts >= v.v_ts"""
   )
 }

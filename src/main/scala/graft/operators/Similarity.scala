@@ -291,7 +291,8 @@ object Similarity extends graft.QueryModule {
     "q35_cosine_dups" -> ((s, d) => cosineNearDupPairs(Tables.embeddings(s, d), 0.2)),
     "q34_kmeans_refine" -> ((s, d) => kmeansRefine(Tables.embeddings(s, d))),
     "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5)),
-    "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5))
+    "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5)),
+    "q41_ivf_recall" -> ((s, d) => ivfRecall(Tables.embeddings(s, d), 16, 5))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -317,6 +318,41 @@ object Similarity extends graft.QueryModule {
                    (${dotSql("emb", "ps[p + 1]")}) > 0
                    THEN (1::BIGINT << p) ELSE 0 END) AS bucket
         FROM embeddings CROSS JOIN planes)"""
+
+  /** IVF index CTE chain (expects `base(vec_id, emb)`): modulo-sampled
+    * centroids, full assignment, 2-probe candidate lists, cosine
+    * scores — shared by the q36 top-k and the q41 recall oracle. */
+  private def ivfChainSql = s"""cents AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      sc AS (
+        SELECT base.vec_id, c_id,
+               ${cosSql("emb", "c_emb")} AS c_sim
+        FROM base CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c_sim DESC, c_id ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c_sim DESC, c_id ASC) AS rn
+          FROM sc WHERE vec_id < 16)
+        WHERE rn <= 2),
+      cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.centroid = a.centroid
+        WHERE p.query_id <> a.vec_id),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ${cosSql("q.emb", "c.emb")} AS sim
+        FROM cands
+        JOIN base q ON q.vec_id = query_id
+        JOIN base c ON c.vec_id = neighbor_id)"""
 
   /** One Lloyd iteration's CTE chain (assignment + int64-exact means
     * at scale 2^52 + reassembled centroid lists). */
@@ -391,43 +427,41 @@ object Similarity extends graft.QueryModule {
     "q36_knn_ivf" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      cents AS (
-        SELECT vec_id AS c_id, emb AS c_emb FROM base
-        WHERE vec_id % 127 = 0),
-      sc AS (
-        SELECT base.vec_id, c_id,
-               ${cosSql("emb", "c_emb")} AS c_sim
-        FROM base CROSS JOIN cents),
-      assign AS (
-        SELECT vec_id, c_id AS centroid FROM (
-          SELECT vec_id, c_id,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY c_sim DESC, c_id ASC) AS rn
-          FROM sc)
-        WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS query_id, c_id AS centroid FROM (
-          SELECT vec_id, c_id,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY c_sim DESC, c_id ASC) AS rn
-          FROM sc WHERE vec_id < 16)
-        WHERE rn <= 2),
-      cands AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id
-        FROM probes p JOIN assign a ON p.centroid = a.centroid
-        WHERE p.query_id <> a.vec_id),
-      scored AS (
-        SELECT query_id, neighbor_id,
-               ${cosSql("q.emb", "c.emb")} AS sim
-        FROM cands
-        JOIN base q ON q.vec_id = query_id
-        JOIN base c ON c.vec_id = neighbor_id)
+      $ivfChainSql
       SELECT * FROM (
         SELECT query_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id ASC) AS rn
         FROM scored)
       WHERE rn <= 5""",
+    "q41_ivf_recall" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      bfq AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM base
+        WHERE vec_id < 16),
+      bf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("q_emb", "c.emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM bfq JOIN base c ON query_id <> c.vec_id)
+        WHERE rn <= 5),
+      $ivfChainSql,
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        WHERE rn <= 5)
+      SELECT bf.query_id,
+             count(ivf.neighbor_id) AS n_hits,
+             CAST(count(ivf.neighbor_id) AS DOUBLE) / 5 AS recall
+      FROM bf LEFT JOIN ivf
+        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+      GROUP BY bf.query_id""",
     "q30_knn_cosine" -> s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.Portable._
 
@@ -135,10 +134,16 @@ object TextOps extends graft.QueryModule {
     val scored = perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), contribs.reduceLeft(_ + _).as("score"))
       .filter(col("score") > 0)
+    // Global top-N via the bounded TopK aggregator, not a rank over an
+    // unpartitioned window: each map task keeps ≤ N candidates, so no
+    // single-partition sort of every scored doc. (sim desc, id asc) is
+    // a total order, so the result equals the rank formulation exactly.
     scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rn") <= topN)
+      .agg(graft.functions.Aggregators.topK(topN)(
+        col("score"), col("doc_id")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"), col("s.sim").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   // ---- driver bindings -------------------------------------------------
