@@ -146,9 +146,45 @@ object TextOps extends graft.QueryModule {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Deterministic train/val/test split: bucket every document by a
+    * seeded md5 hash of its id — uniform, engine-independent, stable
+    * under any repartitioning or re-run (the property a 100 TB
+    * pipeline needs so splits never leak across reshuffles). Pure
+    * narrow projection; no shuffle.
+    */
+  def trainSplit(documents: DataFrame, trainPct: Int = 90,
+                 valPct: Int = 5): DataFrame =
+    documents.select(col("doc_id"),
+      pmod(hash60(concat(lit("split|"), col("doc_id"))), lit(100))
+        .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** PII / term scrubbing: count and redact every match of an
+    * email-address, URL, or listed-term pattern, emitting the match
+    * count and the content address (md5) of the redacted text. Narrow
+    * per-row transform — at 100 TB this is a map-only pass fused into
+    * the scan. The regex sticks to the RE2-compatible subset so any
+    * engine applies the identical automaton.
+    */
+  private[operators] def scrubPat(terms: Seq[String]): String =
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|https?://[^\\s]+" +
+      terms.mkString("|\\b(", "|", ")\\b")
+
+  def scrub(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    val pat = scrubPat(terms)
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .as("n_hits"),
+      md5(regexp_replace(lower(col("text")), pat, "<X>")).as("scrubbed_md5"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   private val bm25Terms = Seq("spark", "query", "fast")
+  private val scrubTerms = Seq("customer", "secret")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
@@ -156,7 +192,9 @@ object TextOps extends graft.QueryModule {
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
-    "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d)))
+    "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
+    "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms))
   )
 
   private def sqlArr(xs: Seq[String]) =
@@ -258,6 +296,24 @@ object TextOps extends graft.QueryModule {
                    w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
                (a, b) -> (a * 31 + b) % 1000000007) AS fp,
              md5(norm) AS content_md5
-      FROM t"""
+      FROM t""",
+    "q44_train_split" -> """
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+                     % 100 AS bucket
+            FROM documents)""",
+    "q46_scrub" -> {
+      val pat = scrubPat(scrubTerms)
+      s"""
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '$pat')) AS n_hits,
+             md5(regexp_replace(lower(text), '$pat', '<X>', 'g'))
+               AS scrubbed_md5
+      FROM documents"""
+    }
   )
 }
