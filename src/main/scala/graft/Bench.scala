@@ -28,12 +28,43 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional positional args narrow the run to named queries (local
+    // debugging); the driver passes none and gets the full set.
+    val only = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
+      // The timed action is a noop-sink write, not count(): count()
+      // lets Catalyst prune unreferenced projection expressions, so
+      // map-only queries (q21-q24, q40, q44, q46...) would time the
+      // scan instead of their regex/hash work. The noop sink consumes
+      // every row with all columns materialized.
+      def run(): Unit =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+      // Untimed warm run first: the first execution of a plan pays
+      // Janino whole-stage-codegen compile + JIT of the generated
+      // classes — measured at 2.2s of q20's 2.7s cold run vs 0.45s
+      // steady-state. That cost is constant in data size (irrelevant
+      // at scale) and dominated bench noise across rounds (q20 "drift"
+      // r1 0.78 -> r3 3.55 was compile-under-contention, not operator
+      // work). Timing the second run reports steady-state expression
+      // cost, which is what scales with SF.
+      run()
+      spark.catalog.clearCache() // timed run redoes any internal persist
+      // Drain accumulated garbage + ContextCleaner (broadcast/shuffle
+      // unregister) work BEFORE the timed region, so a previous
+      // query's cleanup pause doesn't land inside this query's window
+      // (observed: a one-off 5s q39 when q36/q38 garbage collected
+      // mid-run).
+      System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release any per-query cached state so queries stay independent
+      run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query cached state so queries stay independent —
+      // OUTSIDE the timed region (unpersist cost is not query work)
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
