@@ -36,6 +36,18 @@ object Models {
   case class Order(time: Long, orderId: String, userId: String,
                    goodsId: Int, price: Int, cityId: Int)
 
+  /** `connect/pojo/Goods.java:5-10` + arrival order (`seq` stands in
+    * for the changelog's Kafka offset: later records win). */
+  case class Goods(goodsId: Int, goodsName: String, isRemove: Boolean,
+                   seq: Long)
+
+  /** J4 output: the reference's `Tuple2<Order, String>` flattened;
+    * goodsName is None when the key is absent or removed
+    * (`connect/BroadcastDimension.java:105-111` emits null). */
+  case class EnrichedOrder(orderId: String, time: Long, userId: String,
+                           goodsId: Int, price: Int, cityId: Int,
+                           goodsName: Option[String])
+
   /** Two-stream match output: side is "big"/"small"; unmatched rows
     * surface with kind="timeout" and one side null (the reference's
     * side outputs, `DoubleStreamMatch.java:50-53`, as a tag column). */
