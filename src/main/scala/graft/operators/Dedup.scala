@@ -31,6 +31,21 @@ object Dedup extends graft.QueryModule {
 
   private val P = 1000000007L
 
+  /** Default in-bucket population cap for the LSH-style candidate ops
+    * (q26/q28/q29): a bucket shared by more docs than this is a
+    * stop-band — its O(n²) pairs are never useful dedup candidates and
+    * would concentrate in one task. Mirrored verbatim in the oracles.
+    */
+  private[operators] val DefaultMaxBucket = 100
+
+  /** ngramJaccardPairs broadcasts its per-doc word-set lookup only
+    * while the source scan is plausibly broadcast-sized; above this
+    * the lookup IS the corpus and the op falls back to a shuffled
+    * join on the pair keys (Spark's hard broadcast ceiling is 8 GB,
+    * and a multi-GB driver-held table is trouble long before that).
+    */
+  private[operators] val MaxBroadcastSourceBytes = BigInt(1L << 30)
+
   /** Affine hash-family coefficients, derived from md5 so the oracle
     * can inline the identical literals. a ∈ [1, 2^30), b ∈ [0, p):
     * a·h32 + b < 2^62 — no 64-bit overflow on either engine. */
@@ -110,7 +125,8 @@ object Dedup extends graft.QueryModule {
     * docs by band key, and emit in-bucket pairs. Emits each unordered
     * pair once with the number of matching bands.
     */
-  def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val r = k / bands
     val banded = minhashMins(documents, k).select(
         col("doc_id"),
@@ -121,7 +137,10 @@ object Dedup extends graft.QueryModule {
     banded
       .groupBy(col("band_idx"), col("band_key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      // cap bucket size (see sortedPairs scaladoc): a stop-band bucket
+      // would otherwise concentrate O(n²) pairs in one task. A dropped
+      // bucket just doesn't count toward n_shared_bands.
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared_bands"))
@@ -151,7 +170,16 @@ object Dedup extends graft.QueryModule {
   /** SimHash near-dup candidates: byte-band bucketing (4 bands of
     * 8 bits), in-bucket pairs, then exact hamming distance ≤ `maxDist`
     * via popcount of xor. */
-  def simhashPairs(documents: DataFrame, maxDist: Int = 6): DataFrame = {
+  /** SimHash near-dup candidates with a bucket cap. The cap composes
+    * with the first-matching-band trick below as: a pair is emitted
+    * iff its LOWEST value-matching band's bucket survived the cap
+    * (emissions from higher matching bands are suppressed by the
+    * `!m(lower)` filter whether or not the lower bucket survived).
+    * Recall-loss mode, accepted and mirrored in the oracle: a pair
+    * whose lowest matching band is a hot bucket is dropped even if a
+    * higher matching band's bucket is small. */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 6,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = simhash(documents)
       .select(col("doc_id"), col("simhash"),
         posexplode(expr(
@@ -163,7 +191,7 @@ object Dedup extends graft.QueryModule {
       // b.doc_id by construction
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(col("band_idx"),
         explode(sortedPairs(col("ids"))).as("p"))
       .select(col("band_idx"), col("p.a.doc_id").as("a"),
@@ -191,7 +219,8 @@ object Dedup extends graft.QueryModule {
     * candidates.
     */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.8,
-                        maxShingleFreq: Int = 100): DataFrame = {
+                        maxShingleFreq: Int = DefaultMaxBucket,
+                        broadcastLookup: Option[Boolean] = None): DataFrame = {
     // doc_id → SORTED word set: sorting once per doc lets the per-pair
     // jaccard be a single codegen merge walk (SortedArrayJaccard).
     // Computed per lookup join below (2× word-split of matched docs)
@@ -219,15 +248,24 @@ object Dedup extends graft.QueryModule {
       .filter(size(col("ids")).between(2, maxShingleFreq))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-    // broadcast the doc→wset lookups: the candidate pairs (the big,
-    // skew-prone side) never shuffle and the jaccard runs map-side.
-    // Catalyst's size estimate for array columns overshoots the 10 MB
-    // auto-broadcast threshold, so the hint is explicit. (At corpus
-    // sizes where the word-set table outgrows broadcast, drop the
-    // hints — the pair side then shuffles on doc_id.)
+    // broadcast the doc→wset lookups while the corpus is small enough
+    // that the candidate pairs (the big, skew-prone side) should never
+    // shuffle and the jaccard runs map-side. Catalyst's size estimate
+    // for array columns overshoots the 10 MB auto-broadcast threshold,
+    // so the hint is explicit — but size-gated on the source scan
+    // stats: past MaxBroadcastSourceBytes the word-set table IS the
+    // corpus, so the op switches to a shuffled join on the pair keys
+    // instead of broadcasting (override with `broadcastLookup`).
+    val bcast = broadcastLookup.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        MaxBroadcastSourceBytes)
+    def lookup(idCol: String, wCol: String): DataFrame = {
+      val t = wsets.toDF(idCol, wCol)
+      if (bcast) broadcast(t) else t
+    }
     cands
-      .join(broadcast(wsets.toDF("a", "a_w")), "a")
-      .join(broadcast(wsets.toDF("b", "b_w")), "b")
+      .join(lookup("a", "a_w"), "a")
+      .join(lookup("b", "b_w"), "b")
       .select(col("a"), col("b"),
         graft.functions.VectorExpressions
           .sortedJaccard(col("a_w"), col("b_w")).as("jaccard"))
@@ -294,11 +332,15 @@ object Dedup extends graft.QueryModule {
         SELECT doc_id, k AS band_idx,
                array_to_string(list_slice(sig, k*4 + 1, k*4 + 4), '|')
                  AS band_key
-        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+      ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING count(*) <= $DefaultMaxBucket)
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared_bands
       FROM banded x JOIN banded y
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        AND x.doc_id < y.doc_id
+      JOIN ok ON ok.band_idx = x.band_idx AND ok.band_key = x.band_key
       GROUP BY 1, 2""",
     "q27_simhash" -> s"""$simhashSql
       SELECT doc_id, simhash FROM s""",
@@ -306,13 +348,29 @@ object Dedup extends graft.QueryModule {
       banded AS (
         SELECT doc_id, simhash, k AS band_idx,
                (simhash >> (k * 8)) & 255 AS band_val
-        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-             bit_count(xor(x.simhash, y.simhash)) AS hamming
-      FROM banded x JOIN banded y
-        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       AND x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.simhash, y.simhash)) <= 6""",
+        FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+      sizes AS (
+        SELECT band_idx, band_val, count(*) AS n
+        FROM banded GROUP BY 1, 2),
+      pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sx,
+               y.simhash AS sy, x.band_idx AS j, z.n AS n
+        FROM banded x JOIN banded y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id
+        JOIN sizes z
+          ON z.band_idx = x.band_idx AND z.band_val = x.band_val),
+      -- a pair is emitted iff its LOWEST matching band's bucket
+      -- survived the cap (the Spark side's first-matching-band filter
+      -- composed with the bucket-size filter)
+      first AS (
+        SELECT a, b, sx, sy, n,
+               row_number() OVER (PARTITION BY a, b ORDER BY j) AS rn
+        FROM pairs)
+      SELECT a, b, bit_count(xor(sx, sy)) AS hamming
+      FROM first
+      WHERE rn = 1 AND n <= $DefaultMaxBucket
+        AND bit_count(xor(sx, sy)) <= 6""",
     "q29_jaccard_pairs" -> s"""
       WITH wsets AS (
         SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),
@@ -321,7 +379,7 @@ object Dedup extends graft.QueryModule {
                ${h60Sql("unnest(" + shinglesSql(wordsSql) + ")")} AS sh
         FROM documents),
       hot AS (
-        SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 100),
+        SELECT sh FROM inv GROUP BY sh HAVING count(*) <= $DefaultMaxBucket),
       capped AS (
         SELECT inv.doc_id, inv.sh FROM inv JOIN hot USING (sh)),
       cands AS (

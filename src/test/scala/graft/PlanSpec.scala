@@ -92,6 +92,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 3, s"$exchanges exchanges (want 3):\n$plan")
   }
 
+  test("jaccard lookup broadcast is size-gated with a shuffled-join fallback") {
+    val docs = Tables.documents(spark, sf)
+    // small corpus → auto path broadcasts the word-set lookups
+    val auto = planOf(Dedup.ngramJaccardPairs(docs))
+    assert(auto.contains("BroadcastHashJoin"), s"no broadcast join:\n$auto")
+    // forced fallback (what the gate picks past MaxBroadcastSourceBytes):
+    // no broadcast HINT on the word sets. At sf0.001 Catalyst's real
+    // stats still auto-broadcast the tiny sides, so mimic at-scale
+    // stats (nothing auto-broadcastable) to see the fallback shape.
+    val fb = Dedup.ngramJaccardPairs(docs, broadcastLookup = Some(false))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fbPlan = planOf(
+          Dedup.ngramJaccardPairs(docs, broadcastLookup = Some(false)))
+        .split("== Initial Plan ==")(0)
+      assert(!fbPlan.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n$fbPlan")
+      assert(fbPlan.contains("SortMergeJoin") ||
+        fbPlan.contains("ShuffledHashJoin"), s"no shuffled join:\n$fbPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // both paths compute the same pairs
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(rows(fb) == rows(Dedup.ngramJaccardPairs(docs,
+      broadcastLookup = Some(true))))
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
