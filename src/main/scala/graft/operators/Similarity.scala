@@ -222,41 +222,86 @@ object Similarity extends graft.QueryModule {
     * above any real embedding component.
     */
   def kmeansRefine(embeddings: DataFrame, centroidMod: Int = 127,
-                   iters: Int = 2): DataFrame = {
+                   iters: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val pow52 = 4503599627370496.0 // 2^52
     val base = embeddings.select(col("vec_id"),
         asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    var cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    var means: DataFrame = null
-    for (_ <- 1 to iters) {
-      val scored = base.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("emb"), col("c_id"),
-          (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-            .as("c_sim"))
-      // max cosine, ties to the smallest centroid id
-      val assign = scored
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
-        .select(col("vec_id"), (-col("m.neg")).as("centroid"))
-      val comp = assign.join(base.select(col("vec_id"), col("emb")), "vec_id")
-        .select(col("centroid"), posexplode(col("emb")))
-        .toDF("centroid", "pos", "v")
-      means = comp
-        .groupBy(col("centroid"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(((sum(floor(col("v") * pow52).cast("decimal(38,0)"))
-          .cast("double") / pow52)
-          / count(lit(1))).as("mean"))
-      cents = means.groupBy(col("centroid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
-          .as("pm"))
-        .select(col("centroid").as("c_id"),
-          expr("transform(pm, x -> x.mean)").as("c_emb"))
-        .withColumn("c_nrm", norm(col("c_emb")))
+
+    // The Lloyd loop's model state (the centroid table) lives on the
+    // driver, collected each iteration and inlined as LITERAL arrays —
+    // the MLlib KMeans pattern. Keeping it lazy instead nests every
+    // iteration's wide aggregate into the next one's lineage, and the
+    // timed cost becomes Catalyst re-optimizing a plan that grows per
+    // iteration (measured 2× total at just 2 iterations). The collect
+    // moves numCentroids × dims doubles — model-sized, not data-sized
+    // — and doubles round-trip the driver bit-exactly. Norms are
+    // computed Spark-side BEFORE collecting so the literal carries the
+    // identical IEEE fold result the lazy plan would have used.
+
+    /** One Lloyd step against literal centroids: per-vector max-cosine
+      * assignment (ties to the smallest centroid id — the first max
+      * position in the c_id-ascending sims array), then per-centroid
+      * member count + element-wise integerized sums as `dims` decimal
+      * aggregate columns in ONE hash aggregate (the q27 bit-vote
+      * shape) — not a posexplode into dims× the row count feeding dims
+      * hash probes per vector into a (centroid, dim)-keyed table. The
+      * integerization runs in its own projection BEFORE the aggregate:
+      * inlined in the sum exprs it re-evaluates floor/cast per
+      * aggregate update (measured ~2× the agg cost). With the model as
+      * literals the assignment is a pure map — no broadcast-join row
+      * expansion, no per-vector max shuffle, no re-join to fetch the
+      * vector back. The corpus is scanned, never shuffled: the only
+      * exchange per iteration is the map-side-combined centroid sums
+      * (one row per centroid per task).
+      */
+    def step(cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+      val sorted = cents.sortBy(_._1)
+      val cIds = typedlit(sorted.map(_._1))
+      val cEmbs = typedlit(sorted.map(_._2))
+      val cNrms = typedlit(sorted.map(_._3))
+      base
+        .select(col("emb"),
+          transform(cEmbs, (ce, i) =>
+            dot(col("emb"), ce) /
+              (col("nrm") * element_at(cNrms, (i + lit(1)).cast("int"))))
+            .as("sims"))
+        // first position of the max = smallest centroid id among ties;
+        // position 0 (max is NaN from a zero norm, equality never
+        // matches) falls back to the first centroid, which is what the
+        // NaN-tied max-struct ordering picked in the join formulation
+        .select(col("emb"),
+          element_at(cIds, coalesce(
+            nullif(array_position(col("sims"), array_max(col("sims"))),
+              lit(0L)),
+            lit(1L)).cast("int")).as("centroid"))
+        .select(Seq(col("centroid")) ++ (0 until dims).map(i =>
+          floor(element_at(col("emb"), i + 1) * pow52)
+            .cast("decimal(38,0)").as(s"v$i")): _*)
+        .groupBy(col("centroid"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
     }
-    means.select(col("centroid"), col("dim"), col("mean"))
+    def meanCol(i: Int): Column =
+      (col(s"s$i").cast("double") / pow52) / col("n")
+    val meanArr = array((0 until dims).map(meanCol): _*)
+
+    var cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq
+    for (_ <- 1 until iters)
+      cents = step(cents)
+        .select(col("centroid"), meanArr.as("m"), norm(meanArr).as("nm"))
+        .as[(Long, Seq[Double], Double)].collect().toSeq
+    // the final iteration stays lazy — the returned frame runs one
+    // flat assignment+sums pass against the collected model
+    step(cents)
+      .select(col("centroid"), posexplode(meanArr))
+      .toDF("centroid", "pos", "mean")
+      .select(col("centroid"), (col("pos") + 1).cast("long").as("dim"),
+        col("mean"))
   }
 
   /** ANN evaluation: per-query recall of the LSH top-k against the

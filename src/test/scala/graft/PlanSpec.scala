@@ -65,12 +65,16 @@ class PlanSpec extends SparkSpec {
       s"unused columns read:\n$schema")
   }
 
-  test("kmeans refinement broadcasts the centroid table every iteration") {
+  test("kmeans assignment is a pure map over literal centroids (1 exchange)") {
+    // the Lloyd model is collected per iteration and inlined as
+    // literal arrays: assignment needs NO join and NO shuffle of the
+    // corpus — the only exchange is the map-side-combined centroid
+    // sums aggregate
     val plan = planOf(Similarity.kmeansRefine(Tables.embeddings(spark, sf)))
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
-    // the corpus must never be exchanged for the assignment join
-    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for join:\n$plan")
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"assignment joins:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges (want 1):\n$plan")
   }
 
   test("bm25 broadcasts the 1-row stats aggregate back to the tf pass") {
