@@ -1,6 +1,7 @@
 package graft.cep
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** SQL `MATCH_RECOGNIZE` front-end (SURVEY.md §2.8 C3,
@@ -290,18 +291,36 @@ object MatchRecognize {
 
     val partitionBy = clause.partitionBy
     val measures = clause.measures
-    val out = df.rdd
-      .groupBy(_.getAs[Any](partitionBy))
-      .flatMap { case (key, rows) =>
-        val nfa = new Cep.Nfa[Row](spec, r => ordKey(r).toLong)
-        val ordered = rows.toSeq.sortBy(ordKey)
-        val (matches, _) = nfa.run(ordered)
-        matches.map { m =>
-          val vals = measures.map { case (v, _) =>
-            resolve(v, None, curVar = "", varIdx, m.entries).orNull }
-          Row.fromSeq(key +: vals)
+    // Stay in Tungsten: hash-repartition on the partition key and let
+    // Spark's radix sort order each partition by (key, ORDER BY), then
+    // walk consecutive key runs in mapPartitions — no RDD shuffle of
+    // Java/Kryo-serialized Rows, no per-key materialized Iterable
+    // beyond the single run the NFA needs (the DSL path,
+    // Cep.matchBatch, uses the same encoder-based plan shape).
+    df.repartition(col(partitionBy))
+      .sortWithinPartitions(col(partitionBy), col(orderCol))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val runs = new Iterator[(Any, Seq[Row])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Any, Seq[Row]) = {
+            val k = buf.head.getAs[Any](partitionBy)
+            val b = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (buf.hasNext && buf.head.getAs[Any](partitionBy) == k)
+              b += buf.next()
+            (k, b.toSeq)
+          }
         }
-      }
-    df.sparkSession.createDataFrame(out, outSchema)
+        runs.flatMap { case (key, ordered) =>
+          val nfa = new Cep.Nfa[Row](spec, r => ordKey(r).toLong)
+          val (matches, _) = nfa.run(ordered)
+          matches.map { m =>
+            val vals = measures.map { case (v, _) =>
+              resolve(v, None, curVar = "", varIdx, m.entries).orNull }
+            Row.fromSeq(key +: vals)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 }

@@ -59,6 +59,22 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 5L)))
   }
 
+  test("runner stays in Tungsten: no RDD scan, exchange + sort in the plan") {
+    val rows = Seq((1L, 99L), (2L, 4L), (3L, 5L))
+      .toDF("seq", "price").withColumn("sym",
+        org.apache.spark.sql.functions.lit("S"))
+    val plan = MatchRecognize.run(rows, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES LAST(B.price) AS b_price
+      PATTERN (A B+)
+      DEFINE A AS price > 50, B AS price < 10
+    """).queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"runner left Tungsten:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning") &&
+      plan.contains("Sort "), s"no repartition+sort:\n$plan")
+  }
+
   test("unsupported syntax fails fast instead of mis-parsing") {
     val rows = Seq((1L, 2L)).toDF("seq", "price").withColumn("sym",
       org.apache.spark.sql.functions.lit("S"))
