@@ -79,20 +79,23 @@ object Sinks {
     * (files finalize per epoch).
     */
   def bucketedFileSink(df: DataFrame, tsCol: String, path: String,
-                       checkpoint: String,
-                       format: String = "csv"): DataStreamWriter[Row] =
+                       checkpoint: String, format: String = "csv",
+                       maxRecordsPerFile: Long = 1000000): DataStreamWriter[Row] =
     df.withColumn("bucket", date_format(col(tsCol), "yyyy-MM-dd--HH"))
       .writeStream.format(format)
       .partitionBy("bucket")
       .option("path", path)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("checkpointLocation", checkpoint)
 
   /** K3: bulk columnar sink — ORC with LZ4, vectorized writer built in
     * (`filesystem/FsBulkFormatSink.java:46-58`). */
-  def orcSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+  def orcSink(df: DataFrame, path: String, checkpoint: String,
+              maxRecordsPerFile: Long = 1000000): DataStreamWriter[Row] =
     df.writeStream.format("orc")
       .option("compression", "lz4")
       .option("path", path)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("checkpointLocation", checkpoint)
 
   /** K6: Kafka producer sink (`kafka/Kafka2Kafka.java:141-164`).

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Sources
+
+/** S6 + S4 — the two sources the specs never drove: the rate-limited
+  * synthetic generator (`state/generator/EventsGeneratorSource.java:
+  * 9-45`) and the explicit-field-order CSV read
+  * (`topn/HotItems.java:47-55`).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pollUntil(cond: => Boolean, what: String): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!cond) {
+      assert(System.nanoTime() < deadline, s"timed out waiting: $what")
+      Thread.sleep(200)
+    }
+  }
+
+  test("rate source synthesizes deterministic event fields") {
+    val q = Sources.syntheticEvents(spark, 100)
+      .writeStream.format("memory").queryName("rate_raw")
+      .outputMode("append").start()
+    try pollUntil(spark.table("rate_raw").count() >= 20, "rate rows")
+    finally q.stop()
+
+    val rows = spark.table("rate_raw")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    assert(rows.length >= 20)
+    // event_ids are the rate source's distinct monotonic values
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (id, user, tpe, v) =>
+      assert(user == id % 97)
+      assert(tpe == types((id % 5).toInt))
+      assert(v == (id * 37 % 1000) / 10.0)
+    }
+  }
+
+  test("rate source drives a watermarked windowed aggregation") {
+    val agg = Sources.syntheticEvents(spark, 200)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 second"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("rate_agg")
+      .outputMode("update").start()
+    try pollUntil(spark.table("rate_agg").count() >= 1, "windowed counts")
+    finally q.stop()
+
+    val got = spark.table("rate_agg")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect()
+    val types = Set("view", "click", "purchase", "signup", "error")
+    assert(got.nonEmpty)
+    assert(got.forall { case (t, n) => types(t) && n >= 1 })
+  }
+
+  test("csv reads the HotItems fixture with explicit field order") {
+    // UserBehavior.csv rows (taobao format): userId, itemId,
+    // categoryId, behavior, timestamp — the order the reference pins
+    // explicitly because POJO reflection order is unstable
+    val dir = Files.createTempDirectory("s4_csv")
+    Files.write(dir.resolve("UserBehavior.csv"), java.util.Arrays.asList(
+      "543462,1715,1464116,pv,1511658000",
+      "662867,2244074,1575622,pv,1511658000",
+      "561558,3611281,965809,fav,1511658001"))
+    val schema = StructType(Seq(
+      StructField("userId", LongType), StructField("itemId", LongType),
+      StructField("categoryId", IntegerType),
+      StructField("behavior", StringType),
+      StructField("timestamp", LongType)))
+    val got = Sources.csv(spark, dir.toString, schema)
+      .as[(Long, Long, Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (543462L, 1715L, 1464116, "pv", 1511658000L),
+      (561558L, 3611281L, 965809, "fav", 1511658001L),
+      (662867L, 2244074L, 1575622, "pv", 1511658000L)))
+  }
+}
