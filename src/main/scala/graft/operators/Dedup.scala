@@ -272,6 +272,53 @@ object Dedup extends graft.QueryModule {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup GROUP assignment — the step after candidate pairs that a
+    * real fuzzy-dedup pipeline needs before it can pick one keeper per
+    * near-dup cluster: connected components over the MinHash-LSH pair
+    * graph, labeled by the component's minimum doc_id. Iterative
+    * min-label propagation as a batch driver loop (T7, like
+    * kmeansRefine): each round every node takes the min of its own and
+    * its neighbors' labels; converged when no label changes. Rounds
+    * needed = component diameter — near-dup clusters are shallow, so
+    * this converges in a handful of rounds (a production run on
+    * adversarial graphs would switch to the large-star/small-star
+    * contraction, which bounds rounds at O(log n)).
+    *
+    * Scale: labels are (id, id) pairs — never payloads; each round is
+    * one join + one agg on the undirected edge list, and each round's
+    * result is persisted so the next round plans against the
+    * materialized table, not the whole loop's lineage. Emits only
+    * nodes that appear in some pair (singletons are their own group
+    * by definition).
+    */
+  def dedupGroups(documents: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = minhashPairs(documents).select(col("a"), col("b"))
+    val und = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, "node")
+        .select(col("node"), col("label"),
+          least(col("label"), col("nbr_min")).as("next_label"))
+        .persist()
+      changed = next.filter(col("next_label") < col("label")).count()
+      val prev = labels
+      labels = next.select(col("node"), col("next_label").as("label"))
+      prev.unpersist()
+      round += 1
+    }
+    und.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -279,7 +326,8 @@ object Dedup extends graft.QueryModule {
     "q26_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q27_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "q28_simhash_pairs"  -> ((s, d) => simhashPairs(Tables.documents(s, d))),
-    "q29_jaccard_pairs"  -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d), 0.8))
+    "q29_jaccard_pairs"  -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d), 0.8)),
+    "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -310,12 +358,8 @@ object Dedup extends graft.QueryModule {
                    THEN (1::BIGINT << j) ELSE 0 END) AS simhash
         FROM h)"""
 
-  def oracle: Map[String, String] = Map(
-    "q25_dedup_exact" -> s"""
-      SELECT md5($normSql) AS content_md5,
-             min(doc_id) AS keep_id, count(*) AS n_docs
-      FROM documents GROUP BY 1""",
-    "q26_minhash_pairs" -> s"""
+  /** q26's full statement, reused as a derived table by q47. */
+  private lazy val q26Sql: String = s"""
       WITH sh AS (
         SELECT doc_id, ${shinglesSql(wordsSql)} AS sh FROM documents),
       hs AS (
@@ -341,7 +385,25 @@ object Dedup extends graft.QueryModule {
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        AND x.doc_id < y.doc_id
       JOIN ok ON ok.band_idx = x.band_idx AND ok.band_key = x.band_key
-      GROUP BY 1, 2""",
+      GROUP BY 1, 2"""
+
+  def oracle: Map[String, String] = Map(
+    "q25_dedup_exact" -> s"""
+      SELECT md5($normSql) AS content_md5,
+             min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents GROUP BY 1""",
+    "q26_minhash_pairs" -> q26Sql,
+    "q47_dedup_groups" -> s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      -- transitive closure of the undirected pair graph; min reachable
+      -- id = the component label min-propagation converges to
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      )
+      SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node""",
     "q27_simhash" -> s"""$simhashSql
       SELECT doc_id, simhash FROM s""",
     "q28_simhash_pairs" -> s"""$simhashSql,

@@ -54,6 +54,23 @@ class OperatorsSpec extends SparkSpec {
     assert(j.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("dedup groups are closed over pairs and labeled by their min id") {
+    val docs = Tables.documents(spark, sf)
+    val group = Dedup.dedupGroups(docs)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashPairs(docs)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && group.nonEmpty)
+    // every paired doc is labeled, both endpoints agree
+    pairs.foreach { case (a, b) =>
+      assert(group(a) == group(b), s"pair ($a,$b) split across groups")
+    }
+    // the label is the minimum member of its group
+    group.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("lsh knn results are a subset of brute-force candidates' scores") {
     val bf = Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5)
       .select("query_id", "neighbor_id", "sim")
