@@ -328,9 +328,37 @@ object Similarity extends graft.QueryModule {
       .withColumn("recall", col("n_hits").cast("double") / k)
   }
 
+  /** kNN label classification — the standard label-transfer /
+    * eval-by-neighbors query over an embedded corpus: each query
+    * vector's label is predicted by majority vote of its k nearest
+    * neighbors (ties to the smallest label), reported against the true
+    * label. Scale shape: the vote rides on knnBruteForce's bounded
+    * top-k (corpus never shuffles); the nQueries×k neighbor list is
+    * broadcast against the corpus' (vec_id, label) projection, so the
+    * label lookup is map-side too.
+    */
+  def knnClassify(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val nbrs = knnBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = labels.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(nbrs), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    // majority vote, ties to the smallest label
+    val pred = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+      .select(col("query_id"), (-col("m.neg")).cast("int").as("predicted"))
+    labels.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "true_label")
+      .join(broadcast(pred), "query_id")
+      .select(col("query_id"), col("true_label"), col("predicted"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d), 16, 5)),
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
     "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5)),
     "q35_cosine_dups" -> ((s, d) => cosineNearDupPairs(Tables.embeddings(s, d), 0.2)),
@@ -434,6 +462,33 @@ object Similarity extends graft.QueryModule {
       ${lloydSql(1, "cents0")},
       ${lloydSql(2, "cents1")}
       SELECT centroid, dim, mean FROM m2""",
+    "q49_knn_classify" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      bfq AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM base
+        WHERE vec_id < 16),
+      knn AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("q_emb", "c.emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM bfq JOIN base c ON query_id <> c.vec_id)
+        WHERE rn <= 5),
+      votes AS (
+        SELECT k.query_id, b.label, count(*) AS c
+        FROM knn k JOIN base b ON b.vec_id = k.neighbor_id
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT query_id, label AS predicted FROM (
+          SELECT query_id, label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY c DESC, label ASC) AS rn
+          FROM votes)
+        WHERE rn = 1)
+      SELECT p.query_id, b.label AS true_label, p.predicted
+      FROM pred p JOIN base b ON b.vec_id = p.query_id""",
     "q38_lsh_recall" -> s"""
       WITH $bucketsSql,
       bfq AS (

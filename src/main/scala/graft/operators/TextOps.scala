@@ -181,6 +181,24 @@ object TextOps extends graft.QueryModule {
       md5(regexp_replace(lower(col("text")), pat, "<X>")).as("scrubbed_md5"))
   }
 
+  /** Corpus composition report — the "data mixture" table every
+    * training-data pipeline publishes before a run: per (source,
+    * language) document count, estimated token budget, and mean
+    * document length. One partial-aggregated exchange on a tiny group
+    * key; at 100 TB the shuffle carries per-task partials only.
+    * Portability: the mean is a single bigint/bigint double division.
+    */
+  def sourceMix(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        size(words(col("text"))).as("nw"),
+        ceil(col("n_chars") / 4.0).cast("long").as("et"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("et")).as("est_tokens"),
+        (sum(col("nw")).cast("double") / count(lit(1)))
+          .as("mean_ws_tokens"))
+
   // ---- driver bindings -------------------------------------------------
 
   private val bm25Terms = Seq("spark", "query", "fast")
@@ -194,7 +212,8 @@ object TextOps extends graft.QueryModule {
     "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
     "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
-    "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms))
+    "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms)),
+    "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d)))
   )
 
   private def sqlArr(xs: Seq[String]) =
@@ -244,6 +263,14 @@ object TextOps extends graft.QueryModule {
               string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS word
             FROM documents)
       GROUP BY word""",
+    "q48_source_mix" -> """
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+               AS est_tokens,
+             CAST(sum(len(string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' '))) AS DOUBLE) / count(*)
+               AS mean_ws_tokens
+      FROM documents GROUP BY 1, 2""",
     "q21_token_stats" -> """
       SELECT doc_id,
              len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
