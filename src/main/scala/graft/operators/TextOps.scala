@@ -70,11 +70,12 @@ object TextOps extends graft.QueryModule {
     * argmax (ties broken by dictionary order). Dictionary matching is
     * a broadcast-style lookup — no shuffle.
     */
-  def languageId(documents: DataFrame): DataFrame = {
+  def languageId(documents: DataFrame,
+                 keep: Seq[String] = Seq("doc_id")): DataFrame = {
     val scored = documents
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(keep.map(col) :+ words(col("text")).as("ws"): _*)
       .select(
-        col("doc_id") +: dicts.map { case (name, dict) =>
+        keep.map(col) ++ dicts.map { case (name, dict) =>
           val arr = array(dict.map(lit): _*)
           size(filter(col("ws"), w => array_contains(arr, w))).as(s"score_$name")
         }: _*)
@@ -86,6 +87,17 @@ object TextOps extends graft.QueryModule {
     // foldRight keeps earlier dicts winning ties (first when wins)
     scored.withColumn("predicted", pred)
   }
+
+  /** Language-ID evaluation: the confusion table of the heuristic's
+    * predicted class against the corpus' labeled language — the
+    * accuracy artifact that decides whether the classifier is good
+    * enough to route documents. The label rides through the scoring
+    * projection (no join back to the corpus), so this is the same
+    * map-only pass as q23 plus one tiny-group aggregate exchange. */
+  def languageIdEval(documents: DataFrame): DataFrame =
+    languageId(documents, Seq("doc_id", "lang"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
 
   /** Document fingerprint: 32-bit word hashes folded through a
     * polynomial rolling hash (order-sensitive), plus the md5 of the
@@ -162,6 +174,29 @@ object TextOps extends graft.QueryModule {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Deterministic stratified sampling — mixture rebalancing by
+    * language: each stratum keeps `rates(lang)`% (else `defaultPct`%)
+    * of its documents, selected by a seeded hash of the id, so the
+    * sample is uniform within strata, stable under reshuffles and
+    * re-runs, and independent of the train/val/test hash (different
+    * seed prefix). Map-only: the filter fuses into the scan — at
+    * 100 TB this touches no shuffle and reads only (doc_id, lang).
+    */
+  def stratifiedSample(documents: DataFrame,
+                       rates: Seq[(String, Int)] = sampleRates,
+                       defaultPct: Int = 10): DataFrame = {
+    val rate = rates.foldRight(lit(defaultPct): Column) {
+      case ((l, p), acc) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(concat(lit("sample|"), col("doc_id"))), lit(100))
+          .as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
   /** PII / term scrubbing: count and redact every match of an
     * email-address, URL, or listed-term pattern, emitting the match
     * count and the content address (md5) of the redacted text. Narrow
@@ -203,6 +238,9 @@ object TextOps extends graft.QueryModule {
 
   private val bm25Terms = Seq("spark", "query", "fast")
   private val scrubTerms = Seq("customer", "secret")
+  // upsample the rare languages, downsample the dominant one
+  private val sampleRates: Seq[(String, Int)] =
+    Seq("zh" -> 100, "de" -> 80, "es" -> 80, "fr" -> 80, "en" -> 25)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
@@ -213,7 +251,9 @@ object TextOps extends graft.QueryModule {
     "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
     "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms)),
-    "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d)))
+    "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d))),
+    "q50_langid_eval" -> ((s, d) => languageIdEval(Tables.documents(s, d))),
+    "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d)))
   )
 
   private def sqlArr(xs: Seq[String]) =
@@ -310,6 +350,40 @@ object TextOps extends graft.QueryModule {
                $scoreCols
         FROM t)
       SELECT *, $caseExpr AS predicted FROM s"""
+    },
+    "q50_langid_eval" -> {
+      val scoreCols = dicts.map { case (name, dict) =>
+        s"len(list_filter(ws, w -> list_contains(${sqlArr(dict)}, w))) AS score_$name"
+      }.mkString(",\n               ")
+      val bestExpr = dicts.map(d => s"score_${d._1}")
+        .reduceLeft((a, b) => s"greatest($a, $b)")
+      val caseExpr = dicts.map { case (name, _) =>
+        s"WHEN score_$name = $bestExpr THEN '$name'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, lang,
+               $scoreCols
+        FROM t)
+      SELECT lang, $caseExpr AS predicted, count(*) AS n
+      FROM s GROUP BY 1, 2"""
+    },
+    "q51_sample_strata" -> {
+      val rateExpr = sampleRates.map { case (l, p) =>
+        s"WHEN lang = '$l' THEN $p"
+      }.mkString("CASE ", " ", " ELSE 10 END")
+      s"""
+      SELECT doc_id, lang, bucket
+      FROM (SELECT doc_id, lang,
+                   ('0x' || substr(md5('sample|' || doc_id), 1, 15))::BIGINT
+                     % 100 AS bucket,
+                   $rateExpr AS rate
+            FROM documents)
+      WHERE bucket < rate"""
     },
     "q24_fingerprint" -> """
       WITH t AS (
