@@ -241,10 +241,12 @@ object Dedup extends graft.QueryModule {
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
       .select(col("doc_id"), hash60(col("shingle")).as("sh"))
-      .distinct()
+    // collect_set dedups repeated (doc, shingle) occurrences inside
+    // the bucket aggregation itself — one exchange on sh instead of a
+    // full (doc_id, sh) distinct exchange followed by the group-by
     val cands = inv
       .groupBy(col("sh"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleFreq))
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
