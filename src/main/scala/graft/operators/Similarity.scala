@@ -355,9 +355,31 @@ object Similarity extends graft.QueryModule {
       .select(col("query_id"), col("true_label"), col("predicted"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * compression pass an embedding store runs before serving ANN at
+    * scale: per-vector scale = max|v|/127, q_i = round(v_i/scale)
+    * (floor(x+0.5), the engine-independent rounding), emitted exploded
+    * per dimension so the oracle verifies every quantized value.
+    * Map-only — at 100 TB this fuses into the scan and shuffles
+    * nothing.
+    */
+  def quantizeInt8(embeddings: DataFrame, dims: Int = 64): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        (array_max(transform(col("emb"), v => abs(v))) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(col("emb"), v =>
+          when(col("scale") === 0, 0L)
+            .otherwise(floor(v / col("scale") + 0.5).cast("long")))))
+      .toDF("vec_id", "scale", "pos", "qval")
+      .select(col("vec_id"), col("scale"),
+        (col("pos") + 1).cast("long").as("dim"), col("qval"))
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "q49_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d), 16, 5)),
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
     "q31_knn_lsh"    -> ((s, d) => knnLsh(Tables.embeddings(s, d), 16, 5)),
@@ -462,6 +484,19 @@ object Similarity extends graft.QueryModule {
       ${lloydSql(1, "cents0")},
       ${lloydSql(2, "cents1")}
       SELECT centroid, dim, mean FROM m2""",
+    "q52_quantize_int8" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+        FROM base),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS dim)
+      SELECT vec_id, scale, dim,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(floor(emb[dim] / scale + 0.5) AS BIGINT)
+             END AS qval
+      FROM s CROSS JOIN dims""",
     "q49_knn_classify" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
