@@ -321,9 +321,30 @@ object Dedup extends graft.QueryModule {
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Keeper selection — the decision that ends a fuzzy-dedup
+    * pipeline: per near-dup group, keep the longest document (token
+    * count as the quality signal, ties to the smallest id) and report
+    * group size. The group table is tiny relative to the corpus (only
+    * docs that paired), so it broadcasts against the per-doc quality
+    * projection; the keeper pick is one max-struct aggregate, no rank
+    * window.
+    */
+  def dedupKeepers(documents: DataFrame): DataFrame = {
+    val quality = documents
+      .select(col("doc_id"),
+        size(graft.functions.Portable.words(col("text"))).as("n_tokens"))
+    quality.join(broadcast(dedupGroups(documents)), "doc_id")
+      .groupBy(col("group_id"))
+      .agg(
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("group_id"), (-col("m.neg")).as("keep_id"), col("n_docs"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
     "q25_dedup_exact"    -> ((s, d) => exactGroups(Tables.documents(s, d))),
     "q26_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q27_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
@@ -389,23 +410,50 @@ object Dedup extends graft.QueryModule {
       JOIN ok ON ok.band_idx = x.band_idx AND ok.band_key = x.band_key
       GROUP BY 1, 2"""
 
+  /** q47's full statement: transitive closure of the undirected pair
+    * graph; min reachable id = the component label min-propagation
+    * converges to. */
+  private lazy val q47Sql: String = s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      )
+      SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
+
   def oracle: Map[String, String] = Map(
     "q25_dedup_exact" -> s"""
       SELECT md5($normSql) AS content_md5,
              min(doc_id) AS keep_id, count(*) AS n_docs
       FROM documents GROUP BY 1""",
     "q26_minhash_pairs" -> q26Sql,
-    "q47_dedup_groups" -> s"""
+    "q47_dedup_groups" -> q47Sql,
+    "q53_dedup_keep" -> s"""
       WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
       und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-      -- transitive closure of the undirected pair graph; min reachable
-      -- id = the component label min-propagation converges to
       reach(node, r) AS (
         SELECT DISTINCT a AS node, a AS r FROM und
         UNION
         SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
-      )
-      SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node""",
+      ),
+      groups AS (
+        SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+      q AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS n_tokens
+        FROM documents)
+      SELECT group_id, keep_id, n_docs FROM (
+        SELECT g.group_id,
+               first_value(g.doc_id) OVER w AS keep_id,
+               count(*) OVER (PARTITION BY g.group_id) AS n_docs,
+               row_number() OVER w AS rn
+        FROM groups g JOIN q ON q.doc_id = g.doc_id
+        WINDOW w AS (PARTITION BY g.group_id
+                     ORDER BY q.n_tokens DESC, g.doc_id ASC))
+      WHERE rn = 1""",
     "q27_simhash" -> s"""$simhashSql
       SELECT doc_id, simhash FROM s""",
     "q28_simhash_pairs" -> s"""$simhashSql,

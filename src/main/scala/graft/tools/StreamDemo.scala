@@ -191,6 +191,45 @@ object StreamDemo {
       cq.stop()
     }
 
+    // J4: broadcast dim with upserts + deletes across micro-batches
+    locally {
+      import scala.collection.mutable.ArrayBuffer
+      val changelog = ArrayBuffer(Goods(1, "apple", isRemove = false, 0))
+      val out = ArrayBuffer.empty[String]
+      val din = MemoryStream[Order]
+      val dq = BroadcastDim.enrichOrders(din.toDS(),
+        () => spark.createDataset(changelog.toSeq)) { (batch, _) =>
+        out.synchronized {
+          out ++= batch.collect().map(e => s"${e.orderId}->${e.goodsName}")
+        }
+      }
+      din.addData(Order(1000, "o1", "u1", 1, 10, 1)); dq.processAllAvailable()
+      changelog += Goods(1, null, isRemove = true, 1)
+      changelog += Goods(2, "banana", isRemove = false, 2)
+      din.addData(Order(2000, "o2", "u1", 1, 11, 1),
+        Order(2001, "o3", "u2", 2, 21, 1))
+      dq.processAllAvailable(); dq.stop()
+      println("DIM=" + out.sorted.mkString(";"))
+    }
+
+    // T4/K9: side-output split, two sinks from one tagged pass
+    locally {
+      import scala.collection.mutable.ArrayBuffer
+      val kept = ArrayBuffer.empty[String]; val rej = ArrayBuffer.empty[String]
+      val sin = MemoryStream[String]
+      val sq = SideOutputs.splitStream(
+        SideOutputs.taggedTokens(sin.toDF()),
+        Map(
+          "main" -> ((df, _) => kept.synchronized {
+            kept ++= df.as[String].collect() }),
+          "rejected" -> ((df, _) => rej.synchronized {
+            rej ++= SideOutputs.rejectedWords(df).as[String].collect() })))
+      sin.addData("To be, or not to be,--that is the question:--")
+      sq.processAllAvailable(); sq.stop()
+      println("SPLIT_MAIN=" + kept.sorted.mkString(",") +
+        " SPLIT_REJ=" + rej.mkString(","))
+    }
+
     // SQL front-end: Time.md-style windowed SQL over registered views
     graft.sql.SqlInterface.registerTables(spark, "/root/testdata/sf0.001")
     println("SQL_WCD=" + graft.sql.SqlInterface
