@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
       broadcastLookup = Some(true))))
   }
 
+  test("round-4 pipeline queries keep their scale shapes") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    // map-only: the filter/projection fuses into the scan
+    assert(exchanges(TextOps.stratifiedSample(Tables.documents(spark, sf))) == 0)
+    assert(exchanges(Similarity.quantizeInt8(Tables.embeddings(spark, sf))) == 0)
+    // one partial-aggregated exchange on a tiny group key
+    assert(exchanges(TextOps.sourceMix(Tables.documents(spark, sf))) == 1)
+    assert(exchanges(TextOps.languageIdEval(Tables.documents(spark, sf))) == 1)
+    // keeper selection: no rank window, group table broadcast
+    val keepPlan = planOf(Dedup.dedupKeepers(Tables.documents(spark, sf)))
+    assert(!keepPlan.contains("Window"), s"rank window crept in:\n$keepPlan")
+    assert(keepPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$keepPlan")
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
