@@ -71,6 +71,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization bounds: |q| <= 127, reconstruction within scale/2") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val rows = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, dim, q) =>
+      assert(math.abs(q) <= 127, s"vec $id dim $dim q=$q out of int8 range")
+      val err = math.abs(emb(id)(dim.toInt - 1) - q * scale)
+      assert(err <= scale / 2 + 1e-12, s"vec $id dim $dim err=$err > scale/2")
+    }
+  }
+
   test("lsh knn results are a subset of brute-force candidates' scores") {
     val bf = Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5)
       .select("query_id", "neighbor_id", "sim")
