@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the ANN hot path: sequential dot
   * product over two `array<double>` columns with whole-stage codegen.
@@ -99,6 +99,64 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row 32-bit SimHash over an `array<long>` of token hashes: bit
+  * j of the result is 1 iff the multiset's ±1 vote on token-hash bit j
+  * is positive — the q27 corpus aggregate folded into one generated
+  * loop per row (one pass over the tokens updating 32 counters), for
+  * the STREAMING near-dup path where each document is a single row
+  * and an exploded hash aggregate isn't available. Vote semantics are
+  * identical to `Dedup.simhash` (order-free multiset sum).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes"); val sim = ctx.freshName("sim")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $votes = new long[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    $votes[$j] += ((($h >> $j) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $j = 0; $j < 32; $j++) {
+         |  if ($votes[$j] > 0) $sim |= (1L << $j);
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -111,4 +169,8 @@ object VectorExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-row 32-bit simhash of an array<long> of token hashes. */
+  def simHash32(hashes: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(hashes)))
 }

@@ -82,6 +82,26 @@ object StreamAggs {
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
       .drop("__ts")
 
+  /** Streaming NEAR-dup admission: key the watermark-bounded dedup on
+    * the document's 32-bit SimHash instead of its exact content hash —
+    * re-worded copies with the same token multiset profile collapse to
+    * one admitted payload. The fingerprint is a map-side codegen
+    * expression (`SimHash32`, the q27 bit-vote folded into one
+    * generated loop per row — NOT 32 interpreted HOF folds), so the
+    * only state is the dedup store: delay × rate keys, exactly like
+    * the exact-dedup path. Vote semantics match `Dedup.simhash`.
+    */
+  def nearDupDropWithinWatermark(docs: DataFrame, textCol: Column,
+                                 ts: Column,
+                                 watermarkDelay: String): DataFrame = {
+    import graft.functions.Portable._
+    val sim = graft.functions.VectorExpressions.simHash32(
+      transform(words(textCol), w => hash32(w)))
+    dedupWithinWatermark(docs.withColumn("__simhash", sim), ts,
+      watermarkDelay, "__simhash")
+      .drop("__simhash")
+  }
+
   /** J2: interval join (`join/IntervalJoin.java:40-54`):
     * lowerBound/upperBound relative to the left timestamp, both sides
     * watermarked — Spark's canonical stream-stream range join.

@@ -37,6 +37,8 @@ class FileSinksSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
+    // exactly-once marker: the sink's commit log tracks finished files
+    assert(new File(out, "_spark_metadata").exists())
     val buckets = new File(out).listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).sorted
     assert(buckets.toSeq == Seq("bucket=2020-06-01--10",

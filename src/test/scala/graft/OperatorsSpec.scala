@@ -54,6 +54,19 @@ class OperatorsSpec extends SparkSpec {
     assert(j.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("per-row SimHash32 expression equals the corpus bit-vote aggregate") {
+    import graft.functions.Portable._
+    val docs = Tables.documents(spark, sf)
+    val agg = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val perRow = docs.select(col("doc_id"),
+        graft.functions.VectorExpressions.simHash32(
+          transform(words(col("text")), w => hash32(w))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // the aggregate path drops docs with no tokens; all present match
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, s) => assert(perRow(id) == s, s"doc $id") }
+  }
+
   test("dedup groups are closed over pairs and labeled by their min id") {
     val docs = Tables.documents(spark, sf)
     val group = Dedup.dedupGroups(docs)

@@ -81,6 +81,28 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop collapses re-worded copies by simhash") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("ts_ms", "doc_id", "text")
+    val q = StreamAggs.nearDupDropWithinWatermark(df, col("text"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // d2 is d1's word multiset reordered -> same simhash, dropped;
+      // d3 is different content -> admitted
+      in.addData((1000L, "d1", "spark query runs fast"),
+        (2000L, "d2", "fast spark runs query"))
+      q.processAllAvailable()
+      in.addData((3000L, "d3", "a completely different document text"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").select("doc_id")
+        .as[String].collect().toSeq.sorted
+      assert(got == Seq("d1", "d3"))
+    } finally q.stop()
+  }
+
   test("interval join matches the reference's orange/green semantics") {
     // IntervalJoin.java:23-38: orange.ts - 2s <= green.ts <= orange.ts + 1s
     val base = 1599534710000L
