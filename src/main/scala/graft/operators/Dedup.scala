@@ -277,48 +277,89 @@ object Dedup extends graft.QueryModule {
   /** Dedup GROUP assignment — the step after candidate pairs that a
     * real fuzzy-dedup pipeline needs before it can pick one keeper per
     * near-dup cluster: connected components over the MinHash-LSH pair
-    * graph, labeled by the component's minimum doc_id. Iterative
-    * min-label propagation as a batch driver loop (T7, like
-    * kmeansRefine): each round every node takes the min of its own and
-    * its neighbors' labels; converged when no label changes. Rounds
-    * needed = component diameter — near-dup clusters are shallow, so
-    * this converges in a handful of rounds (a production run on
-    * adversarial graphs would switch to the large-star/small-star
-    * contraction, which bounds rounds at O(log n)).
-    *
-    * Scale: labels are (id, id) pairs — never payloads; each round is
-    * one join + one agg on the undirected edge list, and each round's
-    * result is persisted so the next round plans against the
-    * materialized table, not the whole loop's lineage. Emits only
+    * graph, labeled by the component's minimum doc_id. Emits only
     * nodes that appear in some pair (singletons are their own group
     * by definition).
+    *
+    * Two execution paths behind one size gate, because the EDGE set is
+    * orders of magnitude smaller than the corpus (only docs that
+    * band-collided, as bare (id, id) pairs — never payloads):
+    *
+    *  - edge count ≤ `maxDriverEdges`: collect the pairs and run
+    *    union-find (path compression, smaller root wins so every root
+    *    IS its component's min id) on the driver — one pass, no
+    *    per-round shuffles. 5M edges ≈ 80 MB raw; the
+    *    result broadcasts back as a literal table. This is the normal
+    *    case even at 100 TB corpus scale when dup density is sane.
+    *  - otherwise: iterative min-label propagation as a batch driver
+    *    loop (T7, like kmeansRefine): each round every node takes the
+    *    min of its own and its neighbors' labels; converged when no
+    *    label changes. Rounds needed = component diameter — near-dup
+    *    clusters are shallow, so this converges in a handful of rounds
+    *    (adversarial graphs would want large-star/small-star
+    *    contraction, which bounds rounds at O(log n)). Each round is
+    *    one join + one agg on the persisted undirected edge list, and
+    *    each round's result is persisted so the next round plans
+    *    against the materialized table, not the whole loop's lineage.
+    *
+    * Both paths produce the identical (doc_id, min-id-of-component)
+    * labeling, so the gate is invisible to the oracle.
     */
-  def dedupGroups(documents: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = minhashPairs(documents).select(col("a"), col("b"))
-    val und = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = und
-        .join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, "node")
-        .select(col("node"), col("label"),
-          least(col("label"), col("nbr_min")).as("next_label"))
+  def dedupGroups(documents: DataFrame, maxRounds: Int = 20,
+                  maxDriverEdges: Long = 5000000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val edges = minhashPairs(documents).select(col("a"), col("b")).persist()
+    val nEdges = edges.count()
+    if (nEdges <= maxDriverEdges) {
+      val pairs = edges.as[(Long, Long)].collect()
+      edges.unpersist()
+      val parent = new scala.collection.mutable.LongMap[Long](pairs.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // roots carry the min id of their component already: unions always
+      // point the larger root at the smaller one, and node ids only ever
+      // join components they are members of.
+      val labeled = parent.keysIterator
+        .map(n => (n, find(n))).toSeq
+      labeled.toDF("doc_id", "group_id")
+    } else {
+      val und = edges
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
         .persist()
-      changed = next.filter(col("next_label") < col("label")).count()
-      val prev = labels
-      labels = next.select(col("node"), col("next_label").as("label"))
-      prev.unpersist()
-      round += 1
+      var labels = und.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).persist()
+      var round = 0
+      var changed = 1L
+      while (changed > 0 && round < maxRounds) {
+        val nbrMin = und
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = labels.join(nbrMin, "node")
+          .select(col("node"), col("label"),
+            least(col("label"), col("nbr_min")).as("next_label"))
+          .persist()
+        changed = next.filter(col("next_label") < col("label")).count()
+        val prev = labels
+        labels = next.select(col("node"), col("next_label").as("label"))
+        prev.unpersist()
+        round += 1
+      }
+      und.unpersist()
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("group_id"))
     }
-    und.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
   }
 
   /** Keeper selection — the decision that ends a fuzzy-dedup

@@ -82,6 +82,11 @@ class OperatorsSpec extends SparkSpec {
     group.groupBy(_._2).foreach { case (label, members) =>
       assert(members.keys.min == label)
     }
+    // the distributed min-label loop (edge gate forced off) produces the
+    // exact same labeling as the driver union-find
+    val looped = Dedup.dedupGroups(docs, maxDriverEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(looped == group)
   }
 
   test("int8 quantization bounds: |q| <= 127, reconstruction within scale/2") {
