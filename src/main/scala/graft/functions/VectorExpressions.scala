@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for the ANN hot path: sequential dot
   * product over two `array<double>` columns with whole-stage codegen.
@@ -157,6 +158,95 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All unordered pairs `struct(a, b)` with a before b from a SORTED
+  * array of bucket members — the in-bucket candidate explosion shared
+  * by the MinHash/SimHash/Jaccard dedup ops, as one generated nested
+  * loop per bucket row. Replaces a nested `transform(..., slice(...))`
+  * HOF pipeline: higher-order lambdas are interpreted (~10-20µs per
+  * element eval) and `slice` allocates a sub-array per element, so for
+  * a bucket of n members the HOF form pays n interpreted allocations
+  * where this pays one flat array write. Input order is preserved, so
+  * a sorted input yields each pair exactly once with a < b. Elements
+  * may be any type (the dedup ops use bare long ids and
+  * struct(doc_id, simhash) members); struct elements are copied out of
+  * the backing buffer before being re-packed.
+  */
+case class SortedArrayPairs(child: Expression) extends UnaryExpression {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType, nullable = false),
+      StructField("b", elemType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val et = elemType
+    val elems = new Array[Any](n)
+    var e = 0
+    while (e < n) {
+      elems(e) = xs.get(e, et) match {
+        case r: InternalRow => r.copy()
+        case o => o
+      }
+      e += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](elems(i), elems(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val elems = ctx.freshName("elems")
+      val rowCls = classOf[GenericInternalRow].getName
+      val arrCls = classOf[GenericArrayData].getName
+      val et = elemType
+      val raw = CodeGenerator.getValue(v, et, i)
+      // box primitives explicitly (Janino autoboxing is unreliable) and
+      // copy struct views out of the shared backing buffer
+      val boxed = et match {
+        case _: StructType => s"$raw.copy()"
+        case _ if CodeGenerator.isPrimitiveType(et) =>
+          s"${CodeGenerator.boxedType(et)}.valueOf($raw)"
+        case _ => raw
+      }
+      s"""
+         |int $n = $v.numElements();
+         |Object[] $elems = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $elems[$i] = $boxed;
+         |}
+         |Object[] $out = new Object[$n * ($n - 1) / 2];
+         |int $k = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |    $out[$k++] = new $rowCls(new Object[]{$elems[$i], $elems[$j]});
+         |  }
+         |}
+         |${ev.value} = new $arrCls($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -173,4 +263,8 @@ object VectorExpressions {
   /** Per-row 32-bit simhash of an array<long> of token hashes. */
   def simHash32(hashes: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(hashes)))
+
+  /** All a<b pairs from a sorted array<long> of bucket member ids. */
+  def sortedArrayPairs(ids: Column): Column =
+    ColumnBridge.column(SortedArrayPairs(ColumnBridge.expression(ids)))
 }

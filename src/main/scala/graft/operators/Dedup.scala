@@ -116,9 +116,7 @@ object Dedup extends graft.QueryModule {
     * uncapped pathological buckets must be enumerated exactly.
     */
   private[operators] def sortedPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("a"), y.as("b")))))
+    graft.functions.VectorExpressions.sortedArrayPairs(ids)
 
   /** LSH candidate pairs: split the k-element signature into `bands`
     * bands of k/bands rows, key each band by its joined slice, group
@@ -244,6 +242,12 @@ object Dedup extends graft.QueryModule {
     // collect_set dedups repeated (doc, shingle) occurrences inside
     // the bucket aggregation itself — one exchange on sh instead of a
     // full (doc_id, sh) distinct exchange followed by the group-by
+    // The distinct stays BEFORE the lookup joins even though measured
+    // cross-bucket duplication is only ~1.1×: its exchange is also the
+    // REBALANCE between the skewed pair explosion (hot buckets emit
+    // O(cap²) pairs in one task) and the per-pair jaccard walks.
+    // Deferring dedup to after the threshold filter fused explosion,
+    // joins, and jaccard into one skew-bound stage and ran ~2× slower.
     val cands = inv
       .groupBy(col("sh"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))

@@ -54,6 +54,39 @@ class OperatorsSpec extends SparkSpec {
     assert(j.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("codegen pair explosion matches the HOF formulation for long and struct elements") {
+    def hofPairs(ids: org.apache.spark.sql.Column) =
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("a"), y.as("b")))))
+    val longBuckets = spark.range(200)
+      .select((col("id") % 7).as("g"), col("id"))
+      .groupBy("g").agg(array_sort(collect_list(col("id"))).as("ids"))
+    val fromExpr = longBuckets.select(col("g"),
+        explode(graft.functions.VectorExpressions.sortedArrayPairs(col("ids"))).as("p"))
+      .select(col("g"), col("p.a"), col("p.b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val fromHof = longBuckets.select(col("g"), explode(hofPairs(col("ids"))).as("p"))
+      .select(col("g"), col("p.a"), col("p.b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromExpr == fromHof && fromExpr.size > 100)
+
+    val structBuckets = spark.range(60)
+      .select((col("id") % 5).as("g"), struct(col("id"), (col("id") * 3).as("v")).as("s"))
+      .groupBy("g").agg(array_sort(collect_list(col("s"))).as("ids"))
+    val sExpr = structBuckets.select(
+        explode(graft.functions.VectorExpressions.sortedArrayPairs(col("ids"))).as("p"))
+      .select(col("p.a.id"), col("p.a.v"), col("p.b.id"), col("p.b.v"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sHof = structBuckets.select(explode(hofPairs(col("ids"))).as("p"))
+      .select(col("p.a.id"), col("p.a.v"), col("p.b.id"), col("p.b.v"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sExpr == sHof && sExpr.size > 100)
+    sExpr.foreach { case (aid, av, bid, bv) =>
+      assert(av == aid * 3 && bv == bid * 3 && aid < bid)
+    }
+  }
+
   test("per-row SimHash32 expression equals the corpus bit-vote aggregate") {
     import graft.functions.Portable._
     val docs = Tables.documents(spark, sf)
