@@ -234,6 +234,66 @@ object TextOps extends graft.QueryModule {
         (sum(col("nw")).cast("double") / count(lit(1)))
           .as("mean_ws_tokens"))
 
+  /** Repetition quality signals (the Gopher-rule family): per-doc
+    * type-token ratio and the share of tokens claimed by the most
+    * frequent bigram — the two cheapest detectors of degenerate
+    * boilerplate/looped text. The per-doc constants (token count,
+    * distinct count) are computed map-side and ride the group keys, so
+    * the whole operator is explode → two partial-aggregated exchanges
+    * keyed by doc_id — no join, no window. At 100 TB the second
+    * exchange carries one row per (doc, distinct bigram), already
+    * combined map-side.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        explode(shingles(col("ws"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(max(col("c")).as("top2_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"),
+        (col("top2_cnt").cast("double") * lit(2.0) / col("n_tokens"))
+          .as("top2_share"))
+
+  /** Benchmark decontamination screen: for every training document,
+    * the number of distinct word n-grams it shares with ANY document
+    * of the held-out benchmark source — the standard eval-leakage
+    * check run before training. The benchmark n-gram index is tiny
+    * relative to the corpus (eval suites are small by construction),
+    * so it broadcasts under the same source-stats gate as the jaccard
+    * lookup and the training side never shuffles before its final
+    * per-doc count; grams travel as 60-bit hashes, never strings.
+    * Docs appear in the output iff they share at least one n-gram
+    * (inner join), with the doc's total gram count for a ratio.
+    */
+  def contamination(documents: DataFrame, benchSource: String = "src0",
+                    n: Int = 5,
+                    broadcastIndex: Option[Boolean] = None): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        array_distinct(shingles(words(col("text")), n)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("n_grams"), hash60(col("g")).as("gh"))
+    val benchDocs = documents.filter(col("source") === benchSource)
+    val bcast = broadcastIndex.getOrElse(
+      benchDocs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    val idx = grams(benchDocs).select(col("gh")).distinct()
+    grams(documents.filter(col("source") =!= benchSource))
+      .join(if (bcast) broadcast(idx) else idx, "gh")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams"))
+          .as("contam_ratio"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   private val bm25Terms = Seq("spark", "query", "fast")
@@ -253,7 +313,9 @@ object TextOps extends graft.QueryModule {
     "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms)),
     "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d))),
     "q50_langid_eval" -> ((s, d) => languageIdEval(Tables.documents(s, d))),
-    "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d)))
+    "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
+    "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d)))
   )
 
   private def sqlArr(xs: Seq[String]) =
@@ -372,6 +434,44 @@ object TextOps extends graft.QueryModule {
       SELECT lang, $caseExpr AS predicted, count(*) AS n
       FROM s GROUP BY 1, 2"""
     },
+    "q54_repetition" -> """
+      WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, len(ws) AS n_tokens, len(list_distinct(ws)) AS n_distinct,
+               CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(ws) - 1),
+                           i -> array_to_string(list_slice(ws, i, i + 1), ' ')) END AS gs
+        FROM t),
+      g AS (SELECT doc_id, n_tokens, n_distinct, unnest(gs) AS g FROM s),
+      c AS (SELECT doc_id, n_tokens, n_distinct, g, count(*) AS c
+            FROM g GROUP BY 1, 2, 3, 4)
+      SELECT doc_id, n_tokens,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+             CAST(max(c) AS DOUBLE) * 2.0 / n_tokens AS top2_share
+      FROM c GROUP BY doc_id, n_tokens, n_distinct""",
+    "q55_contamination" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               list_distinct(CASE WHEN len(ws) < 5 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(ws) - 4),
+                           i -> array_to_string(list_slice(ws, i, i + 4), ' ')) END) AS gs
+        FROM t),
+      h AS (SELECT doc_id, source, len(gs) AS n_grams,
+                   ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+            FROM s),
+      b AS (SELECT DISTINCT gh FROM h WHERE source = 'src0')
+      SELECT doc_id, n_grams, count(*) AS n_shared,
+             CAST(count(*) AS DOUBLE) / n_grams AS contam_ratio
+      FROM h JOIN b USING (gh)
+      WHERE source <> 'src0'
+      GROUP BY doc_id, n_grams""",
     "q51_sample_strata" -> {
       val rateExpr = sampleRates.map { case (l, p) =>
         s"WHEN lang = '$l' THEN $p"

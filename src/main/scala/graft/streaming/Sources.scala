@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Source wrappers (SURVEY.md §2.1). Streaming tests drive these with
   * MemoryStream; production wiring is file/kafka/rate.
@@ -56,6 +56,44 @@ object Sources {
             lit("error")),
           (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
         (pmod(col("value") * 37, lit(1000)) / lit(10.0)).as("value"))
+
+  /** S8: JSON document stream — the reference's Twitter source
+    * (`json/TwitterJson.java:36-48`) modeled as a schema'd JSON-lines
+    * source: an external feed becomes a file/socket/Kafka stream of
+    * one JSON object per line. Explicit schema (no inference on a
+    * stream), malformed lines dropped by the `id` null filter rather
+    * than failing the query.
+    */
+  val jsonDocSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("user", StringType),
+    StructField("lang", StringType), StructField("text", StringType),
+    StructField("created_ms", LongType)))
+
+  def jsonDocs(spark: SparkSession, path: String,
+               isStream: Boolean = false): DataFrame = {
+    val df = if (isStream) spark.readStream.schema(jsonDocSchema).json(path)
+             else spark.read.schema(jsonDocSchema).json(path)
+    df.filter(col("id").isNotNull)
+  }
+
+  /** Same decode for string payloads already on a stream (socket or
+    * Kafka value column) — the shape the reference's source actually
+    * delivers. */
+  def jsonDocsFromStrings(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    lines
+      .select(from_json(col(valueCol), jsonDocSchema).as("d"))
+      .select(col("d.*"))
+      .filter(col("id").isNotNull)
+
+  /** The canned-fallback documents the reference ships for
+    * credential-less runs (`json/util/TwitterExampleData.java:5-8`),
+    * re-authored: three docs, two languages, one malformed line to
+    * exercise the drop path. */
+  val sampleJsonDocs: Seq[String] = Seq(
+    """{"id": 1, "user": "ada", "lang": "en", "text": "distributed queries finish fast", "created_ms": 1000}""",
+    """{"id": 2, "user": "bo", "lang": "de", "text": "verteilte abfragen laufen schnell", "created_ms": 2000}""",
+    """{"id": 3, "user": "cy", "lang": "en", "text": "windows close when watermarks pass", "created_ms": 3000}""",
+    """not json at all""")
 
   /** S5 payload decode: little-endian int32 at byte `offset` of a
     * binary column — the reference's custom binary serde

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative streaming aggregations (SURVEY.md §2.4 A1/A2/A4/A7,
@@ -100,6 +100,27 @@ object StreamAggs {
     dedupWithinWatermark(docs.withColumn("__simhash", sim), ts,
       watermarkDelay, "__simhash")
       .drop("__simhash")
+  }
+
+  /** W12: idle-source tolerance — the Spark counterpart of Flink's
+    * `withIdleness` (`windowing/Flink Window.md` §2.4). Flink marks a
+    * stalled source idle per-source; Spark's switch is per-query:
+    * `multipleWatermarkPolicy=max` lets the most advanced source drive
+    * the combined watermark, so an idle source stops holding back
+    * window finalization. The trade (identical to Flink's): rows the
+    * idle source later emits below the advanced watermark are late and
+    * get dropped. Must be set before the query STARTS — the policy is
+    * read once at query start, not per batch.
+    */
+  def withIdleSourceTolerance[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "max")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** J2: interval join (`join/IntervalJoin.java:40-54`):

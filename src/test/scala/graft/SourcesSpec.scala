@@ -82,4 +82,30 @@ class SourcesSpec extends SparkSpec {
       (561558L, 3611281L, 965809, "fav", 1511658001L),
       (662867L, 2244074L, 1575622, "pv", 1511658000L)))
   }
+
+  test("json doc source parses the canned docs and drops malformed lines (S8)") {
+    // batch path: file dir of JSON lines
+    val dir = Files.createTempDirectory("s8_json")
+    Files.write(dir.resolve("docs.json"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(Sources.sampleJsonDocs).asJava)
+    val batch = Sources.jsonDocs(spark, dir.toString)
+      .select("id", "lang").as[(Long, String)].collect().sortBy(_._1)
+    assert(batch.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en")))
+
+    // stream path: string payloads (socket/Kafka value shape) decoded
+    // per micro-batch, aggregated by language like the reference demo
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Sources.jsonDocsFromStrings(in.toDF())
+      .groupBy(col("lang")).count()
+      .writeStream.format("memory").queryName("s8_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(Sources.sampleJsonDocs: _*)
+      q.processAllAvailable()
+      val counts = spark.table("s8_out")
+        .as[(String, Long)].collect().toMap
+      assert(counts == Map("en" -> 2L, "de" -> 1L))
+    } finally q.stop()
+  }
 }

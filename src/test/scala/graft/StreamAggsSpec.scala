@@ -103,6 +103,36 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle-source tolerance: max watermark policy unblocks the window (W12)") {
+    // counterpart of the min-policy test above: with
+    // withIdleSourceTolerance the advanced source drives the combined
+    // watermark, so the idle source no longer holds window emission
+    implicit val sqlCtx = spark.sqlContext
+    val fast = MemoryStream[(Long, String)]
+    val idle = MemoryStream[(Long, String)]
+    def prep(in: MemoryStream[(Long, String)]) =
+      in.toDF().toDF("ts_ms", "k")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+    StreamAggs.withIdleSourceTolerance(spark) {
+      val q = prep(fast).union(prep(idle))
+        .groupBy(window(col("ts"), "10 seconds"), col("k"))
+        .count()
+        .writeStream.format("memory").queryName("wm_max_out")
+        .outputMode("append").start()
+      try {
+        fast.addData((1000L, "x"), (30000L, "x"))
+        q.processAllAvailable()
+        q.processAllAvailable()
+        // idle stream never produced: max policy emits [0,10s) anyway
+        assert(spark.table("wm_max_out").count() >= 1)
+      } finally q.stop()
+    }
+    // restored to the session default (min) after the block
+    assert(spark.conf.get(
+      "spark.sql.streaming.multipleWatermarkPolicy") == "min")
+  }
+
   test("interval join matches the reference's orange/green semantics") {
     // IntervalJoin.java:23-38: orange.ts - 2s <= green.ts <= orange.ts + 1s
     val base = 1599534710000L
