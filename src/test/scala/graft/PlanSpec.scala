@@ -139,6 +139,16 @@ class PlanSpec extends SparkSpec {
     val keepPlan = planOf(Dedup.dedupKeepers(Tables.documents(spark, sf)))
     assert(!keepPlan.contains("Window"), s"rank window crept in:\n$keepPlan")
     assert(keepPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$keepPlan")
+    // repetition signals: two doc-keyed exchanges, no join
+    val repPlan = planOf(TextOps.repetitionSignals(Tables.documents(spark, sf)))
+    assert(exchanges(TextOps.repetitionSignals(Tables.documents(spark, sf))) == 2)
+    assert(!repPlan.contains("Join"), s"join crept in:\n$repPlan")
+    // contamination: benchmark index broadcast; training side only
+    // shuffles once, for its final per-doc count
+    val conPlan = planOf(TextOps.contamination(Tables.documents(spark, sf)))
+    assert(conPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$conPlan")
+    assert(exchanges(TextOps.contamination(Tables.documents(spark, sf))) == 2,
+      s"expected bench-distinct + per-doc count exchanges only:\n$conPlan")
   }
 
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {

@@ -103,6 +103,39 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("allowedLateness approximation: widened watermark re-fires in update mode (W13)") {
+    // Flink: a window fires at the watermark and allowedLateness=L
+    // keeps its state live, re-firing per late row until end+L. Spark
+    // analog: set the WATERMARK DELAY to L and run in update mode —
+    // the window emits early results as data arrives, re-emits
+    // refreshed counts for late rows while end+L is above the
+    // watermark, and drops later rows, exactly Flink's final-drop.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamAggs.windowedCounts(
+        in.toDF().toDF("ts_ms", "k"),
+        timestamp_millis(col("ts_ms")), col("k"),
+        "10 seconds", "10 seconds", "20 seconds")
+      .writeStream.format("memory").queryName("lateness_out")
+      .outputMode("update").start()
+    def emitted: Seq[Long] = spark.table("lateness_out")
+      .filter(col("w_start") === timestamp_millis(lit(0)))
+      .select("cnt").as[Long].collect().toSeq
+    try {
+      in.addData((1000L, "x"), (12000L, "x"))
+      q.processAllAvailable()
+      assert(emitted == Seq(1L)) // on-time firing of [0,10s)
+      in.addData((2000L, "x"))   // late, within the 20s budget
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq(1L, 2L)) // re-fired with the late row
+      in.addData((40000L, "x")) // watermark → 20s: [0,10s)+20s expires
+      q.processAllAvailable()
+      in.addData((3000L, "x"))  // beyond lateness → dropped
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq(1L, 2L), "expired window re-fired")
+    } finally q.stop()
+  }
+
   test("idle-source tolerance: max watermark policy unblocks the window (W12)") {
     // counterpart of the min-policy test above: with
     // withIdleSourceTolerance the advanced source drives the combined
