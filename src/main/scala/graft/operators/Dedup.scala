@@ -139,7 +139,12 @@ object Dedup extends graft.QueryModule {
       // would otherwise concentrate O(n²) pairs in one task. A dropped
       // bucket just doesn't count toward n_shared_bands.
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      // outer explode: a plain explode gets an inferred size()>0
+      // filter that evaluates the pair expression twice more per
+      // bucket, interpreted; the bucket-size filter above already
+      // guarantees non-empty pair arrays
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -191,7 +196,8 @@ object Dedup extends graft.QueryModule {
         .as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(col("band_idx"),
-        explode(sortedPairs(col("ids"))).as("p"))
+        explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("band_idx"), col("p.a.doc_id").as("a"),
         col("p.b.doc_id").as("b"),
         col("p.a.simhash").bitwiseXOR(col("p.b.simhash")).as("x"))
@@ -252,7 +258,8 @@ object Dedup extends graft.QueryModule {
       .groupBy(col("sh"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleFreq))
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     // broadcast the doc→wset lookups while the corpus is small enough
     // that the candidate pairs (the big, skew-prone side) should never

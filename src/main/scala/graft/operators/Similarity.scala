@@ -376,9 +376,52 @@ object Similarity extends graft.QueryModule {
       .select(col("vec_id"), col("scale"),
         (col("pos") + 1).cast("long").as("dim"), col("qval"))
 
+  /** Per-label embedding outliers — the mislabeled-example screen a
+    * training pipeline runs over (embedding, label) pairs: each label's
+    * centroid is the exact element-wise mean of its members, and the
+    * `k` members with the LOWEST cosine to their own centroid are
+    * flagged. Centroid sums use the kmeans integerization (floor at
+    * scale 2^52 into DECIMAL(38,0)) so the mean is identical across
+    * engines; the centroid table is #labels rows, so it broadcasts and
+    * the corpus is scanned twice but never shuffled — the only
+    * exchanges are the label-keyed sums and the bounded per-label
+    * bottom-k (≤k per task per label via the TopK aggregator, fed the
+    * negated cosine; no rank window over every member).
+    */
+  def labelOutliers(embeddings: DataFrame, k: Int = 5,
+                    dims: Int = 64): DataFrame = {
+    val pow52 = 4503599627370496.0 // 2^52
+    val base = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("emb"))
+    val sums = base
+      .select(Seq(col("label")) ++ (0 until dims).map(i =>
+        floor(element_at(col("emb"), i + 1) * pow52)
+          .cast("decimal(38,0)").as(s"v$i")): _*)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+    val cents = sums.select(col("label"),
+      array((0 until dims).map(i =>
+        (col(s"s$i").cast("double") / pow52) / col("n")): _*).as("c_emb"))
+    base.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (dot(col("emb"), col("c_emb")) /
+          (norm(col("emb")) * norm(col("c_emb")))).as("sim"))
+      .groupBy(col("label"))
+      // bottom-k by cosine = topK on the negated score; -(-x) == x
+      // bit-exact, so the emitted sim is the original double
+      .agg(graft.functions.Aggregators.topK(k)(
+        negate(col("sim")), col("vec_id")).as("tk"))
+      .select(col("label"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("label"), col("s.id").as("vec_id"),
+        negate(col("s.sim")).as("centroid_sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_label_outliers" -> ((s, d) => labelOutliers(Tables.embeddings(s, d))),
     "q52_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "q49_knn_classify" -> ((s, d) => knnClassify(Tables.embeddings(s, d), 16, 5)),
     "q30_knn_cosine" -> ((s, d) => knnBruteForce(Tables.embeddings(s, d), 16, 5)),
@@ -474,6 +517,29 @@ object Similarity extends graft.QueryModule {
         FROM m$n GROUP BY centroid)"""
 
   def oracle: Map[String, String] = Map(
+    "q56_label_outliers" -> s"""
+      WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      sums AS (
+        SELECT label, dim,
+               (CAST(sum(CAST(floor(emb[dim] * 4503599627370496.0)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+                 / 4503599627370496.0) / count(*) AS mean
+        FROM base CROSS JOIN dims GROUP BY label, dim),
+      cents AS (
+        SELECT label, list(mean ORDER BY dim) AS c_emb
+        FROM sums GROUP BY label),
+      scored AS (
+        SELECT b.label, vec_id,
+               ${cosSql("b.emb", "c.c_emb")} AS centroid_sim
+        FROM base b JOIN cents c ON b.label = c.label)
+      SELECT label, vec_id, centroid_sim, rn FROM (
+        SELECT label, vec_id, centroid_sim,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY centroid_sim ASC, vec_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 5""",
     "q34_kmeans_refine" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
