@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the ANN hot path: sequential dot
   * product over two `array<double>` columns with whole-stage codegen.
@@ -247,6 +248,67 @@ case class SortedArrayPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Highest multiplicity of any value in an `array<string>` — the
+  * per-row mode count, used by the repetition-quality signals to find
+  * the dominant n-gram of each document without exploding the corpus
+  * into a (doc, gram) aggregation. One generated call per row: copy
+  * the element references, sort (binary UTF8 order — any total order
+  * works for run-counting), and take the longest equal-neighbor run.
+  * Exact string semantics, so the oracle counts the same multiset.
+  * Null elements are ignored; empty/all-null arrays yield 0.
+  */
+case class MaxStringMultiplicity(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val arr = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) arr.add(xs.getUTF8String(i))
+      i += 1
+    }
+    java.util.Collections.sort(arr)
+    var best = 0L; var run = 0L; var j = 0
+    while (j < arr.size()) {
+      if (j > 0 && arr.get(j).equals(arr.get(j - 1))) run += 1 else run = 1
+      if (run > best) best = run
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val best = ctx.freshName("best"); val run = ctx.freshName("run")
+      val m = ctx.freshName("m")
+      val u8 = classOf[UTF8String].getName
+      s"""
+         |int $n = $v.numElements();
+         |java.util.ArrayList<$u8> $arr = new java.util.ArrayList<$u8>($n);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) $arr.add($v.getUTF8String($i));
+         |}
+         |java.util.Collections.sort($arr);
+         |long $best = 0L; long $run = 0L;
+         |int $m = $arr.size();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($j > 0 && $arr.get($j).equals($arr.get($j - 1))) $run += 1L;
+         |  else $run = 1L;
+         |  if ($run > $best) $best = $run;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -267,4 +329,8 @@ object VectorExpressions {
   /** All a<b pairs from a sorted array<long> of bucket member ids. */
   def sortedArrayPairs(ids: Column): Column =
     ColumnBridge.column(SortedArrayPairs(ColumnBridge.expression(ids)))
+
+  /** Highest multiplicity of any value in an array<string>. */
+  def maxStringMultiplicity(xs: Column): Column =
+    ColumnBridge.column(MaxStringMultiplicity(ColumnBridge.expression(xs)))
 }

@@ -237,27 +237,26 @@ object TextOps extends graft.QueryModule {
   /** Repetition quality signals (the Gopher-rule family): per-doc
     * type-token ratio and the share of tokens claimed by the most
     * frequent bigram — the two cheapest detectors of degenerate
-    * boilerplate/looped text. The per-doc constants (token count,
-    * distinct count) are computed map-side and ride the group keys, so
-    * the whole operator is explode → two partial-aggregated exchanges
-    * keyed by doc_id — no join, no window. At 100 TB the second
-    * exchange carries one row per (doc, distinct bigram), already
-    * combined map-side.
+    * boilerplate/looped text. MAP-ONLY: the dominant-bigram count is
+    * the per-row mode of the shingle array, computed by one generated
+    * sort + run-length pass (`MaxStringMultiplicity`) instead of
+    * exploding the corpus into a (doc, bigram) aggregation — at
+    * 100 TB this fuses into the scan and shuffles nothing. Exact
+    * string semantics, identical to the exploded count formulation.
+    * Documents with fewer than 2 tokens have no bigram and drop out
+    * (mirrored by the oracle's gram inner-unnest).
     */
   def repetitionSignals(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), words(col("text")).as("ws"))
+      // the <2-token guard goes on the CHEAP size condition here; a
+      // filter on the top2_cnt alias would push the whole mode
+      // expression into an interpreted Filter below the projection
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), size(col("ws")).as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_distinct"),
-        // outer + null filter: see contamination() — a plain explode
-        // gets an inferred size()>0 filter that re-runs the bigram
-        // pipeline interpreted, twice per row
-        explode_outer(shingles(col("ws"), 2)).as("g"))
-      .filter(col("g").isNotNull)
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(max(col("c")).as("top2_cnt"))
+        graft.functions.VectorExpressions
+          .maxStringMultiplicity(shingles(col("ws"), 2)).as("top2_cnt"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_distinct").cast("double") / col("n_tokens"))
           .as("distinct_ratio"),

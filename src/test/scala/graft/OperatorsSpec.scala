@@ -87,6 +87,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("per-row mode expression equals the exploded bigram count aggregate") {
+    import graft.functions.Portable._
+    val docs = Tables.documents(spark, sf)
+    val viaExpr = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .maxStringMultiplicity(shingles(col("ws"), 2)).as("m"))
+      .filter(col("m") > 0)
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode_outer(shingles(col("ws"), 2)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max(col("count")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaAgg)
+  }
+
   test("per-row SimHash32 expression equals the corpus bit-vote aggregate") {
     import graft.functions.Portable._
     val docs = Tables.documents(spark, sf)

@@ -139,9 +139,10 @@ class PlanSpec extends SparkSpec {
     val keepPlan = planOf(Dedup.dedupKeepers(Tables.documents(spark, sf)))
     assert(!keepPlan.contains("Window"), s"rank window crept in:\n$keepPlan")
     assert(keepPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$keepPlan")
-    // repetition signals: two doc-keyed exchanges, no join
+    // repetition signals: map-only — the per-row mode expression
+    // replaces the (doc, bigram) aggregation entirely
     val repPlan = planOf(TextOps.repetitionSignals(Tables.documents(spark, sf)))
-    assert(exchanges(TextOps.repetitionSignals(Tables.documents(spark, sf))) == 2)
+    assert(exchanges(TextOps.repetitionSignals(Tables.documents(spark, sf))) == 0)
     assert(!repPlan.contains("Join"), s"join crept in:\n$repPlan")
     // contamination: benchmark index broadcast; training side only
     // shuffles once, for its final per-doc count
