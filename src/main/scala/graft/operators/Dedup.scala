@@ -78,7 +78,8 @@ object Dedup extends graft.QueryModule {
     // would re-run the regex split per element_at reference
     val exploded = documents
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
+      .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("s"))
+      .filter(col("s").isNotNull)
       .select(col("doc_id"), hash32(col("s")).as("h"))
     val mins = (0 until k).map(i =>
       min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i"))
@@ -157,7 +158,8 @@ object Dedup extends graft.QueryModule {
     */
   def simhash(documents: DataFrame): DataFrame = {
     val perToken = documents
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
       .select(col("doc_id"), hash32(col("w")).as("h"))
     val votes = (0 until 32).map { j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L))
@@ -243,7 +245,8 @@ object Dedup extends graft.QueryModule {
     // collision, vs ~2¹⁶ for a 32-bit key.
     val inv = documents
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+      .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .select(col("doc_id"), hash60(col("shingle")).as("sh"))
     // collect_set dedups repeated (doc, shingle) occurrences inside
     // the bucket aggregation itself — one exchange on sh instead of a

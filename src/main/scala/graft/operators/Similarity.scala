@@ -142,7 +142,8 @@ object Similarity extends graft.QueryModule {
       .groupBy(col("bucket"))
       .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(Dedup.sortedPairs(col("ids"))).as("p"))
+      .select(explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val base = embeddings.select(col("vec_id"),
         asDouble(col("embedding")).as("emb"))

@@ -22,7 +22,10 @@ object TextOps extends graft.QueryModule {
   /** Classic wordcount: token frequencies across the corpus. */
   def wordCount(documents: DataFrame): DataFrame =
     documents
-      .select(explode(tokens(col("text"))).as("word"))
+      // outer + null filter: a plain explode gets an inferred
+      // size()>0 filter evaluating the tokenizer twice more per row
+      .select(explode_outer(tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 

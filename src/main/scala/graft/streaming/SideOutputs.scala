@@ -56,8 +56,8 @@ object SideOutputs {
     */
   def taggedTokens(lines: DataFrame, maxLen: Int = 5): DataFrame =
     tagged(
-      lines.select(explode(graft.operators.TextOps.tokens(col("value")))
-        .as("token")),
+      lines.select(explode_outer(graft.operators.TextOps.tokens(col("value")))
+        .as("token")).filter(col("token").isNotNull),
       Seq("rejected" -> (length(col("token")) > maxLen)))
 
   /** Main-channel word counts (the reference's windowed `sum(1)`

@@ -21,7 +21,8 @@ object StreamAggs {
 
   /** P1+A1 composed: the full WordCount pipeline over a text column. */
   def wordCounts(lines: DataFrame, text: Column): DataFrame =
-    lines.select(explode(graft.operators.TextOps.tokens(text)).as("word"))
+    lines.select(explode_outer(graft.operators.TextOps.tokens(text)).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** W1/W2 + W8/W9: watermarked tumbling/sliding window counts.
