@@ -353,6 +353,10 @@ object Dedup extends graft.QueryModule {
         .persist()
       var labels = und.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")).persist()
+      // `labels` becomes a Project over the persisted frame from round 2
+      // on; unpersisting the projection is a no-op (non-cascading cache
+      // lookup misses), so track the actually-persisted frame separately
+      var cached = labels
       var round = 0
       var changed = 1L
       while (changed > 0 && round < maxRounds) {
@@ -365,30 +369,56 @@ object Dedup extends graft.QueryModule {
             least(col("label"), col("nbr_min")).as("next_label"))
           .persist()
         changed = next.filter(col("next_label") < col("label")).count()
-        val prev = labels
+        cached.unpersist()
+        cached = next
         labels = next.select(col("node"), col("next_label").as("label"))
-        prev.unpersist()
         round += 1
       }
+      if (changed > 0) {
+        cached.unpersist(); und.unpersist(); edges.unpersist()
+        // silent truncation would return labels that differ from the
+        // transitive closure with nothing flagging it — refuse instead
+        throw new IllegalStateException(
+          s"dedupGroups: min-label propagation did not converge in " +
+          s"$maxRounds rounds ($changed labels still changing) — raise " +
+          "maxRounds (rounds needed = component diameter)")
+      }
+      // break lineage off the cached loop frames before releasing them:
+      // the result must not recompute `maxRounds` joins on first use
+      val out = labels
+        .select(col("node").as("doc_id"), col("label").as("group_id"))
+        .localCheckpoint(true)
+      cached.unpersist()
       und.unpersist()
       edges.unpersist()
-      labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+      out
     }
   }
 
   /** Keeper selection — the decision that ends a fuzzy-dedup
     * pipeline: per near-dup group, keep the longest document (token
     * count as the quality signal, ties to the smallest id) and report
-    * group size. The group table is tiny relative to the corpus (only
-    * docs that paired), so it broadcasts against the per-doc quality
-    * projection; the keeper pick is one max-struct aggregate, no rank
+    * group size. The keeper pick is one max-struct aggregate, no rank
     * window.
+    *
+    * At sane dup density the group table is tiny relative to the
+    * corpus (only docs that paired) and broadcasts against the per-doc
+    * quality projection — but at crawl-scale 30–50% duplication it is
+    * corpus-ordered and would hit the 8 GB broadcast ceiling, so the
+    * broadcast is size-gated on the source-scan stats exactly like
+    * ngramJaccardPairs' lookup, with a shuffled join as the fallback
+    * (override with `broadcastGroups`).
     */
-  def dedupKeepers(documents: DataFrame): DataFrame = {
+  def dedupKeepers(documents: DataFrame,
+                   broadcastGroups: Option[Boolean] = None): DataFrame = {
     val quality = documents
       .select(col("doc_id"),
         size(graft.functions.Portable.words(col("text"))).as("n_tokens"))
-    quality.join(broadcast(dedupGroups(documents)), "doc_id")
+    val groups = dedupGroups(documents)
+    val bcast = broadcastGroups.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        MaxBroadcastSourceBytes)
+    quality.join(if (bcast) broadcast(groups) else groups, "doc_id")
       .groupBy(col("group_id"))
       .agg(
         max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("m"),

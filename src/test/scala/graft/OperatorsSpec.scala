@@ -139,6 +139,18 @@ class OperatorsSpec extends SparkSpec {
     val looped = Dedup.dedupGroups(docs, maxDriverEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(looped == group)
+    // ...and releases every frame it persisted along the way (the loop
+    // caches one frame per round; only the lineage-broken result and
+    // the corpus table itself may stay)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupGroups left frames in the SQL cache")
+    // the loop refuses to return silently-unconverged labels
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupGroups(docs, maxRounds = 1, maxDriverEdges = -1L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unconverged exit left frames in the SQL cache")
   }
 
   test("int8 quantization bounds: |q| <= 127, reconstruction within scale/2") {

@@ -124,6 +124,29 @@ class PlanSpec extends SparkSpec {
       broadcastLookup = Some(true))))
   }
 
+  test("keeper-selection group broadcast is size-gated with a shuffled-join fallback") {
+    val docs = Tables.documents(spark, sf)
+    // forced fallback (what the gate picks past MaxBroadcastSourceBytes):
+    // no broadcast hint on the group table; with auto-broadcast off (to
+    // mimic at-scale stats) the quality⋈groups join must go shuffled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fbPlan = planOf(
+          Dedup.dedupKeepers(docs, broadcastGroups = Some(false)))
+        .split("== Initial Plan ==")(0)
+      assert(!fbPlan.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n$fbPlan")
+      assert(fbPlan.contains("SortMergeJoin") ||
+        fbPlan.contains("ShuffledHashJoin"), s"no shuffled join:\n$fbPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // both paths pick the same keepers
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(Dedup.dedupKeepers(docs, broadcastGroups = Some(false))) ==
+      rows(Dedup.dedupKeepers(docs, broadcastGroups = Some(true))))
+  }
+
   test("round-4 pipeline queries keep their scale shapes") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
       val plan = planOf(df).split("== Initial Plan ==")(0)
