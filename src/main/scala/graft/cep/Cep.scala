@@ -68,11 +68,20 @@ object Cep {
     * matched so far (so DOWN can test price < last price).
     * `entryPred`, when set, additionally sees which step consumed each
     * prior event — required for SQL MATCH_RECOGNIZE navigation
-    * (`LAST(VAR.col, 1)` resolves against VAR's rows only). */
+    * (`LAST(VAR.col, 1)` resolves against VAR's rows only).
+    *
+    * `optional` marks a step that may be skipped entirely
+    * (MATCH_RECOGNIZE `B?` / the expanded tail of `B{n,m}`); combined
+    * with `oneOrMore` it expresses `B*`. `altWithPrev` folds this step
+    * into the previous step's pattern POSITION as an alternative
+    * (`(B|C)`): at that position the NFA tries every alternative,
+    * preferring the leftmost (SQL alternation preference). */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
-                     entryPred: Option[(T, Vector[(Int, T)]) => Boolean] = None) {
+                     entryPred: Option[(T, Vector[(Int, T)]) => Boolean] = None,
+                     optional: Boolean = false,
+                     altWithPrev: Boolean = false) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -140,10 +149,41 @@ object Cep {
   final class Nfa[T](val spec: PatternSpec[T], tsOf: T => Long)
       extends Serializable {
     private val steps = spec.steps
-    /** Any Greedy/Reluctant loop step → ties branch both ways and
-      * completions go through the pending/priority machinery. */
+
+    /** Pattern POSITIONS: consecutive `altWithPrev` steps share one
+      * position (alternation); the automaton advances position to
+      * position, trying every alternative step of the target. */
+    private val posOf: Array[Int] = {
+      val a = new Array[Int](steps.length)
+      var p = -1
+      var i = 0
+      while (i < steps.length) {
+        if (i == 0 || !steps(i).altWithPrev) p += 1
+        a(i) = p; i += 1
+      }
+      a
+    }
+    private val nPos = if (steps.isEmpty) 0 else posOf(steps.length - 1) + 1
+    private val posSteps: Array[Array[Int]] =
+      Array.tabulate(nPos)(p => steps.indices.filter(posOf(_) == p).toArray)
+    private val posOptional: Array[Boolean] =
+      Array.tabulate(nPos)(p => posSteps(p).forall(i => steps(i).optional))
+    /** allOptFrom(p) = every position >= p is optional; a partial
+      * standing at position q is a COMPLETE match iff allOptFrom(q+1). */
+    private val allOptFrom: Array[Boolean] = {
+      val a = new Array[Boolean](nPos + 1)
+      a(nPos) = true
+      var p = nPos - 1
+      while (p >= 0) { a(p) = a(p + 1) && posOptional(p); p -= 1 }
+      a
+    }
+
+    /** Any Greedy/Reluctant loop step, optional step, or alternation →
+      * ties branch multiple ways and completions go through the
+      * pending/priority machinery. */
     private val needsBacktrack =
-      steps.exists(s => s.oneOrMore && s.quant != AllMatches)
+      steps.exists(s => s.oneOrMore && s.quant != AllMatches) ||
+        steps.exists(_.optional) || posSteps.exists(_.length > 1)
 
     /** Lexicographic order on priority vectors; a proper prefix sorts
       * before its extensions (the un-branched ancestor could still
@@ -172,55 +212,96 @@ object Cep {
         if (spec.withinMs.exists(w => ts - p.startTs > w)) {
           if (!p.matched) expired += p
         } else {
-          val cur = steps(p.stepIdx)
-          val nextIdx = p.stepIdx + 1
-          val last = steps.length - 1
+          val s = p.stepIdx
+          val cur = steps(s)
+          val curPos = posOf(s)
           val loopPoss = cur.oneOrMore && cur.hit(e, p.entries)
-          val advPoss = nextIdx < steps.length &&
-            steps(nextIdx).hit(e, p.entries)
-          // Greedy/Reluctant tie: branch BOTH ways, tagging each side
-          // with its preference rank — backtracking via priorities.
-          val tie = loopPoss && advPoss && cur.quant != AllMatches
-          val (loopRank, advRank) =
-            if (!tie) (None, None)
-            else if (cur.quant == Greedy) (Some(0), Some(1))
-            else (Some(1), Some(0))
-          if (loopPoss) {
-            val isFinal = p.stepIdx == last
-            val pr = p.prio ++ loopRank
-            val ext = Partial(p.entries :+ (p.stepIdx, e), p.startTs,
-              p.matched || isFinal, p.origin, pr)
-            live += ext
-            if (isFinal) completed += Pending(p.origin, pr, ext.entries)
+          // advance targets: every alternative of the next position,
+          // plus — while positions are optional — of the ones after it
+          val advT = Vector.newBuilder[Int]
+          var q = curPos + 1
+          var scan = true
+          while (q < nPos && scan) {
+            for (j <- posSteps(q)) if (steps(j).hit(e, p.entries)) advT += j
+            scan = posOptional(q); q += 1
           }
-          if (advPoss) {
-            val pr = p.prio ++ advRank
-            if (nextIdx == last) {
-              val adv = Partial(p.entries :+ (nextIdx, e), p.startTs,
-                matched = true, p.origin, pr)
-              completed += Pending(p.origin, pr, adv.entries)
-              if (steps(nextIdx).oneOrMore) live += adv // B+ can extend
-            } else live += Partial(p.entries :+ (nextIdx, e), p.startTs,
-              p.matched, p.origin, pr)
+          val adv = advT.result()
+          val anyFired = loopPoss || adv.nonEmpty
+          // preference order: loop before advance (greedy) or after
+          // (reluctant); advance targets by position then alternative
+          // order (consume optionals, leftmost alternative first)
+          val ordered: Vector[(Int, Boolean)] =
+            if (!loopPoss) adv.map((_, false))
+            else if (cur.quant == Reluctant) adv.map((_, false)) :+ ((s, true))
+            else ((s, true)) +: adv.map((_, false))
+          // branch arbitration via priorities — except the classic
+          // AllMatches loop/advance tie, which branches unranked and
+          // reports every loop length (FlinkCEP-style)
+          val ranked = ordered.size > 1 &&
+            !(loopPoss && adv.size == 1 && cur.quant == AllMatches)
+          var r = 0
+          for ((j, _) <- ordered) {
+            val pr = if (ranked) p.prio :+ r else p.prio
+            val newEntries = p.entries :+ (j, e)
+            val jPos = posOf(j)
+            val isFinal = allOptFrom(jPos + 1)
+            val extendable = steps(j).oneOrMore || jPos < nPos - 1
+            if (isFinal) {
+              completed += Pending(p.origin, pr, newEntries)
+              if (extendable) // a B+/B* tail (or optional suffix) extends
+                live += Partial(newEntries, p.startTs, matched = true,
+                  p.origin, pr)
+            } else live += Partial(newEntries, p.startTs, p.matched,
+              p.origin, pr)
+            r += 1
           }
           // does the un-extended partial survive this event?
           val survives =
-            (if (nextIdx < steps.length) steps(nextIdx).contiguity
+            (if (curPos + 1 < nPos) steps(posSteps(curPos + 1)(0)).contiguity
              else FollowedBy) match {
               case Next          => false              // strict: no skipping
-              case FollowedBy    => !advPoss && !loopPoss // greedy consumption
+              case FollowedBy    => !anyFired          // greedy consumption
               case FollowedByAny => true               // branch on every match
             }
           if (survives) live += p
         }
       }
-      // every event matching step 0 starts a new partial
-      if (steps(0).hit(e, Vector.empty)) {
-        val p0 = Partial(Vector((0, e)), ts, matched = false, nextOrigin)
-        nextOrigin += 1
-        if (steps.length == 1) completed += Pending(p0.origin, Vector.empty,
-          p0.entries)
-        else live += p0
+      // every event matching an admissible START step (the first
+      // position, plus later positions while the leading ones are
+      // optional) opens a new attempt
+      locally {
+        val startT = Vector.newBuilder[Int]
+        var q = 0
+        var scan = true
+        while (q < nPos && scan) {
+          for (j <- posSteps(q)) if (steps(j).hit(e, Vector.empty)) startT += j
+          scan = posOptional(q); q += 1
+        }
+        val starts = startT.result()
+        if (starts.nonEmpty) {
+          if (steps.length == 1) {
+            completed += Pending(nextOrigin, Vector.empty, Vector((0, e)))
+            nextOrigin += 1
+          } else {
+            val ranked = starts.size > 1
+            var r = 0
+            for (j <- starts) {
+              val pr = if (ranked) Vector(r) else Vector.empty[Int]
+              val entries0 = Vector((j, e))
+              val jPos = posOf(j)
+              val isFinal = allOptFrom(jPos + 1)
+              val extendable = steps(j).oneOrMore || jPos < nPos - 1
+              if (isFinal) {
+                completed += Pending(nextOrigin, pr, entries0)
+                if (extendable)
+                  live += Partial(entries0, ts, matched = true, nextOrigin, pr)
+              } else live += Partial(entries0, ts, matched = false,
+                nextOrigin, pr)
+              r += 1
+            }
+            nextOrigin += 1
+          }
+        }
       }
       val (st2, done) =
         resolve(NfaState(live.result(), st.pending ++ completed.result(),
@@ -293,9 +374,10 @@ object Cep {
             val keepFrom: Long = spec.skip match {
               case SkipPastLastEvent => tsOf(m.last._2) + 1
               case SkipToLast(name) =>
-                val stepIdx = steps.indexWhere(_.name == name)
+                // by step NAME: a quantifier-expanded variable spans
+                // several step indices that all carry its name
                 m.reverse.collectFirst {
-                  case (i, ev) if i == stepIdx => tsOf(ev)
+                  case (i, ev) if steps(i).name == name => tsOf(ev)
                 }.getOrElse(tsOf(m.last._2))
               case NoSkip => Long.MinValue
             }

@@ -10,7 +10,14 @@ import org.apache.spark.sql.types.StructType
   *
   *   PARTITION BY col / ORDER BY col / MEASURES expr AS alias, ... /
   *   ONE ROW PER MATCH / AFTER MATCH SKIP {TO LAST var | PAST LAST ROW} /
-  *   PATTERN (A B+ C) / DEFINE var AS predicate, ...
+  *   PATTERN (...) / DEFINE var AS predicate, ...
+  *
+  * PATTERN supports concatenation, the quantifiers `+` `*` `?`
+  * `{n}` `{n,}` `{n,m}` (with `+?`/`*?` reluctant variants), and
+  * single-variable alternation groups `(B|C)` with per-branch
+  * `+`/`?`/`*` and a group-level `?`. Quantified multi-variable
+  * groups (`(B C)+`) and empty matches (a pattern whose every
+  * position is optional matching zero rows) are not supported.
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, numeric/string
@@ -41,14 +48,21 @@ object MatchRecognize {
   private[cep] case class IsNull(v: Val, negated: Boolean) extends Pred
   private[cep] case class BoolOp(l: Pred, op: String, r: Pred) extends Pred
 
+  /** One pattern variable occurrence with its quantifier bounds:
+    * `min`/`max` repetitions (`max = -1` = unbounded), `reluctant`
+    * for `+?`/`*?`. Plain `B` is (1,1); `B+` (1,-1); `B?` (0,1);
+    * `B*` (0,-1); `B{n,m}` (n,m); `B{n,}` (n,-1). */
+  private[cep] case class PatVar(name: String, min: Int, max: Int,
+                                 reluctant: Boolean)
+
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
-      pattern: Seq[(String, Boolean)], defines: Map[String, Pred])
+      pattern: Seq[Vector[PatVar]], defines: Map[String, Pred])
 
   // ---- tokenizer -----------------------------------------------------
 
   private val tokenRe =
-    """(?:(<=|>=|<>|!=|[(),+<>=])|('(?:[^'])*')|([A-Za-z_][A-Za-z_0-9.]*)|(-?\d+(?:\.\d+)?))""".r
+    """(?:(<=|>=|<>|!=|[(),+*?{}|<>=])|('(?:[^'])*')|([A-Za-z_][A-Za-z_0-9.]*)|(-?\d+(?:\.\d+)?))""".r
 
   /** Anchored tokenizer: every non-whitespace character must belong to
     * a recognized token, so unsupported syntax (arithmetic, functions,
@@ -125,10 +139,23 @@ object MatchRecognize {
     }
 
     p.expect("PATTERN"); p.expect("(")
-    val pat = Seq.newBuilder[(String, Boolean)]
+    val pat = Seq.newBuilder[Vector[PatVar]]
     while (!p.kw(")")) {
-      val v = p.next()
-      pat += ((v, p.kw("+")))
+      if (p.kw("(")) {
+        // alternation group: (B | C+ | D?) — each branch one variable
+        val alts = Vector.newBuilder[PatVar]
+        var more = true
+        while (more) { alts += parsePatVar(p); more = p.kw("|") }
+        p.expect(")")
+        // group-level `?` marks every branch optional; other group
+        // quantifiers would need sub-sequence loops — reject loudly
+        val g = if (p.kw("?")) alts.result().map(v => v.copy(min = 0))
+                else alts.result()
+        if (p.peek.exists(t => t == "+" || t == "*" || t == "{"))
+          sys.error("MATCH_RECOGNIZE: quantified groups beyond (…)? " +
+            "are not supported")
+        pat += g
+      } else pat += Vector(parsePatVar(p))
     }
 
     p.expect("DEFINE")
@@ -142,6 +169,24 @@ object MatchRecognize {
     }
     Clause(part, order, measures.result(), skip, pat.result(),
       defines.result())
+  }
+
+  /** VAR with an optional quantifier: `+[?]`, `*[?]`, `?`, `{n[,[m]]}`. */
+  private def parsePatVar(p: P): PatVar = {
+    val name = p.next()
+    if (p.kw("+")) PatVar(name, 1, -1, p.kw("?"))
+    else if (p.kw("*")) PatVar(name, 0, -1, p.kw("?"))
+    else if (p.kw("?")) PatVar(name, 0, 1, reluctant = false)
+    else if (p.kw("{")) {
+      val n = p.next().toInt
+      val m =
+        if (p.kw(",")) { if (p.peek.contains("}")) -1 else p.next().toInt }
+        else n
+      p.expect("}")
+      if (m != -1 && (m < n || m < 1))
+        sys.error(s"MATCH_RECOGNIZE: bad quantifier {$n,$m} on $name")
+      PatVar(name, n, m, reluctant = false)
+    } else PatVar(name, 1, 1, reluctant = false)
   }
 
   private def parseVal(p: P): Val = p.next() match {
@@ -188,7 +233,7 @@ object MatchRecognize {
   private type Entry = (Int, Row)
 
   private def resolve(v: Val, candidate: Option[Row], curVar: String,
-      varIdx: Map[String, Int], entries: Vector[Entry]): Option[Any] = v match {
+      varIdx: Map[String, Set[Int]], entries: Vector[Entry]): Option[Any] = v match {
     case Lit(x) => Some(x)
     case ColRef("", col) => // unqualified: the row under evaluation
       candidate.flatMap(r => Option(r.getAs[Any](col)))
@@ -197,9 +242,10 @@ object MatchRecognize {
       // evaluation provisionally belongs to `curVar`
       resolve(Nav("LAST", variable, col, 0), candidate, curVar, varIdx, entries)
     case Nav(fn, variable, col, off) =>
-      val idx = varIdx.getOrElse(variable,
+      // a quantifier-expanded variable spans several step indices
+      val idxs = varIdx.getOrElse(variable,
         sys.error(s"unknown pattern variable $variable"))
-      val rows = entries.collect { case (i, r) if i == idx => r } ++
+      val rows = entries.collect { case (i, r) if idxs(i) => r } ++
         (if (variable == curVar) candidate.toSeq else Nil)
       val picked =
         if (fn == "LAST") rows.reverse.drop(off).headOption
@@ -215,7 +261,7 @@ object MatchRecognize {
   }
 
   private def eval(pred: Pred, candidate: Option[Row], curVar: String,
-      varIdx: Map[String, Int], entries: Vector[Entry]): Boolean = pred match {
+      varIdx: Map[String, Set[Int]], entries: Vector[Entry]): Boolean = pred match {
     case BoolOp(l, "AND", r) =>
       eval(l, candidate, curVar, varIdx, entries) &&
         eval(r, candidate, curVar, varIdx, entries)
@@ -255,7 +301,37 @@ object MatchRecognize {
   def run(df: DataFrame, sql: String): DataFrame = {
     val clause = parse(sql)
     val schema = df.schema
-    val varIdx = clause.pattern.map(_._1).zipWithIndex.toMap
+
+    // expand quantifiers into linear pattern POSITIONS, each a vector
+    // of (name, oneOrMore, optional, reluctant) alternatives:
+    //   B{n,m} → n mandatory copies + (m-n) optional copies;
+    //   B{n,}  → n copies, the last looping; B* → 1 optional looping;
+    //   inside (X|Y) only +/?/* per branch (no sub-sequences).
+    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean)]] =
+      clause.pattern.iterator.flatMap { group =>
+        if (group.size == 1) {
+          val v = group.head
+          if (v.max == -1) {
+            if (v.min <= 1)
+              Vector(Vector((v.name, true, v.min == 0, v.reluctant)))
+            else (1 to v.min).map(i =>
+              Vector((v.name, i == v.min, false, v.reluctant))).toVector
+          } else {
+            ((1 to v.min).map(_ => Vector((v.name, false, false, false))) ++
+             (v.min until v.max).map(_ =>
+               Vector((v.name, false, true, false)))).toVector
+          }
+        } else {
+          if (group.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)))
+            sys.error("MATCH_RECOGNIZE: {n,m} quantifiers inside " +
+              "alternation are not supported")
+          Vector(group.map(v => (v.name, v.max == -1, v.min == 0,
+            v.reluctant)))
+        }
+      }.toVector
+    val varIdx: Map[String, Set[Int]] = positions.flatten.map(_._1)
+      .zipWithIndex.groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).toSet }
 
     def colType(v: Val) = v match {
       case ColRef(_, c)  => schema(c).dataType
@@ -269,17 +345,22 @@ object MatchRecognize {
         clause.measures.map { case (v, alias) =>
           org.apache.spark.sql.types.StructField(alias, colType(v), true) })
 
-    val steps = clause.pattern.zipWithIndex.map { case ((v, oneOrMore), i) =>
-      val pred = clause.defines.get(v)
-      Cep.Step[Row](v,
-        contiguity = if (i == 0) Cep.FollowedBy else Cep.Next,
-        oneOrMore = oneOrMore,
-        pred = (_, _) => true,
-        quant = Cep.Greedy, // SQL default: greedy quantifiers
-        entryPred = Some((e, entries) => pred.forall(
-          eval(_, Some(e), v, varIdx, entries))))
+    val steps = positions.zipWithIndex.flatMap { case (alts, posIdx) =>
+      alts.zipWithIndex.map { case ((v, oneOrMore, optional, reluctant), a) =>
+        val pred = clause.defines.get(v)
+        Cep.Step[Row](v,
+          contiguity = if (posIdx == 0) Cep.FollowedBy else Cep.Next,
+          oneOrMore = oneOrMore,
+          pred = (_, _) => true,
+          // SQL default: greedy quantifiers (B+? / B*? flip it)
+          quant = if (reluctant) Cep.Reluctant else Cep.Greedy,
+          entryPred = Some((e, entries) => pred.forall(
+            eval(_, Some(e), v, varIdx, entries))),
+          optional = optional,
+          altWithPrev = a > 0)
+      }
     }
-    val spec = Cep.PatternSpec[Row](steps.toVector, None, clause.skip)
+    val spec = Cep.PatternSpec[Row](steps, None, clause.skip)
 
     val orderCol = clause.orderBy
     val ordKey: Row => Double = r => r.getAs[Any](orderCol) match {

@@ -10,12 +10,19 @@ import graft.core.Tables
   * `mapInPandas` — one decoder instance per partition, vectorized
   * batches, no per-row setup cost).
   *
-  * The actual codec is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives a deterministic fake feature
-  * vector from the payload bytes. The Spark-side plumbing — schema,
-  * partitioning, batch shape, per-partition resource lifecycle — is
-  * real and tested; swapping `decodeStub` for a JNI/FFI codec is a
-  * one-function change.
+  * Two codec paths:
+  *   - IMAGES decode for real via the JDK's ImageIO (PNG/BMP — zero
+  *     extra dependencies): `decodeImage` reads geometry + mean
+  *     channel values from the actual pixel raster, and
+  *     `syntheticImageBytes`/`imageTable` generate deterministic
+  *     lossless payloads so the decode is golden-testable end to end
+  *     (MultimodalSpec).
+  *   - audio/video stay STUBBED (no codec libs in this container):
+  *     `decodeStub` derives a deterministic fake feature vector from
+  *     the payload bytes. The Spark-side plumbing — schema,
+  *     partitioning, batch shape, per-partition resource lifecycle —
+  *     is real and tested; swapping `decodeStub` for a JNI/FFI codec
+  *     is a one-function change.
   */
 object Multimodal extends graft.QueryModule {
 
@@ -127,6 +134,93 @@ object Multimodal extends graft.QueryModule {
             r.payload.slice(off, off + frameBytes))
         }
       }
+    }
+  }
+
+  // ---- real image codec (JDK ImageIO, PNG/BMP) -------------------------
+
+  case class ImageFeatures(media_id: Long, format: String, width: Int,
+                           height: Int, mean_r: Double, mean_g: Double,
+                           mean_b: Double, mean_luma: Double)
+
+  /** Deterministic synthetic RGB image encoded with ImageIO — pixel
+    * (x, y) of image `seed` is a fixed affine function of its
+    * coordinates, so a test can recompute the exact channel means the
+    * decoder must read back (PNG and BMP are both lossless). */
+  def syntheticImageBytes(width: Int, height: Int, seed: Long,
+                          format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = math.floorMod(x * 7 + y * 3 + seed, 256).toInt
+        val g = math.floorMod(x * 5 + y * 11 + seed * 2, 256).toInt
+        val b = math.floorMod(x * 13 + y * 17 + seed * 3, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Media table whose payloads are REAL encoded images: small
+    * deterministic PNG (even ids) / BMP (odd ids) rasters derived from
+    * the document id. The declared width/height metadata matches the
+    * encoded geometry, as an object-store manifest's would. */
+  def imageTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 13 + 4).toInt
+        val h = (id % 9 + 4).toInt
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        MediaRecord(id, fmt, w, h, syntheticImageBytes(w, h, id, fmt))
+      }
+    }
+  }
+
+  /** REAL image decode: ImageIO sniffs the container from the bytes
+    * (no trust in the metadata columns) and the features come from the
+    * decoded pixel raster. */
+  def decodeImage(r: MediaRecord): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"media ${r.media_id}: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(r.media_id, r.kind, w, h, sr.toDouble / n, sg.toDouble / n,
+      sb.toDouble / n, (sr + sg + sb).toDouble / (3 * n))
+  }
+
+  /** Batched per-partition REAL decode — same shape as
+    * `extractFeatures`, but the decoder is the JDK's actual image
+    * codec. ImageIO caches its reader SPI lookups per JVM, so the
+    * per-partition cost is one stream per record, no per-row codec
+    * setup. */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // a pooled/reused ImageReader would be allocated here for a
+      // codec that needs per-partition context
+      it.map(decodeImage)
     }
   }
 

@@ -78,7 +78,20 @@ class MatchRecognizeSpec extends SparkSpec {
   test("unsupported syntax fails fast instead of mis-parsing") {
     val rows = Seq((1L, 2L)).toDF("seq", "price").withColumn("sym",
       org.apache.spark.sql.functions.lit("S"))
+    // % is not a token — the tokenizer rejects it outright
     val err = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price % 2 AS parity
+        PATTERN (A)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(err.getMessage.contains("unsupported syntax"))
+    // * tokenizes (it is a pattern quantifier) but arithmetic in
+    // MEASURES still fails the parse instead of mis-parsing
+    val err2 = intercept[RuntimeException] {
       MatchRecognize.run(rows, """
         PARTITION BY sym
         ORDER BY seq
@@ -87,7 +100,103 @@ class MatchRecognizeSpec extends SparkSpec {
         DEFINE A AS price > 0
       """)
     }
-    assert(err.getMessage.contains("unsupported syntax"))
+    assert(err2.getMessage.contains("expected AS"))
+    // quantified multi-variable groups are rejected loudly
+    val err3 = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS p
+        PATTERN ((A|B)+)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(err3.getMessage.contains("quantified groups"))
+  }
+
+  private def tape(events: (Long, String)*): org.apache.spark.sql.DataFrame =
+    events.map { case (seq, name) => (seq, name, "S") }
+      .toDF("seq", "name", "sym")
+
+  private def mr(df: org.apache.spark.sql.DataFrame, pattern: String,
+                 measures: String, defines: String): Seq[Seq[Any]] =
+    MatchRecognize.run(df, s"""
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES $measures
+      PATTERN ($pattern)
+      DEFINE $defines
+    """).collect().toSeq.map(_.toSeq.drop(1))
+
+  test("A B* C matches with an EMPTY B run and prefers the longest one") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "A.seq AS a_seq, LAST(B.seq) AS b_seq, C.seq AS c_seq"
+    // no b between a and c: B* matches zero rows, LAST(B.seq) is null
+    assert(mr(tape(1L -> "a", 2L -> "c"), "A B* C", ms, defs) ==
+      Seq(Seq(1L, null, 2L)))
+    // two bs: greedy B* consumes both
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c"),
+      "A B* C", ms, defs) == Seq(Seq(1L, 3L, 4L)))
+    // strict contiguity still applies: a x c does not match
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "c"), "A B* C", ms, defs)
+      .isEmpty)
+  }
+
+  test("A B? C takes at most one B and backtracks over the ambiguity") {
+    // b satisfies both B and C-like predicates? keep it simple: B
+    // optional present and absent
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "A.seq AS a_seq, LAST(B.seq) AS b_seq, C.seq AS c_seq"
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "c"), "A B? C", ms, defs) ==
+      Seq(Seq(1L, 2L, 3L)))
+    assert(mr(tape(1L -> "a", 2L -> "c"), "A B? C", ms, defs) ==
+      Seq(Seq(1L, null, 2L)))
+    // two bs break it: B? consumes one, the second row must be C
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c"),
+      "A B? C", ms, defs).isEmpty)
+  }
+
+  test("alternation (B|C) binds the matched branch's variable only") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "LAST(B.seq) AS b_seq, LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "d"), "A (B|C) D", ms, defs) ==
+      Seq(Seq(2L, null, 3L)))
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"), "A (B|C) D", ms, defs) ==
+      Seq(Seq(null, 2L, 3L)))
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "d"), "A (B|C) D", ms, defs)
+      .isEmpty)
+  }
+
+  test("B{2,3} takes two to three rows, greedy") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1, C.seq AS c_seq"
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c"),
+      "A B{2,3} C", ms, defs) == Seq(Seq(2L, 3L, 4L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "c"),
+      "A B{2,3} C", ms, defs) == Seq(Seq(2L, 4L, 5L)))
+    // only one b → no match
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "c"), "A B{2,3} C", ms, defs)
+      .isEmpty)
+    // four bs → the extra b breaks strict contiguity into C
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "c"), "A B{2,3} C", ms, defs).isEmpty)
+  }
+
+  test("reluctant B+? stops at the first completion") {
+    // B AS price < 10, C AS price < 20 as in the greedy test — but
+    // B+? prefers the SHORTEST loop run that completes
+    val rows = Seq((1L, 99L), (2L, 4L), (3L, 5L))
+      .toDF("seq", "price").withColumn("sym",
+        org.apache.spark.sql.functions.lit("S"))
+    val got = MatchRecognize.run(rows, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES LAST(B.price) AS b_price, LAST(C.price) AS c_price
+      PATTERN (A B+? C)
+      DEFINE A AS price > 50, B AS price < 10, C AS price < 20
+    """).collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 5L)))
   }
 
   test("falling-price V-shape reproduces the doc's exact output row") {

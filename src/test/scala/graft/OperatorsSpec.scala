@@ -231,6 +231,34 @@ class OperatorsSpec extends SparkSpec {
       .forall(r => orig(r.media_id).width <= 128))
   }
 
+  test("real ImageIO decode reads back the generated geometry and channel means") {
+    // golden: payloads are REAL PNG/BMP images of a known pixel
+    // function — the decode must recover the exact geometry and the
+    // exact per-channel means (both formats are lossless)
+    val docs = Tables.documents(spark, sf).limit(40)
+    val feats = Multimodal.extractImageFeatures(Multimodal.imageTable(docs))
+      .collect()
+    assert(feats.length == 40)
+    for (f <- feats) {
+      val id = f.media_id
+      val (w, h) = ((id % 13 + 4).toInt, (id % 9 + 4).toInt)
+      assert(f.width == w && f.height == h,
+        s"media $id: decoded ${f.width}x${f.height}, generated ${w}x$h")
+      assert(f.format == (if (id % 2 == 0) "png" else "bmp"))
+      // recompute the channel sums straight from the pixel function
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += math.floorMod(x * 7 + y * 3 + id, 256)
+        sg += math.floorMod(x * 5 + y * 11 + id * 2, 256)
+        sb += math.floorMod(x * 13 + y * 17 + id * 3, 256)
+      }
+      val n = w.toLong * h
+      assert(f.mean_r == sr.toDouble / n && f.mean_g == sg.toDouble / n &&
+        f.mean_b == sb.toDouble / n, s"media $id channel means diverge")
+      assert(f.mean_luma == (sr + sg + sb).toDouble / (3 * n))
+    }
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
