@@ -169,8 +169,14 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * where this pays one flat array write. Input order is preserved, so
   * a sorted input yields each pair exactly once with a < b. Elements
   * may be any type (the dedup ops use bare long ids and
-  * struct(doc_id, simhash) members); struct elements are copied out of
-  * the backing buffer before being re-packed.
+  * struct(doc_id, simhash) members); struct and string elements are
+  * copied out of the backing buffer before being re-packed (views
+  * into reused unsafe buffers would silently corrupt).
+  *
+  * A bucket of n members explodes to n·(n−1)/2 pairs — callers cap
+  * bucket size (`DefaultMaxBucket`), and this expression refuses
+  * (rather than overflows 32-bit arithmetic into a negative array
+  * size) if an uncapped call site ever feeds it a pathological bucket.
   */
 case class SortedArrayPairs(child: Expression) extends UnaryExpression {
 
@@ -191,11 +197,17 @@ case class SortedArrayPairs(child: Expression) extends UnaryExpression {
     while (e < n) {
       elems(e) = xs.get(e, et) match {
         case r: InternalRow => r.copy()
+        case s: UTF8String => s.clone()
         case o => o
       }
       e += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > SortedArrayPairs.MaxPairs)
+      throw new IllegalArgumentException(
+        s"sorted_array_pairs: bucket of $n members explodes to $nPairs " +
+        "pairs — cap the bucket upstream")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -220,20 +232,28 @@ case class SortedArrayPairs(child: Expression) extends UnaryExpression {
       val et = elemType
       val raw = CodeGenerator.getValue(v, et, i)
       // box primitives explicitly (Janino autoboxing is unreliable) and
-      // copy struct views out of the shared backing buffer
+      // copy struct/string views out of the shared backing buffer
       val boxed = et match {
         case _: StructType => s"$raw.copy()"
+        case org.apache.spark.sql.types.StringType => s"$raw.clone()"
         case _ if CodeGenerator.isPrimitiveType(et) =>
           s"${CodeGenerator.boxedType(et)}.valueOf($raw)"
         case _ => raw
       }
+      val np = ctx.freshName("nPairs")
       s"""
          |int $n = $v.numElements();
          |Object[] $elems = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $elems[$i] = $boxed;
          |}
-         |Object[] $out = new Object[$n * ($n - 1) / 2];
+         |long $np = (long) $n * ($n - 1) / 2;
+         |if ($np > ${SortedArrayPairs.MaxPairs}L) {
+         |  throw new IllegalArgumentException(
+         |    "sorted_array_pairs: bucket of " + $n + " members explodes to "
+         |    + $np + " pairs - cap the bucket upstream");
+         |}
+         |Object[] $out = new Object[(int) $np];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  for (int $j = $i + 1; $j < $n; $j++) {
@@ -246,6 +266,13 @@ case class SortedArrayPairs(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SortedArrayPairs {
+  /** Hard ceiling on the per-bucket pair explosion (~128M pairs ≈ a
+    * multi-GB row): anything near this is an uncapped-bucket bug, and
+    * int arithmetic would overflow at n ≈ 46341 anyway. */
+  val MaxPairs: Long = 1L << 27
 }
 
 /** Highest multiplicity of any value in an `array<string>` — the

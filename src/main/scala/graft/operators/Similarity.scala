@@ -34,6 +34,15 @@ object Similarity extends graft.QueryModule {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Embedding width for the per-dimension column expansions
+    * (kmeansRefine / labelOutliers): derived from the data when not
+    * supplied (`dims = 0`) — a hardcoded width that diverges from the
+    * table would silently truncate every vector (or throw mid-job on
+    * element_at). One LIMIT-1 scan, model-sized. */
+  private def deriveDims(embeddings: DataFrame, dims: Int): Int =
+    if (dims > 0) dims
+    else embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+
   private def norm(c: Column): Column = sqrt(dot(c, c))
 
   /** Cosine similarity between two float-array columns. */
@@ -223,9 +232,10 @@ object Similarity extends graft.QueryModule {
     * above any real embedding component.
     */
   def kmeansRefine(embeddings: DataFrame, centroidMod: Int = 127,
-                   iters: Int = 2, dims: Int = 64): DataFrame = {
+                   iters: Int = 2, dims: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val d = deriveDims(embeddings, dims)
     val pow52 = 4503599627370496.0 // 2^52
     val base = embeddings.select(col("vec_id"),
         asDouble(col("embedding")).as("emb"))
@@ -278,16 +288,16 @@ object Similarity extends graft.QueryModule {
             nullif(array_position(col("sims"), array_max(col("sims"))),
               lit(0L)),
             lit(1L)).cast("int")).as("centroid"))
-        .select(Seq(col("centroid")) ++ (0 until dims).map(i =>
+        .select(Seq(col("centroid")) ++ (0 until d).map(i =>
           floor(element_at(col("emb"), i + 1) * pow52)
             .cast("decimal(38,0)").as(s"v$i")): _*)
         .groupBy(col("centroid"))
         .agg(count(lit(1)).as("n"),
-          (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+          (0 until d).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
     }
     def meanCol(i: Int): Column =
       (col(s"s$i").cast("double") / pow52) / col("n")
-    val meanArr = array((0 until dims).map(meanCol): _*)
+    val meanArr = array((0 until d).map(meanCol): _*)
 
     var cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("vec_id"), col("emb"), col("nrm"))
@@ -364,7 +374,7 @@ object Similarity extends graft.QueryModule {
     * Map-only — at 100 TB this fuses into the scan and shuffles
     * nothing.
     */
-  def quantizeInt8(embeddings: DataFrame, dims: Int = 64): DataFrame =
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .select(col("vec_id"), col("emb"),
@@ -390,19 +400,20 @@ object Similarity extends graft.QueryModule {
     * negated cosine; no rank window over every member).
     */
   def labelOutliers(embeddings: DataFrame, k: Int = 5,
-                    dims: Int = 64): DataFrame = {
+                    dims: Int = 0): DataFrame = {
+    val d = deriveDims(embeddings, dims)
     val pow52 = 4503599627370496.0 // 2^52
     val base = embeddings.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("emb"))
     val sums = base
-      .select(Seq(col("label")) ++ (0 until dims).map(i =>
+      .select(Seq(col("label")) ++ (0 until d).map(i =>
         floor(element_at(col("emb"), i + 1) * pow52)
           .cast("decimal(38,0)").as(s"v$i")): _*)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        (0 until dims).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+        (0 until d).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
     val cents = sums.select(col("label"),
-      array((0 until dims).map(i =>
+      array((0 until d).map(i =>
         (col(s"s$i").cast("double") / pow52) / col("n")): _*).as("c_emb"))
     base.join(broadcast(cents), "label")
       .select(col("label"), col("vec_id"),

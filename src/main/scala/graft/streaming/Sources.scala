@@ -28,13 +28,23 @@ object Sources {
     */
   def kafka(spark: SparkSession, bootstrap: String, topic: String,
             startingOffsets: String = "latest",
-            maxOffsetsPerTrigger: Option[Long] = None) = {
-    val r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
-  }
+            maxOffsetsPerTrigger: Option[Long] = None) =
+    spark.readStream.format("kafka")
+      .options(kafkaOptions(bootstrap, topic, startingOffsets,
+        maxOffsetsPerTrigger))
+
+  /** The exact option map `kafka` wires — exposed so the contract is
+    * sbt-assertable in a broker-less container (SourcesContractSpec):
+    * the DataStreamReader keeps its options private, and this is the
+    * single source of truth it is fed from. */
+  def kafkaOptions(bootstrap: String, topic: String,
+                   startingOffsets: String = "latest",
+                   maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
 
   /** S6: rate-limited synthetic event generator — the Spark shape of
     * the reference's throttled random sources

@@ -90,7 +90,13 @@ object StreamAggs {
     * expression (`SimHash32`, the q27 bit-vote folded into one
     * generated loop per row — NOT 32 interpreted HOF folds), so the
     * only state is the dedup store: delay × rate keys, exactly like
-    * the exact-dedup path. Vote semantics match `Dedup.simhash`.
+    * the exact-dedup path. Vote semantics match `Dedup.simhash`,
+    * including its token-less-document treatment: empty/whitespace-only
+    * payloads carry no vote signal (SimHash32 would be 0 for all of
+    * them AND for any real document whose 32 votes all land negative),
+    * so they bypass the near-dup key entirely — each is admitted, for
+    * the downstream quality filter to judge, instead of collapsing
+    * into whichever empty payload arrived first.
     */
   def nearDupDropWithinWatermark(docs: DataFrame, textCol: Column,
                                  ts: Column,
@@ -98,9 +104,16 @@ object StreamAggs {
     import graft.functions.Portable._
     val sim = graft.functions.VectorExpressions.simHash32(
       transform(words(textCol), w => hash32(w)))
-    dedupWithinWatermark(docs.withColumn("__simhash", sim), ts,
+    // NB `split("", " ")` is [""], not [] — test the normalized text,
+    // not the token-array size
+    val tagged = docs.withColumn("__hastok", length(normText(textCol)) > 0)
+      .withColumn("__simhash", sim)
+    // token-less rows bypass the stateful dedup via a filtered union —
+    // no state, no fingerprint, deterministic under replay
+    val deduped = dedupWithinWatermark(tagged.filter(col("__hastok")), ts,
       watermarkDelay, "__simhash")
-      .drop("__simhash")
+    deduped.union(tagged.filter(!col("__hastok")))
+      .drop("__simhash", "__hastok")
   }
 
   /** W12: idle-source tolerance — the Spark counterpart of Flink's

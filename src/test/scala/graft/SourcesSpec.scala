@@ -108,4 +108,68 @@ class SourcesSpec extends SparkSpec {
       assert(counts == Map("en" -> 2L, "de" -> 1L))
     } finally q.stop()
   }
+
+  test("kafka source contract: option map wiring + frame-shape decode (S5/K6)") {
+    // no broker exists in this container, so the contract is locked in
+    // two broker-free halves (`kafka/Kafka2Kafka.java:50-82`):
+    // 1. the exact options the reader is fed — including per-partition
+    //    JSON startingOffsets and the throttle knob
+    val perPartition = """{"logs":{"0":23,"1":-2}}"""
+    val opts = Sources.kafkaOptions("broker1:9092,broker2:9092", "logs",
+      perPartition, maxOffsetsPerTrigger = Some(5000L))
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "logs",
+      "startingOffsets" -> perPartition,
+      "maxOffsetsPerTrigger" -> "5000"))
+    // defaults: latest offsets, no throttle option at all (an absent
+    // option, not a null/zero one)
+    assert(Sources.kafkaOptions("b:9092", "t") == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "t",
+      "startingOffsets" -> "latest"))
+    // the builder consumes exactly this map (reflection on the classic
+    // DataStreamReader's private option store)
+    val reader = Sources.kafka(spark, "b:9092", "t",
+      maxOffsetsPerTrigger = Some(100L))
+    val f = reader.getClass.getDeclaredFields
+      .find(_.getName.contains("extraOptions"))
+      .getOrElse(fail("DataStreamReader option field moved"))
+    f.setAccessible(true)
+    val wired = f.get(reader).asInstanceOf[Map[String, String]]
+    assert(Sources.kafkaOptions("b:9092", "t",
+      maxOffsetsPerTrigger = Some(100L)).forall { case (k, v) =>
+        wired.get(k).contains(v) })
+
+    // 2. the (key, value binary, timestamp) frame shape a Kafka batch
+    //    delivers, decoded by the same column transforms the pipeline
+    //    wires: JSON value → Log schema, LE-binary value → int32 fields
+    val frame = Seq(
+      (Array[Byte](107), """{"plat":"ios","lt":"pv","user_id":7,"timestamp":1511658000000}""".getBytes("UTF-8"),
+        "logs", 0, 42L, new java.sql.Timestamp(1511658000000L), 0),
+      (Array[Byte](108), """not json""".getBytes("UTF-8"),
+        "logs", 1, 43L, new java.sql.Timestamp(1511658001000L), 0)
+    ).toDF("key", "value", "topic", "partition", "offset", "timestamp",
+      "timestampType")
+    val logs = graft.streaming.KafkaPipeline.decode(frame)
+      .filter(col("user_id").isNotNull)
+      .select("plat", "lt", "user_id", "timestamp")
+      .as[(String, String, Int, Long)].collect()
+    assert(logs.toSeq == Seq(("ios", "pv", 7, 1511658000000L)))
+    // binary serde: the LE payload decodes back through leInt32
+    val bin = Seq((Sources.leInt32Bytes(-123456789) ++
+        Sources.leInt32Bytes(3), 1L))
+      .toDF("value", "offset")
+    val decoded = bin.select(
+      Sources.leInt32(col("value"), 0).as("addr"),
+      Sources.leInt32(col("value"), 4).as("tpe"))
+      .as[(Int, Int)].collect().head
+    assert(decoded == ((-123456789, 3)))
+    // encode side round-trips through the sink's value projection
+    val out = graft.streaming.KafkaPipeline.encode(
+      graft.streaming.KafkaPipeline.decode(frame)
+        .filter(col("user_id").isNotNull))
+      .as[String].collect().head
+    assert(out.contains(""""plat":"ios"""") && out.contains(""""user_id":7"""))
+  }
 }

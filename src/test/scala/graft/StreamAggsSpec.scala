@@ -103,6 +103,32 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop admits every token-less document") {
+    // empty/whitespace payloads carry no simhash signal (all-zero
+    // votes) — they must NOT collapse into one admitted row, nor
+    // conflate with a real document; each passes through for the
+    // downstream quality filter to judge
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("ts_ms", "doc_id", "text")
+    val q = StreamAggs.nearDupDropWithinWatermark(df, col("text"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .writeStream.format("memory").queryName("neardup_empty_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1000L, "e1", ""), (2000L, "e2", "   "),
+        (3000L, "d1", "real document text here"))
+      q.processAllAvailable()
+      in.addData((4000L, "e3", ""),
+        (5000L, "d2", "text here real document")) // near-dup of d1
+      q.processAllAvailable()
+      val got = spark.table("neardup_empty_out").select("doc_id")
+        .as[String].collect().toSeq.sorted
+      // all three empties admitted; d2 still collapses into d1
+      assert(got == Seq("d1", "e1", "e2", "e3"))
+    } finally q.stop()
+  }
+
   test("allowedLateness approximation: widened watermark re-fires in update mode (W13)") {
     // Flink: a window fires at the watermark and allowedLateness=L
     // keeps its state live, re-firing per late row until end+L. Spark
