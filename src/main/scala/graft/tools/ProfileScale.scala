@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Scale spot-check for the dedup family: run q26/q28/q29/q47/q53 at
+  * sf0.1 and at a synthetic 10× (≈sf1) and report the wall-time growth
+  * (SCALE.md records the numbers). The 10× table is sf0.1 replicated
+  * with every replica's words prefix-remapped: replicas share no
+  * shingles/tokens, so each behaves as an independent corpus shard and
+  * the TRUE output (pairs, groups) scales linearly — making wall-time
+  * growth attributable to the engine, not to a quadratic blowup
+  * replicated payloads would inject. Also prints each scale's q29
+  * broadcast-gate decision next to the scan stats it derives from.
+  */
+object ProfileScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1Path = "/tmp/graft_sf1/documents.parquet"
+    if (!new java.io.File(sf1Path).exists()) {
+      val base = Tables.documents(spark, sf01)
+      val replicas = (0 until 10).map { k =>
+        if (k == 0) base
+        else base.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"r${k}x"), w)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      replicas.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(sf1Path)
+    }
+
+    def docsAt(path: String): DataFrame = spark.read.parquet(path)
+    val d01 = docsAt(s"$sf01/documents.parquet")
+    val d1 = docsAt(sf1Path)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q26_minhash_pairs" -> (d => Dedup.minhashPairs(d)),
+      "q28_simhash_pairs" -> (d => Dedup.simhashPairs(d)),
+      "q29_jaccard_pairs" -> (d => Dedup.ngramJaccardPairs(d, 0.8)),
+      "q47_dedup_groups"  -> (d => Dedup.dedupGroups(d)),
+      "q53_dedup_keep"    -> (d => Dedup.dedupKeepers(d)))
+
+    for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
+      val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(s"== $label: ${docs.count()} docs, scan stats $stats bytes, " +
+        s"q29 gate -> ${if (stats <= BigInt(1L << 30)) "broadcast"
+          else "shuffled"}")
+      for ((name, op) <- ops) {
+        op(docs).count() // warm: codegen+JIT compile out of the timing
+        val (sec, rows) = time(op(docs).count())
+        println(f"$label $name%-20s $sec%7.2f s  ($rows rows)")
+      }
+    }
+    spark.stop()
+  }
+}
