@@ -105,6 +105,27 @@ object Cep {
                      (pred: (T, Seq[T]) => Boolean): PatternSpec[T] =
       copy(steps = steps :+ Step(name, FollowedByAny, oneOrMore, pred, quant))
     def within(ms: Long): PatternSpec[T] = copy(withinMs = Some(ms))
+
+    /** FlinkCEP `.optional()`: the most recently added step may be
+      * skipped (Pattern.optional, `cep/FlinkCEP.java` pattern API). */
+    def optional: PatternSpec[T] =
+      copy(steps = steps.init :+ steps.last.copy(optional = true))
+
+    /** FlinkCEP `.times(n)` / `.times(n, m)`: the most recently added
+      * step must occur n (to m) times. Expands into copies sharing the
+      * step's name — `toNamed` still groups all occurrences under it.
+      * Repetitions inherit the step's contiguity (FlinkCEP's default
+      * relaxed repetition; build the step with `next` for the
+      * `consecutive()` behavior). */
+    def times(n: Int): PatternSpec[T] = times(n, n)
+    def times(n: Int, m: Int): PatternSpec[T] = {
+      require(n >= 0 && m >= math.max(n, 1), s"bad times($n, $m)")
+      val s = steps.last
+      require(!s.oneOrMore, "times() on a oneOrMore step is ambiguous")
+      val copies = (1 to n).map(_ => s.copy(optional = false)) ++
+        (n until m).map(_ => s.copy(optional = true))
+      copy(steps = steps.init ++ copies)
+    }
   }
 
   def begin[T](name: String, oneOrMore: Boolean = false)

@@ -47,4 +47,32 @@ object Aggregators {
     implicit val enc: Encoder[Scored] = Encoders.product[Scored]
     udaf(new TopK(k), enc).apply(sim, id)
   }
+
+  case class ScoredKey(score: Long, key: String)
+
+  /** Bounded top-k by (score desc, key asc) for string-keyed counts
+    * (top tokens, top sources, ...) — same partial-aggregatable shape
+    * as [[TopK]], total order so it equals the window formulation. */
+  class TopKByKey(k: Int)
+      extends Aggregator[ScoredKey, Seq[ScoredKey], Seq[ScoredKey]] {
+    private def better(a: ScoredKey, b: ScoredKey): Boolean =
+      a.score > b.score || (a.score == b.score && a.key < b.key)
+    private def trim(xs: Seq[ScoredKey]): Seq[ScoredKey] =
+      xs.sortWith(better).take(k)
+    def zero: Seq[ScoredKey] = Seq.empty
+    def reduce(acc: Seq[ScoredKey], in: ScoredKey): Seq[ScoredKey] =
+      trim(acc :+ in)
+    def merge(a: Seq[ScoredKey], b: Seq[ScoredKey]): Seq[ScoredKey] =
+      trim(a ++ b)
+    def finish(acc: Seq[ScoredKey]): Seq[ScoredKey] = acc
+    def bufferEncoder: Encoder[Seq[ScoredKey]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
+    def outputEncoder: Encoder[Seq[ScoredKey]] = bufferEncoder
+  }
+
+  /** Column form: topKByKey(k)(scoreCol, keyCol) → array<struct<score,key>>. */
+  def topKByKey(k: Int)(score: Column, key: Column): Column = {
+    implicit val enc: Encoder[ScoredKey] = Encoders.product[ScoredKey]
+    udaf(new TopKByKey(k), enc).apply(score, key)
+  }
 }

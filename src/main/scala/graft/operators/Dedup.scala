@@ -410,14 +410,23 @@ object Dedup extends graft.QueryModule {
     * (override with `broadcastGroups`).
     */
   def dedupKeepers(documents: DataFrame,
-                   broadcastGroups: Option[Boolean] = None): DataFrame = {
+                   broadcastGroups: Option[Boolean] = None): DataFrame =
+    keeperTable(documents, dedupGroups(documents),
+      gateBroadcast(documents, broadcastGroups))
+
+  private def gateBroadcast(documents: DataFrame,
+                            over: Option[Boolean]): Boolean =
+    over.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        MaxBroadcastSourceBytes)
+
+  /** (group_id, keep_id, n_docs) from a labeled group table: one
+    * max-struct aggregate over the quality-joined groups. */
+  private def keeperTable(documents: DataFrame, groups: DataFrame,
+                          bcast: Boolean): DataFrame = {
     val quality = documents
       .select(col("doc_id"),
         size(graft.functions.Portable.words(col("text"))).as("n_tokens"))
-    val groups = dedupGroups(documents)
-    val bcast = broadcastGroups.getOrElse(
-      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        MaxBroadcastSourceBytes)
     quality.join(if (bcast) broadcast(groups) else groups, "doc_id")
       .groupBy(col("group_id"))
       .agg(
@@ -426,9 +435,36 @@ object Dedup extends graft.QueryModule {
       .select(col("group_id"), (-col("m.neg")).as("keep_id"), col("n_docs"))
   }
 
+  /** Apply the dedup decisions — materialize the SURVIVING corpus:
+    * every unpaired document plus, per near-dup group, only its
+    * keeper. This is the step that actually shrinks the training set;
+    * everything upstream (pairs → groups → keepers) only decides.
+    *
+    * Scale shape: `dedupGroups` is eager and returns a materialized
+    * (driver-literal or localCheckpointed) table, so the three uses
+    * below do NOT re-run the LSH pipeline. The drop set is bare ids
+    * (dup count × 8 bytes) joined anti against the corpus under the
+    * same stats gate as the keeper broadcast — past it, the anti-join
+    * shuffles on doc_id instead of broadcasting.
+    */
+  def dedupApply(documents: DataFrame,
+                 broadcastGroups: Option[Boolean] = None): DataFrame = {
+    val bcast = gateBroadcast(documents, broadcastGroups)
+    def g(df: DataFrame) = if (bcast) broadcast(df) else df
+    val groups = dedupGroups(documents)
+    val keep = keeperTable(documents, groups, bcast)
+      .select(col("group_id"), col("keep_id"))
+    val drops = groups.join(g(keep), "group_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    documents.join(g(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
     "q25_dedup_exact"    -> ((s, d) => exactGroups(Tables.documents(s, d))),
     "q26_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
@@ -509,6 +545,36 @@ object Dedup extends graft.QueryModule {
       SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
 
   def oracle: Map[String, String] = Map(
+    "q43_dedup_apply" -> s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      ),
+      groups AS (
+        SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+      q AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS n_tokens
+        FROM documents),
+      keep AS (
+        SELECT group_id, keep_id FROM (
+          SELECT g.group_id,
+                 first_value(g.doc_id) OVER w AS keep_id,
+                 row_number() OVER w AS rn
+          FROM groups g JOIN q ON q.doc_id = g.doc_id
+          WINDOW w AS (PARTITION BY g.group_id
+                       ORDER BY q.n_tokens DESC, g.doc_id ASC))
+        WHERE rn = 1),
+      drops AS (
+        SELECT g.doc_id FROM groups g
+        JOIN keep ON keep.group_id = g.group_id
+        WHERE g.doc_id <> keep.keep_id)
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
     "q25_dedup_exact" -> s"""
       SELECT md5($normSql) AS content_md5,
              min(doc_id) AS keep_id, count(*) AS n_docs

@@ -310,6 +310,30 @@ object TextOps extends graft.QueryModule {
           .as("contam_ratio"))
   }
 
+  /** Per-source top-k token leaderboard — the vocabulary drift /
+    * boilerplate screen run per ingestion source: (source, token)
+    * counts, then each source's k most frequent tokens. The per-source
+    * top-k rides the bounded [[graft.functions.Aggregators.topKByKey]]
+    * aggregator — partial-aggregated, ≤ k candidates per map task —
+    * NOT a rank window over the full per-source vocabulary (at 100 TB
+    * a source's vocabulary is millions of tokens; the window sort
+    * would shuffle all of them to one partition per source). Ties
+    * break (count desc, token asc) — a total order, so the result
+    * equals the window formulation exactly.
+    */
+  def topTokensPerSource(documents: DataFrame, k: Int = 5): DataFrame =
+    documents
+      .select(col("source"), explode_outer(words(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Aggregators.topKByKey(k)(
+        col("cnt"), col("token")).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+        col("s.key").as("token"), col("s.score").as("cnt"))
+
   // ---- driver bindings -------------------------------------------------
 
   private val bm25Terms = Seq("spark", "query", "fast")
@@ -330,6 +354,7 @@ object TextOps extends graft.QueryModule {
     "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d))),
     "q50_langid_eval" -> ((s, d) => languageIdEval(Tables.documents(s, d))),
     "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "q45_top_tokens"  -> ((s, d) => topTokensPerSource(Tables.documents(s, d))),
     "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d)))
   )
@@ -381,6 +406,19 @@ object TextOps extends graft.QueryModule {
               string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS word
             FROM documents)
       GROUP BY word""",
+    "q45_top_tokens" -> """
+      WITH tok AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ')) AS token
+        FROM documents),
+      c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      r AS (SELECT source, token, cnt,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY cnt DESC, token ASC) AS rn
+            FROM c)
+      SELECT source, CAST(rn AS INT) AS rn, token, cnt
+      FROM r WHERE rn <= 5""",
     "q48_source_mix" -> """
       SELECT source, lang, count(*) AS n_docs,
              CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)

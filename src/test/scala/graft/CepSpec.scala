@@ -63,6 +63,41 @@ class CepSpec extends SparkSpec {
     assert(got.filter(_._1 == "timeout").map(_._2).toSet == Set(42L))
   }
 
+  test("DSL optional step: a (b?) c matches with and without the middle event") {
+    def run(names: String*): Seq[(Long, Long)] = {
+      val rows = names.zipWithIndex.map { case (n, i) =>
+        CepRow("k", i + 1L, n, 1.0, None, 1000L + i * 100L) }
+      val pattern = Cep.begin[CepRow]("a") { (e, _) => e.name == "a" }
+        .next("b") { (e, _) => e.name == "b" }.optional
+        .next("c") { (e, _) => e.name == "c" }
+      Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+        (r: CepRow) => r.tsMs, pattern, (r: CepRow) => r.tsMs) { (_, m) =>
+        (m("a").head.id, m("c").head.id)
+      }.collect().toSeq
+    }
+    assert(run("a", "b", "c") == Seq((1L, 3L)))
+    assert(run("a", "c") == Seq((1L, 2L)))   // b skipped entirely
+    assert(run("a", "x", "c").isEmpty)       // strict next still applies
+  }
+
+  test("DSL times(n, m) bounds repetitions of the last step") {
+    def run(names: String*): Seq[Int] = {
+      val rows = names.zipWithIndex.map { case (n, i) =>
+        CepRow("k", i + 1L, n, 1.0, None, 1000L + i * 100L) }
+      val pattern = Cep.begin[CepRow]("a") { (e, _) => e.name == "a" }
+        .next("b") { (e, _) => e.name == "b" }.times(2, 3)
+        .next("c") { (e, _) => e.name == "c" }
+      Cep.matchBatch(spark.createDataset(rows), (r: CepRow) => r.key,
+        (r: CepRow) => r.tsMs, pattern, (r: CepRow) => r.tsMs) { (_, m) =>
+        m("b").size
+      }.collect().toSeq
+    }
+    assert(run("a", "b", "b", "c") == Seq(2))
+    assert(run("a", "b", "b", "b", "c") == Seq(3)) // greedy-by-position
+    assert(run("a", "b", "c").isEmpty)             // below the minimum
+    assert(run("a", "b", "b", "b", "b", "c").isEmpty) // above the max, strict
+  }
+
   test("MATCH_RECOGNIZE V-shape: PATTERN (A B+ C) via prev-referencing predicates") {
     // flink-sql/sql/dml/CEP.md ticker: ACME prices 12,17,19,21,25,12,
     // 15,20,24,25 → falling run 25→12 then rising 12→15: the doc's

@@ -175,6 +175,25 @@ class PlanSpec extends SparkSpec {
       s"expected bench-distinct + per-doc count exchanges only:\n$conPlan")
   }
 
+  test("round-5 queries keep their scale shapes") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    // q45: (source, token) count exchange + per-source bounded topK
+    // exchange — and NO rank window over the per-source vocabulary
+    val topTok = TextOps.topTokensPerSource(Tables.documents(spark, sf))
+    assert(exchanges(topTok) == 2, s"want 2 exchanges:\n${planOf(topTok)}")
+    assert(!planOf(topTok).contains("Window"),
+      s"rank window crept in:\n${planOf(topTok)}")
+    // q43: drop-set anti-join broadcast under the gate, no window
+    val applied = Dedup.dedupApply(Tables.documents(spark, sf))
+    val aPlan = planOf(applied)
+    assert(aPlan.contains("BroadcastHashJoin LeftAnti") ||
+      aPlan.contains("LeftAnti, BuildRight"), s"anti-join not broadcast:\n$aPlan")
+    assert(!aPlan.contains("Window"), s"rank window crept in:\n$aPlan")
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
