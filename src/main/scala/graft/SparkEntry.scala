@@ -18,7 +18,8 @@ object SparkEntry {
     EventOps.hotUsers(Tables.events(spark, "/root/testdata/sf0.001"), 3)
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational, EventOps, TextOps, Dedup, Similarity, Multimodal, Skew)
+    Relational, EventOps, TextOps, Dedup, Similarity, Multimodal, Skew,
+    Corpus)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -75,4 +75,34 @@ object Aggregators {
     implicit val enc: Encoder[ScoredKey] = Encoders.product[ScoredKey]
     udaf(new TopKByKey(k), enc).apply(score, key)
   }
+
+  /** The k smallest DISTINCT long values — the KMV (k-minimum-values)
+    * distinct-count sketch state. Unlike a plain bottom-k, duplicates
+    * collapse inside the buffer, so a token that appears a billion
+    * times costs one slot; each map task carries ≤ k longs and merge
+    * is a sorted-union trim — a genuinely mergeable sketch with none
+    * of the exact-distinct shuffle. Deterministic: the state after any
+    * partition/merge order is the same k smallest distinct values.
+    */
+  class BottomKDistinct(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    def zero: Seq[Long] = Seq.empty
+    def reduce(acc: Seq[Long], in: Long): Seq[Long] =
+      // cheap membership/bound guard before the sort-trim: buffers are
+      // already sorted ≤ k, so most inputs exit on the binary search
+      if (acc.length >= k && in >= acc.last) acc
+      else if (java.util.Arrays.binarySearch(acc.toArray, in) >= 0) acc
+      else trim(acc :+ in)
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+    def finish(acc: Seq[Long]): Seq[Long] = acc
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = bufferEncoder
+  }
+
+  /** Column form: bottomKDistinct(k)(hashCol) → sorted array<long>. */
+  def bottomKDistinct(k: Int)(v: Column): Column = {
+    implicit val enc: Encoder[Long] = Encoders.scalaLong
+    udaf(new BottomKDistinct(k), enc).apply(v)
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Aggregators
+import graft.operators.Corpus
+
+/** Corpus-assembly operators: sequence packing, KMV vocabulary
+  * sketch, histogram quantiles, deterministic global shuffle. */
+class CorpusSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("seqPack chunks a shard's running token stream at the budget") {
+    // one source, one shard: token counts 4,4,4,4 at budget 10 lay
+    // end-to-end as starts 0,4,8,12 -> seqs 0,0,0,1 offsets 0,4,8,2
+    val d = docs((1L to 4L).map(i => (i, "a b c d", "s0")))
+    val out = Corpus.seqPack(d, budget = 10, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1L, 4, 0L, 0), (2L, 4, 0L, 4),
+      (3L, 4, 0L, 8), (4L, 4, 1L, 2)))
+  }
+
+  test("seqPack never splits across (source, shard) streams") {
+    val d = Tables.documents(spark, sf)
+    val packed = Corpus.seqPack(d)
+    // within every (source, shard): offsets restart exactly where the
+    // previous doc ended, mod budget — i.e. the packing is a single
+    // contiguous token stream per shard
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    val bad = packed
+      .withColumn("prev_end",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("seq_offset") =!= pmod(col("prev_end"), lit(256)) ||
+        col("seq_id") =!= floor(col("prev_end") / 256))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("bottomKDistinct keeps the k smallest distinct values") {
+    val agg = new Aggregators.BottomKDistinct(3)
+    val fed = Seq(9L, 5L, 5L, 7L, 1L, 9L, 3L, 1L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(fed == Seq(1L, 3L, 5L))
+    // merge unions and trims; duplicates collapse across partials
+    assert(agg.merge(Seq(1L, 3L, 5L), Seq(1L, 2L, 9L)) == Seq(1L, 2L, 3L))
+  }
+
+  test("vocabSketch estimates each source's bigram cardinality") {
+    val d = Tables.documents(spark, sf)
+    val k = 16
+    val out = Corpus.vocabSketch(d, k).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(3))).toMap
+    // ground truth: exact distinct bigram count per source
+    val exact = d
+      .select(col("source"), explode(graft.functions.Portable.shingles(
+        graft.functions.Portable.words(col("text")), 2)).as("g"))
+      .groupBy("source").agg(countDistinct(col("g")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == exact.keySet)
+    for ((src, (nKept, est)) <- out) {
+      assert(nKept == math.min(k, exact(src)).toInt)
+      if (nKept < k) assert(est == exact(src).toDouble)
+      // KMV with k=16 has ~1/sqrt(k-2) ≈ 27% relative error at one
+      // sigma; 3x that bounds the deterministic fixture comfortably
+      else assert(math.abs(est - exact(src)) / exact(src) < 0.8,
+        s"$src: est $est vs exact ${exact(src)}")
+    }
+  }
+
+  test("lenQuantiles reads percentiles off the cumulative histogram") {
+    // lengths 1..10, width 1: p50 -> 5, p90 -> 9, p99 -> 10
+    val d = docs((1L to 10L).map(i => (i, ("w " * i.toInt).trim, "s0")))
+    val out = Corpus.lenQuantiles(d, width = 1, ps = Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(50 -> 5L, 90 -> 9L, 99 -> 10L))
+  }
+
+  test("shuffleOrder equals the global rank formulation") {
+    val d = Tables.documents(spark, sf)
+    val out = Corpus.shuffleOrder(d)
+    val n = d.count()
+    // a permutation of 1..N ...
+    assert(out.count() == n)
+    assert(out.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .collect().head.toSeq == Seq(1L, n, n))
+    // ... identical to the single-window global row_number (viable
+    // here because the fixture is small; the operator never does this)
+    val k = graft.functions.Portable.hash60(
+      concat(lit("shuffle|"), col("doc_id")))
+    val ref = d.select(col("doc_id"),
+      row_number().over(Window.orderBy(k, col("doc_id")))
+        .cast("long").as("pos"))
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+  }
+
+  test("corpus queries keep their scale shapes") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+    val d = Tables.documents(spark, sf)
+    // q57: one shard shuffle, windows keyed per (source, shard) —
+    // never an empty-partition global window
+    val packPlan = plan(Corpus.seqPack(d))
+    assert(exchanges(Corpus.seqPack(d)) == 1, s"want 1 exchange:\n$packPlan")
+    assert(!packPlan.contains("Exchange SinglePartition"),
+      s"global window crept in:\n$packPlan")
+    // q58: ONE partial-aggregated sketch exchange — no exact-distinct
+    // expand/exchange anywhere
+    val skPlan = plan(Corpus.vocabSketch(d))
+    assert(exchanges(Corpus.vocabSketch(d)) == 1, s"want 1 exchange:\n$skPlan")
+    assert(!skPlan.contains("Expand"), s"distinct expand crept in:\n$skPlan")
+    // q60: no global range sort; per-shard rank + broadcast offsets
+    val shPlan = plan(Corpus.shuffleOrder(d))
+    assert(!shPlan.contains("rangepartitioning"),
+      s"global sort crept in:\n$shPlan")
+    assert(shPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$shPlan")
+  }
+}
