@@ -140,13 +140,45 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
   }
 
+  /** Mixture rebalancing to a token budget: give every source an
+    * equal share of `budgetTokens` and derive its integer keep-rate
+    * from its measured token total (clipped at 100% — a source
+    * smaller than its share is kept whole). Selection is the same
+    * seeded-hash bucket as [[TextOps.trainSplit]], so the sample is
+    * reshuffle-stable, re-run-stable, and independent of the split /
+    * strata hashes (distinct seed prefix).
+    *
+    * SCALE SHAPE: per-source token totals are one partial-aggregated
+    * exchange on a tiny key; the rate table (#sources rows) broadcasts
+    * back and the keep filter fuses into the corpus scan — the corpus
+    * itself never shuffles.
+    */
+  def mixRebalance(documents: DataFrame,
+                   budgetTokens: Long = 40000L): DataFrame = {
+    val perSrc = documents
+      .select(col("source"), ceil(col("n_chars") / 4.0).cast("long").as("et"))
+      .groupBy(col("source")).agg(sum(col("et")).as("tok"))
+    val rates = perSrc
+      .crossJoin(broadcast(perSrc.agg(count(lit(1)).as("nsrc"))))
+      .select(col("source"),
+        least(lit(100L),
+          floor(lit(100L * budgetTokens) / (col("nsrc") * col("tok"))))
+          .as("rate_pct"))
+    documents
+      .join(broadcast(rates), "source")
+      .filter(pmod(hash60(concat(lit("mix|"), col("doc_id"))), lit(100)) <
+        col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_seq_pack"      -> ((s, d) => seqPack(Tables.documents(s, d))),
     "q58_vocab_sketch"  -> ((s, d) => vocabSketch(Tables.documents(s, d))),
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
-    "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d)))
+    "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
+    "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d)))
   )
 
   private val wsSql =
@@ -219,6 +251,20 @@ object Corpus extends graft.QueryModule {
              row_number() OVER (ORDER BY
                ('0x' || substr(md5('shuffle|' || doc_id), 1, 15))::BIGINT,
                doc_id) AS pos
-      FROM documents"""
+      FROM documents""",
+    "q61_mix_rebalance" -> s"""
+      WITH t AS (
+        SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tok
+        FROM documents GROUP BY 1),
+      n AS (SELECT count(*) AS nsrc FROM t),
+      r AS (
+        SELECT source,
+               least(100, CAST(floor(${100L * 40000L} / (nsrc * tok))
+                 AS BIGINT)) AS rate_pct
+        FROM t CROSS JOIN n)
+      SELECT d.doc_id, d.source, r.rate_pct
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x' || substr(md5('mix|' || d.doc_id), 1, 15))::BIGINT % 100
+              < r.rate_pct"""
   )
 }

@@ -103,6 +103,26 @@ class CorpusSpec extends SparkSpec {
     assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
   }
 
+  test("mixRebalance clips small sources at 100% and samples large ones") {
+    val d = Tables.documents(spark, sf)
+    val out = Corpus.mixRebalance(d, budgetTokens = 4000L)
+    val rates = out.select("source", "rate_pct").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.values.forall(r => r >= 1 && r <= 100))
+    // a clipped source keeps every document; a sampled one keeps fewer
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rate) <- rates) {
+      if (rate == 100L) assert(kept(src) == perSrc(src))
+      else assert(kept(src) < perSrc(src))
+    }
+    // deterministic: a re-run selects the identical doc set
+    val again = Corpus.mixRebalance(d, budgetTokens = 4000L)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("corpus queries keep their scale shapes") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -125,5 +145,16 @@ class CorpusSpec extends SparkSpec {
     assert(!shPlan.contains("rangepartitioning"),
       s"global sort crept in:\n$shPlan")
     assert(shPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$shPlan")
+    // q61: rate table broadcast back; the corpus side never shuffles —
+    // the broadcast join sits DIRECTLY over the documents scan, and
+    // the only exchanges are the tiny per-source totals agg (planned
+    // twice — rates + nsrc — and exchange-reused at runtime)
+    val mixPlan = plan(Corpus.mixRebalance(d))
+    assert(mixPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$mixPlan")
+    assert(exchanges(Corpus.mixRebalance(d)) == 2,
+      s"want only the per-source totals exchanges:\n$mixPlan")
+    assert("""BroadcastHashJoin[\s\S]{0,400}?FileScan parquet""".r
+      .findFirstIn(mixPlan).isDefined,
+      s"corpus scan should feed the join with no exchange:\n$mixPlan")
   }
 }
