@@ -12,35 +12,34 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * DataFrame API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotDescriptor)
-    e.injectFunction(GraftExtensions.jaccardDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", name)
+  private def info(name: String) = new ExpressionInfo("graft", name)
 
-  private val dotBuilder: Seq[Expression] => Expression =
-    exprs => DotProduct(exprs(0), exprs(1))
-  private val jaccardBuilder: Seq[Expression] => Expression =
-    exprs => SortedArrayJaccard(exprs(0), exprs(1))
+  // every native codegen expression the engine defines, by SQL name
+  private[functions] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_jaccard" -> (es => SortedArrayJaccard(es(0), es(1))),
+    "graft_simhash32" -> (es => SimHash32(es(0))),
+    "graft_sorted_pairs" -> (es => SortedArrayPairs(es(0))),
+    "graft_max_multiplicity" -> (es => MaxStringMultiplicity(es(0))))
 
-  private[functions] val dotDescriptor =
-    (FunctionIdentifier("graft_dot"), info("graft_dot",
-      "dot product of two array<double>"), dotBuilder)
-  private[functions] val jaccardDescriptor =
-    (FunctionIdentifier("graft_jaccard"), info("graft_jaccard",
-      "jaccard of two sorted string arrays"), jaccardBuilder)
+  private[functions] val descriptors = builders.map { case (name, b) =>
+    (FunctionIdentifier(name), info(name), b)
+  }
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "scala_udf")
-    reg.createOrReplaceTempFunction("graft_jaccard", jaccardBuilder, "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -43,6 +43,19 @@ class SqlInterfaceSpec extends SparkSpec {
       "SELECT graft_jaccard(array('a','b','c'), array('b','c','d'))")
       .collect().head.getDouble(0)
     assert(jac == 0.5)
+    // simhash of one token hash h: every bit of h votes +1 -> simhash = h
+    val sh = spark.sql("SELECT graft_simhash32(array(5L))")
+      .collect().head.getLong(0)
+    assert(sh == 5L)
+    val pairs = spark.sql(
+      "SELECT graft_sorted_pairs(array(1L, 2L, 3L))")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val mult = spark.sql(
+      "SELECT graft_max_multiplicity(array('a', 'b', 'a', 'a'))")
+      .collect().head.getLong(0)
+    assert(mult == 3L)
   }
 
   test("relational queries run through plain SQL text") {
