@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -171,6 +171,61 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), col("source"), col("rate_pct"))
   }
 
+  /** One-pass fused preprocessing — the whole per-document decision
+    * surface (quality gate, language route, PII scrub, split
+    * assignment, keep verdict) computed in a SINGLE scan of the
+    * corpus. At 100 TB the difference between running q22/q23/q44/q46
+    * as four passes and this one fused pass is three full corpus
+    * reads; Spark fuses every expression here into one
+    * whole-stage-codegen stage over the scan (zero exchanges,
+    * CorpusSpec-asserted).
+    *
+    * Semantics are exactly the standalone operators': the language
+    * pick is [[TextOps.languageId]]'s argmax (dictionary-order ties),
+    * the scrub is [[TextOps.scrub]]'s pattern, the split is
+    * [[TextOps.trainSplit]]'s seeded buckets.
+    */
+  def preprocess(documents: DataFrame, minTokens: Int = 50,
+                 trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val pat = TextOps.scrubPat(TextOps.scrubTerms)
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val scored = documents
+      .select(col("doc_id"), col("source"), col("text"),
+        words(col("text")).as("ws"))
+      .select(Seq(col("doc_id"), col("source"),
+        size(col("ws")).as("n_tokens"),
+        (size(filter(col("ws"), w => array_contains(stopArr, w)))
+          .cast("double") / size(col("ws"))).as("stopword_ratio"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .as("n_hits"),
+        md5(regexp_replace(lower(col("text")), pat, "<X>"))
+          .as("scrubbed_md5"),
+        pmod(hash60(concat(lit("split|"), col("doc_id"))), lit(100))
+          .as("bucket")) ++
+        TextOps.dicts.map { case (name, dict) =>
+          val arr = array(dict.map(lit): _*)
+          size(filter(col("ws"), w => array_contains(arr, w)))
+            .as(s"score_$name")
+        }: _*)
+    val best = TextOps.dicts.map { case (n, _) => col(s"score_$n") }
+      .reduceLeft(greatest(_, _))
+    val pred = TextOps.dicts.foldRight(lit("und"): Column) {
+      case ((n, _), acc) => when(col(s"score_$n") === best, lit(n))
+        .otherwise(acc)
+    }
+    scored
+      .withColumn("predicted", pred)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_hits") === 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stopword_ratio"), col("predicted"), col("split"),
+        col("n_hits"), col("scrubbed_md5"), col("keep"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,7 +233,8 @@ object Corpus extends graft.QueryModule {
     "q58_vocab_sketch"  -> ((s, d) => vocabSketch(Tables.documents(s, d))),
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
-    "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d)))
+    "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
+    "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d)))
   )
 
   private val wsSql =
@@ -265,6 +321,43 @@ object Corpus extends graft.QueryModule {
       SELECT d.doc_id, d.source, r.rate_pct
       FROM documents d JOIN r USING (source)
       WHERE ('0x' || substr(md5('mix|' || d.doc_id), 1, 15))::BIGINT % 100
-              < r.rate_pct"""
+              < r.rate_pct""",
+    "q62_preprocess" -> {
+      val pat = TextOps.scrubPat(TextOps.scrubTerms)
+      val scoreCols = TextOps.dicts.map { case (name, dict) =>
+        s"len(list_filter(ws, w -> list_contains(" +
+          s"${TextOps.sqlArr(dict)}, w))) AS score_$name"
+      }.mkString(",\n               ")
+      val bestExpr = TextOps.dicts.map(d => s"score_${d._1}")
+        .reduceLeft((a, b) => s"greatest($a, $b)")
+      val caseExpr = TextOps.dicts.map { case (name, _) =>
+        s"WHEN score_$name = $bestExpr THEN '$name'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      WITH t AS (
+        SELECT doc_id, source, text, $wsSql AS ws FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               len(ws) AS n_tokens,
+               CAST(len(list_filter(ws, w -> list_contains(
+                 ${TextOps.sqlArr(TextOps.stopwords)}, w))) AS DOUBLE)
+                 / len(ws) AS stopword_ratio,
+               len(regexp_extract_all(lower(text), '$pat')) AS n_hits,
+               md5(regexp_replace(lower(text), '$pat', '<X>', 'g'))
+                 AS scrubbed_md5,
+               ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+                 % 100 AS bucket,
+               $scoreCols
+        FROM t)
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             stopword_ratio,
+             $caseExpr AS predicted,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(n_hits AS INT) AS n_hits, scrubbed_md5,
+             (n_tokens >= 50 AND n_hits = 0) AS keep
+      FROM s"""
+    }
   )
 }

@@ -41,7 +41,8 @@ object TextOps extends graft.QueryModule {
         .as("n_bpe_tokens"),
       ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality signals: token count, mean word length, stopword ratio,
     * alpha ratio. Ratios are emitted as raw int/int double divisions
@@ -63,7 +64,7 @@ object TextOps extends graft.QueryModule {
       (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
   }
 
-  private val dicts: Seq[(String, Seq[String])] = Seq(
+  private[operators] val dicts: Seq[(String, Seq[String])] = Seq(
     "en"     -> Seq("the", "a", "fast", "slow", "small"),
     "sql"    -> Seq("table", "scan", "merge", "hash", "join", "sort", "query"),
     "stream" -> Seq("spark", "stream", "batch", "window", "row"))
@@ -337,7 +338,7 @@ object TextOps extends graft.QueryModule {
   // ---- driver bindings -------------------------------------------------
 
   private val bm25Terms = Seq("spark", "query", "fast")
-  private val scrubTerms = Seq("customer", "secret")
+  private[operators] val scrubTerms = Seq("customer", "secret")
   // upsample the rare languages, downsample the dominant one
   private val sampleRates: Seq[(String, Int)] =
     Seq("zh" -> 100, "de" -> 80, "es" -> 80, "fr" -> 80, "en" -> 25)
@@ -359,7 +360,7 @@ object TextOps extends graft.QueryModule {
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d)))
   )
 
-  private def sqlArr(xs: Seq[String]) =
+  private[operators] def sqlArr(xs: Seq[String]) =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(

@@ -123,6 +123,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("preprocess fuses the whole decision surface into one scan") {
+    val d = Tables.documents(spark, sf)
+    val out = Corpus.preprocess(d)
+    assert(out.count() == d.count())
+    // both keep verdicts occur, and keep matches its definition
+    val bad = out.filter(col("keep") =!=
+      (col("n_tokens") >= 50 && col("n_hits") === 0)).count()
+    assert(bad == 0)
+    assert(out.filter(col("keep")).count() > 0)
+    assert(out.filter(!col("keep")).count() > 0)
+    // fused: zero exchanges — one scan computes everything
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"preprocess shuffled:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"preprocess scans more than once:\n$plan")
+  }
+
   test("corpus queries keep their scale shapes") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
