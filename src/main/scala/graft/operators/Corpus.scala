@@ -226,6 +226,37 @@ object Corpus extends graft.QueryModule {
         col("n_hits"), col("scrubbed_md5"), col("keep"))
   }
 
+  /** Token-window chunking: split every document into fixed-size
+    * windows of `size` tokens advancing by `stride` (overlap =
+    * size - stride) — how long documents become training/retrieval
+    * chunks. Emits per chunk its index, token count, and content
+    * address (md5 of the joined tokens). The final partial window is
+    * kept iff it starts inside the document (standard tail rule).
+    *
+    * SCALE SHAPE: map-only — the window arithmetic is a per-row
+    * sequence + transform fused into the scan; the explode multiplies
+    * rows by ~len/stride but shuffles nothing.
+    */
+  def chunk(documents: DataFrame, size: Int = 32,
+            stride: Int = 24): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      "need 1 <= stride <= size (overlap = size - stride)")
+    val nChunksMinus1 = greatest(
+      ceil((org.apache.spark.sql.functions.size(col("ws")) - lit(size))
+        .cast("double") / stride).cast("long"), lit(0L))
+    documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode_outer(sequence(lit(0L), nChunksMinus1)).as("ci"))
+      .filter(col("ci").isNotNull)
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_id"),
+        slice(col("ws"), (col("ci") * stride + 1).cast("int"), lit(size))
+          .as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("cw")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,7 +265,8 @@ object Corpus extends graft.QueryModule {
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
-    "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d)))
+    "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
+    "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d)))
   )
 
   private val wsSql =
@@ -358,6 +390,20 @@ object Corpus extends graft.QueryModule {
              CAST(n_hits AS INT) AS n_hits, scrubbed_md5,
              (n_tokens >= 50 AND n_hits = 0) AS keep
       FROM s"""
-    }
+    },
+    "q63_chunk" -> s"""
+      WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0)))
+                 AS ci
+        FROM t)
+      SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+             CAST(len(list_slice(ws, ci*24 + 1, ci*24 + 32)) AS INT)
+               AS chunk_tokens,
+             md5(array_to_string(list_slice(ws, ci*24 + 1, ci*24 + 32), ' '))
+               AS chunk_md5
+      FROM c"""
   )
 }

@@ -140,6 +140,23 @@ class CorpusSpec extends SparkSpec {
       s"preprocess scans more than once:\n$plan")
   }
 
+  test("chunk emits strided windows and keeps the short-doc tail") {
+    val d = docs(Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" "), "s0"),
+      (2L, "a b", "s0")))
+    val out = Corpus.chunk(d, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    def m(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq(
+      (1L, 0, 4, m("t1 t2 t3 t4")),
+      (1L, 1, 4, m("t4 t5 t6 t7")),
+      (1L, 2, 4, m("t7 t8 t9 t10")),
+      (2L, 0, 2, m("a b"))))
+  }
+
   test("corpus queries keep their scale shapes") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -173,5 +190,8 @@ class CorpusSpec extends SparkSpec {
     assert("""BroadcastHashJoin[\s\S]{0,400}?FileScan parquet""".r
       .findFirstIn(mixPlan).isDefined,
       s"corpus scan should feed the join with no exchange:\n$mixPlan")
+    // q63: map-only — the window explode shuffles nothing
+    assert(exchanges(Corpus.chunk(d)) == 0,
+      s"chunk shuffled:\n${plan(Corpus.chunk(d))}")
   }
 }
