@@ -54,7 +54,12 @@ object ProfileScale {
       "q28_simhash_pairs" -> (d => Dedup.simhashPairs(d)),
       "q29_jaccard_pairs" -> (d => Dedup.ngramJaccardPairs(d, 0.8)),
       "q47_dedup_groups"  -> (d => Dedup.dedupGroups(d)),
-      "q53_dedup_keep"    -> (d => Dedup.dedupKeepers(d)))
+      "q53_dedup_keep"    -> (d => Dedup.dedupKeepers(d)),
+      "q57_seq_pack"      -> (d => graft.operators.Corpus.seqPack(d)),
+      "q58_vocab_sketch"  -> (d => graft.operators.Corpus.vocabSketch(d)),
+      "q60_shuffle_order" -> (d => graft.operators.Corpus.shuffleOrder(d)),
+      "q62_preprocess"    -> (d => graft.operators.Corpus.preprocess(d)),
+      "q63_chunk"         -> (d => graft.operators.Corpus.chunk(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -157,6 +157,33 @@ class CorpusSpec extends SparkSpec {
       (2L, 0, 2, m("a b"))))
   }
 
+  test("preprocess and chunk run unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchRows = Seq(
+      (1L, ("spark stream batch " * 20).trim, "s0"),
+      (2L, "the a small", "s1"))
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(batchRows: _*)
+    val streamDocs = in.toDF.toDF("doc_id", "text", "source")
+    // map-only ops are streaming-compatible as-is: same operator, no
+    // rewrite, append mode, no state
+    val q = Corpus.preprocess(streamDocs).writeStream
+      .format("memory").queryName("pp_stream").outputMode("append").start()
+    val c = Corpus.chunk(streamDocs).writeStream
+      .format("memory").queryName("chunk_stream").outputMode("append").start()
+    try { q.processAllAvailable(); c.processAllAvailable() }
+    finally { q.stop(); c.stop() }
+    val batchDocs = batchRows.toDF("doc_id", "text", "source")
+    val ppBatch = Corpus.preprocess(batchDocs)
+    val ppStream = spark.table("pp_stream")
+    assert(ppStream.except(ppBatch).isEmpty && ppBatch.except(ppStream).isEmpty)
+    val chBatch = Corpus.chunk(batchDocs)
+    val chStream = spark.table("chunk_stream")
+    assert(chStream.except(chBatch).isEmpty && chBatch.except(chStream).isEmpty)
+  }
+
   test("corpus queries keep their scale shapes") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
