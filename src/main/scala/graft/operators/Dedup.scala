@@ -461,9 +461,37 @@ object Dedup extends graft.QueryModule {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Duplicate provenance — WHERE the near-dups come from: MinHash
+    * pair counts aggregated per unordered source pair. The report
+    * that tells a crawl pipeline which feeds mirror each other (and
+    * whether dedup should run before or after a given ingest).
+    *
+    * Scale shape: the PAIR side broadcasts (it is the small side —
+    * dup density × corpus, bucket-capped upstream) and the bare
+    * (doc_id, source) corpus projection streams through both lookups
+    * without shuffling; the gate (same stats proxy as the keeper
+    * broadcast) degrades both to shuffled id joins past it. The final
+    * agg groups a tiny source-pair key space.
+    */
+  def dupSources(documents: DataFrame,
+                 broadcastPairs: Option[Boolean] = None): DataFrame = {
+    val bcast = gateBroadcast(documents, broadcastPairs)
+    def g(df: DataFrame) = if (bcast) broadcast(df) else df
+    val src = documents.select(col("doc_id"), col("source"))
+    val pairs = minhashPairs(documents).select(col("a"), col("b"))
+    val withA = src.toDF("a", "source_a").join(g(pairs), "a")
+      .select(col("b"), col("source_a"))
+    val withBoth = src.toDF("b", "source_b").join(g(withA), "b")
+    withBoth
+      .groupBy(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_dup_sources"    -> ((s, d) => dupSources(Tables.documents(s, d))),
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
     "q25_dedup_exact"    -> ((s, d) => exactGroups(Tables.documents(s, d))),
@@ -581,6 +609,15 @@ object Dedup extends graft.QueryModule {
       FROM documents GROUP BY 1""",
     "q26_minhash_pairs" -> q26Sql,
     "q47_dedup_groups" -> q47Sql,
+    "q64_dup_sources" -> s"""
+      WITH p AS (SELECT a, b FROM ($q26Sql) q26),
+      s AS (SELECT doc_id, source FROM documents)
+      SELECT least(x.source, y.source) AS src_lo,
+             greatest(x.source, y.source) AS src_hi,
+             count(*) AS n_pairs
+      FROM p JOIN s x ON p.a = x.doc_id
+             JOIN s y ON p.b = y.doc_id
+      GROUP BY 1, 2""",
     "q53_dedup_keep" -> s"""
       WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
       und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),

@@ -192,6 +192,15 @@ class PlanSpec extends SparkSpec {
     assert(aPlan.contains("BroadcastHashJoin LeftAnti") ||
       aPlan.contains("LeftAnti, BuildRight"), s"anti-join not broadcast:\n$aPlan")
     assert(!aPlan.contains("Window"), s"rank window crept in:\n$aPlan")
+    // q64: the PAIR side broadcasts in both provenance lookups — the
+    // corpus (doc_id, source) projection streams from its scan with
+    // no exchange below either join
+    val dPlan = planOf(Dedup.dupSources(Tables.documents(spark, sf)))
+    assert("BroadcastHashJoin".r.findAllIn(dPlan).size >= 2,
+      s"provenance lookups not broadcast:\n$dPlan")
+    assert("""BroadcastHashJoin[\s\S]{0,400}?FileScan parquet""".r
+      .findFirstIn(dPlan).isDefined,
+      s"corpus scan should stream into the join:\n$dPlan")
   }
 
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
