@@ -305,16 +305,15 @@ object Dedup extends graft.QueryModule {
     *    per-round shuffles. 5M edges ≈ 80 MB raw; the
     *    result broadcasts back as a literal table. This is the normal
     *    case even at 100 TB corpus scale when dup density is sane.
-    *  - otherwise: iterative min-label propagation as a batch driver
-    *    loop (T7, like kmeansRefine): each round every node takes the
-    *    min of its own and its neighbors' labels; converged when no
-    *    label changes. Rounds needed = component diameter — near-dup
-    *    clusters are shallow, so this converges in a handful of rounds
-    *    (adversarial graphs would want large-star/small-star
-    *    contraction, which bounds rounds at O(log n)). Each round is
-    *    one join + one agg on the persisted undirected edge list, and
-    *    each round's result is persisted so the next round plans
-    *    against the materialized table, not the whole loop's lineage.
+    *  - otherwise: iterative min-label propagation with POINTER
+    *    JUMPING as a batch driver loop (T7, like kmeansRefine) — see
+    *    [[propagateMinLabels]]. The jump bounds rounds at
+    *    O(log diameter), so chain-shaped components (the adversarial
+    *    case for plain propagation) converge within the round cap.
+    *    Each round is two joins + one agg on the persisted undirected
+    *    edge list, and each round's result is persisted so the next
+    *    round plans against the materialized table, not the whole
+    *    loop's lineage.
     *
     * Both paths produce the identical (doc_id, min-id-of-component)
     * labeling, so the gate is invisible to the oracle.
@@ -348,51 +347,78 @@ object Dedup extends graft.QueryModule {
         .map(n => (n, find(n))).toSeq
       labeled.toDF("doc_id", "group_id")
     } else {
-      val und = edges
-        .union(edges.select(col("b").as("a"), col("a").as("b")))
-        .persist()
-      var labels = und.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).persist()
-      // `labels` becomes a Project over the persisted frame from round 2
-      // on; unpersisting the projection is a no-op (non-cascading cache
-      // lookup misses), so track the actually-persisted frame separately
-      var cached = labels
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxRounds) {
-        val nbrMin = und
-          .join(labels.withColumnRenamed("node", "b"), "b")
-          .groupBy(col("a").as("node"))
-          .agg(min(col("label")).as("nbr_min"))
-        val next = labels.join(nbrMin, "node")
-          .select(col("node"), col("label"),
-            least(col("label"), col("nbr_min")).as("next_label"))
-          .persist()
-        changed = next.filter(col("next_label") < col("label")).count()
-        cached.unpersist()
-        cached = next
-        labels = next.select(col("node"), col("next_label").as("label"))
-        round += 1
-      }
-      if (changed > 0) {
-        cached.unpersist(); und.unpersist(); edges.unpersist()
-        // silent truncation would return labels that differ from the
-        // transitive closure with nothing flagging it — refuse instead
-        throw new IllegalStateException(
-          s"dedupGroups: min-label propagation did not converge in " +
-          s"$maxRounds rounds ($changed labels still changing) — raise " +
-          "maxRounds (rounds needed = component diameter)")
-      }
-      // break lineage off the cached loop frames before releasing them:
-      // the result must not recompute `maxRounds` joins on first use
-      val out = labels
-        .select(col("node").as("doc_id"), col("label").as("group_id"))
-        .localCheckpoint(true)
-      cached.unpersist()
-      und.unpersist()
-      edges.unpersist()
-      out
+      // finally: the edge cache must release even when the loop
+      // refuses to converge and throws
+      try propagateMinLabels(edges, maxRounds)
+        .withColumnsRenamed(Map("node" -> "doc_id", "label" -> "group_id"))
+      finally edges.unpersist()
     }
+  }
+
+  /** Distributed min-label propagation WITH pointer jumping: each
+    * round every node takes the min of its own and its neighbors'
+    * labels, then follows its label one hop through the label table
+    * (label ← label(label)). The jump halves the effective distance
+    * to the component minimum every round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — the property
+    * that makes the at-scale path safe for chain-shaped components
+    * (re-post chains, rolling boilerplate) that plain propagation's
+    * round cap would truncate. Labels only decrease and only to ids
+    * inside the component, so the fixpoint is the same
+    * min-id-of-component labeling as the driver union-find.
+    *
+    * Throws (rather than silently returning a truncated labeling) if
+    * `maxRounds` is hit with labels still changing.
+    */
+  private[graft] def propagateMinLabels(edges: DataFrame,
+                                        maxRounds: Int): DataFrame = {
+    val und = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    // every round's table is localCheckpointed, not persisted: the
+    // jump self-join would otherwise DOUBLE the logical plan each
+    // round (the cached-plan substitution happens after the full tree
+    // is built, but execution-start explain-string generation walks
+    // the raw tree — measured minutes of driver spin by round ~8).
+    // A checkpoint is a true leaf: plan size stays constant across
+    // rounds and there is no cache bookkeeping to leak.
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, "node")
+        .select(col("node"), col("label"),
+          least(col("label"), col("nbr_min")).as("mid"))
+        .localCheckpoint(true)
+      // pointer jump (label <- label(label)): mid-label values are
+      // themselves node ids (mins of node ids), so every row
+      // inner-joins a jump target; the jump halves the distance to
+      // the component minimum each round
+      val next = stepped
+        .join(stepped.select(col("node").as("jn"), col("mid").as("jl")),
+          col("mid") === col("jn"))
+        .select(col("node"), col("label"),
+          least(col("mid"), col("jl")).as("next_label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("node"), col("next_label").as("label"))
+      round += 1
+    }
+    und.unpersist()
+    if (changed > 0) {
+      // silent truncation would return labels that differ from the
+      // transitive closure with nothing flagging it — refuse instead
+      throw new IllegalStateException(
+        s"dedupGroups: min-label propagation did not converge in " +
+        s"$maxRounds rounds ($changed labels still changing) — with " +
+        "pointer jumping, rounds needed = O(log(component diameter))")
+    }
+    labels
   }
 
   /** Keeper selection — the decision that ends a fuzzy-dedup

@@ -153,6 +153,20 @@ class OperatorsSpec extends SparkSpec {
       "unconverged exit left frames in the SQL cache")
   }
 
+  test("pointer jumping converges a 100-long chain in O(log d) rounds") {
+    import spark.implicits._
+    // path 0-1-2-...-100 (diameter 100) plus a disjoint triangle:
+    // plain min-label propagation needs 100 rounds; the jump needs ~7
+    val edges = ((0L until 100L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L))).toDF("a", "b")
+    val labels = Dedup.propagateMinLabels(edges, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 100L).forall(labels(_) == 0L))
+    assert((200L to 202L).forall(labels(_) == 200L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "propagateMinLabels left frames in the SQL cache")
+  }
+
   test("int8 quantization bounds: |q| <= 127, reconstruction within scale/2") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
