@@ -153,6 +153,30 @@ class OperatorsSpec extends SparkSpec {
       "unconverged exit left frames in the SQL cache")
   }
 
+  test("pointer jumping equals union-find on random graphs") {
+    import spark.implicits._
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      parent.keys.map(n => n -> find(n)).toMap
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(150)((rnd.nextLong(500), rnd.nextLong(500)))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.propagateMinLabels(pairs.toDF("a", "b"), maxRounds = 12)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(pairs), s"seed $seed diverged")
+    }
+  }
+
   test("pointer jumping converges a 100-long chain in O(log d) rounds") {
     import spark.implicits._
     // path 0-1-2-...-100 (diameter 100) plus a disjoint triangle:

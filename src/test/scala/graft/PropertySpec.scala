@@ -115,6 +115,28 @@ object GraftProperties extends Properties("graft") {
       g.size == r.size && g.zip(r).forall { case (a, b) => a >= b }
     }
 
+  // ---- BottomKDistinct: the KMV sketch's distributed-correctness ----
+
+  private val bkd = new Aggregators.BottomKDistinct(4)
+  private val longList = Gen.listOf(Gen.chooseNum(0L, 30L))
+  private def runBkd(xs: Seq[Long]) = xs.foldLeft(bkd.zero)(bkd.reduce)
+
+  property("BottomKDistinct equals the k smallest distinct values") =
+    forAll(longList) { xs =>
+      runBkd(xs) == xs.distinct.sorted.take(4)
+    }
+
+  property("BottomKDistinct.merge is order-insensitive (shuffle-safe)") =
+    forAll(longList, longList) { (a, b) =>
+      bkd.merge(runBkd(a), runBkd(b)) == bkd.merge(runBkd(b), runBkd(a))
+    }
+
+  property("BottomKDistinct partial-agg equals single-pass") =
+    forAll(longList, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut.min(xs.size))
+      bkd.merge(runBkd(l), runBkd(r)) == runBkd(xs)
+    }
+
   // ---- in-bucket pair generation (the LSH candidate core) -----------
 
   property("sortedPairs emits exactly the C(n,2) ordered pairs") = {
