@@ -29,7 +29,8 @@ object GraftExtensions {
     "graft_jaccard" -> (es => SortedArrayJaccard(es(0), es(1))),
     "graft_simhash32" -> (es => SimHash32(es(0))),
     "graft_sorted_pairs" -> (es => SortedArrayPairs(es(0))),
-    "graft_max_multiplicity" -> (es => MaxStringMultiplicity(es(0))))
+    "graft_max_multiplicity" -> (es => MaxStringMultiplicity(es(0))),
+    "graft_sorted_intersect" -> (es => SortedLongIntersectCount(es(0), es(1))))
 
   private[functions] val descriptors = builders.map { case (name, b) =>
     (FunctionIdentifier(name), info(name), b)

@@ -101,6 +101,54 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| of two SORTED DISTINCT `array<long>` columns via a single
+  * merge walk — the integer core the containment ops build their
+  * rational similarity from (containment = inter / min(|A|, |B|)
+  * stays an exact int/int division). O(|a|+|b|) generated code per
+  * pair; no intermediate array materializes.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { inter += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $inter++; $i++; $j++; }
+         |  else if ($u < $v) $i++; else $j++;
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-row 32-bit SimHash over an `array<long>` of token hashes: bit
   * j of the result is 1 iff the multiset's ±1 vote on token-hash bit j
   * is positive — the q27 corpus aggregate folded into one generated
@@ -348,6 +396,11 @@ object VectorExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** |A ∩ B| of two sorted distinct array<long> columns (codegen'd). */
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Per-row 32-bit simhash of an array<long> of token hashes. */
   def simHash32(hashes: Column): Column =

@@ -288,6 +288,63 @@ object Dedup extends graft.QueryModule {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]]: containment(A,B) = |S(A) ∩ S(B)| /
+    * min(|S(A)|, |S(B)|) over 3-word shingle sets. Jaccard misses
+    * subset inclusion (a paragraph quoted inside a much longer
+    * document scores low on |∩|/|∪| but 1.0 on containment), and
+    * inclusion is exactly what crawl dedup needs to catch for
+    * quote/boilerplate/wrapper pages. Candidates come from the same
+    * frequency-capped inverted index as the jaccard op; the exact
+    * containment then runs per pair as one codegen merge walk over the
+    * pre-sorted 60-bit shingle-hash arrays (ints only — the score is a
+    * single int/int division, bit-portable to any engine).
+    *
+    * Scale shape: identical to q29 — index bucketing bounds fan-out,
+    * shingle hashes (8 bytes) travel instead of strings, and the
+    * per-doc shingle-set lookup broadcasts only under the source-stats
+    * gate, else the candidate join shuffles on the pair keys.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.9,
+                       maxShingleFreq: Int = DefaultMaxBucket,
+                       broadcastLookup: Option[Boolean] = None): DataFrame = {
+    val ssets = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles(col("w"), 3),
+          s => hash60(s)))).as("ss"))
+    val inv = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), hash60(col("shingle")).as("sh"))
+    val cands = inv
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleFreq))
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    val bcast = broadcastLookup.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        MaxBroadcastSourceBytes)
+    def lookup(idCol: String, sCol: String): DataFrame = {
+      val t = ssets.toDF(idCol, sCol)
+      if (bcast) broadcast(t) else t
+    }
+    cands
+      .join(lookup("a", "a_s"), "a")
+      .join(lookup("b", "b_s"), "b")
+      .select(col("a"), col("b"),
+        graft.functions.VectorExpressions
+          .sortedLongIntersect(col("a_s"), col("b_s")).as("inter"),
+        size(col("a_s")).as("n_a"), size(col("b_s")).as("n_b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Dedup GROUP assignment — the step after candidate pairs that a
     * real fuzzy-dedup pipeline needs before it can pick one keeper per
     * near-dup cluster: connected components over the MinHash-LSH pair
@@ -525,7 +582,8 @@ object Dedup extends graft.QueryModule {
     "q27_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "q28_simhash_pairs"  -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q29_jaccard_pairs"  -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d), 0.8)),
-    "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d)))
+    "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d))),
+    "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -697,6 +755,34 @@ object Dedup extends graft.QueryModule {
       FROM first
       WHERE rn = 1 AND n <= $DefaultMaxBucket
         AND bit_count(xor(sx, sy)) <= 6""",
+    "q66_containment" -> s"""
+      WITH t AS (
+        SELECT doc_id, $wordsSql AS ws FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(${shinglesSql("ws")},
+                 g -> ${h60Sql("g")}))) AS ss
+        FROM t),
+      inv AS (
+        SELECT DISTINCT doc_id,
+               ${h60Sql("unnest(" + shinglesSql("ws") + ")")} AS sh
+        FROM t),
+      hot AS (
+        SELECT sh FROM inv GROUP BY sh HAVING count(*) <= $DefaultMaxBucket),
+      capped AS (
+        SELECT inv.doc_id, inv.sh FROM inv JOIN hot USING (sh)),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM capped x JOIN capped y
+          ON x.sh = y.sh AND x.doc_id < y.doc_id)
+      SELECT a, b,
+             CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+               / least(len(sa.ss), len(sb.ss)) AS containment
+      FROM cands
+      JOIN s sa ON sa.doc_id = a
+      JOIN s sb ON sb.doc_id = b
+      WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+              / least(len(sa.ss), len(sb.ss)) >= 0.9""",
     "q29_jaccard_pairs" -> s"""
       WITH wsets AS (
         SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),

@@ -168,6 +168,56 @@ object Similarity extends graft.QueryModule {
       .filter(col("sim") >= threshold)
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (RRF) of the lexical
+    * (BM25, q39) and dense (cosine top-N for one query vector)
+    * rankings over the same document ids: the standard production
+    * retrieval stack for training-data selection, where neither signal
+    * alone is trusted. rrf(d) = Σ_lists 1/(k + rank_list(d)) with
+    * k = 60 (the constant from the original RRF paper), summed over
+    * the lists that contain d. Absent ranks contribute 0 (encoded as
+    * rank 0 — no nullable-int rendering differences between engines);
+    * the two reciprocal terms are exact int-derived divisions added in
+    * a fixed order, so the score is bit-portable.
+    *
+    * Scale shape: both input rankings are top-N-bounded BEFORE the
+    * fusion (BM25 via the bounded topK aggregator, dense via the same
+    * aggregator against one broadcast query row — the corpus streams
+    * map-side in both), so the full-outer fusion join and the final
+    * re-rank window touch ≤ 2N rows regardless of corpus size.
+    */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                terms: Seq[String], queryVecId: Long = 0L,
+                topN: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = TextOps.bm25(documents, terms, topN = topN)
+      .select(col("doc_id"), col("rn").as("rn_lex"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+    val dense = embeddings.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
+      .agg(graft.functions.Aggregators.topK(topN)(
+        col("sim"), col("vec_id")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("s.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn_dense"))
+    def recip(rn: Column): Column =
+      when(rn > 0, lit(1.0) / (lit(rrfK) + rn)).otherwise(lit(0.0))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rn_lex"), lit(0)).as("rn_lex"),
+        coalesce(col("rn_dense"), lit(0)).as("rn_dense"))
+      .withColumn("rrf", recip(col("rn_lex")) + recip(col("rn_dense")))
+      // ≤ 2N fused rows by construction — the unpartitioned window is
+      // model-sized, never corpus-sized
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+  }
+
   /** IVF-style ANN: a deterministic coarse quantizer (centroids =
     * vectors with vec_id ≡ 0 mod `centroidMod`, broadcast), every
     * vector assigned to its max-cosine centroid, queries probe the
@@ -442,7 +492,9 @@ object Similarity extends graft.QueryModule {
     "q34_kmeans_refine" -> ((s, d) => kmeansRefine(Tables.embeddings(s, d))),
     "q36_knn_ivf"    -> ((s, d) => knnIvf(Tables.embeddings(s, d), 16, 5)),
     "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5)),
-    "q41_ivf_recall" -> ((s, d) => ivfRecall(Tables.embeddings(s, d), 16, 5))
+    "q41_ivf_recall" -> ((s, d) => ivfRecall(Tables.embeddings(s, d), 16, 5)),
+    "q67_hybrid_rrf" -> ((s, d) => hybridRrf(Tables.documents(s, d),
+      Tables.embeddings(s, d), TextOps.bm25Terms))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -716,6 +768,40 @@ object Similarity extends graft.QueryModule {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY sim DESC, neighbor_id ASC) AS rn
         FROM scored)
-      WHERE rn <= 5"""
+      WHERE rn <= 5""",
+    "q67_hybrid_rrf" -> s"""
+      WITH lex AS (
+        SELECT doc_id, rn AS rn_lex
+        FROM (${TextOps.bm25OracleSql(TextOps.bm25Terms)}) l),
+      q AS (
+        SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+      dense AS (
+        SELECT doc_id, rn AS rn_dense FROM (
+          SELECT c.vec_id AS doc_id,
+                 row_number() OVER (
+                   ORDER BY ${cosSql("q_emb", "c_emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS c_emb
+                FROM embeddings WHERE vec_id <> 0) c
+          CROSS JOIN q)
+        WHERE rn <= 20),
+      fused AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(l.rn_lex, 0) AS rn_lex,
+               coalesce(d.rn_dense, 0) AS rn_dense
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+      scored AS (
+        SELECT doc_id, rn_lex, rn_dense,
+               (CASE WHEN rn_lex > 0
+                     THEN CAST(1.0 AS DOUBLE) / (60 + rn_lex)
+                     ELSE CAST(0.0 AS DOUBLE) END)
+             + (CASE WHEN rn_dense > 0
+                     THEN CAST(1.0 AS DOUBLE) / (60 + rn_dense)
+                     ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+        FROM fused)
+      SELECT doc_id, rn_lex, rn_dense, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+               AS INT) AS rn
+      FROM scored"""
   )
 }

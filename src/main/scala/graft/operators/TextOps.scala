@@ -311,6 +311,57 @@ object TextOps extends graft.QueryModule {
           .as("contam_ratio"))
   }
 
+  /** Unigram-LM surprisal — the perplexity-proxy quality score every
+    * production filtering pipeline runs (CCNet-style: score each
+    * document by how surprising its tokens are under a language model
+    * fit on the corpus itself; gibberish scores high, boilerplate
+    * scores low). The "model" is the corpus unigram distribution, and
+    * the per-token surprisal −log₂ p(w) is QUANTIZED to whole bits:
+    * flog2(x) = floor(log₂ x) = length(bin(x)) − 1, an exact integer
+    * in any engine — same portability doctrine as BM25's rational idf
+    * (ln()'s last-bit rounding differs across math libraries; an
+    * integer bit-length never does). Per document:
+    * bits = Σ_tokens (flog2(total_tokens) − flog2(count(w))), and the
+    * reported score is bits / n_tokens (one IEEE division at the end).
+    *
+    * Scale shape (100 TB): the token stream shuffles ONCE (an explicit
+    * repartition on doc_id); the per-doc term frequencies, the scoring
+    * join's probe side, and the final per-doc aggregation all reuse
+    * that partitioning, so the only other exchange is the vocabulary
+    * count (8-byte word hashes, partial-aggregated). The vocab table
+    * (natural-language vocabularies are millions of rows, not corpus-
+    * sized) broadcasts under the same source-stats gate as the q29
+    * lookup; past the gate the scoring join degrades to a shuffled
+    * hash join on the word-hash key (`broadcastVocab` overrides).
+    */
+  def unigramSurprisal(documents: DataFrame,
+                       broadcastVocab: Option[Boolean] = None): DataFrame = {
+    def flog2(c: Column): Column = length(bin(c)) - 1
+    val tok = documents
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), hash60(col("w")).as("wh"))
+      .repartition(col("doc_id"))
+    // doc_id partitioning satisfies the (doc_id, wh) clustering, so
+    // this aggregates in place — no second token-scale exchange
+    val tf = tok.groupBy(col("doc_id"), col("wh"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("wh")).agg(sum(col("tf")).as("cnt"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val bcast = broadcastVocab.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tf.join(if (bcast) broadcast(vocab) else vocab, "wh")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * (flog2(col("total")) - flog2(col("cnt"))))
+          .as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        (col("bits").cast("double") / col("n_tokens"))
+          .as("bits_per_token"))
+  }
+
   /** Per-source top-k token leaderboard — the vocabulary drift /
     * boilerplate screen run per ingestion source: (source, token)
     * counts, then each source's k most frequent tokens. The per-source
@@ -337,48 +388,27 @@ object TextOps extends graft.QueryModule {
 
   // ---- driver bindings -------------------------------------------------
 
-  private val bm25Terms = Seq("spark", "query", "fast")
-  private[operators] val scrubTerms = Seq("customer", "secret")
-  // upsample the rare languages, downsample the dominant one
-  private val sampleRates: Seq[(String, Int)] =
-    Seq("zh" -> 100, "de" -> 80, "es" -> 80, "fr" -> 80, "en" -> 25)
+  private[operators] val bm25Terms = Seq("spark", "query", "fast")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
-    "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
-    "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
-    "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
-    "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
-    "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
-    "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
-    "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms)),
-    "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d))),
-    "q50_langid_eval" -> ((s, d) => languageIdEval(Tables.documents(s, d))),
-    "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
-    "q45_top_tokens"  -> ((s, d) => topTokensPerSource(Tables.documents(s, d))),
-    "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
-    "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d)))
-  )
-
-  private[operators] def sqlArr(xs: Seq[String]) =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
-
-  def oracle: Map[String, String] = Map(
-    "q39_bm25" -> {
-      val k1 = 1.2; val b = 0.75
-      val wsSql =
-        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-      val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(",\n               ")
-      val dfCols = bm25Terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(",\n               ")
-      val contribs = bm25Terms.indices.map(i =>
-        s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ($k1 + 1.0)) " +
-        s"/ (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))")
-        .reduceLeft((a, c) => s"$a\n               + $c")
-      s"""
+  /** The q39 oracle as a reusable fragment (also composed into the
+    * hybrid-RRF oracle): DuckDB SQL computing exactly
+    * `bm25(documents, terms, k1, b, topN)`. */
+  private[operators] def bm25OracleSql(terms: Seq[String], k1: Double = 1.2,
+                                       b: Double = 0.75,
+                                       topN: Int = 20): String = {
+    val wsSql =
+      "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n               ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n               ")
+    val contribs = terms.indices.map(i =>
+      s"((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ($k1 + 1.0)) " +
+      s"/ (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))")
+      .reduceLeft((a, c) => s"$a\n               + $c")
+    s"""
       WITH t AS (
         SELECT doc_id, $wsSql AS ws FROM documents),
       d AS (
@@ -399,8 +429,36 @@ object TextOps extends graft.QueryModule {
         SELECT doc_id, score,
                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
         FROM sc WHERE score > 0)
-      WHERE rn <= 20"""
-    },
+      WHERE rn <= $topN"""
+  }
+  private[operators] val scrubTerms = Seq("customer", "secret")
+  // upsample the rare languages, downsample the dominant one
+  private val sampleRates: Seq[(String, Int)] =
+    Seq("zh" -> 100, "de" -> 80, "es" -> 80, "fr" -> 80, "en" -> 25)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
+    "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
+    "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
+    "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
+    "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
+    "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
+    "q46_scrub"       -> ((s, d) => scrub(Tables.documents(s, d), scrubTerms)),
+    "q48_source_mix"  -> ((s, d) => sourceMix(Tables.documents(s, d))),
+    "q50_langid_eval" -> ((s, d) => languageIdEval(Tables.documents(s, d))),
+    "q51_sample_strata" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "q45_top_tokens"  -> ((s, d) => topTokensPerSource(Tables.documents(s, d))),
+    "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
+    "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
+    "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d)))
+  )
+
+  private[operators] def sqlArr(xs: Seq[String]) =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  def oracle: Map[String, String] = Map(
+    "q39_bm25" -> bm25OracleSql(bm25Terms),
     "q20_wordcount" -> """
       SELECT word, count(*) AS cnt
       FROM (SELECT unnest(list_filter(
@@ -527,6 +585,24 @@ object TextOps extends graft.QueryModule {
       FROM h JOIN b USING (gh)
       WHERE source <> 'src0'
       GROUP BY doc_id, n_grams""",
+    "q65_surprisal" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(unnest(string_split(trim(regexp_replace(
+                 lower(text), '\s+', ' ', 'g')), ' '))), 1, 15))::BIGINT AS wh
+        FROM documents),
+      tf AS (SELECT doc_id, wh, count(*) AS tf FROM tok GROUP BY 1, 2),
+      vocab AS (SELECT wh, CAST(sum(tf) AS BIGINT) AS cnt
+                FROM tf GROUP BY 1),
+      tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+               AS BIGINT) AS bits,
+             CAST(sum(tf * (length(bin(total)) - length(bin(cnt))))
+               AS DOUBLE) / sum(tf) AS bits_per_token
+      FROM tf JOIN vocab USING (wh) CROSS JOIN tot
+      GROUP BY doc_id""",
     "q51_sample_strata" -> {
       val rateExpr = sampleRates.map { case (l, p) =>
         s"WHEN lang = '$l' THEN $p"

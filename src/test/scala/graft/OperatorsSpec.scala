@@ -297,6 +297,75 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: quantized bits match a hand-computed corpus") {
+    // corpus: a a b | c → counts a=2, b=1, c=1; total=4
+    // flog2 = length(bin(x)) - 1: flog2(4)=2, flog2(2)=1, flog2(1)=0
+    // doc 1: a(×2): 2·(2−1)=2, b: 2−0=2 → bits=4, n=3
+    // doc 2: c: 2 → bits=2, n=1
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs)
+      .select("doc_id", "n_tokens", "bits", "bits_per_token")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 4L, 4.0 / 3)))
+    assert(got(2L) == ((1L, 2L, 2.0)))
+    // broadcast and shuffled-join paths agree on real data
+    val real = Tables.documents(spark, sf)
+    val b = TextOps.unigramSurprisal(real, broadcastVocab = Some(true))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val s = TextOps.unigramSurprisal(real, broadcastVocab = Some(false))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("containment pairs catch subset inclusion that jaccard misses") {
+    val a = "alpha beta gamma delta"
+    val b = s"$a epsilon zeta eta theta"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // A's 2 shingles ⊂ B's 6 → containment 1.0
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // word-set jaccard of the same pair is 4/8 — below any dedup
+    // threshold; the asymmetric signal is what catches the quote
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.8).isEmpty)
+    // broadcast and shuffled lookup paths agree on real data
+    val real = Tables.documents(spark, sf)
+    val bc = Dedup.containmentPairs(real, broadcastLookup = Some(true))
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = Dedup.containmentPairs(real, broadcastLookup = Some(false))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bc.nonEmpty && bc == sh)
+  }
+
+  test("hybrid RRF fuses the bm25 and dense rankings with 1/(60+r) weights") {
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    val terms = Seq("spark", "query", "fast")
+    val fused = Similarity.hybridRrf(docs, embs, terms)
+      .select("doc_id", "rn_lex", "rn_dense", "rrf", "rn")
+      .as[(Long, Int, Int, Double, Int)].collect()
+    assert(fused.nonEmpty && fused.length <= 40)
+    // every row came from at least one list, ranks bounded by topN
+    assert(fused.forall { case (_, l, d, _, _) =>
+      (l > 0 || d > 0) && l <= 20 && d <= 20 })
+    // the score IS the two-term reciprocal sum
+    fused.foreach { case (id, l, d, rrf, _) =>
+      val want = (if (l > 0) 1.0 / (60 + l) else 0.0) +
+        (if (d > 0) 1.0 / (60 + d) else 0.0)
+      assert(rrf == want, s"doc $id")
+    }
+    // final rank is dense 1..n and ordered by (rrf desc, doc_id asc)
+    val byRn = fused.sortBy(_._5)
+    assert(byRn.map(_._5).toSeq == (1 to fused.length))
+    assert(byRn.map(r => (-r._4, r._1)).toSeq ==
+      byRn.map(r => (-r._4, r._1)).sorted.toSeq)
+    // both constituent rankings survive into the fusion
+    val lex = TextOps.bm25(docs, terms).as[(Long, Double, Int)].collect()
+    val lexRanks = fused.collect { case (id, l, _, _, _) if l > 0 => id -> l }
+    assert(lexRanks.toMap == lex.map(r => r._1 -> r._3).toMap)
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)

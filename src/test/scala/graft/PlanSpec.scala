@@ -203,6 +203,56 @@ class PlanSpec extends SparkSpec {
       s"corpus scan should stream into the join:\n$dPlan")
   }
 
+  test("round-5 retrieval/scoring queries keep their scale shapes") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    val docs = Tables.documents(spark, sf)
+    // q65: ONE token-scale exchange (the explicit doc_id repartition —
+    // tf, the scoring probe, and the final per-doc agg all reuse it)
+    // plus the vocab count; the vocab lookup broadcasts under the gate
+    val surPlan = planOf(TextOps.unigramSurprisal(docs))
+    assert(surPlan.contains("BroadcastHashJoin"),
+      s"vocab lookup not broadcast:\n$surPlan")
+    // the static AQE tree replicates the one doc_id repartition under
+    // each consuming subtree (they dedupe at runtime via stage reuse):
+    // count DISTINCT partitioning keys, which is what shuffles data
+    val surKeys = """Exchange hashpartitioning\((\w+)#"""
+      .r.findAllMatchIn(surPlan).map(_.group(1)).toSet
+    assert(surKeys == Set("doc_id", "wh"),
+      s"extra token-scale exchange crept in ($surKeys):\n$surPlan")
+    // q66: same gate discipline as the q29 lookup
+    val conPlan = planOf(Dedup.containmentPairs(docs))
+    assert("BroadcastHashJoin".r.findAllIn(conPlan).size >= 2,
+      s"shingle-set lookups not broadcast:\n$conPlan")
+    // past the gate both ops degrade to shuffled joins — tiny test
+    // stats would still auto-broadcast, so mimic at-scale stats
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val surFb = planOf(TextOps.unigramSurprisal(docs,
+        broadcastVocab = Some(false)))
+      assert(surFb.contains("SortMergeJoin") ||
+        surFb.contains("ShuffledHashJoin"), s"no shuffled fallback:\n$surFb")
+      val conFb = planOf(Dedup.containmentPairs(docs,
+        broadcastLookup = Some(false)))
+      assert(conFb.contains("SortMergeJoin") ||
+        conFb.contains("ShuffledHashJoin"), s"no shuffled fallback:\n$conFb")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // q67: both rankings are bounded BEFORE fusion — the only window
+    // is the final re-rank over the ≤ 2N fused rows, and the corpus
+    // sides stream against broadcasts (bm25 stats + the query vector)
+    val rrf = Similarity.hybridRrf(docs, Tables.embeddings(spark, sf),
+      Seq("spark", "query", "fast"))
+    val rrfPlan = planOf(rrf)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(rrfPlan).size >= 2,
+      s"corpus sides should stream against broadcasts:\n$rrfPlan")
+    assert("Window".r.findAllIn(rrfPlan).size <= 1,
+      s"only the bounded final re-rank may window:\n$rrfPlan")
+    assert(exchanges(rrf) <= 2,
+      s"fusion join should touch only topN-bounded sides:\n$rrfPlan")
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
