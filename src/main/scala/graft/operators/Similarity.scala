@@ -168,6 +168,46 @@ object Similarity extends graft.QueryModule {
       .filter(col("sim") >= threshold)
   }
 
+  /** Per-dimension embedding statistics — the health screen run before
+    * any ANN index build: mean and population variance of every
+    * embedding dimension (dead dims have ~zero variance; a shifted
+    * mean breaks cosine assumptions; both silently degrade recall).
+    *
+    * Exactness: components are quantized as q = floor(v·2²⁶) (the ×2ⁿ
+    * multiply and floor are exact in any engine), then Σq and Σq² are
+    * DECIMAL(38,0) integer sums — order-free, no float accumulation.
+    * 2²⁶ (not the kmeans 2⁵²) keeps q² ≈ 2⁷⁴ small enough that a
+    * trillion-row corpus stays within DECIMAL(38,0). The derived
+    * mean/variance doubles are computed from the exact sums by a fixed
+    * IEEE op sequence mirrored in the oracle.
+    *
+    * Scale shape: the whole computation is ONE map-side-combined hash
+    * aggregate producing a single row of 2·dims decimal sums (the q27
+    * bit-vote shape — no posexplode into dims× the corpus row count);
+    * the per-dim unpivot then runs on that one model-sized row.
+    */
+  def embeddingStats(embeddings: DataFrame, dims: Int = 0): DataFrame = {
+    val d = deriveDims(embeddings, dims)
+    val pow26 = 67108864.0 // 2^26
+    // quantize in a dedicated projection BEFORE the aggregate (inlined
+    // in the sum exprs, floor/cast re-evaluates per aggregate update)
+    val q = embeddings.select((1 to d).map(i =>
+      floor(element_at(asDouble(col("embedding")), i) * pow26)
+        .cast("decimal(19,0)").as(s"q$i")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (1 to d).map(i => sum(col(s"q$i")).cast("decimal(38,0)").as(s"s$i")) ++
+      (1 to d).map(i => sum(col(s"q$i") * col(s"q$i"))
+        .cast("decimal(38,0)").as(s"ss$i"))
+    val one = q.agg(aggs.head, aggs.tail: _*)
+    one.select(expr(s"stack($d, " + (1 to d).map(i =>
+        s"$i, n, s$i, ss$i").mkString(", ") + ") as (dim, n, s, ss)"))
+      .select(col("dim"), col("n"),
+        ((col("s").cast("double") / col("n")) / pow26).as("dim_mean"),
+        (((col("ss").cast("double") -
+          (col("s").cast("double") * col("s").cast("double")) / col("n"))
+          / col("n")) / (pow26 * pow26)).as("dim_var"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (RRF) of the lexical
     * (BM25, q39) and dense (cosine top-N for one query vector)
     * rankings over the same document ids: the standard production
@@ -494,7 +534,8 @@ object Similarity extends graft.QueryModule {
     "q38_lsh_recall" -> ((s, d) => lshRecall(Tables.embeddings(s, d), 16, 5)),
     "q41_ivf_recall" -> ((s, d) => ivfRecall(Tables.embeddings(s, d), 16, 5)),
     "q67_hybrid_rrf" -> ((s, d) => hybridRrf(Tables.documents(s, d),
-      Tables.embeddings(s, d), TextOps.bm25Terms))
+      Tables.embeddings(s, d), TextOps.bm25Terms)),
+    "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -769,6 +810,25 @@ object Similarity extends graft.QueryModule {
                  ORDER BY sim DESC, neighbor_id ASC) AS rn
         FROM scored)
       WHERE rn <= 5""",
+    "q68_emb_stats" -> s"""
+      WITH base AS (
+        SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS (
+        SELECT dim,
+               CAST(floor(emb[dim] * 67108864.0) AS DECIMAL(19,0)) AS qv
+        FROM base CROSS JOIN dims),
+      sums AS (
+        SELECT dim, count(*) AS n,
+               CAST(sum(qv) AS DECIMAL(38,0)) AS s,
+               CAST(sum(qv * qv) AS DECIMAL(38,0)) AS ss
+        FROM q GROUP BY dim)
+      SELECT dim, n,
+             (CAST(s AS DOUBLE) / n) / 67108864.0 AS dim_mean,
+             ((CAST(ss AS DOUBLE)
+                 - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n)
+               / (67108864.0 * 67108864.0) AS dim_var
+      FROM sums""",
     "q67_hybrid_rrf" -> s"""
       WITH lex AS (
         SELECT doc_id, rn AS rn_lex

@@ -366,6 +366,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lexRanks.toMap == lex.map(r => r._1 -> r._3).toMap)
   }
 
+  test("embedding stats: exact quantized mean/variance per dimension") {
+    // dim 1 values: 1.0, 3.0 → mean 2, var 1; dim 2: 0.5, 0.5 → var 0
+    val embs = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(3.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingStats(embs)
+      .select("dim", "n", "dim_mean", "dim_var")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) == ((2L, 2.0, 1.0)))
+    assert(got(2) == ((2L, 0.5, 0.0)))
+    // real data: one row per dim, population variance non-negative
+    val real = Similarity.embeddingStats(Tables.embeddings(spark, sf))
+      .as[(Int, Long, Double, Double)].collect()
+    assert(real.length == 64)
+    assert(real.forall(_._4 >= 0.0))
+    // no corpus-scale shuffle: the only exchange is the single-row
+    // global aggregate (no hashpartitioning at any size)
+    val plan = Similarity.embeddingStats(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus-scale exchange crept in:\n$plan")
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
