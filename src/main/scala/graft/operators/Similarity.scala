@@ -173,39 +173,42 @@ object Similarity extends graft.QueryModule {
     * embedding dimension (dead dims have ~zero variance; a shifted
     * mean breaks cosine assumptions; both silently degrade recall).
     *
-    * Exactness: components are quantized as q = floor(v·2²⁶) (the ×2ⁿ
-    * multiply and floor are exact in any engine), then Σq and Σq² are
-    * DECIMAL(38,0) integer sums — order-free, no float accumulation.
-    * 2²⁶ (not the kmeans 2⁵²) keeps q² ≈ 2⁷⁴ small enough that a
-    * trillion-row corpus stays within DECIMAL(38,0). The derived
-    * mean/variance doubles are computed from the exact sums by a fixed
-    * IEEE op sequence mirrored in the oracle.
+    * Exactness: components are quantized as q = floor(v·2²⁰) (the ×2ⁿ
+    * multiply and floor are exact in any engine), so q² stays inside
+    * LONG arithmetic per element (|v| < 2¹¹ ⇒ q² < 2⁶²) — the squares
+    * are codegen long multiplies, never per-row BigDecimal work — and
+    * only the Σq / Σq² accumulation runs in DECIMAL(38,0) (order-free,
+    * no float accumulation, room for a trillion-row corpus). The
+    * derived mean/variance doubles are computed from the exact sums by
+    * a fixed IEEE op sequence mirrored in the oracle.
     *
     * Scale shape: the whole computation is ONE map-side-combined hash
     * aggregate producing a single row of 2·dims decimal sums (the q27
     * bit-vote shape — no posexplode into dims× the corpus row count);
-    * the per-dim unpivot then runs on that one model-sized row.
+    * the per-dim unpivot then runs on that one model-sized row. The
+    * array cast and quantization each run in their OWN projection
+    * (referenced 64× downstream, so CollapseProject keeps them
+    * materialized instead of re-evaluating per use — the kmeans
+    * lesson, measured ~10× on this op).
     */
   def embeddingStats(embeddings: DataFrame, dims: Int = 0): DataFrame = {
     val d = deriveDims(embeddings, dims)
-    val pow26 = 67108864.0 // 2^26
-    // quantize in a dedicated projection BEFORE the aggregate (inlined
-    // in the sum exprs, floor/cast re-evaluates per aggregate update)
-    val q = embeddings.select((1 to d).map(i =>
-      floor(element_at(asDouble(col("embedding")), i) * pow26)
-        .cast("decimal(19,0)").as(s"q$i")): _*)
+    val pow20 = 1048576.0 // 2^20
+    val q = embeddings.select(asDouble(col("embedding")).as("emb"))
+      .select((1 to d).map(i =>
+        floor(element_at(col("emb"), i) * pow20).cast("long").as(s"q$i")): _*)
     val aggs = Seq(count(lit(1)).as("n")) ++
-      (1 to d).map(i => sum(col(s"q$i")).cast("decimal(38,0)").as(s"s$i")) ++
-      (1 to d).map(i => sum(col(s"q$i") * col(s"q$i"))
-        .cast("decimal(38,0)").as(s"ss$i"))
+      (1 to d).map(i => sum(col(s"q$i").cast("decimal(38,0)")).as(s"s$i")) ++
+      (1 to d).map(i => sum((col(s"q$i") * col(s"q$i"))
+        .cast("decimal(38,0)")).as(s"ss$i"))
     val one = q.agg(aggs.head, aggs.tail: _*)
     one.select(expr(s"stack($d, " + (1 to d).map(i =>
         s"$i, n, s$i, ss$i").mkString(", ") + ") as (dim, n, s, ss)"))
       .select(col("dim"), col("n"),
-        ((col("s").cast("double") / col("n")) / pow26).as("dim_mean"),
+        ((col("s").cast("double") / col("n")) / pow20).as("dim_mean"),
         (((col("ss").cast("double") -
           (col("s").cast("double") * col("s").cast("double")) / col("n"))
-          / col("n")) / (pow26 * pow26)).as("dim_var"))
+          / col("n")) / (pow20 * pow20)).as("dim_var"))
   }
 
   /** Hybrid retrieval — reciprocal-rank fusion (RRF) of the lexical
@@ -816,18 +819,18 @@ object Similarity extends graft.QueryModule {
       dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
       q AS (
         SELECT dim,
-               CAST(floor(emb[dim] * 67108864.0) AS DECIMAL(19,0)) AS qv
+               CAST(floor(emb[dim] * 1048576.0) AS BIGINT) AS qv
         FROM base CROSS JOIN dims),
       sums AS (
         SELECT dim, count(*) AS n,
-               CAST(sum(qv) AS DECIMAL(38,0)) AS s,
-               CAST(sum(qv * qv) AS DECIMAL(38,0)) AS ss
+               sum(CAST(qv AS DECIMAL(38,0))) AS s,
+               sum(CAST(qv * qv AS DECIMAL(38,0))) AS ss
         FROM q GROUP BY dim)
       SELECT dim, n,
-             (CAST(s AS DOUBLE) / n) / 67108864.0 AS dim_mean,
+             (CAST(s AS DOUBLE) / n) / 1048576.0 AS dim_mean,
              ((CAST(ss AS DOUBLE)
                  - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n)
-               / (67108864.0 * 67108864.0) AS dim_var
+               / (1048576.0 * 1048576.0) AS dim_var
       FROM sums""",
     "q67_hybrid_rrf" -> s"""
       WITH lex AS (

@@ -59,7 +59,9 @@ object ProfileScale {
       "q58_vocab_sketch"  -> (d => graft.operators.Corpus.vocabSketch(d)),
       "q60_shuffle_order" -> (d => graft.operators.Corpus.shuffleOrder(d)),
       "q62_preprocess"    -> (d => graft.operators.Corpus.preprocess(d)),
-      "q63_chunk"         -> (d => graft.operators.Corpus.chunk(d)))
+      "q63_chunk"         -> (d => graft.operators.Corpus.chunk(d)),
+      "q65_surprisal"     -> (d => graft.operators.TextOps.unigramSurprisal(d)),
+      "q66_containment"   -> (d => Dedup.containmentPairs(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -71,6 +73,26 @@ object ProfileScale {
         val (sec, rows) = time(op(docs).count())
         println(f"$label $name%-20s $sec%7.2f s  ($rows rows)")
       }
+    }
+
+    // embeddings family: replicate with offset ids (values unchanged —
+    // the per-dim aggregate reads 10× the rows either way)
+    val e1Path = "/tmp/graft_sf1/embeddings.parquet"
+    if (!new java.io.File(e1Path).exists()) {
+      val base = Tables.embeddings(spark, sf01)
+      (0 until 10).map(k => base.select(
+          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(e1Path)
+    }
+    for ((embs, label) <- Seq(
+        (Tables.embeddings(spark, sf01), "sf0.1"),
+        (spark.read.parquet(e1Path), "sf1"))) {
+      graft.operators.Similarity.embeddingStats(embs).count()
+      val (sec, rows) = time(
+        graft.operators.Similarity.embeddingStats(embs).count())
+      println(f"$label q68_emb_stats        $sec%7.2f s  ($rows rows)")
     }
     spark.stop()
   }

@@ -153,4 +153,17 @@ object GraftProperties extends Properties("graft") {
         got.distinct.size == got.size
     }
   }
+
+  property("SortedLongIntersectCount merge walk == set intersection") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val elems = Gen.listOf(Gen.chooseNum(0L, 40L))
+    forAll(elems, elems) { (a, b) =>
+      val (sa, sb) = (a.distinct.sorted, b.distinct.sorted)
+      val got = graft.functions.SortedLongIntersectCount(
+        Literal.create(sa.toArray, ArrayType(LongType)),
+        Literal.create(sb.toArray, ArrayType(LongType))).eval(null)
+      got == sa.toSet.intersect(sb.toSet).size.toLong
+    }
+  }
 }
