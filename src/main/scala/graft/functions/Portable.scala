@@ -43,6 +43,23 @@ object Portable {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Scala-side twin of [[hash60]] for driver/executor code that
+    * scores against collected models (streaming serve paths): same
+    * md5-prefix value as the Column expression, bit for bit. */
+  def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** Scala-side twin of [[words]] (lowercase, whitespace-normalize,
+    * split on single spaces — `split("", " ")` is `[""]`, matching the
+    * Column semantics). */
+  def wordsScala(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim.split(" ", -1)
+
   /** Word tokens of normalized text.
     * DuckDB: `string_split(trim(regexp_replace(lower(s),'\s+',' ','g')), ' ')`
     */

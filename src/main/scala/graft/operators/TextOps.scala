@@ -362,6 +362,24 @@ object TextOps extends graft.QueryModule {
           .as("bits_per_token"))
   }
 
+  /** Fit the [[unigramSurprisal]] model for the STREAMING serve path
+    * (`StreamAggs.surprisalScore`): collect the (word-hash → count)
+    * vocabulary and the token total. The collect is model-sized (a
+    * natural-language vocabulary, not the corpus) — the same
+    * train/serve split every production quality filter uses: fit
+    * offline on a reference corpus, apply per-record online.
+    */
+  def fitSurprisalVocab(documents: DataFrame): (Map[Long, Long], Long) = {
+    import documents.sparkSession.implicits._
+    val vocab = documents
+      .select(explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(hash60(col("w")).as("wh"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    (vocab, vocab.valuesIterator.sum)
+  }
+
   /** Per-source top-k token leaderboard — the vocabulary drift /
     * boilerplate screen run per ingestion source: (source, token)
     * counts, then each source's k most frequent tokens. The per-source

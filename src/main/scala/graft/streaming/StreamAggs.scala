@@ -116,6 +116,42 @@ object StreamAggs {
       .drop("__simhash", "__hastok")
   }
 
+  /** Streaming unigram-surprisal scoring against a FROZEN vocabulary —
+    * the serve half of `TextOps.unigramSurprisal`'s train/serve split
+    * (fit with `TextOps.fitSurprisalVocab` on a reference corpus, then
+    * score every arriving document online). Per-token quantized bits
+    * use the same integer flog2 = floor(log₂) as the batch op, so
+    * scoring the fit corpus itself reproduces the batch scores
+    * exactly (spec-asserted); unseen words fall back to count 1 —
+    * maximum surprisal — so OOV/gibberish text scores high.
+    *
+    * Scale shape: STATELESS per row — the model ships once per
+    * executor as a broadcast (the §2.3 P7 cached-file enrichment
+    * pattern: the lookup table rides with the task, the stream never
+    * joins or shuffles), so an admission filter can sit directly on
+    * `bits_per_token` with no watermark and no state store.
+    */
+  def surprisalScore(docs: DataFrame, textCol: Column,
+                     vocab: Map[Long, Long], total: Long): DataFrame = {
+    import graft.functions.Portable.{h60Scala, wordsScala}
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val fTotal = 63 - java.lang.Long.numberOfLeadingZeros(total)
+    val score = udf { text: String =>
+      val ws = wordsScala(if (text == null) "" else text)
+      var bits = 0L
+      ws.foreach { w =>
+        val c = bc.value.getOrElse(h60Scala(w), 1L)
+        bits += fTotal - (63 - java.lang.Long.numberOfLeadingZeros(c))
+      }
+      (ws.length.toLong, bits, bits.toDouble / ws.length)
+    }
+    docs.withColumn("__s", score(textCol))
+      .withColumn("n_tokens", col("__s._1"))
+      .withColumn("bits", col("__s._2"))
+      .withColumn("bits_per_token", col("__s._3"))
+      .drop("__s")
+  }
+
   /** W12: idle-source tolerance — the Spark counterpart of Flink's
     * `withIdleness` (`windowing/Flink Window.md` §2.4). Flink marks a
     * stalled source idle per-source; Spark's switch is per-query:

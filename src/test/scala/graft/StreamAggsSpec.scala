@@ -302,4 +302,44 @@ class StreamAggsSpec extends SparkSpec {
     // alice's salary lands in [4s,6s) with no grade partner
     assert(got == Seq(("tom", 3, 9000)))
   }
+
+  test("streaming surprisal scoring reproduces the batch scores on the fit corpus") {
+    import graft.core.Tables
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val (vocab, total) = TextOps.fitSurprisalVocab(docs)
+    // batch reference: every fit-corpus word is in-vocab, so the
+    // streaming OOV fallback never fires and scores must match exactly
+    val want = TextOps.unigramSurprisal(docs)
+      .select("doc_id", "n_tokens", "bits", "bits_per_token")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamAggs.surprisalScore(
+        in.toDF().toDF("doc_id", "text"), col("text"), vocab, total)
+      .writeStream.format("memory").queryName("surprisal_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text")
+        .as[(Long, String)].collect()
+      in.addData(rows.take(50).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("surprisal_out")
+        .select("doc_id", "n_tokens", "bits", "bits_per_token")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.size == 50)
+      got.foreach { case (id, v) => assert(v == want(id), s"doc $id") }
+      // OOV text scores at max per-token surprisal (count-1 fallback)
+      in.addData((900001L, "zzqx wvmb"))
+      q.processAllAvailable()
+      val oov = spark.table("surprisal_out")
+        .filter(col("doc_id") === 900001L)
+        .select("bits_per_token").as[Double].head()
+      val fTotal = 63 - java.lang.Long.numberOfLeadingZeros(total)
+      assert(oov == fTotal.toDouble)
+    } finally q.stop()
+  }
 }
