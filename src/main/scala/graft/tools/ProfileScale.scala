@@ -43,10 +43,16 @@ object ProfileScale {
     val d01 = docsAt(s"$sf01/documents.parquet")
     val d1 = docsAt(sf1Path)
 
+    // min of two timed runs (the Bench discipline): one timed run
+    // races the concurrent C2 compile the warm run triggers
     def time(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      var rows = 0L
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = f
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (sec, rows)
     }
 
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
