@@ -168,6 +168,45 @@ object Similarity extends graft.QueryModule {
       .filter(col("sim") >= threshold)
   }
 
+  /** Contrastive training-pair mining — for every vector, its best
+    * same-label partner (the POSITIVE) and its most similar
+    * wrong-label neighbor (the HARD NEGATIVE), the pair selection
+    * behind contrastive/triplet embedding fine-tuning. Candidates are
+    * same-sign-LSH-bucket only (the q35 bound: expected corpus²/2^planes
+    * per bucket — never all-pairs), which is also what production
+    * miners do: hard negatives are by definition near the anchor, so
+    * bucket-local search is the semantics, not an approximation of it.
+    * Emits vectors that have BOTH a positive and a negative in their
+    * bucket.
+    *
+    * Scale shape: bucket equi-join for candidates, then the per-anchor
+    * argmax rides ONE max(struct) aggregate per side (no rank window);
+    * ties break to the smaller candidate id.
+    */
+  def contrastivePairs(embeddings: DataFrame): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("emb"),
+        lshBucket(col("embedding")).as("bucket"))
+      .withColumn("nrm", norm(col("emb")))
+    val x = b.toDF("vec_id", "label", "emb", "bucket", "nrm")
+    val y = b.toDF("cand", "c_label", "c_emb", "c_bucket", "c_nrm")
+    val pairs = x.join(y,
+        col("bucket") === col("c_bucket") && col("vec_id") =!= col("cand"))
+      .select(col("vec_id"), col("label"), col("cand"), col("c_label"),
+        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+          .as("sim"))
+    pairs.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("label") === col("c_label"),
+          struct(col("sim"), (-col("cand")).as("neg")))).as("p"),
+        max(when(col("label") =!= col("c_label"),
+          struct(col("sim"), (-col("cand")).as("neg")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("vec_id"),
+        (-col("p.neg")).as("pos_id"), col("p.sim").as("pos_sim"),
+        (-col("n.neg")).as("neg_id"), col("n.sim").as("neg_sim"))
+  }
+
   /** Per-dimension embedding statistics — the health screen run before
     * any ANN index build: mean and population variance of every
     * embedding dimension (dead dims have ~zero variance; a shifted
@@ -538,7 +577,8 @@ object Similarity extends graft.QueryModule {
     "q41_ivf_recall" -> ((s, d) => ivfRecall(Tables.embeddings(s, d), 16, 5)),
     "q67_hybrid_rrf" -> ((s, d) => hybridRrf(Tables.documents(s, d),
       Tables.embeddings(s, d), TextOps.bm25Terms)),
-    "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d)))
+    "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
+    "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -813,6 +853,35 @@ object Similarity extends graft.QueryModule {
                  ORDER BY sim DESC, neighbor_id ASC) AS rn
         FROM scored)
       WHERE rn <= 5""",
+    "q69_contrastive" -> s"""
+      WITH planes AS (
+        SELECT $planesSqlLit AS ps),
+      b AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               list_reduce(list_prepend(0::BIGINT, generate_series(0, 7)),
+                 (acc, p) -> acc + CASE WHEN
+                   (${dotSql("emb", "ps[p + 1]")}) > 0
+                   THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM embeddings CROSS JOIN planes),
+      p AS (
+        SELECT x.vec_id, x.label AS l1, y.vec_id AS cand, y.label AS l2,
+               ${cosSql("x.emb", "y.emb")} AS sim
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      pos AS (
+        SELECT vec_id, cand AS pos_id, sim AS pos_sim FROM (
+          SELECT vec_id, cand, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cand ASC) AS rn
+          FROM p WHERE l1 = l2) WHERE rn = 1),
+      neg AS (
+        SELECT vec_id, cand AS neg_id, sim AS neg_sim FROM (
+          SELECT vec_id, cand, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cand ASC) AS rn
+          FROM p WHERE l1 <> l2) WHERE rn = 1)
+      SELECT vec_id, pos_id, pos_sim, neg_id, neg_sim
+      FROM pos JOIN neg USING (vec_id)""",
     "q68_emb_stats" -> s"""
       WITH base AS (
         SELECT embedding::DOUBLE[] AS emb FROM embeddings),

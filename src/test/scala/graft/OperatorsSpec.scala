@@ -389,6 +389,37 @@ class OperatorsSpec extends SparkSpec {
       s"corpus-scale exchange crept in:\n$plan")
   }
 
+  test("contrastive mining picks the in-bucket best positive and hard negative") {
+    val embs = Tables.embeddings(spark, sf)
+    val got = Similarity.contrastivePairs(embs)
+      .select("vec_id", "pos_id", "pos_sim", "neg_id", "neg_sim")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // independent recomputation: brute-force within LSH buckets
+    val base = embs.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+      .as[(Long, Int, Seq[Double], Long)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (u, v)) => s + u * v }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byBucket = base.groupBy(_._4)
+    val labels = base.map(r => r._1 -> r._2).toMap
+    got.foreach { case (id, posId, posSim, negId, negSim) =>
+      val me = base.find(_._1 == id).get
+      val mates = byBucket(me._4).filter(_._1 != id)
+      val wantPos = mates.filter(_._2 == me._2)
+        .map(m => (cos(me._3, m._3), m._1)).maxBy(t => (t._1, -t._2))
+      val wantNeg = mates.filter(_._2 != me._2)
+        .map(m => (cos(me._3, m._3), m._1)).maxBy(t => (t._1, -t._2))
+      assert(labels(posId) == me._2 && labels(negId) != me._2, s"anchor $id")
+      assert((posSim, posId) == ((wantPos._1, wantPos._2)), s"pos of $id")
+      assert((negSim, negId) == ((wantNeg._1, wantNeg._2)), s"neg of $id")
+    }
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
