@@ -56,6 +56,10 @@ class SqlInterfaceSpec extends SparkSpec {
       "SELECT graft_max_multiplicity(array('a', 'b', 'a', 'a'))")
       .collect().head.getLong(0)
     assert(mult == 3L)
+    val inter = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L))")
+      .collect().head.getLong(0)
+    assert(inter == 2L)
   }
 
   test("relational queries run through plain SQL text") {
