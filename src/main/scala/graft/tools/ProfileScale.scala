@@ -92,13 +92,17 @@ object ProfileScale {
         .reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(e1Path)
     }
+    val embOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q68_emb_stats"   -> (e => graft.operators.Similarity.embeddingStats(e)),
+      "q69_contrastive" -> (e => graft.operators.Similarity.contrastivePairs(e)))
     for ((embs, label) <- Seq(
         (Tables.embeddings(spark, sf01), "sf0.1"),
         (spark.read.parquet(e1Path), "sf1"))) {
-      graft.operators.Similarity.embeddingStats(embs).count()
-      val (sec, rows) = time(
-        graft.operators.Similarity.embeddingStats(embs).count())
-      println(f"$label q68_emb_stats        $sec%7.2f s  ($rows rows)")
+      for ((name, op) <- embOps) {
+        op(embs).count()
+        val (sec, rows) = time(op(embs).count())
+        println(f"$label $name%-20s $sec%7.2f s  ($rows rows)")
+      }
     }
     spark.stop()
   }

@@ -420,6 +420,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("batch pipeline composes: dedup apply -> preprocess -> sequence pack") {
+    // the end-to-end batch story the individual specs imply: shrink
+    // the corpus to dedup survivors, score/route/filter them in one
+    // fused pass, pack the keepers into training sequences
+    val docs = Tables.documents(spark, sf)
+    val survivors = docs.join(
+      Dedup.dedupApply(docs).select("doc_id"), "doc_id")
+    val nDocs = docs.count(); val nSurv = survivors.count()
+    assert(nSurv > 0 && nSurv < nDocs)
+    val pre = Corpus.preprocess(survivors)
+    assert(pre.count() == nSurv)
+    val kept = survivors.join(
+      pre.filter(col("keep")).select("doc_id"), "doc_id")
+    assert(kept.count() > 0 && kept.count() < nSurv)
+    val packed = Corpus.seqPack(kept, budget = 256)
+    // one packed row per kept doc; within each (source, shard) stream
+    // the doc_id order yields non-decreasing sequence ids
+    assert(packed.count() == kept.count())
+    val runs = packed
+      .select("source", "shard", "doc_id", "seq_id")
+      .as[(String, Int, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    runs.values.foreach { rs =>
+      val bySeq = rs.sortBy(_._3).map(_._4)
+      assert(bySeq.zip(bySeq.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
