@@ -48,6 +48,33 @@ object Corpus extends graft.QueryModule {
         pmod(col("st"), lit(budget)).cast("int").as("seq_offset"))
   }
 
+  /** Packing-efficiency report over [[seqPack]]'s sequences — the
+    * telemetry a pipeline publishes after packing: per source, the
+    * sequence count, packed document/token totals, and the fill rate
+    * (tokens ÷ sequences·budget — how much of the fixed token budget
+    * actual sequences use; low fill means the budget or sharding is
+    * mis-sized for the corpus length profile). Fill rate is one
+    * bigint/bigint-derived double division.
+    *
+    * SCALE SHAPE: rides q57's one shard-key exchange, then the
+    * per-sequence rollup reuses the same (source, shard)-compatible
+    * clustering before collapsing to a #sources-row report — the only
+    * new exchange is the tiny final group key.
+    */
+  def packStats(documents: DataFrame, budget: Int = 256,
+                shards: Int = 4): DataFrame =
+    seqPack(documents, budget, shards)
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("n_seqs"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / (col("n_seqs") * budget))
+          .as("fill_rate"))
+
   /** KMV (k-minimum-values) distinct-cardinality sketch of each
     * source's bigram vocabulary: keep the k smallest distinct 60-bit
     * gram hashes; the k-th smallest estimates the cardinality as
@@ -266,7 +293,8 @@ object Corpus extends graft.QueryModule {
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
-    "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d)))
+    "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
+    "q70_pack_stats"    -> ((s, d) => packStats(Tables.documents(s, d)))
   )
 
   private val wsSql =
@@ -291,6 +319,28 @@ object Corpus extends graft.QueryModule {
              CAST(floor(st / 256) AS BIGINT) AS seq_id,
              CAST(st % 256 AS INT) AS seq_offset
       FROM s""",
+    "q70_pack_stats" -> s"""
+      WITH t AS (
+        SELECT doc_id, source, len($wsSql) AS n_tokens,
+               ('0x' || substr(md5('pack|' || doc_id), 1, 15))::BIGINT % 4
+                 AS shard
+        FROM documents),
+      s AS (
+        SELECT doc_id, source, shard, n_tokens,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY source, shard
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS st
+        FROM t),
+      seqs AS (
+        SELECT source, shard, CAST(floor(st / 256) AS BIGINT) AS seq_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+        FROM s GROUP BY 1, 2, 3)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(toks) AS DOUBLE) / (count(*) * 256) AS fill_rate
+      FROM seqs GROUP BY source""",
     "q58_vocab_sketch" -> s"""
       WITH t AS (
         SELECT source, $wsSql AS ws FROM documents),

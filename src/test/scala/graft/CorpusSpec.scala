@@ -29,6 +29,17 @@ class CorpusSpec extends SparkSpec {
       (3L, 4, 0L, 8), (4L, 4, 1L, 2)))
   }
 
+  test("packStats reports the per-source fill rate of the packed sequences") {
+    // same fixture as the packing test: 4 docs × 4 tokens at budget
+    // 10, one shard → 2 sequences, 16 tokens, fill 16/(2·10) = 0.8
+    val d = docs((1L to 4L).map(i => (i, "a b c d", "s0")))
+    val got = Corpus.packStats(d, budget = 10, shards = 1)
+      .select("source", "n_seqs", "n_docs", "n_tokens", "fill_rate")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("s0", 2L, 4L, 16L, 0.8)))
+  }
+
   test("seqPack never splits across (source, shard) streams") {
     val d = Tables.documents(spark, sf)
     val packed = Corpus.seqPack(d)
