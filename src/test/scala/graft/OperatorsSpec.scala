@@ -448,6 +448,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Scala-side tokenizer/hash twins match the Column expressions exactly") {
+    import graft.functions.Portable._
+    // the streaming serve path re-implements words()/hash60 in plain
+    // Scala — any divergence silently breaks batch/stream score parity
+    val tricky = Seq("", " ", "a  b\tc\nd", "  leading and trailing  ",
+      "UPPER Case MiXeD", "tab\t\ttab", "one")
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), words(col("text")).as("ws"))
+      .select(col("id"), col("ws"),
+        transform(col("ws"), w => hash60(w)).as("hs"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    tricky.zipWithIndex.foreach { case (t, i) =>
+      val ws = wordsScala(t)
+      assert(ws.toSeq == df(i.toLong)._1, s"words of '$t'")
+      assert(ws.map(h60Scala).toSeq == df(i.toLong)._2, s"hashes of $t")
+    }
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
