@@ -55,9 +55,14 @@ object Portable {
 
   /** Scala-side twin of [[words]] (lowercase, whitespace-normalize,
     * split on single spaces — `split("", " ")` is `[""]`, matching the
-    * Column semantics). */
+    * Column semantics). Lowercasing goes through Spark's own
+    * `UTF8String.toLowerCase` — the exact code the `lower()` Column
+    * runs — so the twin matches bit-for-bit on non-ASCII text and on
+    * JVMs with a non-default locale (Locale.ROOT would diverge from
+    * Spark on e.g. a Turkish-locale JVM's dotted I). */
   def wordsScala(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT)
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString
       .replaceAll("\\s+", " ").trim.split(" ", -1)
 
   /** Word tokens of normalized text.

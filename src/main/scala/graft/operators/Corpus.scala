@@ -20,6 +20,15 @@ import graft.functions.Portable._
   */
 object Corpus extends graft.QueryModule {
 
+  /** 0 = derive from the cluster: one independently-packable shard
+    * per core floor, never fewer than 4. Explicit values pass
+    * through (the driver oracle pins 4 for reproducibility). */
+  private def resolveShards(spark: SparkSession, shards: Int): Int = {
+    require(shards >= 0, s"shards must be >= 0, got $shards")
+    if (shards > 0) shards
+    else math.max(4, spark.sparkContext.defaultParallelism)
+  }
+
   /** Concat-and-chunk sequence packing: lay documents end-to-end in
     * (source, shard, doc_id) order and cut every `budget` tokens —
     * the standard way LLM training data is packed into fixed-length
@@ -31,16 +40,24 @@ object Corpus extends graft.QueryModule {
     * bounded, independently-packable stream (1000 executors pack 1000
     * shards concurrently; no global sort, no single-partition window).
     * Each shard's docs shuffle once to their shard and sort locally.
+    *
+    * `shards = 0` (the default) derives the count from the cluster:
+    * max(4, defaultParallelism), so a 1000-core cluster packs ≥1000
+    * independent shards out of the box instead of four giant
+    * per-partition sorts. Pass an explicit count when the output must
+    * be reproducible across differently-sized clusters (the driver
+    * oracle pins 4).
     */
   def seqPack(documents: DataFrame, budget: Int = 256,
-              shards: Int = 4): DataFrame = {
+              shards: Int = 0): DataFrame = {
+    val nShards = resolveShards(documents.sparkSession, shards)
     val w = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).as("n_tokens"),
-        pmod(hash60(concat(lit("pack|"), col("doc_id"))), lit(shards))
+        pmod(hash60(concat(lit("pack|"), col("doc_id"))), lit(nShards))
           .cast("int").as("shard"))
       .withColumn("st", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
@@ -62,7 +79,7 @@ object Corpus extends graft.QueryModule {
     * new exchange is the tiny final group key.
     */
   def packStats(documents: DataFrame, budget: Int = 256,
-                shards: Int = 4): DataFrame =
+                shards: Int = 0): DataFrame =
     seqPack(documents, budget, shards)
       .groupBy(col("source"), col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -287,14 +304,18 @@ object Corpus extends graft.QueryModule {
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_seq_pack"      -> ((s, d) => seqPack(Tables.documents(s, d))),
+    // shards pinned to the oracle's `% 4` — the operator default is
+    // cluster-derived and would drift with local[32]'s parallelism
+    "q57_seq_pack"      -> ((s, d) => seqPack(Tables.documents(s, d),
+                                              shards = 4)),
     "q58_vocab_sketch"  -> ((s, d) => vocabSketch(Tables.documents(s, d))),
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
-    "q70_pack_stats"    -> ((s, d) => packStats(Tables.documents(s, d)))
+    "q70_pack_stats"    -> ((s, d) => packStats(Tables.documents(s, d),
+                                                shards = 4))
   )
 
   private val wsSql =

@@ -376,7 +376,8 @@ object Dedup extends graft.QueryModule {
     * labeling, so the gate is invisible to the oracle.
     */
   def dedupGroups(documents: DataFrame, maxRounds: Int = 20,
-                  maxDriverEdges: Long = 5000000L): DataFrame = {
+                  maxDriverEdges: Long = 5000000L,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val edges = minhashPairs(documents).select(col("a"), col("b")).persist()
@@ -406,7 +407,7 @@ object Dedup extends graft.QueryModule {
     } else {
       // finally: the edge cache must release even when the loop
       // refuses to converge and throws
-      try propagateMinLabels(edges, maxRounds)
+      try propagateMinLabels(edges, maxRounds, checkpointDir)
         .withColumnsRenamed(Map("node" -> "doc_id", "label" -> "group_id"))
       finally edges.unpersist()
     }
@@ -426,21 +427,38 @@ object Dedup extends graft.QueryModule {
     *
     * Throws (rather than silently returning a truncated labeling) if
     * `maxRounds` is hit with labels still changing.
+    *
+    * Durability: `localCheckpoint` blocks live only on executors — on
+    * a real cluster, losing one executor mid-loop kills the lineage
+    * and the job, and the >5M-edge inputs that take this path are
+    * exactly the runs too expensive to restart. Pass `checkpointDir`
+    * (durable storage: HDFS/S3) to use reliable `checkpoint(eager)`
+    * leaves instead; the loop then survives executor loss at the cost
+    * of one round-trip write per round. Unset keeps the local-mode
+    * default (no extra I/O, same constant-plan-size property).
     */
   private[graft] def propagateMinLabels(edges: DataFrame,
-                                        maxRounds: Int): DataFrame = {
+                                        maxRounds: Int,
+                                        checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // a true plan leaf each round: reliable when a dir is configured,
+    // executor-local otherwise
+    def leaf(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val und = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    // every round's table is localCheckpointed, not persisted: the
+    // every round's table is checkpointed, not persisted: the
     // jump self-join would otherwise DOUBLE the logical plan each
     // round (the cached-plan substitution happens after the full tree
     // is built, but execution-start explain-string generation walks
     // the raw tree — measured minutes of driver spin by round ~8).
     // A checkpoint is a true leaf: plan size stays constant across
     // rounds and there is no cache bookkeeping to leak.
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = leaf(und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -448,20 +466,18 @@ object Dedup extends graft.QueryModule {
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, "node")
+      val stepped = leaf(labels.join(nbrMin, "node")
         .select(col("node"), col("label"),
-          least(col("label"), col("nbr_min")).as("mid"))
-        .localCheckpoint(true)
+          least(col("label"), col("nbr_min")).as("mid")))
       // pointer jump (label <- label(label)): mid-label values are
       // themselves node ids (mins of node ids), so every row
       // inner-joins a jump target; the jump halves the distance to
       // the component minimum each round
-      val next = stepped
+      val next = leaf(stepped
         .join(stepped.select(col("node").as("jn"), col("mid").as("jl")),
           col("mid") === col("jn"))
         .select(col("node"), col("label"),
-          least(col("mid"), col("jl")).as("next_label"))
-        .localCheckpoint(true)
+          least(col("mid"), col("jl")).as("next_label")))
       changed = next.filter(col("next_label") < col("label")).count()
       labels = next.select(col("node"), col("next_label").as("label"))
       round += 1

@@ -236,11 +236,24 @@ object Similarity extends graft.QueryModule {
     val q = embeddings.select(asDouble(col("embedding")).as("emb"))
       .select((1 to d).map(i =>
         floor(element_at(col("emb"), i) * pow20).cast("long").as(s"q$i")): _*)
-    val aggs = Seq(count(lit(1)).as("n")) ++
+    val absCols = (1 to d).map(i => abs(col(s"q$i")))
+    val aggs = Seq(count(lit(1)).as("n"),
+      max(absCols.reduceLeft(greatest(_, _))).as("qabs")) ++
       (1 to d).map(i => sum(col(s"q$i").cast("decimal(38,0)")).as(s"s$i")) ++
       (1 to d).map(i => sum((col(s"q$i") * col(s"q$i"))
         .cast("decimal(38,0)")).as(s"ss$i"))
+    // the |v| < 2^11 bound is ENFORCED, not just documented: q*q is a
+    // plain long multiply that would silently wrap (ANSI off) past
+    // |q| = 2^31 — fail loudly instead of corrupting dim_var. The max
+    // rides the same single aggregate, so the check is free.
     val one = q.agg(aggs.head, aggs.tail: _*)
+      .filter(when(col("qabs") > lit(1L << 31),
+        raise_error(concat(
+          lit("embeddingStats: component magnitude >= 2^11 (max |q| = "),
+          col("qabs"),
+          lit(") - q*q would overflow LONG; rescale the embeddings")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
     one.select(expr(s"stack($d, " + (1 to d).map(i =>
         s"$i, n, s$i, ss$i").mkString(", ") + ") as (dim, n, s, ss)"))
       .select(col("dim"), col("n"),

@@ -132,9 +132,26 @@ object StreamAggs {
     * `bits_per_token` with no watermark and no state store.
     */
   def surprisalScore(docs: DataFrame, textCol: Column,
-                     vocab: Map[Long, Long], total: Long): DataFrame = {
+                     vocab: Map[Long, Long], total: Long): DataFrame =
+    surprisalScore(docs, textCol,
+      docs.sparkSession.sparkContext.broadcast(vocab), total)
+
+  /** Broadcast-managed variant: this convenience-free overload is the
+    * one long-lived drivers should call. The `Map` overload above
+    * creates a NEW broadcast on every call and never destroys it — a
+    * driver that refits the vocab periodically would leak one
+    * model-sized broadcast per refit. Broadcast the vocab yourself,
+    * pass it here, and `destroy()` the superseded broadcast once the
+    * query using it is stopped. */
+  def surprisalScore(docs: DataFrame, textCol: Column,
+                     vocab: org.apache.spark.broadcast.Broadcast[Map[Long, Long]],
+                     total: Long): DataFrame = {
     import graft.functions.Portable.{h60Scala, wordsScala}
-    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    // total <= 0 would make fTotal = -1 (or garbage) and silently
+    // yield negative bits — an empty/degenerate fit must fail loudly
+    require(total > 0,
+      s"surprisalScore: vocab total must be >= 1, got $total")
+    val bc = vocab
     val fTotal = 63 - java.lang.Long.numberOfLeadingZeros(total)
     val score = udf { text: String =>
       val ws = wordsScala(if (text == null) "" else text)

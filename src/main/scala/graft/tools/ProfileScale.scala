@@ -24,8 +24,11 @@ object ProfileScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val sf01 = "/root/testdata/sf0.1"
+    // replicas are rebuilt unconditionally: an existence-keyed cache
+    // would silently profile stale replicas after the sf0.1 dataset
+    // is regenerated, and the write is cheap next to the profile run
     val sf1Path = "/tmp/graft_sf1/documents.parquet"
-    if (!new java.io.File(sf1Path).exists()) {
+    locally {
       val base = Tables.documents(spark, sf01)
       val replicas = (0 until 10).map { k =>
         if (k == 0) base
@@ -84,7 +87,7 @@ object ProfileScale {
     // embeddings family: replicate with offset ids (values unchanged —
     // the per-dim aggregate reads 10× the rows either way)
     val e1Path = "/tmp/graft_sf1/embeddings.parquet"
-    if (!new java.io.File(e1Path).exists()) {
+    locally {
       val base = Tables.embeddings(spark, sf01)
       (0 until 10).map(k => base.select(
           (col("vec_id") + lit(k * 10000000L)).as("vec_id"),

@@ -191,6 +191,29 @@ class OperatorsSpec extends SparkSpec {
       "propagateMinLabels left frames in the SQL cache")
   }
 
+  test("propagation loop with a reliable checkpoint dir matches the local path") {
+    import spark.implicits._
+    val edges = ((0L until 60L).map(i => (i, i + 1)) ++
+      Seq((300L, 301L), (301L, 302L))).toDF("a", "b")
+    val local = Dedup.propagateMinLabels(edges, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val reliable = Dedup.propagateMinLabels(edges, maxRounds = 10,
+          checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the reliable path really wrote durable checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files were written")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "reliable-checkpoint loop left frames in the SQL cache")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("int8 quantization bounds: |q| <= 127, reconstruction within scale/2") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -387,6 +410,17 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus-scale exchange crept in:\n$plan")
+    // the |v| < 2^11 quantization bound is enforced, not documented:
+    // an out-of-range component fails loudly instead of silently
+    // wrapping q*q into a corrupted dim_var
+    val big = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(5000.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.embeddingStats(big).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")),
+      s"wrong failure: ${e.getMessage}")
   }
 
   test("contrastive mining picks the in-bucket best positive and hard negative") {
@@ -453,7 +487,13 @@ class OperatorsSpec extends SparkSpec {
     // the streaming serve path re-implements words()/hash60 in plain
     // Scala — any divergence silently breaks batch/stream score parity
     val tricky = Seq("", " ", "a  b\tc\nd", "  leading and trailing  ",
-      "UPPER Case MiXeD", "tab\t\ttab", "one")
+      "UPPER Case MiXeD", "tab\t\ttab", "one",
+      // non-ASCII: the twin must lowercase exactly like Spark's
+      // lower() (UTF8String.toLowerCase), not Locale.ROOT — these
+      // diverge on Turkish dotted/dotless I and cover accents,
+      // Greek final sigma, and full-width Latin
+      "İstanbul Iİiı", "ÀÉÎÕÜ ÇĞŞ", "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΎΣ",
+      "ＦＵＬＬＷＩＤＴＨ", "Straße GROẞ")
     val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
       .select(col("id"), words(col("text")).as("ws"))

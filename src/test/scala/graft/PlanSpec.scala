@@ -253,6 +253,32 @@ class PlanSpec extends SparkSpec {
       s"fusion join should touch only topN-bounded sides:\n$rrfPlan")
   }
 
+  test("seqPack windows per (source, shard) with a cluster-derived shard count") {
+    val docs = Tables.documents(spark, sf)
+    // the pack window MUST partition by BOTH source and shard — a
+    // source-only window would funnel each 100 TB source into one
+    // partition's sort; shard is what makes packing embarrassingly
+    // parallel (one shard per core)
+    val plan = planOf(Corpus.seqPack(docs))
+    val winLine = plan.linesIterator
+      .find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window in seqPack plan:\n$plan"))
+    assert(winLine.contains("source") && winLine.contains("shard"),
+      s"pack window not per (source, shard):\n$winLine")
+    // the default shard count follows the cluster (local[4] -> 4, a
+    // 1000-core cluster -> 1000); explicit counts pass through for
+    // oracle reproducibility
+    val derived = math.max(4, spark.sparkContext.defaultParallelism)
+    val seen = Corpus.seqPack(docs).select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(seen.subsetOf((0 until derived).toSet) && seen.size > 1,
+      s"derived default produced shards $seen, expected within [0, $derived)")
+    val pinned = Corpus.seqPack(docs, shards = 7).select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(pinned.subsetOf((0 until 7).toSet) && pinned.size > 4,
+      s"explicit shards=7 produced $pinned")
+  }
+
   test("knn corpus side is broadcast (no shuffle of scored pairs)") {
     val plan = planOf(Similarity.knnBruteForce(Tables.embeddings(spark, sf), 4, 5))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

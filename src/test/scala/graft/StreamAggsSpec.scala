@@ -342,4 +342,26 @@ class StreamAggsSpec extends SparkSpec {
       assert(oov == fTotal.toDouble)
     } finally q.stop()
   }
+
+  test("surprisal scoring rejects a degenerate fit and honors a caller broadcast") {
+    import graft.core.Tables
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    // total <= 0 must fail loudly, not score negative bits
+    val e = intercept[IllegalArgumentException] {
+      StreamAggs.surprisalScore(docs, col("text"), Map.empty[Long, Long], 0L)
+    }
+    assert(e.getMessage.contains("total"))
+    // the Broadcast overload (the refit-safe lifecycle path) scores
+    // identically to the convenience Map overload
+    val (vocab, total) = TextOps.fitSurprisalVocab(docs)
+    val viaMap = StreamAggs.surprisalScore(docs, col("text"), vocab, total)
+      .select("doc_id", "bits").as[(Long, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(vocab)
+    try {
+      val viaBc = StreamAggs.surprisalScore(docs, col("text"), bc, total)
+        .select("doc_id", "bits").as[(Long, Long)].collect().toMap
+      assert(viaBc == viaMap)
+    } finally bc.destroy()
+  }
 }
