@@ -24,14 +24,25 @@ object Cep {
     * Flink AfterMatchSkipStrategy). Applied when a match completes:
     *   - NoSkip: keep everything (followedByAny-style all matches);
     *   - SkipPastLastEvent: drop every live partial that started at or
-    *     before the match's last event (non-overlapping matches);
+    *     before the match's last event (SQL `SKIP PAST LAST ROW`,
+    *     non-overlapping matches);
+    *   - SkipToNextRow: drop only partials that started at the match's
+    *     FIRST event (SQL `SKIP TO NEXT ROW` — overlapping matches
+    *     resume from the row after the match start);
     *   - SkipToLast(step): drop partials that started before the last
-    *     event the named step consumed.
+    *     event the named step consumed (SQL `SKIP TO LAST var`);
+    *   - SkipToFirst(step): drop partials that started before the
+    *     first event the named step consumed (SQL `SKIP TO FIRST var`;
+    *     attempts from that row onward survive — the just-resolved
+    *     attempt itself is already decided, so the SQL-standard
+    *     infinite-loop hazard cannot arise here).
     */
   sealed trait AfterMatchSkip
   case object NoSkip extends AfterMatchSkip
   case object SkipPastLastEvent extends AfterMatchSkip
+  case object SkipToNextRow extends AfterMatchSkip
   case class SkipToLast(step: String) extends AfterMatchSkip
+  case class SkipToFirst(step: String) extends AfterMatchSkip
 
   sealed trait Contiguity
   /** Strict: the very next event must match or the partial dies. */
@@ -75,13 +86,21 @@ object Cep {
     * with `oneOrMore` it expresses `B*`. `altWithPrev` folds this step
     * into the previous step's pattern POSITION as an alternative
     * (`(B|C)`): at that position the NFA tries every alternative,
-    * preferring the leftmost (SQL alternation preference). */
+    * preferring the leftmost (SQL alternation preference).
+    *
+    * `groupLoop` marks a looping ALTERNATION position (`(B|C)+`):
+    * standing on any alternative of the position, the loop tries every
+    * `groupLoop` alternative of the position — repetitions may switch
+    * branches (B C B …), which is SQL's semantics for a quantified
+    * group. A plain `B+` branch inside an unquantified group
+    * (`(B+|C)`) keeps `groupLoop = false` and self-loops only. */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
                      entryPred: Option[(T, Vector[(Int, T)]) => Boolean] = None,
                      optional: Boolean = false,
-                     altWithPrev: Boolean = false) {
+                     altWithPrev: Boolean = false,
+                     groupLoop: Boolean = false) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -236,7 +255,18 @@ object Cep {
           val s = p.stepIdx
           val cur = steps(s)
           val curPos = posOf(s)
-          val loopPoss = cur.oneOrMore && cur.hit(e, p.entries)
+          // loop targets: a group-quantified alternation position
+          // ((B|C)+) loops via EVERY groupLoop alternative of the
+          // position (repetitions may switch branches); a plain B+
+          // self-loops only
+          val loopTs: Vector[Int] =
+            if (!cur.oneOrMore) Vector.empty
+            else if (cur.groupLoop)
+              posSteps(curPos).iterator
+                .filter(j => steps(j).groupLoop && steps(j).hit(e, p.entries))
+                .toVector
+            else if (cur.hit(e, p.entries)) Vector(s)
+            else Vector.empty
           // advance targets: every alternative of the next position,
           // plus — while positions are optional — of the ones after it
           val advT = Vector.newBuilder[Int]
@@ -247,19 +277,20 @@ object Cep {
             scan = posOptional(q); q += 1
           }
           val adv = advT.result()
-          val anyFired = loopPoss || adv.nonEmpty
+          val anyFired = loopTs.nonEmpty || adv.nonEmpty
           // preference order: loop before advance (greedy) or after
-          // (reluctant); advance targets by position then alternative
-          // order (consume optionals, leftmost alternative first)
+          // (reluctant); loop targets and advance targets each in
+          // leftmost-alternative order (SQL alternation preference)
           val ordered: Vector[(Int, Boolean)] =
-            if (!loopPoss) adv.map((_, false))
-            else if (cur.quant == Reluctant) adv.map((_, false)) :+ ((s, true))
-            else ((s, true)) +: adv.map((_, false))
+            if (loopTs.isEmpty) adv.map((_, false))
+            else if (cur.quant == Reluctant)
+              adv.map((_, false)) ++ loopTs.map((_, true))
+            else loopTs.map((_, true)) ++ adv.map((_, false))
           // branch arbitration via priorities — except the classic
           // AllMatches loop/advance tie, which branches unranked and
           // reports every loop length (FlinkCEP-style)
           val ranked = ordered.size > 1 &&
-            !(loopPoss && adv.size == 1 && cur.quant == AllMatches)
+            !(loopTs.size == 1 && adv.size == 1 && cur.quant == AllMatches)
           var r = 0
           for ((j, _) <- ordered) {
             val pr = if (ranked) p.prio :+ r else p.prio
@@ -394,10 +425,15 @@ object Cep {
             val m = wins.head.entries
             val keepFrom: Long = spec.skip match {
               case SkipPastLastEvent => tsOf(m.last._2) + 1
+              case SkipToNextRow => tsOf(m.head._2) + 1
               case SkipToLast(name) =>
                 // by step NAME: a quantifier-expanded variable spans
                 // several step indices that all carry its name
                 m.reverse.collectFirst {
+                  case (i, ev) if steps(i).name == name => tsOf(ev)
+                }.getOrElse(tsOf(m.last._2))
+              case SkipToFirst(name) =>
+                m.collectFirst {
                   case (i, ev) if steps(i).name == name => tsOf(ev)
                 }.getOrElse(tsOf(m.last._2))
               case NoSkip => Long.MinValue

@@ -9,15 +9,20 @@ import org.apache.spark.sql.types.StructType
   * reference documents:
   *
   *   PARTITION BY col / ORDER BY col / MEASURES expr AS alias, ... /
-  *   ONE ROW PER MATCH / AFTER MATCH SKIP {TO LAST var | PAST LAST ROW} /
+  *   ONE ROW PER MATCH /
+  *   AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW |
+  *                     TO LAST var | TO FIRST var} /
   *   PATTERN (...) / DEFINE var AS predicate, ...
   *
   * PATTERN supports concatenation, the quantifiers `+` `*` `?`
-  * `{n}` `{n,}` `{n,m}` (with `+?`/`*?` reluctant variants), and
-  * single-variable alternation groups `(B|C)` with per-branch
-  * `+`/`?`/`*` and a group-level `?`. Quantified multi-variable
-  * groups (`(B C)+`) and empty matches (a pattern whose every
-  * position is optional matching zero rows) are not supported.
+  * `{n}` `{n,}` `{n,m}` (with `+?`/`*?` reluctant variants) on
+  * single variables AND on alternation groups (`(B|C)+`,
+  * `(B|C){n,m}` — repetitions may switch branches, per SQL), plus
+  * per-branch `+`/`?`/`*` inside a group (`(B+|C?)`). Not supported:
+  * multi-variable sequence groups (`(A B)+`), `{n,m}` on a branch
+  * inside alternation (quantify the group instead), and empty
+  * matches (a pattern whose every position is optional matching
+  * zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, numeric/string
@@ -55,9 +60,17 @@ object MatchRecognize {
   private[cep] case class PatVar(name: String, min: Int, max: Int,
                                  reluctant: Boolean)
 
+  /** One pattern ELEMENT: a single variable or an alternation group,
+    * with the element-level quantifier. `B{2,3}` is
+    * PatElem([B(1,1)], 2, 3); `(B|C)+` is PatElem([B(1,1), C(1,1)],
+    * 1, -1) — branches keep their own per-branch quantifiers
+    * (`(B+|C?)`), the element quantifier repeats the whole group. */
+  private[cep] case class PatElem(alts: Vector[PatVar], min: Int,
+                                  max: Int, reluctant: Boolean)
+
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
-      pattern: Seq[Vector[PatVar]], defines: Map[String, Pred])
+      pattern: Seq[PatElem], defines: Map[String, Pred])
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -133,29 +146,38 @@ object MatchRecognize {
     var skip: Cep.AfterMatchSkip = Cep.NoSkip
     if (p.kw("AFTER")) {
       p.expect("MATCH"); p.expect("SKIP")
-      if (p.kw("TO")) { p.expect("LAST"); skip = Cep.SkipToLast(p.next()) }
+      if (p.kw("TO")) {
+        if (p.kw("NEXT")) { p.expect("ROW"); skip = Cep.SkipToNextRow }
+        else if (p.kw("FIRST")) skip = Cep.SkipToFirst(p.next())
+        else { p.expect("LAST"); skip = Cep.SkipToLast(p.next()) }
+      }
       else { p.expect("PAST"); p.expect("LAST"); p.expect("ROW")
         skip = Cep.SkipPastLastEvent }
     }
 
     p.expect("PATTERN"); p.expect("(")
-    val pat = Seq.newBuilder[Vector[PatVar]]
+    val pat = Seq.newBuilder[PatElem]
     while (!p.kw(")")) {
       if (p.kw("(")) {
         // alternation group: (B | C+ | D?) — each branch one variable
+        // with optional per-branch +/?/*; the whole group may carry
+        // any element quantifier ((B|C)+, (B|C){n,m}, ...)
         val alts = Vector.newBuilder[PatVar]
         var more = true
         while (more) { alts += parsePatVar(p); more = p.kw("|") }
         p.expect(")")
-        // group-level `?` marks every branch optional; other group
-        // quantifiers would need sub-sequence loops — reject loudly
-        val g = if (p.kw("?")) alts.result().map(v => v.copy(min = 0))
-                else alts.result()
-        if (p.peek.exists(t => t == "+" || t == "*" || t == "{"))
-          sys.error("MATCH_RECOGNIZE: quantified groups beyond (…)? " +
-            "are not supported")
-        pat += g
-      } else pat += Vector(parsePatVar(p))
+        val as = alts.result()
+        if (as.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)))
+          sys.error("MATCH_RECOGNIZE: {n,m} quantifiers on a BRANCH " +
+            "inside alternation are not supported (quantify the group)")
+        val (gMin, gMax, gRel) = parseQuant(p)
+        pat += PatElem(as, gMin, gMax, gRel)
+      } else {
+        val name = p.next()
+        val (mn, mx, rel) = parseQuant(p)
+        pat += PatElem(Vector(PatVar(name, 1, 1, reluctant = false)),
+          mn, mx, rel)
+      }
     }
 
     p.expect("DEFINE")
@@ -174,9 +196,17 @@ object MatchRecognize {
   /** VAR with an optional quantifier: `+[?]`, `*[?]`, `?`, `{n[,[m]]}`. */
   private def parsePatVar(p: P): PatVar = {
     val name = p.next()
-    if (p.kw("+")) PatVar(name, 1, -1, p.kw("?"))
-    else if (p.kw("*")) PatVar(name, 0, -1, p.kw("?"))
-    else if (p.kw("?")) PatVar(name, 0, 1, reluctant = false)
+    val (mn, mx, rel) = parseQuant(p)
+    PatVar(name, mn, mx, rel)
+  }
+
+  /** Optional quantifier suffix → (min, max, reluctant); (1,1,false)
+    * when absent. Shared by single variables, alternation branches,
+    * and whole groups. */
+  private def parseQuant(p: P): (Int, Int, Boolean) = {
+    if (p.kw("+")) (1, -1, p.kw("?"))
+    else if (p.kw("*")) (0, -1, p.kw("?"))
+    else if (p.kw("?")) (0, 1, false)
     else if (p.kw("{")) {
       val n = p.next().toInt
       val m =
@@ -184,9 +214,9 @@ object MatchRecognize {
         else n
       p.expect("}")
       if (m != -1 && (m < n || m < 1))
-        sys.error(s"MATCH_RECOGNIZE: bad quantifier {$n,$m} on $name")
-      PatVar(name, n, m, reluctant = false)
-    } else PatVar(name, 1, 1, reluctant = false)
+        sys.error(s"MATCH_RECOGNIZE: bad quantifier {$n,$m}")
+      (n, m, false)
+    } else (1, 1, false)
   }
 
   private def parseVal(p: P): Val = p.next() match {
@@ -303,30 +333,34 @@ object MatchRecognize {
     val schema = df.schema
 
     // expand quantifiers into linear pattern POSITIONS, each a vector
-    // of (name, oneOrMore, optional, reluctant) alternatives:
-    //   B{n,m} → n mandatory copies + (m-n) optional copies;
-    //   B{n,}  → n copies, the last looping; B* → 1 optional looping;
-    //   inside (X|Y) only +/?/* per branch (no sub-sequences).
-    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean)]] =
-      clause.pattern.iterator.flatMap { group =>
-        if (group.size == 1) {
-          val v = group.head
-          if (v.max == -1) {
-            if (v.min <= 1)
-              Vector(Vector((v.name, true, v.min == 0, v.reluctant)))
-            else (1 to v.min).map(i =>
-              Vector((v.name, i == v.min, false, v.reluctant))).toVector
-          } else {
-            ((1 to v.min).map(_ => Vector((v.name, false, false, false))) ++
-             (v.min until v.max).map(_ =>
-               Vector((v.name, false, true, false)))).toVector
+    // of (name, oneOrMore, optional, reluctant, groupLoop)
+    // alternatives — the SAME expansion for single variables and
+    // alternation groups (an element is repeated as a unit):
+    //   E{n,m} → n mandatory copies + (m-n) optional copies;
+    //   E{n,}  → n copies, the last looping; E* → 1 optional looping.
+    // groupLoop is set on looping copies of a multi-branch element:
+    // (B|C)+ repetitions may switch branches, so the NFA loop tries
+    // every alternative of the position, not just the current step.
+    // Per-branch quantifiers compose: (B+|C) self-loops B only.
+    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean, Boolean)]] =
+      clause.pattern.iterator.flatMap { el =>
+        def pos(loop: Boolean, opt: Boolean)
+            : Vector[(String, Boolean, Boolean, Boolean, Boolean)] =
+          el.alts.map { v =>
+            (v.name,
+              v.max == -1 || loop,
+              v.min == 0 || opt,
+              if (loop) el.reluctant || v.reluctant else v.reluctant,
+              loop && el.alts.size > 1)
           }
+        if (el.max == -1) {
+          if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))
+          else (1 to el.min).iterator
+            .map(i => pos(loop = i == el.min, opt = false)).toVector
         } else {
-          if (group.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)))
-            sys.error("MATCH_RECOGNIZE: {n,m} quantifiers inside " +
-              "alternation are not supported")
-          Vector(group.map(v => (v.name, v.max == -1, v.min == 0,
-            v.reluctant)))
+          ((1 to el.min).map(_ => pos(loop = false, opt = false)) ++
+           (el.min until el.max).map(_ =>
+             pos(loop = false, opt = true))).toVector
         }
       }.toVector
     val varIdx: Map[String, Set[Int]] = positions.flatten.map(_._1)
@@ -346,18 +380,20 @@ object MatchRecognize {
           org.apache.spark.sql.types.StructField(alias, colType(v), true) })
 
     val steps = positions.zipWithIndex.flatMap { case (alts, posIdx) =>
-      alts.zipWithIndex.map { case ((v, oneOrMore, optional, reluctant), a) =>
-        val pred = clause.defines.get(v)
-        Cep.Step[Row](v,
-          contiguity = if (posIdx == 0) Cep.FollowedBy else Cep.Next,
-          oneOrMore = oneOrMore,
-          pred = (_, _) => true,
-          // SQL default: greedy quantifiers (B+? / B*? flip it)
-          quant = if (reluctant) Cep.Reluctant else Cep.Greedy,
-          entryPred = Some((e, entries) => pred.forall(
-            eval(_, Some(e), v, varIdx, entries))),
-          optional = optional,
-          altWithPrev = a > 0)
+      alts.zipWithIndex.map {
+        case ((v, oneOrMore, optional, reluctant, groupLoop), a) =>
+          val pred = clause.defines.get(v)
+          Cep.Step[Row](v,
+            contiguity = if (posIdx == 0) Cep.FollowedBy else Cep.Next,
+            oneOrMore = oneOrMore,
+            pred = (_, _) => true,
+            // SQL default: greedy quantifiers (B+? / B*? flip it)
+            quant = if (reluctant) Cep.Reluctant else Cep.Greedy,
+            entryPred = Some((e, entries) => pred.forall(
+              eval(_, Some(e), v, varIdx, entries))),
+            optional = optional,
+            altWithPrev = a > 0,
+            groupLoop = groupLoop)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, None, clause.skip)

@@ -103,18 +103,19 @@ object Sinks {
     * pair with keyed/idempotent consumers for the reference's
     * effective exactly-once. */
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
-                checkpoint: String): DataStreamWriter[Row] = {
-    // a pre-encoded `value` column passes through; otherwise encode
-    // the whole row as JSON
-    val payload =
-      if (df.columns.contains("value"))
-        df.select(col("value").cast("string").as("value"))
-      else df.select(to_json(struct(col("*"))).as("value"))
-    payload.writeStream.format("kafka")
+                checkpoint: String): DataStreamWriter[Row] =
+    kafkaPayload(df).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
-  }
+
+  /** The sink's value projection, exposed for contract tests (no
+    * broker in the sandbox): a pre-encoded `value` column passes
+    * through as string; otherwise the whole row encodes as JSON. */
+  def kafkaPayload(df: DataFrame): DataFrame =
+    if (df.columns.contains("value"))
+      df.select(col("value").cast("string").as("value"))
+    else df.select(to_json(struct(col("*"))).as("value"))
 
   /** T11: checkpointing defaults (`checkpointing/Checkpointing.java:28-91`
     * → Spark): checkpoint dir + trigger interval; state backend is

@@ -57,6 +57,46 @@ class CorpusSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("streaming preprocess keep-filter feeding seqPack matches the batch frame") {
+    // the corpus-assembly pipeline end-to-end on a stream: the fused
+    // preprocess decides, its keep verdict filters, and the survivors
+    // pack. preprocess is stateless and streams natively (tested
+    // above); packing needs the per-shard running sum, so it runs per
+    // micro-batch in foreachBatch — each batch packs independently,
+    // and a batch holding the whole fixture must reproduce the batch
+    // frame bit-for-bit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val fixture = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
+    val batchDocs = fixture.toDF("doc_id", "text", "source")
+    val keepIds = Corpus.preprocess(batchDocs)
+      .filter(col("keep")).select("doc_id")
+    val wantPack = Corpus.seqPack(batchDocs.join(keepIds, "doc_id"),
+      shards = 4).collect().map(_.toSeq).toSet
+    assert(wantPack.nonEmpty)
+
+    val packed = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "text", "source")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val keep = Corpus.preprocess(batch)
+            .filter(col("keep")).select("doc_id")
+          packed ++= Corpus.seqPack(batch.join(keep, "doc_id"), shards = 4)
+            .collect().map(_.toSeq)
+          ()
+      }.start()
+    try {
+      in.addData(fixture)
+      q.processAllAvailable()
+      assert(packed.toSet == wantPack)
+    } finally q.stop()
+  }
+
   test("bottomKDistinct keeps the k smallest distinct values") {
     val agg = new Aggregators.BottomKDistinct(3)
     val fed = Seq(9L, 5L, 5L, 7L, 1L, 9L, 3L, 1L)

@@ -101,17 +101,28 @@ class MatchRecognizeSpec extends SparkSpec {
       """)
     }
     assert(err2.getMessage.contains("expected AS"))
-    // quantified multi-variable groups are rejected loudly
+    // multi-variable SEQUENCE groups are rejected loudly
     val err3 = intercept[RuntimeException] {
       MatchRecognize.run(rows, """
         PARTITION BY sym
         ORDER BY seq
         MEASURES A.price AS p
-        PATTERN ((A|B)+)
+        PATTERN ((A B)+)
         DEFINE A AS price > 0
       """)
     }
-    assert(err3.getMessage.contains("quantified groups"))
+    assert(err3.getMessage.contains("expected )"))
+    // {n,m} on a BRANCH inside alternation: quantify the group instead
+    val err4 = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS p
+        PATTERN (A (B{2}|C))
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(err4.getMessage.contains("BRANCH"))
   }
 
   private def tape(events: (Long, String)*): org.apache.spark.sql.DataFrame =
@@ -181,6 +192,60 @@ class MatchRecognizeSpec extends SparkSpec {
     // four bs → the extra b breaks strict contiguity into C
     assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
       6L -> "c"), "A B{2,3} C", ms, defs).isEmpty)
+  }
+
+  test("quantified alternation (B|C)+ repeats the group, switching branches") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "LAST(B.seq) AS b_seq, LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    // repetitions alternate branches: b c b all consumed by (B|C)+
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "b", 5L -> "d"),
+      "A (B|C)+ D", ms, defs) == Seq(Seq(4L, 3L, 5L)))
+    // a single repetition of either branch suffices
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"),
+      "A (B|C)+ D", ms, defs) == Seq(Seq(null, 2L, 3L)))
+    // zero repetitions do not: + requires at least one
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B|C)+ D", ms, defs).isEmpty)
+    // a non-member row breaks strict contiguity inside the loop
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "x", 4L -> "c", 5L -> "d"),
+      "A (B|C)+ D", ms, defs).isEmpty)
+    // (B|C)* allows the empty run
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B|C)* D", ms, defs) ==
+      Seq(Seq(null, null, 2L)))
+  }
+
+  test("(B|C){2} takes exactly two rows from either branch") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "LAST(B.seq) AS b_seq, LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "A (B|C){2} D", ms, defs) == Seq(Seq(2L, 3L, 4L)))
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "b", 4L -> "d"),
+      "A (B|C){2} D", ms, defs) == Seq(Seq(3L, 2L, 4L)))
+    // one group row is not enough for {2}
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "d"),
+      "A (B|C){2} D", ms, defs).isEmpty)
+    // {1,2} backtracks: one row then D also matches
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"),
+      "A (B|C){1,2} D", ms, defs) == Seq(Seq(null, 2L, 3L)))
+  }
+
+  test("AFTER MATCH SKIP variants: overlapping vs non-overlapping match sets") {
+    val rows = tape(1L -> "b", 2L -> "b", 3L -> "b", 4L -> "b")
+    def run(skip: String): Seq[(Long, Long)] =
+      MatchRecognize.run(rows, s"""
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES FIRST(B.seq) AS b0, LAST(B.seq) AS b1
+        $skip
+        PATTERN (B{2})
+        DEFINE B AS name = 'b'
+      """).collect().toSeq.map(r => (r.getLong(1), r.getLong(2))).sorted
+    // PAST LAST ROW: disjoint matches only
+    assert(run("AFTER MATCH SKIP PAST LAST ROW") == Seq((1L, 2L), (3L, 4L)))
+    // TO NEXT ROW: resume one row after each match start — overlaps
+    assert(run("AFTER MATCH SKIP TO NEXT ROW") ==
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
   test("reluctant B+? stops at the first completion") {

@@ -171,5 +171,40 @@ class SourcesSpec extends SparkSpec {
         .filter(col("user_id").isNotNull))
       .as[String].collect().head
     assert(out.contains(""""plat":"ios"""") && out.contains(""""user_id":7"""))
+
+    // 3. the PRODUCER contract (K6): kafkaSink's payload projection —
+    //    a pre-encoded value column passes through as string, any
+    //    other schema becomes one JSON value column (what the Kafka
+    //    sink requires) — and the exact writer options it wires
+    val passthrough = graft.streaming.Sinks.kafkaPayload(
+      Seq(("k1", "payload")).toDF("ignored", "value"))
+    assert(passthrough.columns.toSeq == Seq("value"))
+    assert(passthrough.as[String].collect().toSeq == Seq("payload"))
+    val encoded = graft.streaming.Sinks.kafkaPayload(
+      Seq(("ios", 7)).toDF("plat", "user_id"))
+    assert(encoded.columns.toSeq == Seq("value"))
+    assert(encoded.as[String].collect().head ==
+      """{"plat":"ios","user_id":7}""")
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val w = graft.streaming.Sinks.kafkaSink(ms.toDF(),
+      "broker1:9092,broker2:9092", "out_topic", "/tmp/k6_ckpt")
+    val wf = w.getClass.getDeclaredFields
+      .find(_.getName.contains("extraOptions"))
+      .getOrElse(fail("DataStreamWriter option field moved"))
+    wf.setAccessible(true)
+    val sinkOpts = wf.get(w) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, String]]
+      case m => m.asInstanceOf[scala.collection.Map[String, String]].toMap
+    }
+    assert(sinkOpts.get("kafka.bootstrap.servers")
+      .contains("broker1:9092,broker2:9092"))
+    assert(sinkOpts.get("topic").contains("out_topic"))
+    assert(sinkOpts.get("checkpointLocation").contains("/tmp/k6_ckpt"))
+    val sf = w.getClass.getDeclaredFields
+      .find(_.getName.contains("source"))
+      .getOrElse(fail("DataStreamWriter source field moved"))
+    sf.setAccessible(true)
+    assert(sf.get(w) == "kafka")
   }
 }
