@@ -46,6 +46,13 @@ object Dedup extends graft.QueryModule {
     */
   private[operators] val MaxBroadcastSourceBytes = BigInt(1L << 30)
 
+  /** The broadcast-gate decision every gated operator here derives
+    * from the source scan's stats, exposed so tools/tests can assert
+    * the AUTOMATIC flip (not just force it with overrides). */
+  private[graft] def wouldBroadcastSource(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      MaxBroadcastSourceBytes
+
   /** Affine hash-family coefficients, derived from md5 so the oracle
     * can inline the identical literals. a ∈ [1, 2^30), b ∈ [0, p):
     * a·h32 + b < 2^62 — no 64-bit overflow on either engine. */

@@ -17,12 +17,20 @@ import graft.core.Tables
   *     `syntheticImageBytes`/`imageTable` generate deterministic
   *     lossless payloads so the decode is golden-testable end to end
   *     (MultimodalSpec).
-  *   - audio/video stay STUBBED (no codec libs in this container):
-  *     `decodeStub` derives a deterministic fake feature vector from
-  *     the payload bytes. The Spark-side plumbing — schema,
-  *     partitioning, batch shape, per-partition resource lifecycle —
-  *     is real and tested; swapping `decodeStub` for a JNI/FFI codec
-  *     is a one-function change.
+  *   - VIDEO decodes for real for AVI containers: `parseAvi` walks the
+  *     RIFF chunk tree (pure byte arithmetic, no libs), raw-DIB frames
+  *     (`00db`, BI_RGB bottom-up BGR24 — what `ffmpeg -c:v rawvideo`
+  *     emits) decode exactly, and MJPEG frames (`00dc`, one complete
+  *     JPEG per chunk) decode through the JDK's own JPEG ImageIO
+  *     codec. The DIB path is lossless, so q71 oracle-checks the
+  *     entire encode → demux → raster-decode round trip against
+  *     pixel-formula means recomputed in SQL.
+  *   - audio and inter-frame video codecs (H.264 etc.) stay STUBBED
+  *     (no JDK decoder exists): `decodeStub` derives a deterministic
+  *     fake feature vector from the payload bytes. The Spark-side
+  *     plumbing — schema, partitioning, batch shape, per-partition
+  *     resource lifecycle — is real and tested; swapping `decodeStub`
+  *     for a JNI/FFI codec is a one-function change.
   */
 object Multimodal extends graft.QueryModule {
 
@@ -224,10 +232,240 @@ object Multimodal extends graft.QueryModule {
     }
   }
 
+  // ---- real video codec path: AVI (RIFF) demux + DIB/MJPEG decode ------
+
+  /** One decoded video frame's channel statistics. */
+  case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                        height: Int, mean_r: Double, mean_g: Double,
+                        mean_b: Double)
+
+  private def fourccLE(s: String): Int =
+    (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) |
+      ((s(3) & 0xff) << 24)
+
+  /** Minimal but standard-layout AVI writer: RIFF('AVI ') with the
+    * LIST(hdrl) header tree (avih + one 'vids' stream) and a
+    * LIST(movi) holding one chunk per frame — `00db` raw DIB frames
+    * (BI_RGB bottom-up BGR24, rows padded to 4 bytes) when
+    * `mjpeg = false`, `00dc` complete-JPEG frames when true. No idx1
+    * (optional per the spec; the demuxer below streams the movi list).
+    */
+  def aviBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int, mjpeg: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(b: Array[Byte]): Unit = bos.write(b)
+    def fcc(s: String): Unit = put(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII")); out.write(le(body.length))
+      out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF chunks are even-aligned
+      out.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("LIST".getBytes("US-ASCII")); out.write(le(body.length + 4))
+      out.write(listType.getBytes("US-ASCII")); out.write(body)
+      out.toByteArray
+    }
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / math.max(1, fps)) // dwMicroSecPerFrame
+      b.putInt(0).putInt(0).putInt(0)      // maxBytesPerSec, padding, flags
+      b.putInt(frames.length).putInt(0)    // totalFrames, initialFrames
+      b.putInt(1).putInt(maxFrame)         // streams, suggestedBufferSize
+      b.putInt(width).putInt(height)
+      b.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(fourccLE("vids"))
+      b.putInt(fourccLE(if (mjpeg) "MJPG" else "DIB "))
+      b.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initFrames
+      b.putInt(1).putInt(math.max(1, fps))          // dwScale, dwRate
+      b.putInt(0).putInt(frames.length)             // dwStart, dwLength
+      b.putInt(maxFrame).putInt(-1).putInt(0)       // bufSize, quality, sampleSize
+      b.putShort(0).putShort(0)                     // rcFrame
+      b.putShort(width.toShort).putShort(height.toShort)
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+      b.putShort(1).putShort(24) // biPlanes, biBitCount
+      b.putInt(if (mjpeg) fourccLE("MJPG") else 0) // biCompression
+      b.putInt(((width * 3 + 3) & ~3) * height)    // biSizeImage
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameId = if (mjpeg) "00dc" else "00db"
+    val movi = list("movi", frames.iterator.map(chunk(frameId, _))
+      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val payload = hdrl ++ movi
+    fcc("RIFF"); put(le(payload.length + 4)); fcc("AVI "); put(payload)
+    bos.toByteArray
+  }
+
+  /** Demuxed AVI: stream geometry + compression fourcc from the strf
+    * BITMAPINFOHEADER, and the raw bytes of every video frame chunk in
+    * movi order. */
+  private[operators] case class AviStream(width: Int, height: Int,
+                                          compression: Int,
+                                          frames: Vector[Array[Byte]])
+
+  /** RIFF/AVI demuxer: one linear walk of the chunk tree. Recurses
+    * into LIST containers (hdrl for the stream format, movi — possibly
+    * nested `rec ` lists — for the frames), collects `##db`/`##dc`
+    * chunks, and honors the spec's even-byte chunk alignment. */
+  def parseAvi(payload: Array[Byte]): AviStream = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def u32(p: Int): Int = buf.getInt(p)
+    def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not a RIFF AVI")
+    var (w, h, comp) = (0, 0, 0)
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = tag(p); val sz = u32(p + 4); val body = p + 8
+        if (id == "LIST") walk(body + 4, body + sz)
+        else if (id == "strf" && sz >= 40) {
+          w = u32(body + 4); h = u32(body + 8); comp = u32(body + 16)
+        } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc")))
+          frames += java.util.Arrays.copyOfRange(payload, body, body + sz)
+        p = body + sz + (sz & 1)
+      }
+    }
+    walk(12, payload.length)
+    AviStream(w, h, comp, frames.result())
+  }
+
+  /** Channel sums of one frame, by codec: BI_RGB (comp 0) reads the
+    * raw bottom-up BGR24 raster directly; MJPG decodes the JPEG chunk
+    * through ImageIO. Returns (sumR, sumG, sumB). */
+  private def frameChannelSums(s: AviStream, frame: Array[Byte]): (Long, Long, Long) =
+    if (s.compression == 0) {
+      val stride = (s.width * 3 + 3) & ~3
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < s.height) {
+        val row = y * stride
+        var x = 0
+        while (x < s.width) {
+          val o = row + x * 3
+          sb += frame(o) & 0xff; sg += frame(o + 1) & 0xff
+          sr += frame(o + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    } else if (s.compression == fourccLE("MJPG")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+      require(img != null, "MJPG frame did not decode as JPEG")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    } else sys.error(f"unsupported AVI codec fourcc 0x${s.compression}%08x")
+
+  /** REAL frame sampling: demux the AVI container, decode every
+    * `everyN`-th frame, emit per-frame channel means. The demux +
+    * decode runs inside the partition pass and frames stream out — a
+    * video's frames are never all materialized at once beyond the
+    * (already in-memory) payload. */
+  def sampleVideoFrames(media: Dataset[MediaRecord],
+                        everyN: Int): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition demuxer/decoder context would be created here
+      it.flatMap { r =>
+        val s = parseAvi(r.payload)
+        val n = s.width.toLong * s.height
+        s.frames.iterator.zipWithIndex.collect {
+          case (f, idx) if idx % everyN == 0 =>
+            val (sr, sg, sb) = frameChannelSums(s, f)
+            VideoFrame(r.media_id, idx, s.width, s.height,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+  }
+
+  /** Deterministic pixel formula shared by the DIB encoder and the
+    * q71 oracle: channel values of pixel (x, y) of frame `f` of video
+    * `id` are affine functions of the coordinates mod 256. */
+  private def vidPx(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    math.floorMod(x * 7L + y * 3L + id + f * 31L, 256).toInt,
+    math.floorMod(x * 5L + y * 11L + 2 * id + f * 17L, 256).toInt,
+    math.floorMod(x * 13L + y * 17L + 3 * id + f * 7L, 256).toInt)
+
+  /** One raw BI_RGB DIB frame of the deterministic raster: bottom-up
+    * BGR24 rows padded to 4 bytes — exactly what `parseAvi` +
+    * `frameChannelSums` must read back. */
+  def syntheticDibFrame(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = vidPx(id, f, x, y)
+        out(row + x * 3) = b.toByte
+        out(row + x * 3 + 1) = g.toByte
+        out(row + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Media table whose payloads are REAL AVI containers with raw-DIB
+    * frames of the deterministic raster (geometry + frame count derived
+    * from the id, as a manifest's would be). */
+  def videoTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 11 + 4).toInt
+        val h = (id % 7 + 4).toInt
+        val nf = (id % 4 + 2).toInt
+        val frames = (0 until nf).map(f => syntheticDibFrame(id, f, w, h))
+        MediaRecord(id, "video", w, h, aviBytes(frames, w, h, fps = 25,
+          mjpeg = false))
+      }
+    }
+  }
+
+  def videoFrameQuery(s: SparkSession, d: String): DataFrame =
+    sampleVideoFrames(videoTable(Tables.documents(s, d)), everyN = 2).toDF()
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q40_media_features" -> ((s, d) => featureQuery(s, d))
+    "q40_media_features" -> ((s, d) => featureQuery(s, d)),
+    "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d))
   )
 
   /** The stub decode is pure byte arithmetic, so even this op gets a
@@ -246,6 +484,42 @@ object Multimodal extends graft.QueryModule {
                AS mean_byte,
              list_reduce(list_prepend(0::BIGINT, list_slice(bytes, 1, 16)),
                (a, b) -> (a * 31 + b) % 1000000007) AS head_hash
-      FROM t"""
+      FROM t""",
+
+    /* q71: the Spark side builds a REAL AVI container per doc (raw-DIB
+     * frames of the vidPx raster), demuxes it back, and decodes the
+     * raster; DIB is lossless, so the oracle recomputes the sampled
+     * frames' channel means straight from the pixel formula — exact
+     * integer sums, one double division, bit-identical on both
+     * engines. A container/raster bug anywhere in the round trip
+     * breaks the hash. */
+    "q71_video_frames" -> """
+      WITH v AS (
+        SELECT doc_id AS media_id,
+               (doc_id % 11 + 4)::INT AS width,
+               (doc_id % 7 + 4)::INT AS height,
+               doc_id % 4 + 2 AS nf
+        FROM documents),
+      f AS (
+        SELECT media_id, width, height,
+               CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+        FROM v),
+      px AS (
+        SELECT media_id, frame_idx, width, height,
+               CAST(unnest(range(0, width)) AS INT) AS x
+        FROM f WHERE frame_idx % 2 = 0),
+      pxy AS (
+        SELECT media_id, frame_idx, width, height, x,
+               CAST(unnest(range(0, height)) AS INT) AS y
+        FROM px)
+      SELECT media_id, frame_idx, width, height,
+             CAST(sum((x*7 + y*3 + media_id + frame_idx*31) % 256) AS DOUBLE)
+               / (width*height) AS mean_r,
+             CAST(sum((x*5 + y*11 + 2*media_id + frame_idx*17) % 256) AS DOUBLE)
+               / (width*height) AS mean_g,
+             CAST(sum((x*13 + y*17 + 3*media_id + frame_idx*7) % 256) AS DOUBLE)
+               / (width*height) AS mean_b
+      FROM pxy
+      GROUP BY media_id, frame_idx, width, height"""
   )
 }

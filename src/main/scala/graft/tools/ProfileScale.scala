@@ -23,6 +23,12 @@ object ProfileScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.headOption.contains("sf10")) {
+      runSf10(spark)
+      spark.stop()
+      return
+    }
+
     val sf01 = "/root/testdata/sf0.1"
     // replicas are rebuilt unconditionally: an existence-keyed cache
     // would silently profile stale replicas after the sf0.1 dataset
@@ -108,5 +114,48 @@ object ProfileScale {
       }
     }
     spark.stop()
+  }
+
+  /** `runMain graft.tools.ProfileScale sf10` — one more decade for
+    * the two heaviest pair ops (q29 jaccard, q66 containment): 100×
+    * bench scale (100 prefix-remapped sf0.1 replicas ≈ 500k docs).
+    * Replicas share no tokens, so true pair counts scale exactly
+    * linearly and wall-time growth is attributable to the engine —
+    * the sf0.1→sf1 table said sub-linear per-replica cost; this point
+    * either confirms the bucket-cap math holds for another 10× or
+    * exposes the knee.
+    */
+  private def runSf10(spark: SparkSession): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val sf10Path = "/tmp/graft_sf10/documents.parquet"
+    val base = Tables.documents(spark, sf01)
+    (0 until 100).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"r${k}x"), w)), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(sf10Path)
+    val docs = spark.read.parquet(sf10Path)
+    println(s"== sf10: ${docs.count()} docs")
+    def time(f: => Long): (Double, Long) = {
+      var rows = 0L
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        rows = f
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (sec, rows)
+    }
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q29_jaccard_pairs" -> (d => Dedup.ngramJaccardPairs(d, 0.8)),
+      "q66_containment"   -> (d => Dedup.containmentPairs(d)))
+    for ((name, op) <- ops) {
+      op(docs).count() // warm
+      val (sec, rows) = time(op(docs).count())
+      println(f"sf10 $name%-20s $sec%7.2f s  ($rows rows)")
+    }
   }
 }

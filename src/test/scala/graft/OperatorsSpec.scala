@@ -320,6 +320,75 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("AVI round trip: real container demux + exact DIB frame decode") {
+    // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
+    // frames) of the vidPx raster — demux + decode must recover the
+    // exact geometry, the sampled frame indices, and the exact
+    // per-channel means (raw DIB is lossless)
+    val docs = Tables.documents(spark, sf).limit(30)
+    val frames = Multimodal.sampleVideoFrames(
+      Multimodal.videoTable(docs), everyN = 2).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.size == 30)
+    for ((id, fs) <- byId) {
+      val (w, h, nf) = ((id % 11 + 4).toInt, (id % 7 + 4).toInt,
+        (id % 4 + 2).toInt)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until nf by 2),
+        s"video $id: wrong sampled frame set")
+      for (f <- fs) {
+        assert(f.width == w && f.height == h)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += math.floorMod(x * 7L + y * 3L + id + f.frame_idx * 31L, 256)
+          sg += math.floorMod(x * 5L + y * 11L + 2 * id + f.frame_idx * 17L, 256)
+          sb += math.floorMod(x * 13L + y * 17L + 3 * id + f.frame_idx * 7L, 256)
+        }
+        val n = w.toLong * h
+        assert(f.mean_r == sr.toDouble / n && f.mean_g == sg.toDouble / n &&
+          f.mean_b == sb.toDouble / n, s"video $id frame ${f.frame_idx} " +
+          "channel means diverge")
+      }
+    }
+  }
+
+  test("AVI MJPEG frames decode through the JDK JPEG codec") {
+    // MJPEG chunks are complete JPEGs (lossy): assert geometry, frame
+    // count, even-alignment survival (JPEG byte lengths are often
+    // odd), and channel means within JPEG quantization tolerance
+    val (w, h) = (32, 24)
+    def raster(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.floorMod(x * 3 + y * 5 + f * 40, 200) + 28
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def jpegBytes(f: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(raster(f), "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.aviBytes((0 until 5).map(jpegBytes), w, h,
+      fps = 25, mjpeg = true)
+    val media = Seq(Multimodal.MediaRecord(7L, "video", w, h, avi)).toDS()
+    val got = Multimodal.sampleVideoFrames(media, everyN = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == (0 until 5))
+    for (f <- got) {
+      assert(f.width == w && f.height == h)
+      // expected mean from the pre-encode raster
+      val img = raster(f.frame_idx)
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (img.getRGB(x, y) >> 16) & 0xff
+      val expect = s.toDouble / (w * h)
+      for (m <- Seq(f.mean_r, f.mean_g, f.mean_b))
+        assert(math.abs(m - expect) < 4.0,
+          s"frame ${f.frame_idx}: mean $m vs raster $expect")
+    }
+  }
+
   test("unigram surprisal: quantized bits match a hand-computed corpus") {
     // corpus: a a b | c → counts a=2, b=1, c=1; total=4
     // flog2 = length(bin(x)) - 1: flog2(4)=2, flog2(2)=1, flog2(1)=0
