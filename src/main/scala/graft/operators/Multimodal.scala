@@ -25,12 +25,20 @@ import graft.core.Tables
   *     codec. The DIB path is lossless, so q71 oracle-checks the
   *     entire encode → demux → raster-decode round trip against
   *     pixel-formula means recomputed in SQL.
-  *   - audio and inter-frame video codecs (H.264 etc.) stay STUBBED
-  *     (no JDK decoder exists): `decodeStub` derives a deterministic
-  *     fake feature vector from the payload bytes. The Spark-side
-  *     plumbing — schema, partitioning, batch shape, per-partition
-  *     resource lifecycle — is real and tested; swapping `decodeStub`
-  *     for a JNI/FFI codec is a one-function change.
+  *   - AUDIO decodes for real for WAV containers: `parseWav` walks
+  *     the same RIFF structure (fmt + data chunks) and reads PCM16
+  *     little-endian samples exactly; q72 oracle-checks the encode →
+  *     demux → sample-decode → feature round trip against integer
+  *     waveform formulas recomputed in SQL, and the spec
+  *     cross-validates the writer against the JDK's own
+  *     javax.sound.sampled reader.
+  *   - compressed audio and inter-frame video codecs (MP3/AAC/H.264
+  *     etc.) stay STUBBED (no JDK decoder exists): `decodeStub`
+  *     derives a deterministic fake feature vector from the payload
+  *     bytes. The Spark-side plumbing — schema, partitioning, batch
+  *     shape, per-partition resource lifecycle — is real and tested;
+  *     swapping `decodeStub` for a JNI/FFI codec is a one-function
+  *     change.
   */
 object Multimodal extends graft.QueryModule {
 
@@ -461,11 +469,130 @@ object Multimodal extends graft.QueryModule {
   def videoFrameQuery(s: SparkSession, d: String): DataFrame =
     sampleVideoFrames(videoTable(Tables.documents(s, d)), everyN = 2).toDF()
 
+  // ---- real audio codec path: WAV (RIFF) PCM16 -------------------------
+
+  /** Decoded-audio statistics: exact integer aggregates over the PCM
+    * samples, double division only at the end (bit-portable). */
+  case class AudioFeatures(media_id: Long, n_samples: Long,
+                           sample_rate: Long, duration_s: Double,
+                           mean_abs: Double, peak: Long, zero_cross: Long)
+
+  /** Canonical 44-byte-header WAV writer: RIFF('WAVE') + 'fmt '
+    * (PCM, mono, 16-bit) + 'data' of little-endian int16 samples. */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val data = samples.length * 2
+    val b = ByteBuffer.allocate(44 + data).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1) // PCM, mono
+    b.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+    b.putShort(2).putShort(16) // block align, bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(data)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  private[operators] case class WavStream(sampleRate: Int, channels: Int,
+                                          samples: Array[Short])
+
+  /** RIFF/WAVE demuxer: same chunk walk as [[parseAvi]] — reads the
+    * 'fmt ' header (PCM16 only: that's what pure-JDK decode means)
+    * and the 'data' samples. Tolerates extra chunks (LIST/INFO, fact)
+    * in either order, as real encoders emit them. */
+  def parseWav(payload: Array[Byte]): WavStream = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF WAVE")
+    var (rate, channels, bits, fmtCode) = (0, 0, 0, 0)
+    var samples: Array[Short] = null
+    var p = 12
+    while (p + 8 <= payload.length) {
+      val id = tag(p); val sz = buf.getInt(p + 4); val body = p + 8
+      if (id == "fmt " && sz >= 16) {
+        fmtCode = buf.getShort(body) & 0xffff
+        channels = buf.getShort(body + 2) & 0xffff
+        rate = buf.getInt(body + 4)
+        bits = buf.getShort(body + 14) & 0xffff
+      } else if (id == "data") {
+        require(fmtCode == 1 && bits == 16,
+          s"only PCM16 WAV decodes here (fmt=$fmtCode bits=$bits)")
+        samples = new Array[Short](sz / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = buf.getShort(body + i * 2); i += 1
+        }
+      }
+      p = body + sz + (sz & 1)
+    }
+    require(samples != null, "WAV has no data chunk")
+    WavStream(rate, channels, samples)
+  }
+
+  /** Feature extraction over the DECODED samples: exact integer sums
+    * (mean |s|, peak |s|, sign-transition count with 0 counted
+    * non-negative), one double division at the end. */
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    val w = parseWav(r.payload)
+    val s = w.samples
+    var (sumAbs, peak, crossings) = (0L, 0L, 0L)
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i).toLong)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    val n = s.length.toLong
+    AudioFeatures(r.media_id, n, w.sampleRate,
+      n.toDouble / w.sampleRate,
+      if (n == 0) 0.0 else sumAbs.toDouble / n, peak, crossings)
+  }
+
+  /** Batched per-partition audio decode — same mapInPandas shape. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder context would be created here
+      it.map(decodeAudio)
+    }
+  }
+
+  /** Deterministic integer waveform shared by the encoder and the q72
+    * oracle: sample t of audio `id` is an affine sawtooth in int16
+    * range. */
+  private def audioSample(id: Long, t: Int): Short =
+    (math.floorMod(t * (id % 7 + 2) + id, 2048) - 1024).toShort
+
+  /** Media table whose payloads are REAL WAV files of the
+    * deterministic waveform (length + rate derived from the id). */
+  def audioTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 600 + 100).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(t => audioSample(id, t))
+        MediaRecord(id, "audio", 0, 0, wavBytes(samples, rate))
+      }
+    }
+  }
+
+  def audioFeatureQuery(s: SparkSession, d: String): DataFrame =
+    extractAudioFeatures(audioTable(Tables.documents(s, d))).toDF()
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_features" -> ((s, d) => featureQuery(s, d)),
-    "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d))
+    "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d)),
+    "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d))
   )
 
   /** The stub decode is pure byte arithmetic, so even this op gets a
@@ -520,6 +647,30 @@ object Multimodal extends graft.QueryModule {
              CAST(sum((x*13 + y*17 + 3*media_id + frame_idx*7) % 256) AS DOUBLE)
                / (width*height) AS mean_b
       FROM pxy
-      GROUP BY media_id, frame_idx, width, height"""
+      GROUP BY media_id, frame_idx, width, height""",
+
+    /* q72: Spark builds a REAL WAV per doc from the integer sawtooth,
+     * demuxes + decodes the PCM16 samples, and aggregates; the oracle
+     * recomputes the same features straight from the waveform formula
+     * — exact integer sums, double division only at the end. */
+    "q72_audio_features" -> """
+      WITH v AS (
+        SELECT doc_id AS media_id, doc_id % 600 + 100 AS n,
+               8000 + (doc_id % 3) * 4000 AS sample_rate
+        FROM documents),
+      s AS (
+        SELECT media_id, n, sample_rate,
+               list_transform(range(0, n),
+                 t -> (t * (media_id % 7 + 2) + media_id) % 2048 - 1024)
+                 AS smp
+        FROM v)
+      SELECT media_id, n AS n_samples, sample_rate,
+             CAST(n AS DOUBLE) / sample_rate AS duration_s,
+             CAST(list_sum(list_transform(smp, x -> abs(x))) AS DOUBLE) / n
+               AS mean_abs,
+             list_max(list_transform(smp, x -> abs(x))) AS peak,
+             len(list_filter(range(1, n),
+               i -> (smp[i] >= 0) != (smp[i+1] >= 0))) AS zero_cross
+      FROM s"""
   )
 }
