@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.StructType
   *   ONE ROW PER MATCH /
   *   AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW |
   *                     TO LAST var | TO FIRST var} /
-  *   PATTERN (...) / DEFINE var AS predicate, ...
+  *   PATTERN (...) [WITHIN INTERVAL 'n' unit] /
+  *   DEFINE var AS predicate, ...
   *
   * PATTERN supports concatenation, the quantifiers `+` `*` `?`
   * `{n}` `{n,}` `{n,m}` (with `+?`/`*?` reluctant variants) on
@@ -25,10 +26,16 @@ import org.apache.spark.sql.types.StructType
   * zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
-  * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, numeric/string
-  * literals, `IS [NOT] NULL`, AND/OR, and parentheses — enough to run
-  * the reference doc's two example queries verbatim (see
-  * MatchRecognizeSpec). Pattern variables match consecutive rows
+  * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
+  * `SUM/MIN/MAX/AVG(VAR.col)` and `COUNT(VAR.*)`/`COUNT(*)` (FINAL
+  * semantics in MEASURES — the whole match; running semantics in
+  * DEFINE — rows so far including the candidate, per SQL), numeric/
+  * string literals, `IS [NOT] NULL`, AND/OR, and parentheses — enough
+  * to run the reference doc's two example queries verbatim (see
+  * MatchRecognizeSpec). `WITHIN INTERVAL 'n' unit` (SECOND/MINUTE/
+  * HOUR/DAY) bounds first-to-last row spacing through the same
+  * `within` machinery the DSL engine uses; the ORDER BY column must
+  * be a timestamp (interval converts to milliseconds). Pattern variables match consecutive rows
   * (SQL's strict contiguity); `+` quantifiers are greedy (SQL
   * default). Execution compiles the clause onto the [[Cep]] NFA and
   * scans each partition in order — the same engine the DSL uses, so
@@ -46,6 +53,10 @@ object MatchRecognize {
   private[cep] case class ColRef(variable: String, col: String) extends Val
   private[cep] case class Nav(fn: String, variable: String, col: String,
                          offset: Int) extends Val
+  /** `SUM/MIN/MAX/AVG(VAR.col)`, `COUNT(VAR.*)` (col = "*"),
+    * `COUNT(*)` (variable = "" = every matched row). */
+  private[cep] case class Agg(fn: String, variable: String,
+                              col: String) extends Val
   private[cep] case class Lit(v: Any) extends Val
 
   private[cep] sealed trait Pred
@@ -70,7 +81,8 @@ object MatchRecognize {
 
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
-      pattern: Seq[PatElem], defines: Map[String, Pred])
+      pattern: Seq[PatElem], withinMs: Option[Long],
+      defines: Map[String, Pred])
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -180,6 +192,22 @@ object MatchRecognize {
       }
     }
 
+    var withinMs: Option[Long] = None
+    if (p.kw("WITHIN")) {
+      p.expect("INTERVAL")
+      val q = p.next()
+      require(q.startsWith("'"), s"WITHIN INTERVAL expects a quoted number, got $q")
+      val n = q.substring(1, q.length - 1).trim.toLong
+      val unit = p.next().toUpperCase.stripSuffix("S") match {
+        case "SECOND" => 1000L
+        case "MINUTE" => 60000L
+        case "HOUR"   => 3600000L
+        case "DAY"    => 86400000L
+        case u => sys.error(s"unsupported WITHIN unit $u")
+      }
+      withinMs = Some(n * unit)
+    }
+
     p.expect("DEFINE")
     val defines = Map.newBuilder[String, Pred]
     more = true
@@ -189,7 +217,7 @@ object MatchRecognize {
       defines += v -> parseOr(p)
       more = p.kw(",")
     }
-    Clause(part, order, measures.result(), skip, pat.result(),
+    Clause(part, order, measures.result(), skip, pat.result(), withinMs,
       defines.result())
   }
 
@@ -219,6 +247,8 @@ object MatchRecognize {
     } else (1, 1, false)
   }
 
+  private val aggFns = Set("SUM", "MIN", "MAX", "AVG", "COUNT")
+
   private def parseVal(p: P): Val = p.next() match {
     case f if f.equalsIgnoreCase("LAST") || f.equalsIgnoreCase("FIRST") =>
       p.expect("(")
@@ -227,6 +257,23 @@ object MatchRecognize {
       p.expect(")")
       val Array(v, c) = ref.split("\\.", 2)
       Nav(f.toUpperCase, v, c, off)
+    case f if aggFns(f.toUpperCase) =>
+      p.expect("(")
+      val agg =
+        if (p.kw("*")) Agg("COUNT", "", "*") // COUNT(*): every matched row
+        else {
+          val ref = p.next()
+          if (ref.endsWith(".") && p.kw("*")) // COUNT(B.*)
+            Agg(f.toUpperCase, ref.dropRight(1), "*")
+          else {
+            val Array(v, c) = ref.split("\\.", 2)
+            Agg(f.toUpperCase, v, c)
+          }
+        }
+      p.expect(")")
+      require(agg.col != "*" || agg.fn == "COUNT",
+        s"${agg.fn}(VAR.*) is not meaningful — only COUNT counts rows")
+      agg
     case s if s.startsWith("'") => Lit(s.substring(1, s.length - 1))
     case n if n.head.isDigit || n.head == '-' =>
       Lit(if (n.contains('.')) n.toDouble else n.toLong)
@@ -281,6 +328,35 @@ object MatchRecognize {
         if (fn == "LAST") rows.reverse.drop(off).headOption
         else rows.drop(off).headOption
       picked.flatMap(r => Option(r.getAs[Any](col)))
+    case Agg(fn, variable, col) =>
+      // FINAL over the whole match in MEASURES (candidate = None);
+      // running over rows-so-far + candidate when evaluated in DEFINE
+      val rows =
+        if (variable == "") entries.map(_._2) ++ candidate.toSeq
+        else {
+          val idxs = varIdx.getOrElse(variable,
+            sys.error(s"unknown pattern variable $variable"))
+          entries.collect { case (i, r) if idxs(i) => r } ++
+            (if (variable == curVar) candidate.toSeq else Nil)
+        }
+      if (col == "*") Some(rows.length.toLong)
+      else {
+        val vals = rows.flatMap(r => Option(r.getAs[Any](col))) // SQL: skip NULLs
+        fn match {
+          case "COUNT" => Some(vals.length.toLong)
+          case _ if vals.isEmpty => None // SUM/MIN/MAX/AVG over empty → NULL
+          case "SUM" =>
+            if (vals.forall(_.isInstanceOf[Number]) && vals.forall {
+              case _: java.lang.Long | _: Integer | _: java.lang.Short |
+                   _: java.lang.Byte => true
+              case _ => false
+            }) Some(vals.map(_.asInstanceOf[Number].longValue()).sum)
+            else Some(vals.map(num).sum)
+          case "AVG" => Some(vals.map(num).sum / vals.length)
+          case "MIN" => Some(vals.minBy(num))
+          case "MAX" => Some(vals.maxBy(num))
+        }
+      }
   }
 
   private def num(x: Any): Double = x match {
@@ -367,9 +443,20 @@ object MatchRecognize {
       .zipWithIndex.groupBy(_._1)
       .map { case (n, xs) => n -> xs.map(_._2).toSet }
 
-    def colType(v: Val) = v match {
+    def colType(v: Val): org.apache.spark.sql.types.DataType = v match {
       case ColRef(_, c)  => schema(c).dataType
       case Nav(_, _, c, _) => schema(c).dataType
+      case Agg("COUNT", _, _) => org.apache.spark.sql.types.LongType
+      case Agg("AVG", _, _)   => org.apache.spark.sql.types.DoubleType
+      case Agg("SUM", _, c) => schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.types.LongType
+        case _ => org.apache.spark.sql.types.DoubleType
+      }
+      case Agg(_, _, c) => schema(c).dataType // MIN/MAX preserve the type
       case Lit(_: String) => org.apache.spark.sql.types.StringType
       case Lit(_: Double) => org.apache.spark.sql.types.DoubleType
       case Lit(_)         => org.apache.spark.sql.types.LongType
@@ -396,7 +483,7 @@ object MatchRecognize {
             groupLoop = groupLoop)
       }
     }
-    val spec = Cep.PatternSpec[Row](steps, None, clause.skip)
+    val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)
 
     val orderCol = clause.orderBy
     val ordKey: Row => Double = r => r.getAs[Any](orderCol) match {

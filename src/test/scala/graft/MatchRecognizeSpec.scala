@@ -264,6 +264,76 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 5L)))
   }
 
+  test("MEASURES aggregates: SUM/AVG/COUNT/MIN/MAX over a quantified run") {
+    val rows = Seq(
+      (1L, 1000L, "a", 10L), (1L, 2000L, "b", 5L), (1L, 3000L, "b", 7L),
+      (1L, 4000L, "b", 9L), (1L, 5000L, "c", 2L)
+    ).toDF("userid", "proctime", "name", "price")
+    val got = MatchRecognize.run(rows, """
+      PARTITION BY userid
+      ORDER BY proctime
+      MEASURES
+        SUM(B.price) AS total,
+        AVG(B.price) AS avg_p,
+        COUNT(B.*) AS nb,
+        MIN(B.price) AS mn,
+        MAX(B.price) AS mx,
+        COUNT(*) AS nrows
+      PATTERN (A B+ C)
+      DEFINE
+        A AS name = 'a',
+        B AS name = 'b',
+        C AS name = 'c'""").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 21L, "SUM over the greedy B run")  // 5+7+9
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getLong(3) == 3L)
+    assert(r.getLong(4) == 5L && r.getLong(5) == 9L)
+    assert(r.getLong(6) == 5L, "COUNT(*) spans the whole match")
+  }
+
+  test("aggregates in DEFINE use running semantics (budget-bounded run)") {
+    val rows = Seq(
+      (1L, 1000L, "a", 0L), (1L, 2000L, "b", 8L), (1L, 3000L, "b", 9L),
+      (1L, 4000L, "c", 0L)
+    ).toDF("userid", "proctime", "name", "price")
+    def q(budget: Long) = MatchRecognize.run(rows, s"""
+      PARTITION BY userid
+      ORDER BY proctime
+      MEASURES SUM(B.price) AS total, COUNT(B.*) AS nb
+      PATTERN (A B+ C)
+      DEFINE
+        A AS name = 'a',
+        B AS name = 'b' AND SUM(B.price) <= $budget,
+        C AS name = 'c'""").collect()
+    // budget 20: both b rows admit (running sums 8, 17) → one match
+    val fits = q(20)
+    assert(fits.length == 1 && fits.head.getLong(1) == 17L &&
+      fits.head.getLong(2) == 2L)
+    // budget 8: the second b is rejected (17 > 8), the leftover b row
+    // can't satisfy C's strict contiguity → no match at all
+    assert(q(8).isEmpty)
+  }
+
+  test("WITHIN bounds first-to-last row spacing through the NFA window") {
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, ts(0), "a"), (1L, ts(30), "b"), (1L, ts(50), "c")
+    ).toDF("userid", "rowtime", "name")
+    def q(interval: String) = MatchRecognize.run(rows, s"""
+      PARTITION BY userid
+      ORDER BY rowtime
+      MEASURES FIRST(A.name) AS fa, LAST(C.name) AS lc
+      PATTERN (A B C) WITHIN INTERVAL $interval
+      DEFINE
+        A AS name = 'a',
+        B AS name = 'b',
+        C AS name = 'c'""").collect()
+    assert(q("'1' MINUTE").length == 1, "50 s span fits in a minute")
+    assert(q("'40' SECOND").isEmpty, "partial expires before C arrives")
+  }
+
   test("falling-price V-shape reproduces the doc's exact output row") {
     // CEP.md:53-67 Ticker table (ACME, 01-Apr-11 10:00:00 .. 10:00:10)
     val base = Timestamp.valueOf("2011-04-01 10:00:00").getTime
