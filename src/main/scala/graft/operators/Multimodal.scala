@@ -314,8 +314,9 @@ object Multimodal extends graft.QueryModule {
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val frameId = if (mjpeg) "00dc" else "00db"
-    val movi = list("movi", frames.iterator.map(chunk(frameId, _))
-      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val moviBody = new java.io.ByteArrayOutputStream() // linear, not
+    frames.foreach(f => moviBody.write(chunk(frameId, f))) // foldLeft ++
+    val movi = list("movi", moviBody.toByteArray)
     val payload = hdrl ++ movi
     fcc("RIFF"); put(le(payload.length + 4)); fcc("AVI "); put(payload)
     bos.toByteArray

@@ -112,5 +112,11 @@ object ProfileGateFlip {
     }
     println("gate flip: ALL CHECKS PASSED")
     spark.stop()
+    // reclaim the ~1.1 GB padded corpus — it exists only for this run
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File("/tmp/graft_gate"))
   }
 }
