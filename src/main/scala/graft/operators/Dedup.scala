@@ -131,15 +131,24 @@ object Dedup extends graft.QueryModule {
     * docs by band key, and emit in-bucket pairs. Emits each unordered
     * pair once with the number of matching bands.
     */
-  def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** (doc_id, band_idx, band_key) rows of the banded MinHash
+    * signature — the LSH keying shared by [[minhashPairs]] and
+    * [[incrementalAdmit]]. Documents with < 3 words have no shingles
+    * and produce no rows. */
+  private def bandedKeys(documents: DataFrame, k: Int,
+                         bands: Int): DataFrame = {
     val r = k / bands
-    val banded = minhashMins(documents, k).select(
+    minhashMins(documents, k).select(
         col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           concat_ws("|", (b * r until (b + 1) * r).map(i =>
             col(s"m$i").cast("string")): _*)): _*)))
       .toDF("doc_id", "band_idx", "band_key")
+  }
+
+  def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = bandedKeys(documents, k, bands)
     banded
       .groupBy(col("band_idx"), col("band_key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
@@ -594,9 +603,83 @@ object Dedup extends graft.QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Incremental dedup: admit a NEW batch against an already-kept
+    * REFERENCE corpus — the batch analog of the streaming admission
+    * op, and what a continuously-crawled corpus actually runs (the
+    * reference is yesterday's 100 TB; the batch is today's crawl).
+    *
+    * A batch document is admitted iff it passes ALL of:
+    *   T1 exact: its content md5 is not in the reference, and it is
+    *      the min-doc_id holder of that md5 within the batch;
+    *   T2 near-dup vs reference: none of its MinHash LSH bands
+    *      collides with a reference band (bands shared by more than
+    *      `maxBucket` reference docs are stop-bands and don't count);
+    *   T3 near-dup within batch: for every band bucket it shares with
+    *      other T1∩T2 survivors (bucket size ≤ `maxBucket`), it is
+    *      the bucket's min doc_id.
+    *
+    * The two-phase batch semantics are deliberately conservative
+    * relative to one-at-a-time streaming admission: a doc can be
+    * rejected for colliding with a batch sibling that was itself
+    * rejected (streaming would have admitted it). That is the
+    * standard trade for a one-pass parallel admission — no
+    * sequential dependence, so 1000 executors admit independently.
+    *
+    * Scale shape: the reference corpus' text never moves — it is
+    * reduced map-side to 16-byte content hashes and band keys, and
+    * every test is a key-partitioned semi/anti-join on those keys
+    * (hash, band) with the batch side. No pairs are enumerated at
+    * all; the stop-band cap bounds the only skew surface.
+    */
+  def incrementalAdmit(reference: DataFrame, batch: DataFrame,
+                       k: Int = 16, bands: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val refMd5 = reference.select(md5(normText(col("text"))).as("h")).distinct()
+    val batchMd5 = batch.select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    // T1: first batch holder of a content hash unseen in the reference
+    val t1 = batchMd5
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(refMd5, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+    // T2: reference band set (stop-bands dropped in the same agg that
+    // builds it), anti-joined against the batch's bands
+    val refBands = bandedKeys(reference, k, bands)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    val batchBands = bandedKeys(batch, k, bands)
+    val refCollided = batchBands
+      .join(refBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val t12 = t1.join(refCollided, Seq("doc_id"), "left_anti")
+    // T3: min-per-bucket among surviving batch docs; oversized buckets
+    // are stop-bands here too (same cap semantics as minhashPairs)
+    val survivorBands = batchBands.join(t12, Seq("doc_id"), "left_semi")
+    val rejected = survivorBands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode_outer(slice(col("ids"), 2, Int.MaxValue)).as("doc_id"))
+      .distinct()
+    batch.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(t12, Seq("doc_id"), "left_semi")
+      .join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   // ---- driver bindings -------------------------------------------------
 
+  /** q73's deterministic reference/batch split of the documents table
+    * (the oracle mirrors it): 80% reference, 20% incoming batch. */
+  private def q73Split(docs: DataFrame): (DataFrame, DataFrame) =
+    (docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+     docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_incremental_dedup" -> ((s, d) => {
+      val (ref, batch) = q73Split(Tables.documents(s, d))
+      incrementalAdmit(ref, batch)
+    }),
     "q64_dup_sources"    -> ((s, d) => dupSources(Tables.documents(s, d))),
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
@@ -680,6 +763,58 @@ object Dedup extends graft.QueryModule {
       SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
 
   def oracle: Map[String, String] = Map(
+    /* q73: same banded-signature machinery as q26, split 80/20 into
+     * reference/batch on doc_id % 10; T1 = first batch holder of an
+     * unseen content md5, T2 = no band collision with the (stop-band-
+     * capped) reference band set, T3 = min doc_id per surviving batch
+     * bucket. Mirrors incrementalAdmit exactly. */
+    "q73_incremental_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id, ${shinglesSql(wordsSql)} AS sh FROM documents),
+      hs AS (
+        SELECT doc_id, list_transform(sh, s -> ${h32Sql("s")}) AS hs
+        FROM sh WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                 i -> list_min(list_transform(hs,
+                        h -> ((${lits(coefA)})[i + 1] * h +
+                              (${lits(coefB)})[i + 1]) % 1000000007))) AS sig
+        FROM hs),
+      banded AS (
+        SELECT doc_id, k AS band_idx,
+               array_to_string(list_slice(sig, k*4 + 1, k*4 + 4), '|')
+                 AS band_key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+      m AS (SELECT doc_id, md5($normSql) AS h FROM documents),
+      refmd5 AS (SELECT DISTINCT h FROM m WHERE doc_id % 10 < 8),
+      t1 AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS mn
+          FROM m WHERE doc_id % 10 >= 8)
+        WHERE doc_id = mn AND h NOT IN (SELECT h FROM refmd5)),
+      refb AS (
+        SELECT band_idx, band_key FROM banded WHERE doc_id % 10 < 8
+        GROUP BY 1, 2 HAVING count(*) <= $DefaultMaxBucket),
+      refcoll AS (
+        SELECT DISTINCT b.doc_id FROM banded b
+        JOIN refb USING (band_idx, band_key) WHERE b.doc_id % 10 >= 8),
+      t12 AS (
+        SELECT doc_id FROM t1
+        WHERE doc_id NOT IN (SELECT doc_id FROM refcoll)),
+      bb AS (
+        SELECT b.band_idx, b.band_key, b.doc_id FROM banded b
+        JOIN t12 USING (doc_id)),
+      rej AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY band_idx, band_key) AS mn,
+                 count(*) OVER (PARTITION BY band_idx, band_key) AS cnt
+          FROM bb)
+        WHERE cnt BETWEEN 2 AND $DefaultMaxBucket AND doc_id > mn)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+      JOIN t12 USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)""",
     "q43_dedup_apply" -> s"""
       WITH RECURSIVE pairs AS (SELECT a, b FROM ($q26Sql) q26),
       und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),

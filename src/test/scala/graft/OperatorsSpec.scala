@@ -320,6 +320,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental admission: exact, vs-reference, and in-batch rejections") {
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val ref = Seq(
+      doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "totally different reference content here"),
+      doc(3, "x y z x y z")
+    ).toDF(cols: _*)
+    // "x y z x y z x" has the SAME shingle set as "x y z x y z"
+    // ({xyz, yzx, zxy}) but different content md5 → identical MinHash
+    // signature, so every band collides: a deterministic T2/T3 case
+    val batch = Seq(
+      doc(108, "alpha beta gamma delta epsilon"), // T1: exact dup of ref 1
+      doc(110, "new unique document about spark engines"), // admit
+      doc(111, "new unique document about spark engines"), // T1: in-batch dup of 110
+      doc(113, "x y z x y z x"),  // T2: near-dup of ref 3
+      doc(114, "p q r p q r"),    // admit (first of the in-batch pair)
+      doc(115, "p q r p q r p"),  // T3: near-dup of batch 114
+      doc(116, "ab cd")           // admit: < 3 words → no bands at all
+    ).toDF(cols: _*)
+    val admitted = Dedup.incrementalAdmit(ref, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(110L, 114L, 116L))
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the
