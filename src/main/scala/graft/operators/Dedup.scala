@@ -662,7 +662,9 @@ object Dedup extends graft.QueryModule {
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode_outer(slice(col("ids"), 2, Int.MaxValue)).as("doc_id"))
       .distinct()
-    batch.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // full admitted rows — callers project; the scan prunes unused
+    // columns (text is only read by the hash/band subplans above)
+    batch
       .join(t12, Seq("doc_id"), "left_semi")
       .join(rejected, Seq("doc_id"), "left_anti")
   }
@@ -679,6 +681,7 @@ object Dedup extends graft.QueryModule {
     "q73_incremental_dedup" -> ((s, d) => {
       val (ref, batch) = q73Split(Tables.documents(s, d))
       incrementalAdmit(ref, batch)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
     "q64_dup_sources"    -> ((s, d) => dupSources(Tables.documents(s, d))),
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),

@@ -454,7 +454,32 @@ object TextOps extends graft.QueryModule {
   private val sampleRates: Seq[(String, Int)] =
     Seq("zh" -> 100, "de" -> 80, "es" -> 80, "fr" -> 80, "en" -> 25)
 
+  /** BPE-trainer inner loop at corpus scale (q74): adjacent
+    * character-pair frequencies weighted by word frequency — the
+    * statistic a byte-pair-encoding trainer maximizes to pick its
+    * next merge. The scale-correct shape: the corpus collapses to the
+    * DISTINCT-word frequency table first (one word-keyed exchange —
+    * vocab-sized, millions of rows at 100 TB, not trillions), and the
+    * per-word pair explode runs over that table only; the pair key
+    * space is character-bigram-sized, so the final aggregate and the
+    * top-N sort are tiny. Total order (count desc, pair asc) makes
+    * the cut deterministic.
+    */
+  def bpePairStats(documents: DataFrame, topN: Int = 50): DataFrame = {
+    val wf = documents
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2) // 1-char words contribute no pairs
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wf.select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+      )).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
@@ -476,6 +501,22 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q74_bpe_pairs" -> """
+      WITH w AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents),
+      wf AS (
+        SELECT word, count(*) AS freq FROM w
+        WHERE len(word) >= 2 GROUP BY word),
+      px AS (
+        SELECT substring(word, CAST(i AS INT), 2) AS pair, freq
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, len(word) - 1)) AS i
+              FROM wf))
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM px GROUP BY pair
+      ORDER BY n DESC, pair ASC LIMIT 50""",
     "q39_bm25" -> bm25OracleSql(bm25Terms),
     "q20_wordcount" -> """
       SELECT word, count(*) AS cnt

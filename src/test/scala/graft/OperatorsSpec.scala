@@ -320,6 +320,14 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BPE pair stats: frequency-weighted adjacent pairs, deterministic order") {
+    // wf: aa=2, ab=2, abc=1 (b dropped: 1 char) →
+    // pairs: ab = 2 (word ab) + 1 (abc) = 3; aa = 2; bc = 1
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab b abc")).toDF("doc_id", "text")
+    val got = TextOps.bpePairStats(docs).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("aa", 2L), ("bc", 1L)))
+  }
+
   test("incremental admission: exact, vs-reference, and in-batch rejections") {
     def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
