@@ -303,7 +303,53 @@ object Corpus extends graft.QueryModule {
 
   // ---- driver bindings -------------------------------------------------
 
+  /** Per-column data-quality profile of ANY table in one pass — the
+    * screen a pipeline runs over a new delivery before training: row
+    * and null counts, lexicographic min/max of the string rendering,
+    * and a KMV distinct-cardinality estimate (the q58 estimator,
+    * bit-portable) per column.
+    *
+    * SCALE SHAPE: the unpivot multiplies rows by #columns but every
+    * aggregate here (count, conditional count, min, max, the bounded
+    * bottom-k sketch) partial-aggregates, so the single exchange on
+    * the #columns-sized key space moves per-partition sketch state,
+    * never data — the 5-reducer key space is safe BECAUSE map-side
+    * combine has already collapsed each partition to #columns rows.
+    *
+    * Nulls ride the sketch as a Long.MaxValue sentinel (no 60-bit
+    * hash can reach it, so it occupies a bottom-k slot only when the
+    * column has fewer than k real distinct values and is dropped
+    * after the merge) — n_kept counts real distinct values only.
+    */
+  def profileTable(df: DataFrame, columns: Seq[String] = Nil,
+                   k: Int = 16): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val sentinel = Long.MaxValue
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("col_name"), col("p.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("v").isNull, lit(1))).as("n_nulls"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        Aggregators.bottomKDistinct(k)(
+          coalesce(hash60(col("v")), lit(sentinel))).as("ks0"))
+      .withColumn("ks", filter(col("ks0"), _ =!= lit(sentinel)))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        size(col("ks")).as("n_kept"),
+        when(size(col("ks")) > 0,
+          element_at(col("ks"), size(col("ks")))).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0d) /
+            col("kth_min").cast("double")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_profile"       -> ((s, d) => profileTable(Tables.documents(s, d))),
     // shards pinned to the oracle's `% 4` — the operator default is
     // cluster-derived and would drift with local[32]'s parallelism
     "q57_seq_pack"      -> ((s, d) => seqPack(Tables.documents(s, d),
@@ -322,6 +368,41 @@ object Corpus extends graft.QueryModule {
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   def oracle: Map[String, String] = Map(
+    /* q75: unpivot the documents columns to (col_name, string value),
+     * then the base stats + the q58 KMV estimator per column. No
+     * sentinel needed here — the h CTE just excludes NULLs, which is
+     * what the Spark side's filtered sketch computes. */
+    "q75_profile" -> """
+      WITH u AS (
+        SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+        UNION ALL SELECT 'text', text FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+      base AS (
+        SELECT col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               min(v) AS min_v, max(v) AS max_v
+        FROM u GROUP BY col_name),
+      h AS (
+        SELECT DISTINCT col_name,
+               ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+        FROM u WHERE v IS NOT NULL),
+      r AS (
+        SELECT col_name, h,
+               row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+        FROM h),
+      kk AS (
+        SELECT col_name, count(*) AS n_kept, max(h) AS kth_min
+        FROM r WHERE rn <= 16 GROUP BY col_name)
+      SELECT b.col_name, b.n_rows, b.n_nulls, b.min_v, b.max_v,
+             CAST(COALESCE(kk.n_kept, 0) AS INT) AS n_kept, kk.kth_min,
+             CASE WHEN COALESCE(kk.n_kept, 0) < 16
+                  THEN CAST(COALESCE(kk.n_kept, 0) AS DOUBLE)
+                  ELSE 15.0 * 1152921504606846976.0 / kk.kth_min
+             END AS est_distinct
+      FROM base b LEFT JOIN kk ON kk.col_name = b.col_name""",
     "q57_seq_pack" -> s"""
       WITH t AS (
         SELECT doc_id, source, len($wsSql) AS n_tokens,

@@ -128,6 +128,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("profileTable: null sentinel never pollutes the distinct sketch") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None),
+      (4L, Some("b"))).toDF("id", "v")
+    val got = Corpus.profileTable(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val idRow = got("id")
+    assert(idRow.getLong(1) == 4 && idRow.getLong(2) == 0)
+    assert(idRow.getString(3) == "1" && idRow.getString(4) == "4")
+    assert(idRow.getInt(5) == 4 && idRow.getDouble(7) == 4.0)
+    val vRow = got("v")
+    assert(vRow.getLong(1) == 4 && vRow.getLong(2) == 1, "one null counted")
+    assert(vRow.getString(3) == "a" && vRow.getString(4) == "b")
+    // the null rode the sketch as the MaxValue sentinel and was
+    // dropped after the merge: only the two real values remain
+    assert(vRow.getInt(5) == 2 && vRow.getDouble(7) == 2.0)
+    // saturated sketch: k = 2 over 4 distinct ids → KMV estimator
+    val sat = Corpus.profileTable(df, columns = Seq("id"), k = 2)
+      .collect().head
+    assert(sat.getInt(5) == 2)
+    assert(sat.getDouble(7) ==
+      1.0 * 1152921504606846976.0 / sat.getLong(6))
+  }
+
   test("lenQuantiles reads percentiles off the cumulative histogram") {
     // lengths 1..10, width 1: p50 -> 5, p90 -> 9, p99 -> 10
     val d = docs((1L to 10L).map(i => (i, ("w " * i.toInt).trim, "s0")))
