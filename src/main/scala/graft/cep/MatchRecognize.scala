@@ -346,11 +346,12 @@ object MatchRecognize {
           case "COUNT" => Some(vals.length.toLong)
           case _ if vals.isEmpty => None // SUM/MIN/MAX/AVG over empty → NULL
           case "SUM" =>
-            if (vals.forall(_.isInstanceOf[Number]) && vals.forall {
+            val integral = vals.forall {
               case _: java.lang.Long | _: Integer | _: java.lang.Short |
                    _: java.lang.Byte => true
               case _ => false
-            }) Some(vals.map(_.asInstanceOf[Number].longValue()).sum)
+            }
+            if (integral) Some(vals.map(_.asInstanceOf[Number].longValue()).sum)
             else Some(vals.map(num).sum)
           case "AVG" => Some(vals.map(num).sum / vals.length)
           case "MIN" => Some(vals.minBy(num))

@@ -660,7 +660,8 @@ object Dedup extends graft.QueryModule {
       .groupBy(col("band_idx"), col("band_key"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode_outer(slice(col("ids"), 2, Int.MaxValue)).as("doc_id"))
+      .select(explode_outer(slice(col("ids"), lit(2), size(col("ids"))))
+        .as("doc_id"))
       .distinct()
     // full admitted rows — callers project; the scan prunes unused
     // columns (text is only read by the hash/band subplans above)

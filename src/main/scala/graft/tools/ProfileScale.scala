@@ -76,7 +76,14 @@ object ProfileScale {
       "q62_preprocess"    -> (d => graft.operators.Corpus.preprocess(d)),
       "q63_chunk"         -> (d => graft.operators.Corpus.chunk(d)),
       "q65_surprisal"     -> (d => graft.operators.TextOps.unigramSurprisal(d)),
-      "q66_containment"   -> (d => Dedup.containmentPairs(d)))
+      "q66_containment"   -> (d => Dedup.containmentPairs(d)),
+      // replica ids shift by multiples of 10 so the 80/20 ref/batch
+      // split lands identically in every replica → linear output
+      "q73_incremental"   -> (d => Dedup.incrementalAdmit(
+                               d.filter(pmod(col("doc_id"), lit(10)) < 8),
+                               d.filter(pmod(col("doc_id"), lit(10)) >= 8))),
+      "q74_bpe_pairs"     -> (d => graft.operators.TextOps.bpePairStats(d)),
+      "q75_profile"       -> (d => graft.operators.Corpus.profileTable(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -203,6 +203,34 @@ class PlanSpec extends SparkSpec {
       s"corpus scan should stream into the join:\n$dPlan")
   }
 
+  test("round-6 queries keep their scale shapes") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    // q75: ONE exchange total — every stat partial-aggregates, so the
+    // #columns-keyed shuffle moves sketch state only; no window
+    val prof = Corpus.profileTable(Tables.documents(spark, sf))
+    assert(exchanges(prof) == 1, s"want 1 exchange:\n${planOf(prof)}")
+    assert(!planOf(prof).contains("Window"), planOf(prof))
+    // q74: word-freq exchange + pair exchange, top-N via TakeOrdered
+    // (never a global sort or rank window)
+    val bpe = TextOps.bpePairStats(Tables.documents(spark, sf))
+    assert(exchanges(bpe) == 2, s"want 2 exchanges:\n${planOf(bpe)}")
+    assert(planOf(bpe).contains("TakeOrderedAndProject"), planOf(bpe))
+    assert(!planOf(bpe).contains("Window"), planOf(bpe))
+    // q73: pure semi/anti-join admission — no pair enumeration, no
+    // window, no cartesian anywhere
+    val (ref, batch) = (
+      Tables.documents(spark, sf).filter("doc_id % 10 < 8"),
+      Tables.documents(spark, sf).filter("doc_id % 10 >= 8"))
+    val admPlan = planOf(Dedup.incrementalAdmit(ref, batch))
+    assert("LeftSemi".r.findAllIn(admPlan).size >= 2, admPlan)
+    assert("LeftAnti".r.findAllIn(admPlan).size >= 2, admPlan)
+    assert(!admPlan.contains("Window") && !admPlan.contains("Cartesian"),
+      admPlan)
+  }
+
   test("round-5 retrieval/scoring queries keep their scale shapes") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
       val plan = planOf(df).split("== Initial Plan ==")(0)
