@@ -670,6 +670,61 @@ object Dedup extends graft.QueryModule {
       .join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** C4-style repeated-span removal: split every document into
+    * non-overlapping `window`-token spans, keep only each span's FIRST
+    * occurrence corpus-wide (ordered by doc_id, then position), and
+    * reassemble the surviving spans per document. This is the
+    * span-granular sibling of exact dedup — it strips boilerplate
+    * (headers, navigation, license blocks) that exact and near-dup
+    * doc-level passes both miss, because the containing documents
+    * differ. C4 does it on lines; this corpus has no line structure,
+    * so the unit is a fixed token window (cf. `Corpus.chunk`).
+    *
+    * Emits per document the span count, surviving-span count, and the
+    * content address (md5) of the reassembled text — the full clean
+    * text stays distributed; callers re-derive it by joining spans if
+    * they need the payload.
+    *
+    * SCALE SHAPE: two exchanges. The first-occurrence choice is a
+    * window min over the span's 128-bit content key — one shuffle of
+    * (span, doc_id, position) tuples, no join-back and no second scan
+    * (a groupBy+join spelling moves the same rows TWICE). The second
+    * exchange regroups survivors by doc_id for reassembly. Span-key
+    * cardinality is ~corpus_tokens/window, so partitions stay
+    * balanced; a pathological span repeated across a large fraction
+    * of a 100 TB corpus concentrates its copies in one partition —
+    * bounded by docs/window copies per doc, and exactly the rows this
+    * op exists to delete.
+    */
+  def spanDedup(documents: DataFrame, window: Int = 8): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val nSpansMinus1 = greatest(
+      ceil(size(col("ws")).cast("double") / window).cast("long") - 1, lit(0L))
+    val spans = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), nSpansMinus1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("int").as("ci"),
+        concat_ws(" ",
+          slice(col("ws"), (col("ci") * window + 1).cast("int"), lit(window)))
+          .as("span"))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("span")))
+    spans
+      .withColumn("first", min(struct(col("doc_id"), col("ci"))).over(firstOcc))
+      .withColumn("keep",
+        col("first.doc_id") === col("doc_id") && col("first.ci") === col("ci"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_windows"),
+        count(when(col("keep"), lit(1))).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("ci"), col("span"))))),
+            _.getField("span")))).as("clean_md5"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** q73's deterministic reference/batch split of the documents table
@@ -684,6 +739,7 @@ object Dedup extends graft.QueryModule {
       incrementalAdmit(ref, batch)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
+    "q76_span_dedup"     -> ((s, d) => spanDedup(Tables.documents(s, d))),
     "q64_dup_sources"    -> ((s, d) => dupSources(Tables.documents(s, d))),
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
@@ -767,6 +823,32 @@ object Dedup extends graft.QueryModule {
       SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
 
   def oracle: Map[String, String] = Map(
+    /* q76: non-overlapping 8-token spans, first occurrence by
+     * (doc_id, position) wins corpus-wide, docs reassembled from
+     * survivors. Same span text ⇒ same md5 key as the Spark window. */
+    "q76_span_dedup" -> s"""
+      WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      s AS (
+        SELECT doc_id, CAST(ci AS INT) AS ci,
+               array_to_string(list_slice(ws, ci*8 + 1, ci*8 + 8), ' ')
+                 AS span
+        FROM (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0,
+                   greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1, 0)))
+                   AS ci
+          FROM t)),
+      k AS (
+        SELECT doc_id, ci, span,
+               row_number() OVER (PARTITION BY span
+                 ORDER BY doc_id, ci) = 1 AS keep
+        FROM s)
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_windows,
+             CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
+             md5(coalesce(string_agg(span, ' ' ORDER BY ci)
+               FILTER (WHERE keep), '')) AS clean_md5
+      FROM k GROUP BY doc_id""",
     /* q73: same banded-signature machinery as q26, split 80/20 into
      * reference/batch on doc_id % 10; T1 = first batch holder of an
      * unseen content md5, T2 = no band collision with the (stop-band-

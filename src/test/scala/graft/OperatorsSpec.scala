@@ -353,6 +353,29 @@ class OperatorsSpec extends SparkSpec {
     assert(admitted == Seq(110L, 114L, 116L))
   }
 
+  test("span dedup keeps first occurrences and reassembles survivors") {
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Seq(
+      doc(1, "a b c d e f"),     // both spans first → all kept
+      doc(2, "a b c x y z"),     // "a b c" already owned by doc 1
+      doc(3, "d e f a b c g"),   // two stolen spans + unique tail "g"
+      doc(4, "a b c d e f"),     // exact dup of doc 1 → nothing left
+      doc(5, "q q q q q q")      // self-repetition: 2nd span dups the 1st
+    ).toDF(cols: _*)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val out = Dedup.spanDedup(docs, window = 3)
+      .select("doc_id", "n_windows", "n_kept", "clean_md5")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2, 2, md5hex("a b c d e f")),
+      (2L, 2, 1, md5hex("x y z")),
+      (3L, 3, 1, md5hex("g")),
+      (4L, 2, 0, md5hex("")),
+      (5L, 2, 1, md5hex("q q q"))))
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

@@ -219,6 +219,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(bpe) == 2, s"want 2 exchanges:\n${planOf(bpe)}")
     assert(planOf(bpe).contains("TakeOrderedAndProject"), planOf(bpe))
     assert(!planOf(bpe).contains("Window"), planOf(bpe))
+    // q76: exactly two exchanges — span-key window + doc regroup; the
+    // first-occurrence pick never joins the spans back to themselves
+    val span = Dedup.spanDedup(Tables.documents(spark, sf))
+    assert(exchanges(span) == 2, s"want 2 exchanges:\n${planOf(span)}")
+    assert(!planOf(span).contains("Join"), planOf(span))
     // q73: pure semi/anti-join admission — no pair enumeration, no
     // window, no cartesian anywhere
     val (ref, batch) = (
