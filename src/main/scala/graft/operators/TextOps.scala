@@ -362,6 +362,80 @@ object TextOps extends graft.QueryModule {
           .as("bits_per_token"))
   }
 
+  /** Bigram language-model surprisal — the CCNet-style quality screen:
+    * fit bigram/unigram counts on a REFERENCE corpus, score held-out
+    * documents by add-one-smoothed per-token bits. Cheap-model
+    * perplexity is the standard "is this prose or noise" filter for
+    * pretraining data; documents scoring far above the corpus median
+    * are boilerplate/garbled, far below are templated repetition.
+    *
+    * Scoring is a proper distribution per position: the first token
+    * pays `lg((T+V)) - lg(c_uni+1)` against the unigram model, every
+    * later token pays `lg(c_ctx+V) - lg(c_bi+1)` where `c_bi` counts
+    * the (prev, cur) bigram in the reference and `c_ctx` counts prev
+    * as a bigram head (so the smoothed conditionals sum to 1 over the
+    * V-word vocabulary). All bit costs are the exact integer
+    * `floor(log2)` quantization [[unigramSurprisal]] uses — the
+    * per-document sum is integer arithmetic, independent of partition
+    * order, and the oracle reproduces it bit-for-bit.
+    *
+    * SCALE SHAPE: model tables (unigram, bigram, context counts) are
+    * vocabulary-sized, not corpus-sized; each scoring join is either a
+    * broadcast (reference under the 1 GiB source gate) or a
+    * key-partitioned shuffle join on a 60-bit hash — never a window,
+    * never a collect. The two scoring frames (first-token, bigram)
+    * union and aggregate once per doc_id; T and V ride a broadcast
+    * scalar. At 100 TB the held-out side streams through map-side
+    * hash probes of the model.
+    */
+  def bigramSurprisal(reference: DataFrame, scored: DataFrame,
+                      broadcastModel: Option[Boolean] = None): DataFrame = {
+    def lg(c: Column): Column = length(bin(c))
+    val bcast = broadcastModel.getOrElse(
+      reference.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    def gate(model: DataFrame): DataFrame =
+      if (bcast) broadcast(model) else model
+    val refW = reference
+      .select(explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+    val uni = refW.groupBy(hash60(col("w")).as("uh"))
+      .agg(count(lit(1)).as("uc"))
+    val scal = refW.agg(count(lit(1)).as("t"),
+      countDistinct(col("w")).as("v"))
+    val refBi = reference
+      .select(explode_outer(shingles(words(col("text")), 2)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(hash60(col("sh")).as("bh"),
+        hash60(split(col("sh"), " ", 2).getItem(0)).as("ch"))
+    val bi = refBi.groupBy(col("bh")).agg(count(lit(1)).as("bc"))
+    val ctx = refBi.groupBy(col("ch")).agg(count(lit(1)).as("cc"))
+    val sW = scored.select(col("doc_id"), words(col("text")).as("ws"))
+    val fBits = sW
+      .select(col("doc_id"), hash60(element_at(col("ws"), 1)).as("uh"))
+      .join(gate(uni), Seq("uh"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        (lg(col("t") + col("v")) - lg(coalesce(col("uc"), lit(0L)) + 1))
+          .cast("long").as("pos_bits"))
+    val bBits = sW
+      .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("sh"))
+      .select(col("doc_id"), hash60(col("sh")).as("bh"),
+        hash60(split(col("sh"), " ", 2).getItem(0)).as("ch"))
+      .join(gate(bi), Seq("bh"), "left")
+      .join(gate(ctx), Seq("ch"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        (lg(coalesce(col("cc"), lit(0L)) + col("v")) -
+          lg(coalesce(col("bc"), lit(0L)) + 1)).cast("long").as("pos_bits"))
+    fBits.unionByName(bBits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("pos_bits")).as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        (col("bits").cast("double") / col("n_tokens"))
+          .as("bits_per_token"))
+  }
+
   /** Fit the [[unigramSurprisal]] model for the STREAMING serve path
     * (`StreamAggs.surprisalScore`): collect the (word-hash → count)
     * vocabulary and the token total. The collect is model-sized (a
@@ -494,7 +568,13 @@ object TextOps extends graft.QueryModule {
     "q45_top_tokens"  -> ((s, d) => topTokensPerSource(Tables.documents(s, d))),
     "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
-    "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d)))
+    "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
+    // same deterministic 80/20 fit/score split the q73 admission uses
+    "q77_bigram_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bigramSurprisal(docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+    })
   )
 
   private[operators] def sqlArr(xs: Seq[String]) =
@@ -644,6 +724,48 @@ object TextOps extends graft.QueryModule {
       FROM h JOIN b USING (gh)
       WHERE source <> 'src0'
       GROUP BY doc_id, n_grams""",
+    /* q77: fit on doc_id % 10 < 8, score the rest. Same md5-hash keys,
+     * same integer floor(log2) bit costs as the Spark side — the -1s
+     * of lg cancel in every difference, so plain bin-length works. */
+    "q77_bigram_surprisal" -> {
+      val ws =
+        "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+      val bigrams =
+        """CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+           ELSE list_transform(generate_series(1, len(ws) - 1),
+                  i -> array_to_string(list_slice(ws, i, i + 1), ' ')) END"""
+      val h60 = (x: String) => s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+      s"""
+      WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+      rt AS (SELECT unnest(ws) AS w FROM w WHERE doc_id % 10 < 8),
+      uni AS (SELECT ${h60("w")} AS uh, count(*) AS uc FROM rt GROUP BY 1),
+      scal AS (SELECT count(*) AS t, count(DISTINCT w) AS v FROM rt),
+      rsh AS (SELECT unnest($bigrams) AS sh FROM w WHERE doc_id % 10 < 8),
+      bi AS (SELECT ${h60("sh")} AS bh, count(*) AS bc FROM rsh GROUP BY 1),
+      ctx AS (SELECT ${h60("split_part(sh, ' ', 1)")} AS ch, count(*) AS cc
+              FROM rsh GROUP BY 1),
+      sf AS (SELECT doc_id, ${h60("ws[1]")} AS uh
+             FROM w WHERE doc_id % 10 >= 8),
+      sb AS (SELECT doc_id, ${h60("sh")} AS bh,
+                    ${h60("split_part(sh, ' ', 1)")} AS ch
+             FROM (SELECT doc_id, unnest($bigrams) AS sh
+                   FROM w WHERE doc_id % 10 >= 8)),
+      pos AS (
+        SELECT doc_id,
+               length(bin(t + v)) - length(bin(coalesce(uc, 0) + 1))
+                 AS pos_bits
+        FROM sf LEFT JOIN uni USING (uh) CROSS JOIN scal
+        UNION ALL
+        SELECT doc_id,
+               length(bin(coalesce(cc, 0) + v)) -
+               length(bin(coalesce(bc, 0) + 1))
+        FROM sb LEFT JOIN bi USING (bh) LEFT JOIN ctx USING (ch)
+        CROSS JOIN scal)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(pos_bits) AS BIGINT) AS bits,
+             CAST(sum(pos_bits) AS DOUBLE) / count(*) AS bits_per_token
+      FROM pos GROUP BY doc_id"""
+    },
     "q65_surprisal" -> """
       WITH tok AS (
         SELECT doc_id,

@@ -376,6 +376,22 @@ class OperatorsSpec extends SparkSpec {
       (5L, 2, 1, md5hex("q q q"))))
   }
 
+  test("bigram surprisal: exact integer bits on a hand-computed corpus") {
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // reference: unigrams a:3 b:2 (T=5, V=2); bigrams "a b":2 "b a":1;
+    // context heads a:2 b:1
+    val ref = Seq(doc(1, "a b a"), doc(2, "a b")).toDF(cols: _*)
+    val scored = Seq(doc(11, "a b c"), doc(12, "z z")).toDF(cols: _*)
+    val out = TextOps.bigramSurprisal(ref, scored)
+      .select("doc_id", "n_tokens", "bits", "bits_per_token")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // s11: first a → lg7-lg4=0; "a b" → lg(2+2)-lg(2+1)=1; "b c" →
+    //      lg(1+2)-lg(0+1)=1  ⇒ 2 bits / 3 tokens
+    // s12: first z → lg7-lg1=2; "z z" → lg(0+2)-lg(0+1)=1 ⇒ 3 bits / 2
+    assert(out == Seq((11L, 3L, 2L, 2.0 / 3), (12L, 2L, 3L, 1.5)))
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

@@ -224,6 +224,15 @@ class PlanSpec extends SparkSpec {
     val span = Dedup.spanDedup(Tables.documents(spark, sf))
     assert(exchanges(span) == 2, s"want 2 exchanges:\n${planOf(span)}")
     assert(!planOf(span).contains("Join"), planOf(span))
+    // q77: model joins broadcast under the source gate; scoring side
+    // never sorts or windows, and the only nested-loop is the scalar
+    val docs77 = Tables.documents(spark, sf)
+    val big = TextOps.bigramSurprisal(
+      docs77.filter("doc_id % 10 < 8"), docs77.filter("doc_id % 10 >= 8"))
+    val bigPlan = planOf(big)
+    assert("BroadcastHashJoin".r.findAllIn(bigPlan).size >= 3, bigPlan)
+    assert(!bigPlan.contains("Window") && !bigPlan.contains("SortMergeJoin"),
+      bigPlan)
     // q73: pure semi/anti-join admission — no pair enumeration, no
     // window, no cartesian anywhere
     val (ref, batch) = (
