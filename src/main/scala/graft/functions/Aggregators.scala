@@ -105,4 +105,42 @@ object Aggregators {
     implicit val enc: Encoder[Long] = Encoders.scalaLong
     udaf(new BottomKDistinct(k), enc).apply(v)
   }
+
+  /** Bloom-filter bitset over 60-bit key hashes: a fixed
+    * `numBits`-wide bitset per group, bits scheduled by
+    * [[Bloom.positions]] (the probe side reads them back with the
+    * Column twin [[Bloom.mightContain]]). Merge is a word-wise OR —
+    * fully partial-aggregatable, state size independent of input
+    * count, the textbook mergeable filter.
+    */
+  class BloomFilterAgg(numBits: Int, numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits >= 64 && Integer.bitCount(numBits) == 1,
+      "numBits must be a power of two >= 64")
+    def zero: Array[Long] = new Array[Long](numBits >> 6)
+    def reduce(acc: Array[Long], h: Long): Array[Long] = {
+      val ps = Bloom.positions(h, numBits, numHashes)
+      var i = 0
+      while (i < ps.length) {
+        acc(ps(i) >> 6) |= 1L << (ps(i) & 63)
+        i += 1
+      }
+      acc
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Long]): Array[Long] = acc
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
+
+  /** Column form: bloomAgg(bits, hashes)(hashCol) → array<long> bitset. */
+  def bloomAgg(numBits: Int, numHashes: Int)(v: Column): Column = {
+    implicit val enc: Encoder[Long] = Encoders.scalaLong
+    udaf(new BloomFilterAgg(numBits, numHashes), enc).apply(v)
+  }
 }

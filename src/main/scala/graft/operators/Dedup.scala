@@ -670,6 +670,72 @@ object Dedup extends graft.QueryModule {
       .join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-gated exact admission — [[incrementalAdmit]]'s T1 test
+    * restructured so that NEITHER corpus ever shuffles its keys. The
+    * plain spelling (batch anti-join reference on content hash) moves
+    * every reference hash through an exchange when the reference is
+    * too big to broadcast — at 100 TB that shuffle IS the job. Here
+    * the reference instead folds map-side into `buckets` bloom-filter
+    * bitsets (one tiny exchange of bitset partials), the batch probes
+    * the broadcast bitsets in its scan stage, and only PROBABLE
+    * duplicates — true dups plus the bloom's false-positive residue,
+    * a set ~|dups| not ~|batch| — take the exact-confirmation path:
+    * reference semi-join broadcast(suspects), then batch anti-join
+    * broadcast(confirmed). A bloom has no false negatives, so rows
+    * skipped by the probe are PROVABLY absent from the reference; the
+    * result is bit-identical to the plain anti-join (the oracle runs
+    * exactly that), and the md5-keyed confirmation step means 60-bit
+    * probe collisions cost extra work, never a wrong admission.
+    *
+    * Sizing: the per-bucket bitset is `bitsPerKey * expectedRefKeys /
+    * buckets` bits rounded up to a power of two (10 bits/key ≈ 1% FP
+    * with 5 probes). A production pipeline passes its corpus stats;
+    * the bitset state is bounded by `buckets * 128 MiB` regardless of
+    * data volume, and partial aggregation means each map task emits
+    * at most `buckets` bitsets however many rows it scanned.
+    *
+    * `broadcastSmall` gates the suspect/confirmed broadcasts exactly
+    * like the other gated ops (default: batch source under 1 GiB —
+    * conservative; the suspect set is usually orders smaller). Above
+    * the gate both joins fall back to key-partitioned shuffles of the
+    * SUSPECT set only — still never the full corpora.
+    */
+  def bloomAdmit(reference: DataFrame, batch: DataFrame,
+                 buckets: Int = 64, bitsPerKey: Int = 10,
+                 numHashes: Int = 5,
+                 expectedRefKeys: Long = 1L << 20,
+                 broadcastSmall: Option[Boolean] = None): DataFrame = {
+    import graft.functions.{Aggregators, Bloom}
+    require(buckets >= 1, "need at least one bloom bucket")
+    val numBits = Bloom.pow2Bits(bitsPerKey * expectedRefKeys / buckets)
+    val bcast = broadcastSmall.getOrElse(wouldBroadcastSource(batch))
+    def gate(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    def keyed(df: DataFrame, cols: Column*): DataFrame = df.select(
+      cols :+ md5(normText(col("text"))).as("m"): _*)
+      .withColumn("h", conv(substring(col("m"), 1, 15), 16, 10).cast("long"))
+    val refKeys = keyed(reference)
+    val blooms = refKeys
+      .groupBy(pmod(col("h"), lit(buckets.toLong)).as("bucket"))
+      .agg(Aggregators.bloomAgg(numBits, numHashes)(col("h")).as("bloom"))
+    val batchKeys = keyed(batch, col("doc_id"))
+    // empty-reference buckets are absent from the left join → null
+    // bloom → null probe → coalesce(false): provably new, no confirm
+    val suspects = batchKeys
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+      .join(broadcast(blooms), Seq("bucket"), "left")
+      .filter(coalesce(
+        Bloom.mightContain(col("bloom"), col("h"), numBits, numHashes),
+        lit(false)))
+      .select(col("m")).distinct()
+    val confirmed = refKeys
+      .join(gate(suspects), Seq("m"), "left_semi")
+      .select(col("m")).distinct()
+    val admitted = batchKeys
+      .join(gate(confirmed), Seq("m"), "left_anti")
+      .groupBy(col("m")).agg(min(col("doc_id")).as("doc_id"))
+    batch.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   /** C4-style repeated-span removal: split every document into
     * non-overlapping `window`-token spans, keep only each span's FIRST
     * occurrence corpus-wide (ordered by doc_id, then position), and
@@ -740,6 +806,11 @@ object Dedup extends graft.QueryModule {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
     "q76_span_dedup"     -> ((s, d) => spanDedup(Tables.documents(s, d))),
+    "q78_bloom_admit" -> ((s, d) => {
+      val (ref, batch) = q73Split(Tables.documents(s, d))
+      bloomAdmit(ref, batch)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "q64_dup_sources"    -> ((s, d) => dupSources(Tables.documents(s, d))),
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
@@ -823,6 +894,19 @@ object Dedup extends graft.QueryModule {
       SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
 
   def oracle: Map[String, String] = Map(
+    /* q78: the bloom is pure acceleration — no false negatives means
+     * the admitted set IS the plain exact-admission anti-join, which
+     * is what this oracle computes. Same 80/20 split as q73. */
+    "q78_bloom_admit" -> s"""
+      WITH m AS (SELECT doc_id, md5($normSql) AS m FROM documents),
+      ref AS (SELECT DISTINCT m FROM m WHERE doc_id % 10 < 8),
+      firsts AS (
+        SELECT min(doc_id) AS doc_id
+        FROM m WHERE doc_id % 10 >= 8
+          AND m NOT IN (SELECT m FROM ref)
+        GROUP BY m)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d JOIN firsts USING (doc_id)""",
     /* q76: non-overlapping 8-token spans, first occurrence by
      * (doc_id, position) wins corpus-wide, docs reassembled from
      * survivors. Same span text ⇒ same md5 key as the Spark window. */

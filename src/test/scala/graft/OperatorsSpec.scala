@@ -392,6 +392,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((11L, 3L, 2L, 2.0 / 3), (12L, 2L, 3L, 1.5)))
   }
 
+  test("bloom probe has no false negatives and a sane false-positive rate") {
+    import graft.functions.{Aggregators, Bloom}
+    val (numBits, numHashes) = (1 << 12, 5)
+    val keys = (1L to 300L).map(i => graft.functions.Portable.h60Scala(s"k$i"))
+    val other = (1L to 300L).map(i => graft.functions.Portable.h60Scala(s"x$i"))
+    val bloom = keys.toDF("h")
+      .agg(Aggregators.bloomAgg(numBits, numHashes)(col("h")).as("bloom"))
+    val probe = (hs: Seq[Long]) => hs.toDF("h")
+      .crossJoin(bloom)
+      .filter(Bloom.mightContain(col("bloom"), col("h"), numBits, numHashes))
+      .count()
+    assert(probe(keys) == 300, "a bloom filter may never miss an inserted key")
+    val fp = probe(other)
+    assert(fp < 60, s"false-positive rate out of control: $fp/300")
+  }
+
+  test("bloom admission equals plain exact admission on every path") {
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val ref = (1L to 60L).map(i => doc(i, s"reference document number $i"))
+      .toDF(cols: _*)
+    val batch = (
+      Seq(doc(101, "reference document number 7"),   // dup of ref 7
+          doc(102, "Reference  DOCUMENT number 9"),  // dup after norm
+          doc(103, "fresh content alpha"),
+          doc(104, "fresh content alpha"),           // in-batch dup of 103
+          doc(105, "fresh content beta"))).toDF(cols: _*)
+    val want = Seq(103L, 105L)
+    // saturated bloom (64 bits, 60 keys): nearly every probe is a
+    // false positive — the md5 confirmation must still be exact
+    for (bc <- Seq(Some(true), Some(false), None)) {
+      val tight = Dedup.bloomAdmit(ref, batch, buckets = 1,
+        bitsPerKey = 1, numHashes = 2, expectedRefKeys = 64,
+        broadcastSmall = bc)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(tight == want, s"saturated bloom, broadcast=$bc")
+    }
+    val roomy = Dedup.bloomAdmit(ref, batch, expectedRefKeys = 1024)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(roomy == want)
+    // empty reference: every probe short-circuits on the missing
+    // bucket; only the in-batch first-holder rule applies
+    val emptyRef = Dedup.bloomAdmit(ref.limit(0), batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(emptyRef == Seq(101L, 102L, 103L, 105L))
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

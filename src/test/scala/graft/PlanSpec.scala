@@ -233,6 +233,17 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(bigPlan).size >= 3, bigPlan)
     assert(!bigPlan.contains("Window") && !bigPlan.contains("SortMergeJoin"),
       bigPlan)
+    // q78: reference keys fold into bloom partials (ObjectHashAggregate)
+    // and every confirmation join broadcasts below the gate — the
+    // reference hash set itself never rides a shuffle
+    val (ref78, batch78) = (
+      Tables.documents(spark, sf).filter("doc_id % 10 < 8"),
+      Tables.documents(spark, sf).filter("doc_id % 10 >= 8"))
+    val bloomPlan = planOf(Dedup.bloomAdmit(ref78, batch78))
+    assert(bloomPlan.contains("ObjectHashAggregate"), bloomPlan)
+    assert("BroadcastHashJoin".r.findAllIn(bloomPlan).size >= 3, bloomPlan)
+    assert(!bloomPlan.contains("Window") && !bloomPlan.contains("Cartesian"),
+      bloomPlan)
     // q73: pure semi/anti-join admission — no pair enumeration, no
     // window, no cartesian anywhere
     val (ref, batch) = (
