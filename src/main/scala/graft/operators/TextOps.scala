@@ -436,6 +436,41 @@ object TextOps extends graft.QueryModule {
           .as("bits_per_token"))
   }
 
+  /** Weighted sample without replacement, k docs per source — the
+    * Efraimidis-Spirakis A-ES scheme: each document draws a uniform
+    * `u` from a seeded hash of its id and competes with priority
+    * `-ln(u) / w` (weight `w` = n_chars, floored at 1); the k SMALLEST
+    * priorities per source are the sample, distributed as length-
+    * weighted sampling without replacement. Used to pull inspection /
+    * eval subsets whose length mass mirrors the corpus.
+    *
+    * SCALE SHAPE: the per-source selection rides the bounded [[
+    * graft.functions.Aggregators.TopK]] aggregator — each map task
+    * carries ≤ k candidates per source, so there is NO rank window
+    * and no per-source sort of the full corpus. The join that
+    * re-attaches n_chars moves only the k·|sources| sampled ids
+    * (AQE broadcasts it); the corpus payload never shuffles.
+    * Determinism: the priority is a pure function of (seed, doc_id),
+    * ties broken by doc_id — identical sample on every run/cluster.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 20,
+                     seed: String = "sample79"): DataFrame = {
+    val u = (hash60(concat(lit(seed), lit("|"), col("doc_id"))) + 1)
+      .cast("double") / lit(1152921504606846976.0d)
+    // topK keeps the LARGEST scores; score = ln(u)/w = -priority
+    val score = log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
+    documents
+      .select(col("source"), col("doc_id"), score.as("score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Aggregators.topK(k)(col("score"), col("doc_id"))
+        .as("picks"))
+      .select(col("source"), posexplode(col("picks")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"))
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+  }
+
   /** Fit the [[unigramSurprisal]] model for the STREAMING serve path
     * (`StreamAggs.surprisalScore`): collect the (word-hash → count)
     * vocabulary and the token total. The collect is model-sized (a
@@ -569,6 +604,7 @@ object TextOps extends graft.QueryModule {
     "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
+    "q79_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     // same deterministic 80/20 fit/score split the q73 admission uses
     "q77_bigram_surprisal" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -724,6 +760,24 @@ object TextOps extends graft.QueryModule {
       FROM h JOIN b USING (gh)
       WHERE source <> 'src0'
       GROUP BY doc_id, n_grams""",
+    /* q79: A-ES weighted sampling — same seeded-hash uniform, same
+     * -ln(u)/w priority, k smallest per source with doc_id ties. The
+     * priority itself is never an output column (double from ln), so
+     * the hash check compares the selected ROWS only. */
+    "q79_weighted_sample" -> """
+      WITH p AS (
+        SELECT doc_id, source, n_chars,
+               -ln((('0x' || substr(md5('sample79|' || doc_id), 1, 15))::BIGINT
+                    + 1) / 1152921504606846976.0)
+                 / greatest(n_chars, 1) AS pri
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY pri, doc_id) AS rank
+        FROM p)
+      SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+      FROM r WHERE rank <= 20""",
     /* q77: fit on doc_id % 10 < 8, score the rest. Same md5-hash keys,
      * same integer floor(log2) bit costs as the Spark side — the -1s
      * of lg cancel in every difference, so plain bin-length works. */

@@ -439,6 +439,29 @@ class OperatorsSpec extends SparkSpec {
     assert(emptyRef == Seq(101L, 102L, 103L, 105L))
   }
 
+  test("weighted sample matches an independent driver-side A-ES computation") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = (1L to 120L)
+      .map(i => (i, s"doc $i", "en", s"src${i % 3}", (i * 37 % 900) + 1))
+      .toDF(cols: _*)
+    def pri(id: Long, w: Long): Double = {
+      val u = (graft.functions.Portable.h60Scala(s"sample79|$id") + 1)
+        .toDouble / 1152921504606846976.0d
+      -math.log(u) / math.max(w, 1L).toDouble
+    }
+    val want = (1L to 120L)
+      .map(i => (s"src${i % 3}", i, (i * 37 % 900) + 1))
+      .groupBy(_._1)
+      .flatMap { case (src, ds) =>
+        ds.sortBy(d => (pri(d._2, d._3), d._2)).take(5).zipWithIndex
+          .map { case ((_, id, nc), r) => (src, r + 1, id, nc) }
+      }.toSeq.sorted
+    val got = TextOps.weightedSample(docs, k = 5)
+      .as[(String, Int, Long, Long)].collect()
+      .map { case (src, r, id, nc) => (src, r, id, nc) }.toSeq.sorted
+    assert(got == want)
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

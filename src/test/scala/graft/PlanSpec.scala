@@ -244,6 +244,10 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(bloomPlan).size >= 3, bloomPlan)
     assert(!bloomPlan.contains("Window") && !bloomPlan.contains("Cartesian"),
       bloomPlan)
+    // q79: bounded per-source top-k aggregator, never a rank window
+    val wsam = planOf(TextOps.weightedSample(Tables.documents(spark, sf)))
+    assert(wsam.contains("ObjectHashAggregate") && !wsam.contains("Window"),
+      wsam)
     // q73: pure semi/anti-join admission — no pair enumeration, no
     // window, no cartesian anywhere
     val (ref, batch) = (
