@@ -460,6 +460,83 @@ object Similarity extends graft.QueryModule {
         col("mean"))
   }
 
+  /** Product quantization: split each embedding into `m` contiguous
+    * subvectors, run an independent L2 Lloyd refinement per subspace
+    * (same deterministic `vec_id % centroidMod` seeding and literal-
+    * centroid integerized-mean machinery as [[kmeansRefine]]), then
+    * encode every vector as its per-subspace nearest-centroid codes
+    * plus the exact total squared reconstruction error. PQ codes are
+    * how a 100 TB embedding corpus fits an ANN index in memory: m
+    * bytes-ish per vector instead of 4·dims.
+    *
+    * Determinism: assignment distances use the codegen dot-product
+    * identity |x|² − 2x·c + |c|² with driver-computed |c|² literals
+    * folded in the same left-to-right order as the Column expression;
+    * argmin ties go to the smallest centroid id. The per-row error is
+    * a fixed-order combination of per-row folds — no cross-row double
+    * accumulation anywhere, so the oracle reproduces it bit-for-bit.
+    *
+    * SCALE SHAPE: per Lloyd round and per subspace, ONE map-side-
+    * combined aggregate of `sub` decimal sums (the corpus is scanned,
+    * never shuffled); the final encode emits all m codes and the
+    * error in a SINGLE pure-map pass over the scan (m literal-array
+    * lookups per row, zero exchanges, zero joins).
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, centroidMod: Int = 127,
+               iters: Int = 1, dims: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = deriveDims(embeddings, dims)
+    require(m >= 1 && d % m == 0, s"dims $d must split evenly into $m subspaces")
+    val sub = d / m
+    val pow52 = 4503599627370496.0 // 2^52
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    def subvec(s: Int): Column = slice(col("emb"), s * sub + 1, sub)
+    // |c|² with the dotProduct fold order (left-to-right prepend-0)
+    def n2(v: Seq[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
+    def distsTo(s: Int, cents: Seq[(Long, Seq[Double])]): Column = {
+      val cEmbs = typedlit(cents.map(_._2))
+      val cN2 = typedlit(cents.map(c => n2(c._2)))
+      val sv = subvec(s)
+      val x2 = dot(sv, sv)
+      transform(cEmbs, (ce, i) =>
+        x2 - lit(2.0) * dot(sv, ce) +
+          element_at(cN2, (i + lit(1)).cast("int")))
+    }
+    def codeOf(dists: Column, cents: Seq[(Long, Seq[Double])]): Column =
+      element_at(typedlit(cents.map(_._1)), coalesce(
+        nullif(array_position(dists, array_min(dists)), lit(0L)),
+        lit(1L)).cast("int"))
+    def fit(s: Int): Seq[(Long, Seq[Double])] = {
+      var cents = base
+        .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
+        .select(col("vec_id"), subvec(s).as("sv"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      for (_ <- 1 to iters) {
+        val assigned = base.select(codeOf(distsTo(s, cents), cents).as("code"),
+          subvec(s).as("sv"))
+        cents = assigned
+          .select(Seq(col("code")) ++ (0 until sub).map(i =>
+            floor(element_at(col("sv"), i + 1) * pow52)
+              .cast("decimal(38,0)").as(s"v$i")): _*)
+          .groupBy(col("code"))
+          .agg(count(lit(1)).as("n"),
+            (0 until sub).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+          .select(col("code"), array((0 until sub).map(i =>
+            (col(s"s$i").cast("double") / pow52) / col("n")): _*).as("mean"))
+          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      }
+      cents
+    }
+    val models = (0 until m).map(fit)
+    val codeCols = (0 until m).map(s =>
+      codeOf(distsTo(s, models(s)), models(s)).as(s"code_$s"))
+    val errCols = (0 until m).map(s => array_min(distsTo(s, models(s))))
+    base.select(Seq(col("vec_id")) ++ codeCols :+
+      errCols.reduceLeft(_ + _).as("err"): _*)
+  }
+
   /** ANN evaluation: per-query recall of the LSH top-k against the
     * brute-force ground truth (|lsh ∩ exact| / k). The query every ANN
     * deployment needs before trusting its index. */
@@ -591,7 +668,8 @@ object Similarity extends graft.QueryModule {
     "q67_hybrid_rrf" -> ((s, d) => hybridRrf(Tables.documents(s, d),
       Tables.embeddings(s, d), TextOps.bm25Terms)),
     "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
-    "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d)))
+    "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d))),
+    "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -701,6 +779,55 @@ object Similarity extends graft.QueryModule {
                  ORDER BY centroid_sim ASC, vec_id ASC) AS rn
         FROM scored)
       WHERE rn <= 5""",
+    /* q80: four independent 16-dim L2 Lloyd chains (same seeding and
+     * integerized means as q34), assignment via the |x|²-2x·c+|c|²
+     * identity with the shared dot fold — parenthesized exactly as
+     * the Spark expression associates, so every d2 double matches. */
+    "q80_pq_encode" -> {
+      val (m, sub) = (4, 16)
+      def d2Sql(sv: String, ce: String) =
+        s"((${dotSql(sv, sv)}) - 2.0 * (${dotSql(sv, ce)})) + (${dotSql(ce, ce)})"
+      def chain(s: Int): String = {
+        val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+        s"""b$s AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS sv FROM base),
+      c0$s AS (
+        SELECT vec_id AS c_id, list_slice(emb, $lo, $hi) AS c_emb
+        FROM base WHERE vec_id % 127 = 0),
+      a$s AS (
+        SELECT vec_id, sv, c_id AS code FROM (
+          SELECT b.vec_id, b.sv, c.c_id,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY ${d2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
+          FROM b$s b CROSS JOIN c0$s c) WHERE rn = 1),
+      m$s AS (
+        SELECT code, sdim,
+               (CAST(sum(CAST(floor(sv[sdim] * 4503599627370496.0)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+                 / 4503599627370496.0) / count(*) AS mean
+        FROM a$s CROSS JOIN sdims GROUP BY code, sdim),
+      c1$s AS (
+        SELECT code AS c_id, list(mean ORDER BY sdim) AS c_emb
+        FROM m$s GROUP BY code),
+      f$s AS (
+        SELECT vec_id, code, d2 FROM (
+          SELECT b.vec_id, c.c_id AS code,
+                 ${d2Sql("b.sv", "c.c_emb")} AS d2,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY ${d2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
+          FROM b$s b CROSS JOIN c1$s c) WHERE rn = 1)"""
+      }
+      s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sdims AS (SELECT unnest(generate_series(1, $sub)) AS sdim),
+      ${(0 until m).map(chain).mkString(",\n      ")}
+      SELECT f0.vec_id,
+             f0.code AS code_0, f1.code AS code_1,
+             f2.code AS code_2, f3.code AS code_3,
+             f0.d2 + f1.d2 + f2.d2 + f3.d2 AS err
+      FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+        JOIN f3 USING (vec_id)"""
+    },
     "q34_kmeans_refine" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -462,6 +462,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("PQ encode: codes come from seeds, Lloyd refinement shrinks the error") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = emb.filter("vec_id % 127 = 0")
+      .select("vec_id").as[Long].collect().toSet
+    val enc1 = Similarity.pqEncode(emb, iters = 1)
+      .select("vec_id", "code_0", "code_3", "err")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(enc1.length == emb.count())
+    assert(enc1.forall { case (_, c0, c3, e) =>
+      seeds.contains(c0) && seeds.contains(c3) && e >= 0.0 })
+    val err0 = Similarity.pqEncode(emb, iters = 0)
+      .agg(sum(col("err"))).as[Double].head()
+    val err1 = enc1.map(_._4).sum
+    assert(err1 <= err0,
+      s"one Lloyd round must not increase total quantization error: $err1 > $err0")
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

@@ -244,6 +244,11 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(bloomPlan).size >= 3, bloomPlan)
     assert(!bloomPlan.contains("Window") && !bloomPlan.contains("Cartesian"),
       bloomPlan)
+    // q80: the encode pass is a pure map over literal centroid arrays
+    // — zero exchanges, zero joins (the Lloyd fits ran at build time)
+    val pq = Similarity.pqEncode(Tables.embeddings(spark, sf))
+    assert(exchanges(pq) == 0, s"want a map-only encode:\n${planOf(pq)}")
+    assert(!planOf(pq).contains("Join"), planOf(pq))
     // q79: bounded per-source top-k aggregator, never a rank window
     val wsam = planOf(TextOps.weightedSample(Tables.documents(spark, sf)))
     assert(wsam.contains("ObjectHashAggregate") && !wsam.contains("Window"),
