@@ -83,7 +83,19 @@ object ProfileScale {
                                d.filter(pmod(col("doc_id"), lit(10)) < 8),
                                d.filter(pmod(col("doc_id"), lit(10)) >= 8))),
       "q74_bpe_pairs"     -> (d => graft.operators.TextOps.bpePairStats(d)),
-      "q75_profile"       -> (d => graft.operators.Corpus.profileTable(d)))
+      "q75_profile"       -> (d => graft.operators.Corpus.profileTable(d)),
+      // replicas share no spans (prefix-remapped words) → the span
+      // dedup's survivor set scales exactly linearly
+      "q76_span_dedup"    -> (d => Dedup.spanDedup(d)),
+      "q77_bigram"        -> (d => graft.operators.TextOps.bigramSurprisal(
+                               d.filter(pmod(col("doc_id"), lit(10)) < 8),
+                               d.filter(pmod(col("doc_id"), lit(10)) >= 8))),
+      "q78_bloom_admit"   -> (d => Dedup.bloomAdmit(
+                               d.filter(pmod(col("doc_id"), lit(10)) < 8),
+                               d.filter(pmod(col("doc_id"), lit(10)) >= 8))),
+      // top-20 per source: output is constant by design; the profile
+      // measures the bounded-aggregator scan growth
+      "q79_weighted"      -> (d => graft.operators.TextOps.weightedSample(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -108,13 +120,21 @@ object ProfileScale {
         .reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(e1Path)
     }
-    val embOps: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "q68_emb_stats"   -> (e => graft.operators.Similarity.embeddingStats(e)),
-      "q69_contrastive" -> (e => graft.operators.Similarity.contrastivePairs(e)))
+    val embOps: Seq[(String, (DataFrame, String) => DataFrame)] = Seq(
+      "q68_emb_stats" ->
+        ((e, _) => graft.operators.Similarity.embeddingStats(e)),
+      "q69_contrastive" ->
+        ((e, _) => graft.operators.Similarity.contrastivePairs(e)),
+      // production PQ holds the codebook size fixed as the corpus
+      // grows, so the 10× run scales centroidMod to keep ~the same
+      // centroid count — measuring the linear scan, not a 10× model
+      "q80_pq_encode" -> ((e, label) => graft.operators.Similarity.pqEncode(
+        e, centroidMod = if (label == "sf1") 1270 else 127)))
     for ((embs, label) <- Seq(
         (Tables.embeddings(spark, sf01), "sf0.1"),
         (spark.read.parquet(e1Path), "sf1"))) {
-      for ((name, op) <- embOps) {
+      for ((name, op0) <- embOps) {
+        val op = (e: DataFrame) => op0(e, label)
         op(embs).count()
         val (sec, rows) = time(op(embs).count())
         println(f"$label $name%-20s $sec%7.2f s  ($rows rows)")
