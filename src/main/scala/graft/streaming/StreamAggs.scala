@@ -116,6 +116,77 @@ object StreamAggs {
       .drop("__simhash", "__hastok")
   }
 
+  /** Streaming bloom-gated admission against a STATIC reference corpus
+    * — the continuous-ingestion serve half of
+    * [[graft.operators.Dedup.bloomAdmit]]: yesterday's corpus is the
+    * static reference, today's crawl streams in. Each arriving
+    * document probes the reference's bucketed bloom bitsets (built
+    * ONCE from the static side, cached — per micro-batch Spark only
+    * re-broadcasts the tiny `buckets`-row table, never re-scans the
+    * reference); rows failing the probe are provably absent from the
+    * reference and skip the expensive check entirely, while suspects
+    * take an md5-exact stream-static confirm (left-outer + null
+    * filter: stream-static ANTI joins aren't supported, the outer
+    * join is, and the marker filter is equivalent). Finally the
+    * watermark-bounded state dedup admits each surviving content hash
+    * once across batches.
+    *
+    * Exactness matches the batch op: no false negatives ⇒ skipped
+    * rows are safe; false positives only cost a confirm probe. Scale:
+    * per batch, the reference side contributes one broadcast of the
+    * bitsets plus an exact join whose STREAM side is only the suspect
+    * residue; the static hash-set scan that join triggers per batch
+    * is the one remaining reference cost — cache or pre-bucket the
+    * projection in a deployment where batches are frequent. State is
+    * delay × admission rate keys, as in [[dedupWithinWatermark]].
+    *
+    * Lifecycle note (long-lived drivers): the cached bloom table pins
+    * executor memory until the query stops — `unpersist()` it via the
+    * returned frame's lineage (or rebuild the query) when the
+    * reference corpus is refreshed, the [[surprisalScore]] broadcast
+    * discipline.
+    */
+  def bloomAdmitStream(reference: DataFrame, stream: DataFrame,
+                       textCol: Column, ts: Column, watermarkDelay: String,
+                       buckets: Int = 64, bitsPerKey: Int = 10,
+                       numHashes: Int = 5,
+                       expectedRefKeys: Long = 1L << 20): DataFrame = {
+    import graft.functions.{Aggregators, Bloom}
+    import graft.functions.Portable.normText
+    val numBits = Bloom.pow2Bits(bitsPerKey * expectedRefKeys / buckets)
+    val refKeys = reference
+      .select(md5(normText(textCol)).as("__m"))
+      .withColumn("__h",
+        conv(substring(col("__m"), 1, 15), 16, 10).cast("long"))
+    val blooms = refKeys
+      .groupBy(pmod(col("__h"), lit(buckets.toLong)).as("__bucket"))
+      .agg(Aggregators.bloomAgg(numBits, numHashes)(col("__h")).as("__bloom"))
+      .cache()
+    val tagged = stream
+      .withColumn("__m", md5(normText(textCol)))
+      .withColumn("__h",
+        conv(substring(col("__m"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__bucket", pmod(col("__h"), lit(buckets.toLong)))
+    val probed = tagged
+      .join(broadcast(blooms), Seq("__bucket"), "left")
+      .withColumn("__maybe", coalesce(
+        Bloom.mightContain(col("__bloom"), col("__h"), numBits, numHashes),
+        lit(false)))
+    val definite = probed.filter(!col("__maybe"))
+      .drop("__bloom", "__maybe")
+    // no broadcast hint: the reference hash set is corpus-sized — the
+    // per-batch optimizer picks (broadcast at test scale, shuffled at
+    // corpus scale, where only the tiny suspect side moves per batch)
+    val confirmedNew = probed.filter(col("__maybe"))
+      .join(refKeys.select(col("__m"), lit(1).as("__hit")).distinct(),
+        Seq("__m"), "left")
+      .filter(col("__hit").isNull)
+      .drop("__bloom", "__maybe", "__hit")
+    dedupWithinWatermark(
+      definite.unionByName(confirmedNew), ts, watermarkDelay, "__m")
+      .drop("__m", "__h", "__bucket")
+  }
+
   /** Streaming unigram-surprisal scoring against a FROZEN vocabulary —
     * the serve half of `TextOps.unigramSurprisal`'s train/serve split
     * (fit with `TextOps.fitSurprisalVocab` on a reference corpus, then

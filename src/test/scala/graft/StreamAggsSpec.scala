@@ -103,6 +103,35 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom admission: reference dups drop, new content admits once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq("alpha beta gamma", "delta epsilon zeta")
+      .toDF("text")
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("ts_ms", "doc_id", "text")
+    // saturating params (64-bit bitset) force false positives through
+    // the exact-confirm path; correctness must be unchanged
+    val q = StreamAggs.bloomAdmitStream(ref, df, col("text"),
+        timestamp_millis(col("ts_ms")), "10 seconds",
+        buckets = 1, bitsPerKey = 1, numHashes = 2, expectedRefKeys = 64)
+      .writeStream.format("memory").queryName("bloom_adm_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1000L, "d1", "alpha beta gamma"),     // exact ref dup → drop
+        (2000L, "d2", "Alpha  BETA gamma"),    // ref dup after norm → drop
+        (3000L, "d3", "fresh stream content"))
+      q.processAllAvailable()
+      in.addData(
+        (4000L, "d4", "fresh stream content"), // cross-batch dup of d3
+        (5000L, "d5", "another new document"))
+      q.processAllAvailable()
+      val got = spark.table("bloom_adm_out").select("doc_id")
+        .as[String].collect().toSeq.sorted
+      assert(got == Seq("d3", "d5"))
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop admits every token-less document") {
     // empty/whitespace payloads carry no simhash signal (all-zero
     // votes) — they must NOT collapse into one admitted row, nor
