@@ -762,11 +762,14 @@ object Dedup extends graft.QueryModule {
     * bounded by docs/window copies per doc, and exactly the rows this
     * op exists to delete.
     */
-  def spanDedup(documents: DataFrame, window: Int = 8): DataFrame = {
+  /** (doc_id, ci, span) rows: every document's non-overlapping
+    * `window`-token spans, in position order — the span granularity
+    * shared by [[spanDedup]] and [[spanAttribution]]. Map-only. */
+  private def docSpans(documents: DataFrame, window: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val nSpansMinus1 = greatest(
       ceil(size(col("ws")).cast("double") / window).cast("long") - 1, lit(0L))
-    val spans = documents
+    documents
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0L), nSpansMinus1)).as("ci"))
@@ -774,9 +777,12 @@ object Dedup extends graft.QueryModule {
         concat_ws(" ",
           slice(col("ws"), (col("ci") * window + 1).cast("int"), lit(window)))
           .as("span"))
+  }
+
+  def spanDedup(documents: DataFrame, window: Int = 8): DataFrame = {
     val firstOcc = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("span")))
-    spans
+    docSpans(documents, window)
       .withColumn("first", min(struct(col("doc_id"), col("ci"))).over(firstOcc))
       .withColumn("keep",
         col("first.doc_id") === col("doc_id") && col("first.ci") === col("ci"))
@@ -789,6 +795,51 @@ object Dedup extends graft.QueryModule {
             array_sort(collect_list(when(col("keep"),
               struct(col("ci"), col("span"))))),
             _.getField("span")))).as("clean_md5"))
+  }
+
+  /** Span-overlap attribution: for every document, the OTHER document
+    * sharing the most distinct `window`-token spans (ties to the
+    * smallest doc_id) — the "which training document did this output
+    * copy from" screen. Distinct from Jaccard (q29, symmetric
+    * set-similarity) and containment (q66, subset score): attribution
+    * wants the single strongest donor by ABSOLUTE shared-span count,
+    * which surfaces a 100-line verbatim block inside two otherwise
+    * unrelated documents that neither similarity ratio would flag.
+    *
+    * SCALE SHAPE: the same capped-inverted-index discipline as the
+    * pair family — spans group once on their content key (collect_set
+    * dedups doc multiplicity inside the aggregate buffer, so no
+    * separate per-doc distinct exchange), spans shared by more than
+    * `maxBucket` docs are stop-spans (boilerplate — dropped, fan-out
+    * bound), in-bucket pairs come from the codegen pair expansion,
+    * and the per-doc winner rides a max-struct aggregate — no rank
+    * window anywhere. Pair counts are exact over surviving spans.
+    */
+  def spanAttribution(documents: DataFrame, window: Int = 8,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cnt = docSpans(documents, window)
+      .select(col("doc_id"), md5(col("span")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // mirror in-plan with ONE explode — a union of two selects over
+    // `cnt` would plan (and execute) the whole pair pipeline twice
+    cnt
+      .select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("src"), col("n")),
+        struct(col("b").as("doc_id"), col("a").as("src"), col("n"))))
+        .as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.src").as("src"),
+        col("e.n").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n"), (-col("src")).as("neg_src"), col("src")))
+        .as("best"))
+      .select(col("doc_id"), col("best.src").as("attributed_to"),
+        col("best.n").as("n_shared_spans"))
   }
 
   // ---- driver bindings -------------------------------------------------
@@ -806,6 +857,7 @@ object Dedup extends graft.QueryModule {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
     "q76_span_dedup"     -> ((s, d) => spanDedup(Tables.documents(s, d))),
+    "q81_span_attrib"    -> ((s, d) => spanAttribution(Tables.documents(s, d))),
     "q78_bloom_admit" -> ((s, d) => {
       val (ref, batch) = q73Split(Tables.documents(s, d))
       bloomAdmit(ref, batch)
@@ -894,6 +946,34 @@ object Dedup extends graft.QueryModule {
       SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node"""
 
   def oracle: Map[String, String] = Map(
+    /* q81: distinct spans per doc, stop-spans (> maxBucket docs)
+     * dropped, strongest donor by shared-span count with smallest-id
+     * ties — the row_number mirrors the max-struct exactly. */
+    "q81_span_attrib" -> s"""
+      WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(ws, ci*8 + 1, ci*8 + 8), ' '))
+                 AS sh
+        FROM (
+          SELECT doc_id, ws,
+                 unnest(generate_series(0,
+                   greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1, 0)))
+                   AS ci
+          FROM t)),
+      keep AS (
+        SELECT sh FROM sp GROUP BY sh
+        HAVING count(*) BETWEEN 2 AND $DefaultMaxBucket),
+      pairs AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS src, count(*) AS n
+        FROM sp a JOIN keep USING (sh) JOIN sp b USING (sh)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_id, src AS attributed_to, n AS n_shared_spans FROM (
+        SELECT doc_id, src, n,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n DESC, src ASC) AS rn
+        FROM pairs) WHERE rn = 1""",
     /* q78: the bloom is pure acceleration — no false negatives means
      * the admitted set IS the plain exact-admission anti-join, which
      * is what this oracle computes. Same 80/20 split as q73. */

@@ -403,8 +403,13 @@ object TextOps extends graft.QueryModule {
       .agg(count(lit(1)).as("uc"))
     val scal = refW.agg(count(lit(1)).as("t"),
       countDistinct(col("w")).as("v"))
+    // materialize the token array BEFORE the generate: inlined under
+    // the explode, every element_at of the shingle transform would
+    // re-run the whole-document regex normalization (measured 20×
+    // per-row vs this spelling — the Generate boundary pins `ws`)
     val refBi = reference
-      .select(explode_outer(shingles(words(col("text")), 2)).as("sh"))
+      .select(words(col("text")).as("ws"))
+      .select(explode_outer(shingles(col("ws"), 2)).as("sh"))
       .filter(col("sh").isNotNull)
       .select(hash60(col("sh")).as("bh"),
         hash60(split(col("sh"), " ", 2).getItem(0)).as("ch"))

@@ -479,6 +479,28 @@ class OperatorsSpec extends SparkSpec {
       s"one Lloyd round must not increase total quantization error: $err1 > $err0")
   }
 
+  test("span attribution picks the strongest donor with id ties and span caps") {
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Seq(
+      doc(1, "a b c d e f g h i"),
+      doc(2, "a b c d e f x y z"), // shares [a b c][d e f] with 1
+      doc(3, "g h i q r s"),       // shares [g h i] with 1
+      doc(4, "x y z"),             // shares [x y z] with 2
+      doc(5, "u v w"),             // shares nothing → absent
+      doc(6, "a b c")              // one span, tied donors 1 and 2
+    ).toDF(cols: _*)
+    def run(cap: Int) = Dedup.spanAttribution(docs, window = 3, maxBucket = cap)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(100) == Seq(
+      (1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 1L), (4L, 2L, 1L),
+      (6L, 1L, 1L))) // tie n=1 vs donors {1, 2} → smallest id
+    // cap=2 turns [a b c] (3 docs) into a stop-span: doc 6 drops out,
+    // doc 1's donors tie at n=1 → smallest id 2
+    assert(run(2) == Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 1L)))
+  }
+
   test("AVI round trip: real container demux + exact DIB frame decode") {
     // golden: payloads are REAL AVI files (RIFF tree + raw BI_RGB
     // frames) of the vidPx raster — demux + decode must recover the

@@ -249,6 +249,12 @@ class PlanSpec extends SparkSpec {
     val pq = Similarity.pqEncode(Tables.embeddings(spark, sf))
     assert(exchanges(pq) == 0, s"want a map-only encode:\n${planOf(pq)}")
     assert(!planOf(pq).contains("Join"), planOf(pq))
+    // q81: capped span index → codegen pair expansion → max-struct
+    // argmax; three exchanges, no joins, no rank window
+    val attr = Dedup.spanAttribution(Tables.documents(spark, sf))
+    assert(exchanges(attr) == 3, s"want 3 exchanges:\n${planOf(attr)}")
+    assert(!planOf(attr).contains("Window") && !planOf(attr).contains("Join"),
+      planOf(attr))
     // q79: bounded per-source top-k aggregator, never a rank window
     val wsam = planOf(TextOps.weightedSample(Tables.documents(spark, sf)))
     assert(wsam.contains("ObjectHashAggregate") && !wsam.contains("Window"),
