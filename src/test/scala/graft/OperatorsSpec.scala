@@ -135,7 +135,10 @@ class OperatorsSpec extends SparkSpec {
       assert(members.keys.min == label)
     }
     // the distributed min-label loop (edge gate forced off) produces the
-    // exact same labeling as the driver union-find
+    // exact same labeling as the driver union-find.  Start from an empty
+    // SQL cache so the leak assertion below is hermetic regardless of
+    // what earlier suites left cached in the shared session.
+    spark.catalog.clearCache()
     val looped = Dedup.dedupGroups(docs, maxDriverEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(looped == group)
@@ -183,6 +186,7 @@ class OperatorsSpec extends SparkSpec {
     // plain min-label propagation needs 100 rounds; the jump needs ~7
     val edges = ((0L until 100L).map(i => (i, i + 1)) ++
       Seq((200L, 201L), (201L, 202L), (200L, 202L))).toDF("a", "b")
+    spark.catalog.clearCache() // hermetic leak assertion below
     val labels = Dedup.propagateMinLabels(edges, maxRounds = 10)
       .as[(Long, Long)].collect().toMap
     assert((0L to 100L).forall(labels(_) == 0L))
@@ -199,6 +203,7 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     try {
+      spark.catalog.clearCache() // hermetic leak assertion below
       val reliable = Dedup.propagateMinLabels(edges, maxRounds = 10,
           checkpointDir = Some(dir))
         .as[(Long, Long)].collect().toMap

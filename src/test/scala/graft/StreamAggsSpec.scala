@@ -129,7 +129,13 @@ class StreamAggsSpec extends SparkSpec {
       val got = spark.table("bloom_adm_out").select("doc_id")
         .as[String].collect().toSeq.sorted
       assert(got == Seq("d3", "d5"))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the bloom bitset cache is deliberately query-lifetime
+      // (StreamAggs.bloomAdmitStream's lifecycle note); release it with
+      // the query so the shared test session doesn't pin it
+      spark.catalog.clearCache()
+    }
   }
 
   test("streaming near-dup drop admits every token-less document") {
