@@ -484,38 +484,70 @@ object Similarity extends graft.QueryModule {
     */
   def pqEncode(embeddings: DataFrame, m: Int = 4, centroidMod: Int = 127,
                iters: Int = 1, dims: Int = 0): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val d = deriveDims(embeddings, dims)
     require(m >= 1 && d % m == 0, s"dims $d must split evenly into $m subspaces")
     val sub = d / m
-    val pow52 = 4503599627370496.0 // 2^52
     val base = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("emb"))
-    def subvec(s: Int): Column = slice(col("emb"), s * sub + 1, sub)
-    // |c|² with the dotProduct fold order (left-to-right prepend-0)
-    def n2(v: Seq[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
-    def distsTo(s: Int, cents: Seq[(Long, Seq[Double])]): Column = {
-      val cEmbs = typedlit(cents.map(_._2))
-      val cN2 = typedlit(cents.map(c => n2(c._2)))
-      val sv = subvec(s)
-      val x2 = dot(sv, sv)
-      transform(cEmbs, (ce, i) =>
-        x2 - lit(2.0) * dot(sv, ce) +
-          element_at(cN2, (i + lit(1)).cast("int")))
-    }
-    def codeOf(dists: Column, cents: Seq[(Long, Seq[Double])]): Column =
-      element_at(typedlit(cents.map(_._1)), coalesce(
-        nullif(array_position(dists, array_min(dists)), lit(0L)),
-        lit(1L)).cast("int"))
+    val models = pqFit(base, m, sub, centroidMod, iters)
+    val codeCols = (0 until m).map(s =>
+      pqCodeOf(pqDistsTo(sub, s, models(s)), models(s)).as(s"code_$s"))
+    val errCols = (0 until m).map(s => array_min(pqDistsTo(sub, s, models(s))))
+    base.select(Seq(col("vec_id")) ++ codeCols :+
+      errCols.reduceLeft(_ + _).as("err"): _*)
+  }
+
+  // ---- shared PQ machinery (pqEncode q80, pqSearch q82) ------------
+
+  private def pqSubvec(sub: Int, s: Int): Column =
+    slice(col("emb"), s * sub + 1, sub)
+  // |c|² / dot with the dotProduct fold order (left-to-right prepend-0)
+  private def pqN2(v: Seq[Double]): Double =
+    v.foldLeft(0.0)((a, x) => a + x * x)
+  private def pqDot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  /** Per-centroid squared L2 distances of subspace `s`'s subvector via
+    * the |x|² − 2x·c + |c|² identity (|c|² folded driver-side). */
+  private def pqDistsTo(sub: Int, s: Int,
+                        cents: Seq[(Long, Seq[Double])]): Column = {
+    val cEmbs = typedlit(cents.map(_._2))
+    val cN2 = typedlit(cents.map(c => pqN2(c._2)))
+    val sv = pqSubvec(sub, s)
+    val x2 = dot(sv, sv)
+    transform(cEmbs, (ce, i) =>
+      x2 - lit(2.0) * dot(sv, ce) +
+        element_at(cN2, (i + lit(1)).cast("int")))
+  }
+
+  /** 1-based POSITION of the argmin (ties → first = smallest centroid
+    * id, `cents` being id-sorted). */
+  private def pqCodeIdx(dists: Column): Column =
+    coalesce(nullif(array_position(dists, array_min(dists)), lit(0L)),
+      lit(1L)).cast("int")
+
+  /** Centroid ID of the argmin (the persisted code of q80). */
+  private def pqCodeOf(dists: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    element_at(typedlit(cents.map(_._1)), pqCodeIdx(dists))
+
+  /** Per-subspace deterministic Lloyd fit: `vec_id % centroidMod`
+    * seeds, integerized 2^52 decimal means, id-sorted codebooks. Each
+    * round per subspace is ONE map-side-combined aggregate; codebooks
+    * are model-sized driver state. */
+  private def pqFit(base: DataFrame, m: Int, sub: Int, centroidMod: Int,
+                    iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val pow52 = 4503599627370496.0 // 2^52
     def fit(s: Int): Seq[(Long, Seq[Double])] = {
       var cents = base
         .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
-        .select(col("vec_id"), subvec(s).as("sv"))
+        .select(col("vec_id"), pqSubvec(sub, s).as("sv"))
         .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       for (_ <- 1 to iters) {
-        val assigned = base.select(codeOf(distsTo(s, cents), cents).as("code"),
-          subvec(s).as("sv"))
+        val assigned = base.select(
+          pqCodeOf(pqDistsTo(sub, s, cents), cents).as("code"),
+          pqSubvec(sub, s).as("sv"))
         cents = assigned
           .select(Seq(col("code")) ++ (0 until sub).map(i =>
             floor(element_at(col("sv"), i + 1) * pow52)
@@ -529,12 +561,69 @@ object Similarity extends graft.QueryModule {
       }
       cents
     }
-    val models = (0 until m).map(fit)
-    val codeCols = (0 until m).map(s =>
-      codeOf(distsTo(s, models(s)), models(s)).as(s"code_$s"))
-    val errCols = (0 until m).map(s => array_min(distsTo(s, models(s))))
-    base.select(Seq(col("vec_id")) ++ codeCols :+
-      errCols.reduceLeft(_ + _).as("err"): _*)
+    (0 until m).map(fit)
+  }
+
+  /** IVF-PQ-style ADC search (q82): top-k nearest neighbors per query
+    * under the PQ-compressed metric. The corpus is represented ONLY by
+    * its m per-subspace code indexes; each query precomputes a lookup
+    * table lut[s][c] = ‖q_s − cent_{s,c}‖² and the per-pair distance is
+    * the sum of m table lookups — O(m) per candidate instead of the
+    * O(dims) dot product of [[knnBruteForce]]. This is the serving
+    * shape that lets a 100 TB embedding corpus fit an in-memory ANN
+    * index: m small ints per vector, queries carry the float math.
+    *
+    * SCALE SHAPE: codebooks and per-query LUTs are model-sized driver
+    * state (nQueries · m · |C| doubles) shipped via one broadcast; the
+    * corpus encodes map-only over literal codebooks and NEVER
+    * shuffles; the bounded top-k aggregator caps the only exchange at
+    * k rows per query per partition. Determinism: LUT entries are
+    * computed with the same ((x·x) − 2.0·(x·c)) + |c|² left-to-right
+    * fold as the oracle's SQL, ties in the argmin code go to the
+    * smallest centroid id, and the final order is (adist asc,
+    * neighbor_id asc).
+    */
+  def pqSearch(embeddings: DataFrame, nQueries: Int, k: Int, m: Int = 4,
+               centroidMod: Int = 127, iters: Int = 1,
+               dims: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = deriveDims(embeddings, dims)
+    require(m >= 1 && d % m == 0, s"dims $d must split evenly into $m subspaces")
+    val sub = d / m
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val models = pqFit(base, m, sub, centroidMod, iters)
+    // corpus side: m code INDEXES per vector (positions into the
+    // id-sorted codebooks — the LUT lookup is positional), map-only
+    val idxCols = (0 until m).map(s =>
+      pqCodeIdx(pqDistsTo(sub, s, models(s))).as(s"idx_$s"))
+    val codes = base.select(Seq(col("vec_id").as("neighbor_id")) ++ idxCols: _*)
+    // query side: model-sized collect (like centroids), then one
+    // broadcast of per-query ADC tables
+    val qs = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val qlut = qs.map { case (qid, emb) =>
+      val luts = (0 until m).map { s =>
+        val sv = emb.slice(s * sub, s * sub + sub)
+        val x2 = pqDot(sv, sv)
+        models(s).map { case (_, ce) => (x2 - 2.0 * pqDot(sv, ce)) + pqN2(ce) }
+      }
+      (qid, luts)
+    }.toDF("query_id", "lut")
+    val adist = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1), col(s"idx_$s")))
+      .reduceLeft(_ + _)
+    val scored = codes
+      .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-adist).as("nd"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.Aggregators.topK(k)(
+        col("nd"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (-col("col.sim")).as("adist"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** ANN evaluation: per-query recall of the LSH top-k against the
@@ -669,7 +758,8 @@ object Similarity extends graft.QueryModule {
       Tables.embeddings(s, d), TextOps.bm25Terms)),
     "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
     "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d))),
-    "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d)))
+    "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
+    "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -731,6 +821,44 @@ object Similarity extends graft.QueryModule {
         JOIN base q ON q.vec_id = query_id
         JOIN base c ON c.vec_id = neighbor_id)"""
 
+  private def pqD2Sql(sv: String, ce: String) =
+    s"((${dotSql(sv, sv)}) - 2.0 * (${dotSql(sv, ce)})) + (${dotSql(ce, ce)})"
+
+  /** One PQ subspace's CTE chain (expects `base(vec_id, emb)` and
+    * `sdims`): subvectors b$s, modulo-seeded centroids c0$s, one Lloyd
+    * round (assignment a$s, integerized means m$s, refined codebook
+    * c1$s), final codes + per-subspace d² f$s. Shared by the q80
+    * encode and q82 ADC oracles. */
+  private def pqChainSql(s: Int, sub: Int): String = {
+    val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+    s"""b$s AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS sv FROM base),
+      c0$s AS (
+        SELECT vec_id AS c_id, list_slice(emb, $lo, $hi) AS c_emb
+        FROM base WHERE vec_id % 127 = 0),
+      a$s AS (
+        SELECT vec_id, sv, c_id AS code FROM (
+          SELECT b.vec_id, b.sv, c.c_id,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY ${pqD2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
+          FROM b$s b CROSS JOIN c0$s c) WHERE rn = 1),
+      m$s AS (
+        SELECT code, sdim,
+               (CAST(sum(CAST(floor(sv[sdim] * 4503599627370496.0)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+                 / 4503599627370496.0) / count(*) AS mean
+        FROM a$s CROSS JOIN sdims GROUP BY code, sdim),
+      c1$s AS (
+        SELECT code AS c_id, list(mean ORDER BY sdim) AS c_emb
+        FROM m$s GROUP BY code),
+      f$s AS (
+        SELECT vec_id, code, d2 FROM (
+          SELECT b.vec_id, c.c_id AS code,
+                 ${pqD2Sql("b.sv", "c.c_emb")} AS d2,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY ${pqD2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
+          FROM b$s b CROSS JOIN c1$s c) WHERE rn = 1)"""
+  }
+
   /** One Lloyd iteration's CTE chain (assignment + int64-exact means
     * at scale 2^52 + reassembled centroid lists). */
   private def lloydSql(n: Int, centsIn: String) = s"""
@@ -783,51 +911,44 @@ object Similarity extends graft.QueryModule {
      * integerized means as q34), assignment via the |x|²-2x·c+|c|²
      * identity with the shared dot fold — parenthesized exactly as
      * the Spark expression associates, so every d2 double matches. */
-    "q80_pq_encode" -> {
-      val (m, sub) = (4, 16)
-      def d2Sql(sv: String, ce: String) =
-        s"((${dotSql(sv, sv)}) - 2.0 * (${dotSql(sv, ce)})) + (${dotSql(ce, ce)})"
-      def chain(s: Int): String = {
-        val (lo, hi) = (s * sub + 1, (s + 1) * sub)
-        s"""b$s AS (SELECT vec_id, list_slice(emb, $lo, $hi) AS sv FROM base),
-      c0$s AS (
-        SELECT vec_id AS c_id, list_slice(emb, $lo, $hi) AS c_emb
-        FROM base WHERE vec_id % 127 = 0),
-      a$s AS (
-        SELECT vec_id, sv, c_id AS code FROM (
-          SELECT b.vec_id, b.sv, c.c_id,
-                 row_number() OVER (PARTITION BY b.vec_id
-                   ORDER BY ${d2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
-          FROM b$s b CROSS JOIN c0$s c) WHERE rn = 1),
-      m$s AS (
-        SELECT code, sdim,
-               (CAST(sum(CAST(floor(sv[sdim] * 4503599627370496.0)
-                     AS DECIMAL(38,0))) AS DOUBLE)
-                 / 4503599627370496.0) / count(*) AS mean
-        FROM a$s CROSS JOIN sdims GROUP BY code, sdim),
-      c1$s AS (
-        SELECT code AS c_id, list(mean ORDER BY sdim) AS c_emb
-        FROM m$s GROUP BY code),
-      f$s AS (
-        SELECT vec_id, code, d2 FROM (
-          SELECT b.vec_id, c.c_id AS code,
-                 ${d2Sql("b.sv", "c.c_emb")} AS d2,
-                 row_number() OVER (PARTITION BY b.vec_id
-                   ORDER BY ${d2Sql("b.sv", "c.c_emb")} ASC, c.c_id ASC) AS rn
-          FROM b$s b CROSS JOIN c1$s c) WHERE rn = 1)"""
-      }
-      s"""
+    "q80_pq_encode" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      sdims AS (SELECT unnest(generate_series(1, $sub)) AS sdim),
-      ${(0 until m).map(chain).mkString(",\n      ")}
+      sdims AS (SELECT unnest(generate_series(1, 16)) AS sdim),
+      ${(0 until 4).map(pqChainSql(_, 16)).mkString(",\n      ")}
       SELECT f0.vec_id,
              f0.code AS code_0, f1.code AS code_1,
              f2.code AS code_2, f3.code AS code_3,
              f0.d2 + f1.d2 + f2.d2 + f3.d2 AS err
       FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
-        JOIN f3 USING (vec_id)"""
-    },
+        JOIN f3 USING (vec_id)""",
+    /* q82: same four Lloyd chains as q80, then ADC — per (query,
+     * vector, subspace) the d² of the query subvector against the
+     * vector's ASSIGNED refined centroid, summed left-to-right across
+     * subspaces exactly as the Spark LUT fold associates. */
+    "q82_pq_search" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sdims AS (SELECT unnest(generate_series(1, 16)) AS sdim),
+      ${(0 until 4).map(pqChainSql(_, 16)).mkString(",\n      ")},
+      ${(0 until 4).map(s => s"""p$s AS (
+        SELECT q.vec_id AS query_id, f.vec_id AS neighbor_id,
+               ${pqD2Sql("q.sv", "c.c_emb")} AS d
+        FROM b$s q, f$s f JOIN c1$s c ON f.code = c.c_id
+        WHERE q.vec_id < 16)""").mkString(",\n      ")},
+      adc AS (
+        SELECT query_id, neighbor_id,
+               p0.d + p1.d + p2.d + p3.d AS adist
+        FROM p0 JOIN p1 USING (query_id, neighbor_id)
+          JOIN p2 USING (query_id, neighbor_id)
+          JOIN p3 USING (query_id, neighbor_id)
+        WHERE query_id <> neighbor_id)
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= 5""",
     "q34_kmeans_refine" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -484,6 +484,49 @@ class OperatorsSpec extends SparkSpec {
       s"one Lloyd round must not increase total quantization error: $err1 > $err0")
   }
 
+  test("PQ ADC search matches an independent driver-side computation") {
+    // 6 vectors, dims=4, m=2 subspaces, seeds = ids % 3 == 0 (0 and 3)
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 2.0, 0.5, 1.5),
+      1L -> Seq(1.1, 2.1, 3.0, 0.2),
+      2L -> Seq(5.0, 1.0, 2.2, 2.0),
+      3L -> Seq(4.8, 0.9, 0.4, 1.4),
+      4L -> Seq(0.9, 1.9, 2.9, 0.3),
+      5L -> Seq(5.2, 1.2, 2.3, 2.1))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqSearch(df, nQueries = 2, k = 3, m = 2,
+        centroidMod = 3)
+      .select("query_id", "neighbor_id", "adist", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    // independent re-derivation with plain loops and naive means
+    val (m, sub) = (2, 2)
+    val byId = vecs.toMap
+    def sv(v: Seq[Double], s: Int) = v.slice(s * sub, s * sub + sub)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    val seeds = vecs.filter(_._1 % 3 == 0)
+    val books = (0 until m).map { s =>
+      vecs.groupBy { case (_, v) =>
+          seeds.minBy(c => (d2(sv(v, s), sv(c._2, s)), c._1))._1 }
+        .map { case (cid, members) =>
+          cid -> members.map(mm => sv(mm._2, s)).transpose
+            .map(xs => xs.sum / xs.size) }
+    }
+    def cent(v: Seq[Double], s: Int): Seq[Double] =
+      books(s).minBy { case (cid, ce) => (d2(sv(v, s), ce), cid) }._2
+    for (q <- Seq(0L, 1L)) {
+      val qv = byId(q)
+      val want = vecs.filter(_._1 != q).map { case (id, v) =>
+        (id, (0 until m).map(s => d2(sv(qv, s), cent(v, s))).sum) }
+        .sortBy(p => (p._2, p._1)).take(3)
+      val rows = got.filter(_._1 == q).sortBy(_._4)
+      assert(rows.map(_._2).toSeq == want.map(_._1),
+        s"query $q neighbors: got ${rows.toSeq} want $want")
+      rows.zip(want).foreach { case (r, (_, ad)) =>
+        assert(math.abs(r._3 - ad) < 1e-9, s"adist ${r._3} vs $ad") }
+    }
+  }
+
   test("span attribution picks the strongest donor with id ties and span caps") {
     def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")

@@ -249,6 +249,13 @@ class PlanSpec extends SparkSpec {
     val pq = Similarity.pqEncode(Tables.embeddings(spark, sf))
     assert(exchanges(pq) == 0, s"want a map-only encode:\n${planOf(pq)}")
     assert(!planOf(pq).contains("Join"), planOf(pq))
+    // q82: ADC search — corpus codes are map-only (no corpus shuffle),
+    // the per-query LUTs ride one broadcast nested-loop join, and the
+    // sole exchange is the bounded top-k aggregate on query_id
+    val adc = Similarity.pqSearch(Tables.embeddings(spark, sf), 4, 3)
+    assert(exchanges(adc) == 1, s"want 1 exchange (top-k agg):\n${planOf(adc)}")
+    assert(planOf(adc).contains("BroadcastNestedLoopJoin"), planOf(adc))
+    assert(planOf(adc).contains("ObjectHashAggregate"), planOf(adc))
     // q81: capped span index → codegen pair expansion → max-struct
     // argmax; three exchanges, no joins, no rank window
     val attr = Dedup.spanAttribution(Tables.documents(spark, sf))
