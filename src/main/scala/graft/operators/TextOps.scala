@@ -441,6 +441,71 @@ object TextOps extends graft.QueryModule {
           .as("bits_per_token"))
   }
 
+  /** DSIR-style importance selection (q83): score every document by
+    * how target-domain-like its hashed bigram features are, then keep
+    * the top N — the standard recipe for carving a domain-matched
+    * subset (e.g. "wiki-like web pages") out of a raw crawl. Features
+    * are word bigrams hashed into `buckets` slots; per bucket the
+    * model is the add-1-smoothed log-ratio of target vs corpus
+    * frequencies, and a document's importance is
+    * logw = Σ_f n_f · [flog2(ct_f+1) − flog2(cr_f+1) + c0], where the
+    * constant c0 = flog2(T_raw + B) − flog2(T_tgt + B) normalizes the
+    * two totals. All bit costs are the exact integer floor(log₂) of
+    * [[unigramSurprisal]], so the sum is integer arithmetic the
+    * oracle reproduces bit-for-bit; selection order is (logw desc,
+    * doc_id asc).
+    *
+    * SCALE SHAPE: one tokenize pass feeds the per-doc bucket counts
+    * (the single token-scale exchange, reused by BOTH model fits and
+    * the scoring join); the model is buckets-sized (never
+    * vocabulary- or corpus-sized — the hashing is what makes DSIR
+    * tractable), broadcast under the source gate with a key-join
+    * fallback; top-N rides the bounded TopK aggregator (≤ N rows per
+    * partition, never a global sort), and the final payload join
+    * moves only N ids.
+    */
+  def dsirSelect(documents: DataFrame, targetSource: String = "src0",
+                 buckets: Int = 4096, topN: Int = 100,
+                 broadcastModel: Option[Boolean] = None): DataFrame = {
+    def flog2(c: Column): Column = length(bin(c)) - 1
+    val perDoc = documents
+      .select(col("doc_id"), col("source"),
+        explode(shingles(words(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), col("source"),
+        pmod(hash60(col("bg")), lit(buckets.toLong)).as("b"))
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tgt = perDoc.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        (flog2(coalesce(col("ct"), lit(0L)) + 1) -
+          flog2(col("cr") + 1)).as("lam"))
+    val shift = perDoc.agg(
+      (flog2(sum(col("n")) + buckets) -
+        flog2(coalesce(sum(when(col("source") === targetSource,
+          col("n"))), lit(0L)) + buckets)).as("c0"))
+    val bcast = broadcastModel.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    val scored = perDoc
+      .join(if (bcast) broadcast(model) else model, "b")
+      .crossJoin(broadcast(shift))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * (col("lam") + col("c0"))).as("logw"))
+    val top = scored.groupBy()
+      .agg(graft.functions.Aggregators.topK(topN)(
+        col("logw").cast("double"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rn"))
+    scored.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("n_feats"), col("logw"), col("rn"))
+  }
+
   /** Weighted sample without replacement, k docs per source — the
     * Efraimidis-Spirakis A-ES scheme: each document draws a uniform
     * `u` from a seeded hash of its id and competes with priority
@@ -610,6 +675,7 @@ object TextOps extends graft.QueryModule {
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
     "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "q79_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
+    "q83_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
     // same deterministic 80/20 fit/score split the q73 admission uses
     "q77_bigram_surprisal" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -825,6 +891,48 @@ object TextOps extends graft.QueryModule {
              CAST(sum(pos_bits) AS DOUBLE) / count(*) AS bits_per_token
       FROM pos GROUP BY doc_id"""
     },
+    /* q83: the -1 in flog2 = length(bin(x)) − 1 cancels in every
+     * difference, so the SQL uses raw bin lengths. */
+    "q83_dsir_select" -> """
+      WITH w AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(unnest(CASE WHEN len(ws) < 2
+                  THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(ws) - 1),
+                    i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                  END)), 1, 15))::BIGINT % 4096 AS b
+        FROM w),
+      pd AS (
+        SELECT doc_id, source, b, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      raw AS (
+        SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM pd GROUP BY 1),
+      tgt AS (
+        SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM pd
+        WHERE source = 'src0' GROUP BY 1),
+      model AS (
+        SELECT b, length(bin(COALESCE(ct, 0) + 1)) - length(bin(cr + 1))
+                 AS lam
+        FROM raw LEFT JOIN tgt USING (b)),
+      shift AS (
+        SELECT length(bin(CAST(sum(n) AS BIGINT) + 4096)) -
+               length(bin(COALESCE(CAST(sum(CASE WHEN source = 'src0'
+                 THEN n END) AS BIGINT), 0) + 4096)) AS c0
+        FROM pd),
+      scored AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+               CAST(sum(n * (lam + c0)) AS BIGINT) AS logw
+        FROM pd JOIN model USING (b) CROSS JOIN shift
+        GROUP BY doc_id)
+      SELECT doc_id, n_feats, logw, rn FROM (
+        SELECT doc_id, n_feats, logw,
+               row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+        FROM scored)
+      WHERE rn <= 100""",
     "q65_surprisal" -> """
       WITH tok AS (
         SELECT doc_id,

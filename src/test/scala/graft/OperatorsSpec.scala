@@ -484,6 +484,49 @@ class OperatorsSpec extends SparkSpec {
       s"one Lloyd round must not increase total quantization error: $err1 > $err0")
   }
 
+  test("DSIR selection matches an independent driver-side computation") {
+    import graft.functions.Portable.{h60Scala, wordsScala}
+    def doc(id: Long, src: String, text: String) =
+      (id, text, "en", src, text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val fixture = Seq(
+      doc(1, "t", "the quick brown fox jumps"),
+      doc(2, "t", "the quick red fox sleeps"),
+      doc(3, "w", "the quick brown fox runs"),   // target-like
+      doc(4, "w", "stock ticker spam spam spam"), // not target-like
+      doc(5, "w", "the quick"),                  // one bigram
+      doc(6, "w", "x"))                          // no bigram → absent
+    val docs = fixture.toDF(cols: _*)
+    val got = TextOps.dsirSelect(docs, targetSource = "t", buckets = 64,
+        topN = 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // independent recomputation with plain Scala
+    def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val B = 64
+    val feats = fixture.map { case (id, text, _, src, _) =>
+      val ws = wordsScala(text)
+      (id, src, ws.sliding(2).filter(_.length == 2)
+        .map(p => math.floorMod(h60Scala(p.mkString(" ")), B)).toSeq)
+    }.filter(_._3.nonEmpty)
+    val cr = feats.flatMap(_._3).groupBy(identity).map { case (b, xs) =>
+      b -> xs.size.toLong }
+    val ct = feats.filter(_._2 == "t").flatMap(_._3).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val tr = cr.values.sum; val tt = ct.values.sum
+    val c0 = flog2(tr + B) - flog2(tt + B)
+    val want = feats.map { case (id, _, bs) =>
+      (id, bs.size.toLong, bs.map(b =>
+        flog2(ct.getOrElse(b, 0L) + 1) - flog2(cr(b) + 1) + c0).sum)
+    }.sortBy(p => (-p._3, p._1)).take(3)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == want,
+      s"got ${got.toSeq} want $want")
+    // the gated model join: fallback shuffled path = broadcast path
+    val fb = TextOps.dsirSelect(docs, targetSource = "t", buckets = 64,
+      topN = 3, broadcastModel = Some(false))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(fb.toSeq == got.toSeq)
+  }
+
   test("PQ ADC search matches an independent driver-side computation") {
     // 6 vectors, dims=4, m=2 subspaces, seeds = ids % 3 == 0 (0 and 3)
     val vecs: Seq[(Long, Seq[Double])] = Seq(

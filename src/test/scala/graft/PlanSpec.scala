@@ -249,6 +249,14 @@ class PlanSpec extends SparkSpec {
     val pq = Similarity.pqEncode(Tables.embeddings(spark, sf))
     assert(exchanges(pq) == 0, s"want a map-only encode:\n${planOf(pq)}")
     assert(!planOf(pq).contains("Join"), planOf(pq))
+    // q83: DSIR selection — bounded top-N aggregator, no rank window,
+    // no cartesian; the model join broadcasts at this scale
+    val dsir = TextOps.dsirSelect(Tables.documents(spark, sf))
+    val dsirPlan = planOf(dsir)
+    assert(!dsirPlan.contains("Window") && !dsirPlan.contains("Cartesian"),
+      dsirPlan)
+    assert(dsirPlan.contains("ObjectHashAggregate"), dsirPlan)
+    assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
     // q82: ADC search — corpus codes are map-only (no corpus shuffle),
     // the per-query LUTs ride one broadcast nested-loop join, and the
     // sole exchange is the bounded top-k aggregate on query_id
