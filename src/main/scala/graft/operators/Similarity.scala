@@ -207,6 +207,63 @@ object Similarity extends graft.QueryModule {
         (-col("n.neg")).as("neg_id"), col("n.sim").as("neg_sim"))
   }
 
+  /** SemDeDup-style semantic pruning (q84): cluster the corpus with a
+    * coarse quantizer, then inside each cluster drop every vector that
+    * has a ≥ `threshold`-cosine neighbor with a SMALLER vec_id — the
+    * deterministic spelling of "keep one representative per ε-group",
+    * the embedding-space dedup used to thin web-scale corpora before
+    * training. Clusters larger than `maxCluster` are skipped
+    * (conservative: only prunes are lost), the same stop-bucket
+    * discipline as the q29/q81 caps.
+    *
+    * SCALE SHAPE: assignment is a PURE MAP over literal modulo-seeded
+    * centroids (zero exchanges — the q34 kmeans shape, |C| scales as
+    * corpus/centroidMod so expected cluster size stays ~centroidMod);
+    * candidate pairs come from ONE cluster-keyed aggregation of ids
+    * only (vectors never enter the collect), pair cosines fetch
+    * embeddings back by equi-join, and the drop set — ids only, at
+    * most one per near-dup pair — anti-joins against the assignment.
+    * Never all-pairs: the pair space is Σ_cluster min(n_c, cap)².
+    */
+  def semanticPrune(embeddings: DataFrame, centroidMod: Int = 127,
+                    threshold: Double = 0.2,
+                    maxCluster: Int = 1000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val cents = base
+      .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    // cosine to each centroid with the shared fold; centroid norms are
+    // driver-side sqrt of the same left-to-right |c|² fold
+    val cEmb = typedlit(cents.map(_._2))
+    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = transform(cEmb, (ce, i) =>
+      dot(col("emb"), ce) /
+        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
+      nullif(array_position(sims, array_max(sims)), lit(0L)),
+      lit(1L)).cast("int"))
+    val assigned = base.select(col("vec_id"), centroid.as("centroid"))
+    val cands = assigned.groupBy(col("centroid"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxCluster)
+      .select(explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val sided = base.withColumn("nrm", norm(col("emb")))
+    val drops = cands
+      .join(sided.select(col("vec_id").as("a"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), "a")
+      .join(sided.select(col("vec_id").as("b"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), "b")
+      .filter((dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm"))) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** Per-dimension embedding statistics — the health screen run before
     * any ANN index build: mean and population variance of every
     * embedding dimension (dead dims have ~zero variance; a shifted
@@ -759,7 +816,8 @@ object Similarity extends graft.QueryModule {
     "q68_emb_stats" -> ((s, d) => embeddingStats(Tables.embeddings(s, d))),
     "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d))),
     "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
-    "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5))
+    "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5)),
+    "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -922,6 +980,42 @@ object Similarity extends graft.QueryModule {
              f0.d2 + f1.d2 + f2.d2 + f3.d2 AS err
       FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
         JOIN f3 USING (vec_id)""",
+    /* q84: coarse assignment exactly as q36's (cosine argmax, ties to
+     * the smallest centroid id), cluster-capped in-cluster pairs, drop
+     * the larger id of any ≥-threshold pair. */
+    "q84_semantic_prune" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cents AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      sc AS (
+        SELECT base.vec_id, c_id,
+               ${cosSql("emb", "c_emb")} AS s
+        FROM base CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, c_id ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      sized AS (
+        SELECT centroid FROM assign GROUP BY centroid
+        HAVING count(*) > 1 AND count(*) <= 1000),
+      pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM assign a
+        JOIN assign b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+        JOIN sized s ON s.centroid = a.centroid),
+      close AS (
+        SELECT DISTINCT p.b
+        FROM pairs p
+        JOIN base x ON x.vec_id = p.a
+        JOIN base y ON y.vec_id = p.b
+        WHERE ${cosSql("x.emb", "y.emb")} >= 0.2)
+      SELECT vec_id, centroid FROM assign
+      WHERE vec_id NOT IN (SELECT b FROM close)""",
     /* q82: same four Lloyd chains as q80, then ADC — per (query,
      * vector, subspace) the d² of the query subvector against the
      * vector's ASSIGNED refined centroid, summed left-to-right across

@@ -484,6 +484,25 @@ class OperatorsSpec extends SparkSpec {
       s"one Lloyd round must not increase total quantization error: $err1 > $err0")
   }
 
+  test("semantic prune keeps the lowest id per near-dup and skips capped clusters") {
+    // seeds (centroidMod=3): v0=(1,0) and v3=(0,1); v1≈v4 in cluster 0,
+    // v2≈v5 in cluster 3, cross-pair cosines all below 0.999
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.9, 0.1), 2L -> Seq(0.1, 0.9),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(0.89, 0.11), 5L -> Seq(0.1, 0.91))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.semanticPrune(df, centroidMod = 3,
+        threshold = 0.999, maxCluster = 10)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 3L), (3L, 3L)),
+      s"got $got") // 4 drops against 1, 5 drops against 2
+    // clusters above the cap are skipped — conservative, keeps all
+    val capped = Similarity.semanticPrune(df, centroidMod = 3,
+        threshold = 0.999, maxCluster = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(capped.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L), s"got $capped")
+  }
+
   test("DSIR selection matches an independent driver-side computation") {
     import graft.functions.Portable.{h60Scala, wordsScala}
     def doc(id: Long, src: String, text: String) =

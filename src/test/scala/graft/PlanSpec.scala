@@ -249,6 +249,11 @@ class PlanSpec extends SparkSpec {
     val pq = Similarity.pqEncode(Tables.embeddings(spark, sf))
     assert(exchanges(pq) == 0, s"want a map-only encode:\n${planOf(pq)}")
     assert(!planOf(pq).contains("Join"), planOf(pq))
+    // q84: semantic prune — literal-centroid assignment (no cartesian
+    // against a centroid table), cluster-keyed id aggregation, no
+    // rank window anywhere
+    val sem = planOf(Similarity.semanticPrune(Tables.embeddings(spark, sf)))
+    assert(!sem.contains("Cartesian") && !sem.contains("Window"), sem)
     // q83: DSIR selection — bounded top-N aggregator, no rank window,
     // no cartesian; the model join broadcasts at this scale
     val dsir = TextOps.dsirSelect(Tables.documents(spark, sf))
