@@ -348,7 +348,45 @@ object Corpus extends graft.QueryModule {
             col("kth_min").cast("double")))
   }
 
+  /** Per-source document cap (q85): keep at most `cap` documents per
+    * source, chosen by a seeded-hash priority — the FineWeb-style
+    * per-domain cap that stops one giant crawl domain from dominating
+    * the mixture. The selection is a deterministic uniform sample
+    * (smallest `cap` values of md5-based priority, ties by doc_id),
+    * so reruns and engines agree bit-for-bit.
+    *
+    * SCALE SHAPE: the cap rides the bounded
+    * [[graft.functions.Aggregators.topK]] aggregator keyed by source
+    * — each map task keeps ≤ cap candidates per source, so the one
+    * exchange moves (source, priority, id) partials, never documents,
+    * and there is no rank window over the corpus. The kept-id set
+    * (cap × |sources| rows) then joins the payload back — small
+    * enough to broadcast at any corpus size where the cap itself is
+    * sane. The source key space is low-cardinality by nature; the
+    * per-source merge holds ≤ cap entries, fine for caps into the
+    * 10⁵ range — beyond that, switch to a two-pass histogram
+    * threshold on the priority (the q59 machinery).
+    */
+  def sourceCap(documents: DataFrame, cap: Int = 10,
+                seed: String = "cap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    // priority = seeded 32-bit md5 hash of the id (Portable.hash32
+    // spelling: md5(seed || '|' || id)); negated because topK keeps
+    // the LARGEST sims — so smallest priorities survive, ties by id.
+    val pri = hash32(col("doc_id").cast("string"), seed)
+    val kept = documents
+      .groupBy(col("source"))
+      .agg(Aggregators.topK(cap)(
+        -pri.cast("double"), col("doc_id")).as("ks"))
+      .select(explode(col("ks")).as("k"))
+      .select(col("k.id").as("doc_id"))
+    documents.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+      .join(broadcast(kept), Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_source_cap"    -> ((s, d) => sourceCap(Tables.documents(s, d))),
     "q75_profile"       -> ((s, d) => profileTable(Tables.documents(s, d))),
     // shards pinned to the oracle's `% 4` — the operator default is
     // cluster-derived and would drift with local[32]'s parallelism
@@ -368,6 +406,21 @@ object Corpus extends graft.QueryModule {
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   def oracle: Map[String, String] = Map(
+    "q85_source_cap" -> """
+      WITH pri AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('cap|' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::BIGINT AS h
+        FROM documents),
+      keep AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY h ASC, doc_id ASC) AS rn
+          FROM pri)
+        WHERE rn <= 10)
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d JOIN keep USING (doc_id)""",
     /* q75: unpivot the documents columns to (col_name, string value),
      * then the base stats + the q58 KMV estimator per column. No
      * sentinel needed here — the h CTE just excludes NULLs, which is

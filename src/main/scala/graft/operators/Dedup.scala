@@ -842,6 +842,42 @@ object Dedup extends graft.QueryModule {
         col("best.n").as("n_shared_spans"))
   }
 
+  /** MinHash-LSH candidate-quality eval (q87): precision/recall of
+    * [[minhashPairs]] against the exact n-gram Jaccard ≥ `threshold`
+    * pairs of [[ngramJaccardPairs]] as ground truth — the dedup
+    * twin of the q38/q41 ANN recall evals. This is the measurement a
+    * pipeline runs before committing LSH parameters (k, bands) to a
+    * 100 TB dedup pass: recall says how many true near-dups the
+    * banding finds, precision says how much exact-verification work
+    * the candidates cost. Ground truth shares the same capped
+    * inverted-index bound (a pair at jaccard ≥ τ shares shingles by
+    * construction, so the index misses nothing the cap doesn't drop).
+    *
+    * SCALE SHAPE: both inputs are bucket-capped candidate sets (never
+    * all-pairs); the (a, b) equi-join of two bounded pair sets and
+    * ONE single-row aggregate — counts partial-aggregate, ratios are
+    * single-row double math.
+    */
+  def minhashRecallEval(documents: DataFrame,
+                        threshold: Double = 0.8): DataFrame = {
+    val cand = minhashPairs(documents)
+      .select(col("a"), col("b"), lit(1L).as("c"))
+    val truth = ngramJaccardPairs(documents, threshold)
+      .select(col("a"), col("b"), lit(1L).as("t"))
+    cand.join(truth, Seq("a", "b"), "full_outer")
+      .agg(count(col("c")).as("n_candidates"),
+        count(col("t")).as("n_truth"),
+        count(when(col("c").isNotNull && col("t").isNotNull, lit(1)))
+          .as("n_hits"))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_candidates") === 0, lit(null))
+          .otherwise(col("n_hits").cast("double") / col("n_candidates"))
+          .as("prec"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(col("n_hits").cast("double") / col("n_truth"))
+          .as("recall"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** q73's deterministic reference/batch split of the documents table
@@ -872,7 +908,8 @@ object Dedup extends graft.QueryModule {
     "q28_simhash_pairs"  -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q29_jaccard_pairs"  -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d), 0.8)),
     "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d))),
-    "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9))
+    "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9)),
+    "q87_minhash_recall" -> ((s, d) => minhashRecallEval(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -1191,7 +1228,27 @@ object Dedup extends graft.QueryModule {
       JOIN s sb ON sb.doc_id = b
       WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
               / least(len(sa.ss), len(sb.ss)) >= 0.9""",
-    "q29_jaccard_pairs" -> s"""
+    "q29_jaccard_pairs" -> q29Sql,
+    /* q87: both pair sets as CTEs (the very SQL the driver already
+     * hash-checks as q26/q29), three scalar counts, single-row
+     * ratios. */
+    "q87_minhash_recall" -> s"""
+      WITH cand AS (SELECT a, b FROM ($q26Sql) c),
+      truth AS (SELECT a, b FROM ($q29Sql) t),
+      n AS (SELECT
+        (SELECT count(*) FROM cand) AS n_candidates,
+        (SELECT count(*) FROM truth) AS n_truth,
+        (SELECT count(*) FROM cand JOIN truth USING (a, b)) AS n_hits)
+      SELECT n_candidates, n_truth, n_hits,
+             CASE WHEN n_candidates = 0 THEN NULL
+                  ELSE CAST(n_hits AS DOUBLE) / n_candidates END AS prec,
+             CASE WHEN n_truth = 0 THEN NULL
+                  ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
+      FROM n"""
+  )
+
+  /** q29's oracle, shared verbatim by the q87 recall eval. */
+  private lazy val q29Sql: String = s"""
       WITH wsets AS (
         SELECT doc_id, list_distinct($wordsSql) AS wset FROM documents),
       inv AS (
@@ -1214,5 +1271,4 @@ object Dedup extends graft.QueryModule {
       JOIN wsets db ON db.doc_id = b
       WHERE CAST(len(list_distinct(list_intersect(da.wset, db.wset))) AS DOUBLE)
               / len(list_distinct(list_concat(da.wset, db.wset))) >= 0.8"""
-  )
 }

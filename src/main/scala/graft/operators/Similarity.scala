@@ -92,19 +92,49 @@ object Similarity extends graft.QueryModule {
     * md5("p<plane>_<dim>") → 32-bit int → scaled. Same formula is
     * inlined into the oracle SQL as literals.
     */
-  lazy val planes: Array[Array[Double]] = {
-    val mdt = new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue() = java.security.MessageDigest.getInstance("MD5")
-    }
-    def h32(s: String): Long = {
-      val hex = mdt.get().digest(s.getBytes("UTF-8"))
-        .take(4).map(b => f"${b & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
-    Array.tabulate(nPlanes, dims)((p, i) => (h32(s"p${p}_$i") % 2001 - 1000) / 1000.0)
+  private def h32Scala(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
   }
+
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims)((p, i) =>
+      (h32Scala(s"p${p}_$i") % 2001 - 1000) / 1000.0)
   val nPlanes = 8
   val dims = 64
+
+  /** Seeded Rademacher (±1) sign matrix for [[randomProject]]:
+    * rProj × dims entries, sign = parity of md5("rp<j>_<i>") — the
+    * [[planes]] discipline: computed once in Scala, inlined as
+    * literals into both the Spark plan and the oracle SQL. */
+  val rProj = 8
+  lazy val projSigns: Array[Array[Double]] =
+    Array.tabulate(rProj, dims)((j, i) =>
+      if (h32Scala(s"rp${j}_$i") % 2 == 0) 1.0 else -1.0)
+
+  /** Johnson–Lindenstrauss random projection (q86): reduce each
+    * embedding to `rProj` dimensions via the seeded Rademacher sign
+    * matrix — the standard cheap width reducer a pipeline runs before
+    * clustering or coarse ANN when the native dims are too wide to
+    * shuffle. Deterministic (seeded md5 signs), so engines agree
+    * bit-for-bit: each output dim is the same sequential
+    * double-precision fold on both sides.
+    *
+    * SCALE SHAPE: map-only — the sign matrix is model-sized literal
+    * constants in the plan, each output dim one codegen dot product;
+    * zero exchanges, zero joins, fuses into the scan. Output is
+    * rProj/dims of the input width, shrinking every downstream
+    * shuffle that rides on it.
+    */
+  def randomProject(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val cols = projSigns.zipWithIndex.map { case (row, j) =>
+      dot(v, array(row.map(lit): _*)).as(s"p${j + 1}")
+    }
+    embeddings.select(col("vec_id") +: cols.toSeq: _*)
+  }
 
   /** Sign-LSH bucket id of an embedding: bit p = (v · plane_p) > 0. */
   def lshBucket(emb: Column): Column = {
@@ -817,7 +847,8 @@ object Similarity extends graft.QueryModule {
     "q69_contrastive" -> ((s, d) => contrastivePairs(Tables.embeddings(s, d))),
     "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5)),
-    "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d)))
+    "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d))),
+    "q86_rand_proj" -> ((s, d) => randomProject(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -831,6 +862,10 @@ object Similarity extends graft.QueryModule {
   // these literals reproduce the exact Scala doubles.
   private def planesSqlLit: String =
     planes.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n               ", "]::DOUBLE[][]")
+
+  private def projSignsSqlLit: String =
+    projSigns.map(_.mkString("[", ", ", "]"))
       .mkString("[", ",\n               ", "]::DOUBLE[][]")
 
   private def bucketsSql = s"""
@@ -942,6 +977,15 @@ object Similarity extends graft.QueryModule {
         FROM m$n GROUP BY centroid)"""
 
   def oracle: Map[String, String] = Map(
+    "q86_rand_proj" -> s"""
+      WITH signs AS (SELECT $projSignsSqlLit AS sg),
+      b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, sg
+        FROM embeddings CROSS JOIN signs)
+      SELECT vec_id,
+             ${(1 to rProj).map(j =>
+               s"(${dotSql("emb", s"sg[$j]")}) AS p$j").mkString(",\n             ")}
+      FROM b""",
     "q56_label_outliers" -> s"""
       WITH base AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -296,4 +296,31 @@ class CorpusSpec extends SparkSpec {
     assert(exchanges(Corpus.chunk(d)) == 0,
       s"chunk shuffled:\n${plan(Corpus.chunk(d))}")
   }
+
+  test("sourceCap keeps exactly cap docs per source, by hash priority") {
+    val d = Tables.documents(spark, sf)
+    val cap = 7
+    val got = Corpus.sourceCap(d, cap = cap)
+    val perSource = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sf0.001 has 25 docs in every source — the cap binds everywhere
+    assert(perSource.values.forall(_ == cap.toLong), perSource)
+    // equals the rank-window formulation (the oracle's spelling,
+    // computed independently here with DataFrame windows)
+    val pri = graft.functions.Portable.hash32(
+      col("doc_id").cast("string"), "cap")
+    val byWindow = d
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(pri.asc, col("doc_id").asc)))
+      .filter(col("rn") <= cap).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet
+      == byWindow)
+    // scale shape: bounded aggregator + broadcast payload join — no
+    // rank window over the corpus
+    val p = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -899,6 +899,68 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("random projection matches an independent driver-side computation") {
+    // independent spelling of the sign matrix + fold: java MD5 parity
+    // for signs, sequential double fold for the dot product — the
+    // Spark side goes through Column md5/conv constant folding and
+    // the codegen DotProduct expression instead
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val embs = Tables.embeddings(spark, sf)
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val got = Similarity.randomProject(embs).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getDouble(j))).toMap
+    assert(got.size == vecs.size)
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 8).map { j =>
+        var acc = 0.0
+        v.indices.foreach { i =>
+          val sign = if (h32(s"rp${j}_$i") % 2 == 0) 1.0 else -1.0
+          acc += v(i).toDouble * sign
+        }
+        acc
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+    // map-only: zero exchanges, zero joins — fuses into the scan
+    val plan = Similarity.randomProject(embs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("minhash recall eval: perfect recall on exact duplicates, sane bounds") {
+    // 3 duplicate groups of sizes 3, 2, 2 (identical long texts →
+    // jaccard 1.0 and identical signatures in every band) + 3 clearly
+    // distinct docs → truth = C(3,2)+C(2,2)+C(2,2) = 5 pairs, all of
+    // which the banding must catch: recall = 1.0
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven",
+      "red orange yellow green blue indigo violet white black gray")
+    val rows =
+      base.zipWithIndex.flatMap { case (t, g) =>
+        val n = if (g == 0) 3 else 2
+        (0 until n).map(r => ((g * 10 + r).toLong, t, s"src$g"))
+      } ++ Seq(
+        (100L, "solar lunar stellar nebular quasar pulsar comet meteor orbit axis", "srcX"),
+        (101L, "carbon silicon nitrogen oxygen helium neon argon krypton xenon radon", "srcY"),
+        (102L, "sonata prelude fugue etude nocturne waltz mazurka ballade scherzo rondo", "srcZ"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = Dedup.minhashRecallEval(d).collect().head
+    val (nCand, nTruth, nHits) =
+      (got.getLong(0), got.getLong(1), got.getLong(2))
+    assert(nTruth == 5L, s"truth pairs: $nTruth")
+    assert(nHits == nTruth, "exact duplicates share every band")
+    assert(got.getDouble(4) == 1.0, "recall")
+    assert(nHits <= nCand && got.getDouble(3) <= 1.0)
+    assert(got.getDouble(3) == nHits.toDouble / nCand)
+  }
+
   test("frame sampling yields every Nth fixed-size chunk of video payloads") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, everyN = 3, frameBytes = 64)
