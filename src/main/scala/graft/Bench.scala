@@ -75,10 +75,19 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of output and
+    // parses the JSON line out of that tail; sbt appends a "[success]"
+    // line after us. With 84 queries, full query names + full double
+    // precision overflow the window (rounds 1-5 all recorded
+    // parsed:null). Short qNN keys + ms precision keep the whole line
+    // ~1.2 KB so it survives the tail capture intact.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
