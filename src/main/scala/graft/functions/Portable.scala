@@ -71,20 +71,28 @@ object Portable {
   def words(c: Column): Column = split(normText(c), " ")
 
   /** Consecutive n-gram "shingles" of a token array, joined with one
-    * space. Empty result when fewer than n tokens. Built from
-    * element_at + concat — an order of magnitude faster than a
-    * slice+concat_ws lambda, which allocates a sub-array per shingle.
+    * space. Empty result when fewer than n tokens. Built as a
+    * zip_with fold over n shifted slices of the array: the `tokens`
+    * expression is evaluated once per SLICE (n+1 times per row), and
+    * the per-element lambdas touch only slice elements. The naive
+    * `transform(sequence(...), i => concat(element_at(tokens, i+j)))`
+    * spelling re-evaluates `tokens` inside the lambda — when callers
+    * inline `words(text)` (every shingle call site does), that
+    * re-runs the regex normalize + split once per ELEMENT per
+    * element_at: measured 50× the cost of this shape on the bench
+    * corpus.
     * DuckDB: `list_transform(generate_series(1, len(w)-(n-1)),
     *            i -> array_to_string(w[i:i+(n-1)], ' '))`
     */
-  def shingles(tokens: Column, n: Int): Column =
+  def shingles(tokens: Column, n: Int): Column = {
+    val len = size(tokens) - (n - 1)
+    val folded = (2 to n).foldLeft(slice(tokens, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(tokens, lit(j), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(tokens) - n),
-          i => concat((0 until n).flatMap(j =>
-            if (j == 0) Seq(element_at(tokens, i + 1))
-            else Seq(lit(" "), element_at(tokens, i + j + 1))): _*)))
+      .otherwise(folded)
+  }
 
   /** Exact decimal view of a double metric column: per-row cast is
     * deterministic (nearest-decimal of an identical double), and the

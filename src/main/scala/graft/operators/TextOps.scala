@@ -476,17 +476,21 @@ object TextOps extends graft.QueryModule {
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("n"))
-    val raw = perDoc.groupBy(col("b")).agg(sum(col("n")).as("cr"))
-    val tgt = perDoc.filter(col("source") === targetSource)
-      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
-    val model = raw.join(tgt, Seq("b"), "left")
+    // ONE bucket-keyed pass computes both marginals (raw + target);
+    // perDoc then has exactly two consumers (model fit, scoring join)
+    // sharing its token-scale exchange — the old raw/tgt/shift
+    // spelling re-ran the post-exchange aggregation four times.
+    val marginals = perDoc.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("source") === targetSource, col("n"))).as("ct"))
+    val model = marginals
       .select(col("b"),
         (flog2(coalesce(col("ct"), lit(0L)) + 1) -
           flog2(col("cr") + 1)).as("lam"))
-    val shift = perDoc.agg(
-      (flog2(sum(col("n")) + buckets) -
-        flog2(coalesce(sum(when(col("source") === targetSource,
-          col("n"))), lit(0L)) + buckets)).as("c0"))
+    // totals fold over the buckets-sized marginals table, not the corpus
+    val shift = marginals.agg(
+      (flog2(sum(col("cr")) + buckets) -
+        flog2(coalesce(sum(col("ct")), lit(0L)) + buckets)).as("c0"))
     val bcast = broadcastModel.getOrElse(
       documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
         Dedup.MaxBroadcastSourceBytes)
