@@ -385,7 +385,59 @@ object Corpus extends graft.QueryModule {
       .join(broadcast(kept), Seq("doc_id"))
   }
 
+  /** Per-source distribution drift (q90): exact total-variation
+    * distance between each source's unigram distribution and the
+    * corpus-wide distribution —
+    * TV_s = ½ Σ_w |c_sw/T_s − c_w/T|. The mixture-QA number a
+    * pipeline publishes per ingest batch: a source whose TV jumps is
+    * a source whose content changed (new boilerplate, crawl drift,
+    * encoding breakage) before any downstream metric notices. Words
+    * absent from the source contribute their full corpus mass, folded
+    * in closed form as (T − Σ_{w∈s} c_w)/T — no vocabulary
+    * densification join.
+    *
+    * Exactness: per-word numerators are |c_sw·T − c_w·T_s| in
+    * DECIMAL(38,0) (≤10²⁴ at a trillion tokens — HUGEINT on the
+    * oracle side), summed order-free; the final doubles are one fixed
+    * IEEE op sequence over exact sums.
+    *
+    * SCALE SHAPE: same skeleton as the q89 PMI report — corpus
+    * collapses to (source, word) counts through ONE token-scale
+    * map-side-combined exchange; the word marginal re-aggregates on
+    * vocab keys and joins back hash-partitioned; source totals
+    * broadcast; output is #sources rows.
+    */
+  def sourceDrift(documents: DataFrame): DataFrame = {
+    // explicit not-null filters keep every consumer branch of sw on
+    // the identical scan subtree so the token-scale (source, w)
+    // exchange is plan-reused, not recomputed (see distinctiveTokens)
+    val sw = documents
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("source").isNotNull && col("w").isNotNull)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ts = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    val tot = ts.agg(sum(col("t_s")).as("t"))
+    val num = abs(
+      col("c_sw").cast("decimal(19,0)") * col("t").cast("decimal(19,0)") -
+        col("c_w").cast("decimal(19,0)") * col("t_s").cast("decimal(19,0)"))
+    sw.join(cw, "w")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("t_s"), col("t"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(num).as("num_sum"),
+        sum(col("c_w")).as("cw_sum"))
+      .select(col("source"), col("n_words"),
+        ((col("num_sum").cast("double") /
+          (col("t_s").cast("double") * col("t").cast("double")) +
+          (col("t").cast("double") - col("cw_sum").cast("double")) /
+            col("t").cast("double")) * 0.5).as("tv_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_source_drift"  -> ((s, d) => sourceDrift(Tables.documents(s, d))),
     "q85_source_cap"    -> ((s, d) => sourceCap(Tables.documents(s, d))),
     "q75_profile"       -> ((s, d) => profileTable(Tables.documents(s, d))),
     // shards pinned to the oracle's `% 4` — the operator default is
@@ -406,6 +458,34 @@ object Corpus extends graft.QueryModule {
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   def oracle: Map[String, String] = Map(
+    /* q90: HUGEINT numerators mirror the Spark DECIMAL(38,0) sums;
+     * the closing double expression is the same IEEE op sequence. */
+    "q90_source_drift" -> """
+      WITH w AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
+      cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+             FROM sw GROUP BY 1),
+      ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s
+             FROM sw GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t FROM sw),
+      g AS (
+        SELECT source, t_s, t,
+               count(*) AS n_words,
+               sum(abs(CAST(c_sw AS HUGEINT) * t
+                 - CAST(c_w AS HUGEINT) * t_s)) AS num_sum,
+               CAST(sum(c_w) AS BIGINT) AS cw_sum
+        FROM sw JOIN cw USING (w) JOIN ts USING (source) CROSS JOIN tot
+        GROUP BY source, t_s, t)
+      SELECT source, n_words,
+             (CAST(num_sum AS DOUBLE)
+                / (CAST(t_s AS DOUBLE) * CAST(t AS DOUBLE))
+              + (CAST(t AS DOUBLE) - CAST(cw_sum AS DOUBLE))
+                / CAST(t AS DOUBLE)) * 0.5 AS tv_dist
+      FROM g""",
     "q85_source_cap" -> """
       WITH pri AS (
         SELECT doc_id, source,

@@ -294,6 +294,67 @@ object Similarity extends graft.QueryModule {
     assigned.join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** Cluster-quality report (q88): simplified silhouette of the
+    * deterministic coarse clustering every downstream op here rides
+    * (centroids = vec_id ≡ 0 mod `centroidMod`, assignment =
+    * max-cosine — the q34/q36/q84 quantizer). Per vector, with
+    * cosine distance d = 1 − sim: a = d(assigned), b = d(second-best
+    * centroid); s = (b − a) / b (the centroid-based silhouette — a ≤ b
+    * by construction; s = 0 when b = 0). Per cluster: member count,
+    * mean silhouette, mean cohesion (a). This is the go/no-go
+    * measurement before trusting the clustering for SemDeDup (q84) or
+    * IVF routing (q36): near-zero mean silhouette says the coarse
+    * partition is noise.
+    *
+    * Determinism: sims ride the same literal-centroid sequential
+    * double folds as q84 (identical IEEE op sequence in the oracle);
+    * second-best = second element of the sorted sim array (value-
+    * identical under ties to the rn=2 row of the oracle's window);
+    * means go through DECIMAL(18,9) sums — order-independent.
+    *
+    * SCALE SHAPE: assignment + per-vector silhouette is a PURE MAP
+    * over model-sized literal centroids (no centroid join, the corpus
+    * never shuffles for it); the single exchange carries |C|-keyed
+    * decimal partials. |C| scales as corpus/centroidMod, so the
+    * report stays model-sized at any corpus.
+    */
+  def clusterQuality(embeddings: DataFrame,
+                     centroidMod: Int = 127): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val cents = base
+      .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    require(cents.size >= 2,
+      s"clusterQuality needs >= 2 centroids, got ${cents.size}")
+    val cEmb = typedlit(cents.map(_._2))
+    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = transform(cEmb, (ce, i) =>
+      dot(col("emb"), ce) /
+        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
+      nullif(array_position(sims, array_max(sims)), lit(0L)),
+      lit(1L)).cast("int"))
+    val scored = base
+      .select(col("vec_id"), centroid.as("centroid"),
+        array_sort(sims).as("ss"))
+      .select(col("centroid"),
+        (lit(1.0) - element_at(col("ss"), -1)).as("a"),
+        (lit(1.0) - element_at(col("ss"), -2)).as("b"))
+      .select(col("centroid"), col("a"),
+        when(col("b") === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / col("b")).as("s"))
+    scored.groupBy(col("centroid"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Portable.dec(col("s"), 9)).as("sil_sum"),
+        sum(graft.functions.Portable.dec(col("a"), 9)).as("coh_sum"))
+      .select(col("centroid"), col("n"),
+        (col("sil_sum").cast("double") / col("n")).as("mean_silhouette"),
+        (col("coh_sum").cast("double") / col("n")).as("mean_cohesion"))
+  }
+
   /** Per-dimension embedding statistics — the health screen run before
     * any ANN index build: mean and population variance of every
     * embedding dimension (dead dims have ~zero variance; a shifted
@@ -848,7 +909,8 @@ object Similarity extends graft.QueryModule {
     "q80_pq_encode" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5)),
     "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d))),
-    "q86_rand_proj" -> ((s, d) => randomProject(Tables.embeddings(s, d)))
+    "q86_rand_proj" -> ((s, d) => randomProject(Tables.embeddings(s, d))),
+    "q88_cluster_quality" -> ((s, d) => clusterQuality(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1027,6 +1089,40 @@ object Similarity extends graft.QueryModule {
     /* q84: coarse assignment exactly as q36's (cosine argmax, ties to
      * the smallest centroid id), cluster-capped in-cluster pairs, drop
      * the larger id of any ≥-threshold pair. */
+    /* q88: same cents/sc/window chain as q84; a = 1 − rn1.s and
+     * b = 1 − rn2.s are value-identical to the Spark side's sorted
+     * sim array under ties; means via DECIMAL(18,9) sums. */
+    "q88_cluster_quality" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cents AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      sc AS (
+        SELECT base.vec_id, c_id,
+               ${cosSql("emb", "c_emb")} AS s
+        FROM base CROSS JOIN cents),
+      rk AS (
+        SELECT vec_id, c_id, s,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, c_id ASC) AS rn
+        FROM sc),
+      per AS (
+        SELECT r1.vec_id, r1.c_id AS centroid,
+               1.0 - r1.s AS a, 1.0 - r2.s AS b
+        FROM rk r1
+        JOIN rk r2 ON r1.vec_id = r2.vec_id AND r2.rn = 2
+        WHERE r1.rn = 1),
+      sil AS (
+        SELECT centroid, a,
+               CASE WHEN b = 0 THEN 0.0 ELSE (b - a) / b END AS s
+        FROM per)
+      SELECT centroid, count(*) AS n,
+             CAST(sum(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+               AS mean_silhouette,
+             CAST(sum(CAST(a AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+               AS mean_cohesion
+      FROM sil GROUP BY centroid""",
     "q84_semantic_prune" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -545,6 +545,63 @@ object TextOps extends graft.QueryModule {
       .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
   }
 
+  /** Per-source distinctive tokens (q89): the top-k tokens whose
+    * frequency in a source most exceeds their corpus-wide rate —
+    * pointwise mutual information in integer bits,
+    * pmi = flog2(c_sw) + flog2(T) − flog2(c_w) − flog2(T_s),
+    * restricted to tokens with c_sw ≥ `minCount`. This is the
+    * corpus-QA report a pipeline prints per crawl/domain: "what is
+    * this source actually full of?" — PMI surfaces the vocabulary a
+    * source over-represents, not just its most frequent tokens.
+    * All four bit costs are exact integer floor(log₂) (summed as
+    * ints, no float), so selection order (pmi desc, word asc) is
+    * engine-portable.
+    *
+    * SCALE SHAPE: the corpus collapses to the (source, word) count
+    * table first (ONE token-scale exchange, map-side combined); the
+    * word marginal re-aggregates that table on vocab-sized keys and
+    * joins back on the word key (hash-partitioned — the natural
+    * vocab join; AQE broadcasts it at small scale); source totals
+    * (#sources rows) and the corpus total (1 row) broadcast. Top-k
+    * rides the bounded by-key aggregator — ≤ k candidates per source
+    * per map task, never a rank window over the vocabulary.
+    */
+  def distinctiveTokens(documents: DataFrame, k: Int = 10,
+                        minCount: Int = 5): DataFrame = {
+    def flog2(c: Column): Column = length(bin(c)) - 1
+    // the explicit not-null filters match the constraints the joins
+    // below infer on the scored branch — without them the cw/ts/tot
+    // branches compile to a DIFFERENT scan subtree (no IsNotNull
+    // pushed) and the token-scale (source, w) exchange materializes
+    // twice instead of being plan-reused (the q83 lesson)
+    val sw = documents
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("source").isNotNull && col("w").isNotNull)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ts = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    val tot = ts.agg(sum(col("t_s")).as("t"))
+    val scored = sw.filter(col("c_sw") >= minCount)
+      .join(cw, "w")
+      .join(broadcast(ts), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("w"), col("c_sw"),
+        (flog2(col("c_sw")) + flog2(col("t")) -
+          flog2(col("c_w")) - flog2(col("t_s")))
+          .cast("long").as("pmi_bits"))
+    val top = scored.groupBy(col("source"))
+      .agg(graft.functions.Aggregators.topKByKey(k)(
+        col("pmi_bits"), col("w")).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("source"), col("s.key").as("w"),
+        (col("pos") + 1).cast("int").as("rank"))
+    // the join-back moves only k·|sources| (source, word) keys
+    scored.join(broadcast(top), Seq("source", "w"))
+      .select(col("source"), col("rank"), col("w").as("word"),
+        col("c_sw"), col("pmi_bits"))
+  }
+
   /** Fit the [[unigramSurprisal]] model for the STREAMING serve path
     * (`StreamAggs.surprisalScore`): collect the (word-hash → count)
     * vocabulary and the token total. The collect is model-sized (a
@@ -680,6 +737,7 @@ object TextOps extends graft.QueryModule {
     "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "q79_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "q83_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
+    "q89_distinct_tokens" -> ((s, d) => distinctiveTokens(Tables.documents(s, d))),
     // same deterministic 80/20 fit/score split the q73 admission uses
     "q77_bigram_surprisal" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -937,6 +995,35 @@ object TextOps extends graft.QueryModule {
                row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
         FROM scored)
       WHERE rn <= 100""",
+    /* q89: counts + the q65 flog2 bit spelling; the oracle's rank
+     * window mirrors the bounded by-key aggregator's (pmi desc, word
+     * asc) total order. */
+    "q89_distinct_tokens" -> """
+      WITH w AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
+      cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+             FROM sw GROUP BY 1),
+      ts AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s
+             FROM sw GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t FROM sw),
+      scored AS (
+        SELECT source, w, c_sw,
+               CAST((length(bin(c_sw)) - 1) + (length(bin(t)) - 1)
+                 - (length(bin(c_w)) - 1) - (length(bin(t_s)) - 1)
+                 AS BIGINT) AS pmi_bits
+        FROM sw JOIN cw USING (w) JOIN ts USING (source) CROSS JOIN tot
+        WHERE c_sw >= 5),
+      top AS (
+        SELECT source, w, c_sw, pmi_bits,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY pmi_bits DESC, w ASC) AS rank
+        FROM scored)
+      SELECT source, CAST(rank AS INT) AS rank, w AS word, c_sw, pmi_bits
+      FROM top WHERE rank <= 10""",
     "q65_surprisal" -> """
       WITH tok AS (
         SELECT doc_id,

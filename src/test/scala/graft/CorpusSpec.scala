@@ -297,6 +297,36 @@ class CorpusSpec extends SparkSpec {
       s"chunk shuffled:\n${plan(Corpus.chunk(d))}")
   }
 
+  test("source drift equals hand-computed total-variation distance") {
+    // source a: {x:3, y:1} T_a=4; source b: {x:1, z:3} T_b=4; T=8
+    // p  = {x:.5, y:.125, z:.375}; p_a = {x:.75, y:.25}; p_b = {x:.25, z:.75}
+    // TV_a = ½(|.75−.5| + |.25−.125| + .375) = 0.375
+    // TV_b = ½(|.25−.5| + |.75−.375| + .125) = 0.375
+    val d = docs(Seq((1L, "x x x y", "a"), (2L, "x z z z", "b")))
+    val got = Corpus.sourceDrift(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // replicate the closed form exactly: num_sum/(T_s·T) + (T−cw_sum)/T
+    def tv(numSum: Long, ts: Long, cwSum: Long, t: Long): Double =
+      (numSum.toDouble / (ts.toDouble * t.toDouble) +
+        (t.toDouble - cwSum.toDouble) / t.toDouble) * 0.5
+    // a: Σ|c_sw·T − c_w·T_s| = |3·8−4·4| + |1·8−1·4| = 12; cw_sum = 5
+    // b: |1·8−4·4| + |3·8−3·4| = 8+12 = 20; cw_sum = 7
+    assert(got == Seq(("a", 2L, tv(12, 4, 5, 8)), ("b", 2L, tv(20, 4, 7, 8))),
+      s"got $got")
+    assert(got.forall(_._3 == 0.375), s"hand value: $got")
+    // a source identical to the corpus mix drifts 0
+    val same = docs(Seq((1L, "x x y", "a"), (2L, "x x y", "b")))
+    val zero = Corpus.sourceDrift(same).collect()
+    assert(zero.forall(_.getDouble(2) == 0.0), zero.mkString(","))
+    // scale shape: no rank window, no sort-merge join, no cartesian —
+    // marginals re-aggregate the (source, word) table; totals broadcast
+    val plan = Corpus.sourceDrift(d)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("sourceCap keeps exactly cap docs per source, by hash priority") {
     val d = Tables.documents(spark, sf)
     val cap = 7

@@ -503,6 +503,73 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L), s"got $capped")
   }
 
+  test("cluster quality matches an independent driver-side computation") {
+    // same centroidMod=3 fixture as the semantic-prune test: centroids
+    // v0=(1,0) and v3=(0,1); members {0,1,4} and {2,3,5}
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.9, 0.1), 2L -> Seq(0.1, 0.9),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(0.89, 0.11), 5L -> Seq(0.1, 0.91))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.clusterQuality(df, centroidMod = 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // independent recomputation: same sequential double folds
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val cents = Seq(0L -> vecs(0)._2, 3L -> vecs(3)._2)
+    val per = vecs.map { case (_, v) =>
+      val sims = cents.map { case (_, c) =>
+        dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))) }
+      val cid = cents(sims.indexOf(sims.max))._1
+      val sorted = sims.sorted
+      val a = 1.0 - sorted.last; val b = 1.0 - sorted(sorted.size - 2)
+      (cid, a, if (b == 0.0) 0.0 else (b - a) / b)
+    }
+    val want = per.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, xs) =>
+      (cid, xs.size.toLong, xs.map(_._3).sum / xs.size,
+        xs.map(_._2).sum / xs.size)
+    }
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)),
+      s"got $got want $want")
+    got.zip(want).foreach { case (g, w) =>
+      // means ride DECIMAL(18,9) sums: per-term rounding ≤ 5e-10
+      assert(math.abs(g._3 - w._3) < 2e-9, s"silhouette ${g._1}")
+      assert(math.abs(g._4 - w._4) < 2e-9, s"cohesion ${g._1}")
+    }
+    // centroid v0 members are tight (a≈0), far from v3 → silhouette ≈ 1
+    assert(got.forall(_._3 > 0.9), s"fixture clusters are clean: $got")
+    // scale shape: assignment is a pure map over literal centroids —
+    // ONE exchange (the |C|-keyed agg), no Join of any kind
+    val plan = Similarity.clusterQuality(df, centroidMod = 3)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("distinctive tokens (PMI) match hand-computed integer bit costs") {
+    // corpus: T=24; source a: aa×6 zz×5 (T_a=11), b: bb×8 zz×5 (T_b=13)
+    // pmi(a,aa) = ⌊lg 6⌋+⌊lg 24⌋−⌊lg 6⌋−⌊lg 11⌋ = 2+4−2−3 = 1
+    // pmi(a,zz) = 2+4−⌊lg 10⌋−3 = 0; pmi(b,bb) = 3+4−3−3 = 1
+    val docs = Seq(
+      (1L, ("aa " * 6).trim, "a"), (2L, ("zz " * 5).trim, "a"),
+      (3L, ("bb " * 8).trim, "b"), (4L, ("zz " * 5).trim, "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.distinctiveTokens(docs, k = 10, minCount = 5)
+      .as[(String, Int, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("a", 1, "aa", 6L, 1L), ("a", 2, "zz", 5L, 0L),
+      ("b", 1, "bb", 8L, 1L), ("b", 2, "zz", 5L, 0L)), s"got $got")
+    // minCount filters before the marginals join, not after
+    val rare = TextOps.distinctiveTokens(docs, k = 10, minCount = 6)
+      .select("word").as[String].collect().toSet
+    assert(rare == Set("aa", "bb"), s"got $rare")
+    // scale shape: bounded by-key aggregator, never a rank window
+    val plan = TextOps.distinctiveTokens(docs)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("DSIR selection matches an independent driver-side computation") {
     import graft.functions.Portable.{h60Scala, wordsScala}
     def doc(id: Long, src: String, text: String) =
