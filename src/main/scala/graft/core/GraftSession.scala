@@ -22,6 +22,12 @@ object GraftSession {
     // nanosecond longs and convert explicitly (core.Tables.events).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c.set("spark.sql.session.timeZone", "UTC")
+    // Driver testdata generations have flipped between TIMESTAMP(NANOS)
+    // and TIMESTAMP(MICROS) parquet annotations; read every micros
+    // timestamp as TimestampType (not NTZ) so literal comparisons and
+    // window functions type-check identically across generations. With
+    // the session timezone pinned UTC this relabels the same value.
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Runtime re-planning: partition coalescing + skew-join splitting.
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

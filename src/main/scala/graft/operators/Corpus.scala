@@ -436,6 +436,142 @@ object Corpus extends graft.QueryModule {
             col("t").cast("double")) * 0.5).as("tv_dist"))
   }
 
+  /** Temperature-scaled mixture sampling (α = 0.5): per-source keep
+    * rates ∝ sqrt of the source's token share, so small sources are
+    * upsampled relative to proportional mixing — the standard
+    * multilingual/multi-domain rebalance (reference has no analog;
+    * complements q61's waterfill with the smooth-α policy used when
+    * no per-source token budget is dictated). A global token budget
+    * (`budgetNum/budgetDen` of all tokens) is split across sources
+    * ∝ floor(sqrt(t_s)·2²⁰); each doc keeps iff
+    * h32(doc) · t_s < planned_s · 2³², an exact integer Bernoulli
+    * with rate planned_s/t_s — no float thresholds anywhere near the
+    * corpus-sized decision.
+    *
+    * SCALE SHAPE: per-source token totals through one tiny-key
+    * exchange; the #sources-row plan table broadcasts back; the keep
+    * decision and the kept-token rollup are map-side against that
+    * broadcast (one more tiny-key exchange for the report). The
+    * corpus never shuffles. All cross-source arithmetic is integer /
+    * DECIMAL(38,0) (exact at 100 TB token counts: products stay
+    * below 2⁸⁰ « 10³⁸); the only double op is a single sqrt per
+    * SOURCE, bit-identical across engines on identical operands.
+    */
+  def tempMixture(documents: DataFrame, budgetNum: Int = 1,
+                  budgetDen: Int = 4): DataFrame = {
+    require(budgetNum >= 1 && budgetDen >= budgetNum,
+      s"budget fraction must be in (0,1]: $budgetNum/$budgetDen")
+    val toks = documents
+      .filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+    val ts = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("t_s"))
+      .withColumn("wq",
+        floor(sqrt(col("t_s").cast("double")) * lit(1048576.0d))
+          .cast("long"))
+    val tot = ts.agg(sum(col("t_s")).as("t"), sum(col("wq")).as("wsum"))
+    // planned_s = floor(floor(t·num/den) · wq_s / wsum), spelled as
+    // remainder-subtract-then-divide so the decimal division is exact
+    // (no dependence on either engine's quotient rounding mode)
+    val q = expr(s"(t * $budgetNum) div $budgetDen").cast("decimal(38,0)") *
+      col("wq").cast("decimal(38,0)")
+    val st = ts.crossJoin(broadcast(tot))
+      .withColumn("planned",
+        ((q - pmod(q, col("wsum").cast("decimal(38,0)"))) /
+          col("wsum").cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .select(col("source"), col("t_s"), col("wq"), col("planned"))
+    val kept = toks.join(broadcast(st), "source")
+      .filter(hash32(col("doc_id").cast("string"), "mix")
+        .cast("decimal(38,0)") * col("t_s").cast("decimal(38,0)") <
+        col("planned") * lit(4294967296L).cast("decimal(38,0)"))
+    kept.groupBy(col("source"), col("t_s"), col("wq"), col("planned"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      .select(col("source"), col("t_s"), col("wq"),
+        col("planned").cast("long").as("planned"),
+        col("kept_docs"), col("kept_tokens"))
+  }
+
+  /** Per-source filter-funnel report: how many documents survive each
+    * stage of a sequential quality pipeline (length bounds → minimum
+    * word count → mean-word-length band → distinct-word ratio). The
+    * per-stage attrition table is the first thing a corpus curation
+    * run looks at before committing filter thresholds (FineWeb-style
+    * ablation reporting); every predicate is integer-only
+    * (cross-multiplied ratios, no float thresholds).
+    *
+    * SCALE SHAPE: the whole decision surface computes in ONE fused
+    * map-only scan (the q62 pattern — stage booleans are cheap column
+    * expressions over the token array), then the report is a single
+    * tiny-key (#sources) partial-aggregated exchange. Nothing else
+    * moves.
+    */
+  def filterFunnel(documents: DataFrame,
+                   minChars: Int = 200, maxChars: Int = 100000,
+                   minWords: Int = 30): DataFrame = {
+    val ws = documents
+      .filter(col("source").isNotNull)
+      .select(col("source"), col("n_chars"), words(col("text")).as("ws"))
+    val m = ws.select(col("source"), col("n_chars"),
+      size(col("ws")).cast("long").as("n_w"),
+      size(array_distinct(col("ws"))).cast("long").as("n_d"),
+      aggregate(transform(col("ws"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("wchars"))
+    val s1 = col("n_chars") >= minChars && col("n_chars") <= maxChars
+    val s2 = s1 && col("n_w") >= minWords
+    // mean word length in [3, 10] as integer cross-multiplication
+    val s3 = s2 && col("wchars") >= col("n_w") * 3 &&
+      col("wchars") <= col("n_w") * 10
+    // ≥ 40% distinct words: n_d / n_w ≥ 2/5
+    val s4 = s3 && col("n_d") * 5 >= col("n_w") * 2
+    m.groupBy(col("source")).agg(
+      count(lit(1)).as("total"),
+      sum(when(s1, 1L).otherwise(0L)).as("after_len"),
+      sum(when(s2, 1L).otherwise(0L)).as("after_words"),
+      sum(when(s3, 1L).otherwise(0L)).as("after_wordlen"),
+      sum(when(s4, 1L).otherwise(0L)).as("after_distinct"))
+  }
+
+  /** Cross-source content overlap WITHOUT a cross-source join: each
+    * source folds its distinct 3-shingle 60-bit hashes into a KMV
+    * bottom-k sketch (the q58 aggregator, bigger k), and every
+    * pairwise Jaccard estimate is computed from the two sketches
+    * alone — |bottom-k(A∪B) ∩ A ∩ B| / |bottom-k(A∪B)|, the standard
+    * KMV coincidence estimator. This is how "which sources duplicate
+    * each other?" is answered at 100 TB: the full pairwise shingle
+    * join (q29 between every source pair) is quadratic in sources
+    * and corpus-sized per pair; the sketch pass is one corpus scan
+    * and a #sources²-row tail.
+    *
+    * SCALE SHAPE: one exchange carrying only ≤ k longs per source per
+    * map task (the mergeable sketch state); the pairwise stage is a
+    * broadcast self-join of the #sources-row sketch table — model-
+    * sized no matter the corpus. Deterministic: md5-based hashes,
+    * integer counts, one final double division on exact operands.
+    */
+  def sourceOverlap(documents: DataFrame, k: Int = 128): DataFrame = {
+    val sk = documents
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), explode_outer(shingles(col("ws"), 3)).as("g"))
+      .filter(col("source").isNotNull && col("g").isNotNull)
+      .select(col("source"), hash60(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(Aggregators.bottomKDistinct(k)(col("h")).as("ks"))
+    val a = sk.select(col("source").as("s1"), col("ks").as("ka"))
+    val b = sk.select(col("source").as("s2"), col("ks").as("kb"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      // bottom-k of the union: both inputs are distinct+sorted, so
+      // array_union dedups and array_sort re-establishes order
+      .withColumn("u",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("common", size(array_intersect(col("u"),
+        array_intersect(col("ka"), col("kb")))))
+      .select(col("s1"), col("s2"),
+        size(col("u")).cast("long").as("k_used"),
+        col("common").cast("long").as("n_common"),
+        (col("common").cast("double") / size(col("u")).cast("double"))
+          .as("jaccard_est"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_source_drift"  -> ((s, d) => sourceDrift(Tables.documents(s, d))),
     "q85_source_cap"    -> ((s, d) => sourceCap(Tables.documents(s, d))),
@@ -451,13 +587,122 @@ object Corpus extends graft.QueryModule {
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
     "q70_pack_stats"    -> ((s, d) => packStats(Tables.documents(s, d),
-                                                shards = 4))
+                                                shards = 4)),
+    "q91_temp_mix"       -> ((s, d) => tempMixture(Tables.documents(s, d))),
+    "q92_filter_funnel"  -> ((s, d) => filterFunnel(Tables.documents(s, d))),
+    "q93_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d)))
   )
 
   private val wsSql =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   def oracle: Map[String, String] = Map(
+    /* q91: all mixture arithmetic in BIGINT/HUGEINT (// is exact
+     * integer division, mirroring Spark's remainder-subtract decimal
+     * spelling); the only double op is the per-source sqrt — IEEE
+     * correctly-rounded in both engines. */
+    "q91_temp_mix" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, CAST(len($wsSql) AS BIGINT) AS n_tok
+        FROM documents WHERE source IS NOT NULL),
+      ts AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s
+             FROM toks GROUP BY 1),
+      wq AS (SELECT source, t_s,
+               CAST(floor(sqrt(CAST(t_s AS DOUBLE)) * 1048576.0)
+                 AS BIGINT) AS wq
+             FROM ts),
+      tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t,
+                     CAST(sum(wq) AS BIGINT) AS wsum FROM wq),
+      st AS (SELECT source, t_s, wq,
+               (((t * 1) // 4) * CAST(wq AS HUGEINT))
+                 // CAST(wsum AS HUGEINT) AS planned
+             FROM wq CROSS JOIN tot),
+      kept AS (
+        SELECT k.source, s.t_s, s.wq, s.planned, k.n_tok
+        FROM toks k JOIN st s USING (source)
+        WHERE ('0x' || substr(md5('mix|' || CAST(k.doc_id AS VARCHAR)),
+                 1, 8))::BIGINT * CAST(s.t_s AS HUGEINT)
+              < s.planned * 4294967296)
+      SELECT source, t_s, wq, CAST(planned AS BIGINT) AS planned,
+             count(*) AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY 1, 2, 3, 4""",
+    /* q92: stage predicates are integer-only (cross-multiplied
+     * ratios), list_* mirrors the Spark array lambdas. */
+    "q92_filter_funnel" -> s"""
+      WITH m AS (
+        SELECT source, n_chars,
+               CAST(len(ws) AS BIGINT) AS n_w,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_d,
+               CAST(list_sum(list_transform(ws, w -> strlen(w)))
+                 AS BIGINT) AS wchars
+        FROM (SELECT source, n_chars, $wsSql AS ws
+              FROM documents WHERE source IS NOT NULL)),
+      f AS (
+        SELECT source,
+               (n_chars >= 200 AND n_chars <= 100000) AS s1,
+               (n_chars >= 200 AND n_chars <= 100000
+                 AND n_w >= 30) AS s2,
+               (n_chars >= 200 AND n_chars <= 100000 AND n_w >= 30
+                 AND wchars >= n_w * 3 AND wchars <= n_w * 10) AS s3,
+               (n_chars >= 200 AND n_chars <= 100000 AND n_w >= 30
+                 AND wchars >= n_w * 3 AND wchars <= n_w * 10
+                 AND n_d * 5 >= n_w * 2) AS s4
+        FROM m)
+      SELECT source, count(*) AS total,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_len,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_words,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_wordlen,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS after_distinct
+      FROM f GROUP BY 1""",
+    /* q93: the sketch is the bottom-128 distinct 60-bit 3-shingle
+     * hashes per source (row_number mirror of the KMV aggregator);
+     * the pairwise estimator re-ranks the union of the two sketches
+     * and counts coincidences inside its bottom-k. */
+    "q93_source_overlap" -> s"""
+      WITH t AS (
+        SELECT source, $wsSql AS ws
+        FROM documents WHERE source IS NOT NULL),
+      g AS (
+        SELECT source,
+               unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(1, len(ws) - 2),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                 END) AS g
+        FROM t),
+      h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+        FROM g),
+      r AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT source, h FROM r WHERE rn <= 128),
+      pr AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+      uh AS (
+        SELECT p.s1, p.s2, s.h,
+               max(CASE WHEN s.source = p.s1 THEN 1 ELSE 0 END) AS i1,
+               max(CASE WHEN s.source = p.s2 THEN 1 ELSE 0 END) AS i2
+        FROM pr p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+        GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT s1, s2, h, i1, i2,
+               row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+        FROM uh)
+      SELECT s1, s2, count(*) AS k_used,
+             CAST(sum(CASE WHEN i1 = 1 AND i2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_common,
+             CAST(sum(CASE WHEN i1 = 1 AND i2 = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS jaccard_est
+      FROM rk WHERE rn <= 128 GROUP BY 1, 2""",
     /* q90: HUGEINT numerators mirror the Spark DECIMAL(38,0) sums;
      * the closing double expression is the same IEEE op sequence. */
     "q90_source_drift" -> """
