@@ -166,6 +166,36 @@ object Dedup extends graft.QueryModule {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Pre-flight duplicate-rate estimate: the per-band LSH bucket
+    * census run BEFORE committing a cluster to the full q26→q47→q43
+    * dedup chain. Reports, per band: how many buckets exist, how many
+    * collide (≥ 2 docs), the largest bucket, how many candidate pairs
+    * the capped pair stage would expand (Σ c·(c−1)/2 over surviving
+    * buckets), and how many stop-band buckets the cap would drop.
+    * From these a 100 TB operator reads off (a) the expected pair
+    * volume — the cost driver of the whole dedup pass — and (b)
+    * whether the band width needs retuning (q87 measures recall; this
+    * measures COST) — without ever materializing a pair.
+    *
+    * SCALE SHAPE: exactly the q26 pipeline truncated at the bucket
+    * census: one exchange on (band_idx, band_key) carrying partial
+    * counts, then a #bands-key rollup of the bucket table. The
+    * quadratic pair expansion never runs; all counts are integers.
+    */
+  def dupRateEstimate(documents: DataFrame, k: Int = 16, bands: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedKeys(documents, k, bands)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band_idx"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("colliding_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(when(col("c").between(2, maxBucket),
+          expr("(c * (c - 1)) div 2")).otherwise(0L)).as("candidate_pairs"),
+        sum(when(col("c") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"))
+
   /** 32-bit SimHash over the word multiset: bit j of the fingerprint
     * is 1 iff the multiplicity-weighted ±1 vote of token-hash bit j is
     * positive. Computed as explode → 32 conditional sums in ONE hash
@@ -909,7 +939,8 @@ object Dedup extends graft.QueryModule {
     "q29_jaccard_pairs"  -> ((s, d) => ngramJaccardPairs(Tables.documents(s, d), 0.8)),
     "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d))),
     "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9)),
-    "q87_minhash_recall" -> ((s, d) => minhashRecallEval(Tables.documents(s, d)))
+    "q87_minhash_recall" -> ((s, d) => minhashRecallEval(Tables.documents(s, d))),
+    "q94_dup_rate"       -> ((s, d) => dupRateEstimate(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -940,9 +971,10 @@ object Dedup extends graft.QueryModule {
                    THEN (1::BIGINT << j) ELSE 0 END) AS simhash
         FROM h)"""
 
-  /** q26's full statement, reused as a derived table by q47. */
-  private lazy val q26Sql: String = s"""
-      WITH sh AS (
+  /** The sh→hs→sig→banded CTE chain shared by q26's pair join and
+    * q94's bucket-census estimate. */
+  private lazy val bandedSqlCtes: String = s"""
+      sh AS (
         SELECT doc_id, ${shinglesSql(wordsSql)} AS sh FROM documents),
       hs AS (
         SELECT doc_id, list_transform(sh, s -> ${h32Sql("s")}) AS hs
@@ -958,7 +990,11 @@ object Dedup extends graft.QueryModule {
         SELECT doc_id, k AS band_idx,
                array_to_string(list_slice(sig, k*4 + 1, k*4 + 4), '|')
                  AS band_key
-        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))"""
+
+  /** q26's full statement, reused as a derived table by q47. */
+  private lazy val q26Sql: String = s"""
+      WITH $bandedSqlCtes,
       ok AS (
         SELECT band_idx, band_key FROM banded
         GROUP BY 1, 2 HAVING count(*) <= $DefaultMaxBucket)
@@ -1137,6 +1173,24 @@ object Dedup extends graft.QueryModule {
              min(doc_id) AS keep_id, count(*) AS n_docs
       FROM documents GROUP BY 1""",
     "q26_minhash_pairs" -> q26Sql,
+    /* q94: the q26 banded CTEs truncated at the bucket census —
+     * integer counts only, the pair join never runs. */
+    "q94_dup_rate" -> s"""
+      WITH $bandedSqlCtes,
+      cnt AS (
+        SELECT band_idx, band_key, count(*) AS c
+        FROM banded GROUP BY 1, 2)
+      SELECT band_idx,
+             count(*) AS n_buckets,
+             CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS colliding_buckets,
+             CAST(max(c) AS BIGINT) AS max_bucket,
+             CAST(sum(CASE WHEN c BETWEEN 2 AND $DefaultMaxBucket
+               THEN (c * (c - 1)) // 2 ELSE 0 END) AS BIGINT)
+               AS candidate_pairs,
+             CAST(sum(CASE WHEN c > $DefaultMaxBucket THEN 1 ELSE 0 END)
+               AS BIGINT) AS capped_buckets
+      FROM cnt GROUP BY 1""",
     "q47_dedup_groups" -> q47Sql,
     "q64_dup_sources" -> s"""
       WITH p AS (SELECT a, b FROM ($q26Sql) q26),

@@ -99,7 +99,14 @@ object ProfileScale {
                                d.filter(pmod(col("doc_id"), lit(10)) >= 8))),
       // top-20 per source: output is constant by design; the profile
       // measures the bounded-aggregator scan growth
-      "q79_weighted"      -> (d => graft.operators.TextOps.weightedSample(d)))
+      "q79_weighted"      -> (d => graft.operators.TextOps.weightedSample(d)),
+      // round-7 report ops: outputs are #sources-/#bands-/#shards-
+      // sized by construction, so growth is pure scan+exchange cost
+      "q91_temp_mix"      -> (d => graft.operators.Corpus.tempMixture(d)),
+      "q92_filter_funnel" -> (d => graft.operators.Corpus.filterFunnel(d)),
+      "q93_source_overlap"-> (d => graft.operators.Corpus.sourceOverlap(d)),
+      "q94_dup_rate"      -> (d => Dedup.dupRateEstimate(d)),
+      "q95_shard_skew"    -> (d => graft.operators.Skew.shardSkewAudit(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes

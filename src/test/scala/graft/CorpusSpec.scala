@@ -353,4 +353,113 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") && !p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("tempMixture splits the budget by sqrt share and keeps by integer Bernoulli") {
+    // s0: 9 docs × 4 tokens (t_s=36), s1: 1 doc × 4 tokens (t_s=4);
+    // t=40, budget = 40 div 4 = 10
+    // wq0 = floor(6·2^20) = 6291456, wq1 = floor(2·2^20) = 2097152
+    // planned0 = floor(10·wq0/(wq0+wq1)) = floor(7.5) = 7
+    // planned1 = floor(10·wq1/8388608)   = floor(2.5) = 2
+    val d = docs((1L to 9L).map(i => (i, "a b c d", "s0")) :+
+      (10L, "a b c d", "s1"))
+    val got = Corpus.tempMixture(d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((s, tS, wq, pl) <- Seq(("s0", 36L, 6291456L, 7L),
+                                ("s1", 4L, 2097152L, 2L))) {
+      got.get(s).foreach { r =>
+        assert(r.getLong(1) == tS && r.getLong(2) == wq &&
+          r.getLong(3) == pl, s"$s: $r")
+      }
+    }
+    // the α=0.5 temperature property: the small source's planned
+    // share (2/10) exceeds its proportional token share (4/40)
+    assert(2.0 / 10.0 > 4.0 / 40.0)
+    // kept counts equal an independent recomputation of the integer
+    // Bernoulli rule h32("mix|"+id)·t_s < planned·2^32
+    import spark.implicits._
+    val h = graft.functions.Portable.hash32(
+      col("doc_id").cast("string"), "mix")
+    val expect = d.select(col("doc_id"), col("source"), h.as("h"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2)
+      .view.mapValues { rows =>
+        val (tS, pl) = if (rows.head._2 == "s0") (36L, 7L) else (4L, 2L)
+        rows.count(r => BigInt(r._3) * tS < BigInt(pl) * 4294967296L)
+      }.toMap
+    val keptGot = got.view.mapValues(_.getLong(4)).toMap
+    assert(got.keySet == expect.filter(_._2 > 0).keySet,
+      s"sources with ≥1 kept doc: got ${got.keySet}, want $expect")
+    for ((s, n) <- expect if n > 0)
+      assert(keptGot.get(s).contains(n.toLong), s"$s: got $keptGot want $expect")
+    // scale shape: the corpus never shuffles — only the two tiny-key
+    // aggregates exchange, the plan table broadcasts back
+    val p = Corpus.tempMixture(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
+  test("filterFunnel counts survivors of each sequential stage") {
+    import spark.implicits._
+    // doc 1: passes everything; doc 2: too short (n_chars); doc 3:
+    // long enough but < 30 words; doc 4: 30 words of length 1 (mean
+    // word length below 3); doc 5: 30 words, one repeated (distinct
+    // ratio 1/30 < 40%)
+    val pass = (1 to 30).map(i => s"word$i").mkString(" ")
+    val short = (1 to 30).map(_ => "a").mkString(" ")
+    val rep = (1 to 30).map(_ => "same").mkString(" ")
+    val d = Seq(
+      (1L, pass, "s", 250L), (2L, pass, "s", 100L),
+      (3L, "one two three", "s", 250L), (4L, short, "s", 250L),
+      (5L, rep, "s", 250L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val r = Corpus.filterFunnel(d).collect().head
+    // total=5, after_len drops doc2 → 4, after_words drops doc3 → 3,
+    // after_wordlen drops doc4 → 2, after_distinct drops doc5 → 1
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 4L, 3L, 2L, 1L)), r)
+    // monotone by construction on real data, in one exchange
+    val full = Corpus.filterFunnel(
+      Tables.documents(spark, sf).withColumn("n_chars",
+        col("n_chars").cast("long")))
+    val rows = full.collect()
+    assert(rows.forall(x => x.getLong(1) >= x.getLong(2) &&
+      x.getLong(2) >= x.getLong(3) && x.getLong(3) >= x.getLong(4) &&
+      x.getLong(4) >= x.getLong(5)))
+    val p = full.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sourceOverlap: KMV estimate is exact when the union fits the sketch") {
+    // identical sources → 1.0; disjoint → 0.0; half-overlap → exact
+    // jaccard because every pair's union is far below k=128
+    val t1 = "a b c d e f g h i j"   // 8 3-shingles
+    val t2 = "a b c d e f q r s t"   // shares the 4 shingles inside "a b c d e f"
+    val t3 = "z y x w v u t2 s2 r2 q2"
+    val d = docs(Seq((1L, t1, "sA"), (2L, t1, "sB"), (3L, t2, "sC"),
+      (4L, t3, "sD")))
+    val got = Corpus.sourceOverlap(d)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // sA/sB identical: union 8, all common
+    assert(got(("sA", "sB")) == ((8L, 8L, 1.0)), got(("sA", "sB")))
+    // sA/sD disjoint
+    assert(got(("sA", "sD"))._3 == 0.0)
+    // sA/sC: shingle sets overlap in the 4 shingles of "a b c d e f";
+    // union 12 → exact jaccard 4/12
+    assert(got(("sA", "sC")) == ((12L, 4L, 4.0 / 12.0)), got(("sA", "sC")))
+    // scale shape: the static AQE tree replicates the ONE sketch
+    // exchange under the stream and broadcast sides (they dedupe at
+    // runtime via stage reuse — the q65 pattern): the only DISTINCT
+    // partitioning key is `source`, carrying ≤ k longs per source per
+    // map task; the pairwise stage is broadcast
+    val p = Corpus.sourceOverlap(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val keys = """Exchange hashpartitioning\((\w+)#"""
+      .r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("source"), s"extra exchange keys $keys:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }

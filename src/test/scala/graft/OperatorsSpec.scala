@@ -1041,4 +1041,55 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.media_id -> r.kind).toMap
     assert(frames.forall(f => kinds(f.media_id) == "video"))
   }
+
+  test("dup-rate estimate: census equals the materialized pair expansion") {
+    val docs = Tables.documents(spark, sf)
+    val est = Dedup.dupRateEstimate(docs)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(est.keySet == Set(0, 1, 2, 3))
+    // candidate_pairs per band must equal what minhashPairs actually
+    // expands: Σ over pairs of the per-band membership — totalled
+    // across bands, Σ n_shared_bands
+    val expanded = Dedup.minhashPairs(docs)
+      .agg(sum(col("n_shared_bands"))).collect().head.getLong(0)
+    val predicted = est.values.map(_._4).sum
+    assert(predicted == expanded,
+      s"census predicts $predicted pairs, pair stage expanded $expanded")
+    // census internal consistency
+    for ((b, (nb, coll, mx, pairs, capped)) <- est) {
+      assert(coll <= nb && mx >= 1 && capped <= coll,
+        s"band $b: $nb $coll $mx $pairs $capped")
+      if (pairs > 0) assert(mx >= 2)
+    }
+    // the census never runs the pair expansion: no pair explode, one
+    // (band, key) exchange then the #bands rollup
+    val p = Dedup.dupRateEstimate(docs)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("sorted_array_pairs") && !p.contains("Generate explode(sortedarraypairs"),
+      s"pair expansion crept into the census:\n$p")
+  }
+
+  test("shard-skew audit: balanced ids vs a single hot key") {
+    import spark.implicits._
+    // doc_id as key at 64 shards: ~uniform; source constant: all rows
+    // land in ONE shard and the ratio hits n_shards
+    val d = (1L to 640L).map(i => (i, "x", "onlysource")).toDF(
+      "doc_id", "text", "source")
+    val hot = Skew.shardSkewAudit(d, keyCol = "source", shards = 64)
+      .collect().head
+    // a constant key occupies exactly one of the 64 shards — empty
+    // shards fold back in, so the ratio reads 64, not 1
+    assert(hot.getLong(0) == 64L && hot.getLong(1) == 640L)
+    assert(hot.getLong(2) == 0L && hot.getLong(3) == 640L)
+    assert(hot.getLong(4) == 0L, s"median shard is empty: $hot")
+    assert(hot.getDouble(6) == 64.0, s"hot ratio: $hot")
+    val bal = Skew.shardSkewAudit(d, keyCol = "doc_id", shards = 64)
+      .collect().head
+    assert(bal.getLong(0) > 32L, s"uniform ids occupy most shards: $bal")
+    assert(bal.getDouble(6) < 4.0, s"balanced ratio: $bal")
+    // p50/p99 come off the sorted shard table; max >= p99 >= p50 >= min
+    assert(bal.getLong(3) >= bal.getLong(5) &&
+      bal.getLong(5) >= bal.getLong(4) && bal.getLong(4) >= bal.getLong(2))
+  }
 }
