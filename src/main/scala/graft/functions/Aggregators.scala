@@ -143,4 +143,53 @@ object Aggregators {
     implicit val enc: Encoder[Long] = Encoders.scalaLong
     udaf(new BloomFilterAgg(numBits, numHashes), enc).apply(v)
   }
+
+  /** Total-variation distance of a group's word-hash multiset against
+    * a frozen reference distribution (the q90 closed form, serve-side:
+    * reference counts `ref` + grand total `total` are model-sized and
+    * ride the task closure/broadcast). Buffer = the group's word
+    * histogram as an immutable HAMT map (effectively O(log n)
+    * updates); the group is one (window, source) cell, so the buffer
+    * is that cell's vocabulary — bounded by the window, evicted with
+    * it. finish() folds the absent-mass term in closed form exactly
+    * like the batch op: numerators in BigInt (exact), one double
+    * division sequence on exact operands at the end.
+    */
+  class DriftAgg(ref: Map[Long, Long], total: Long)
+      extends Aggregator[Long, Map[Long, Long], (Long, Double)] {
+    require(total > 0, s"drift reference total must be >= 1, got $total")
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(m: Map[Long, Long], wh: Long): Map[Long, Long] =
+      m.updated(wh, m.getOrElse(wh, 0L) + 1L)
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    def finish(m: Map[Long, Long]): (Long, Double) = {
+      val tS = m.valuesIterator.sum
+      if (tS == 0L) (0L, 0.0)
+      else {
+        var num = BigInt(0)
+        var cwSum = 0L
+        m.foreach { case (wh, cSw) =>
+          val cW = ref.getOrElse(wh, 0L)
+          num += (BigInt(cSw) * total - BigInt(cW) * tS).abs
+          cwSum += cW
+        }
+        val tv = (num.toDouble / (tS.toDouble * total.toDouble) +
+          (total.toDouble - cwSum.toDouble) / total.toDouble) * 0.5
+        (tS, tv)
+      }
+    }
+    def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    def outputEncoder: Encoder[(Long, Double)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]()
+  }
+
+  /** Column form: driftAgg(ref, total)(wordHashCol) →
+    * struct(n_tokens, tv_dist). */
+  def driftAgg(ref: Map[Long, Long], total: Long)(v: Column): Column = {
+    implicit val enc: Encoder[Long] = Encoders.scalaLong
+    udaf(new DriftAgg(ref, total), enc).apply(v)
+  }
 }

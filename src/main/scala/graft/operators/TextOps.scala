@@ -64,6 +64,51 @@ object TextOps extends graft.QueryModule {
       (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
   }
 
+  /** Per-source quality-threshold calibration: given a global keep
+    * budget (`budgetPct`% of each source's documents), find the score
+    * cutoff each source must apply — the LOWEST integer score whose
+    * keep-everything-above-it set fits the source's budget — and how
+    * many docs that cutoff actually keeps. The score is the per-mille
+    * stopword ratio (integer, so the histogram is exact and the
+    * threshold ports bit-exactly); any integer quality score plugs in.
+    * This is how per-domain filter thresholds are actually chosen
+    * before a 100 TB filtering pass (per-source score distributions
+    * differ — one global cutoff over- or under-prunes every source).
+    *
+    * SCALE SHAPE: one map-only scoring scan, ONE exchange on the
+    * (source, score) histogram key (≤ #sources · 1001 rows — a
+    * model-sized key space regardless of corpus size), then the
+    * cumulative selection runs on that tiny table (per-source window
+    * + broadcast budgets). The q59 rule applied per source: never a
+    * sort or percentile over raw documents.
+    */
+  def qualityThreshold(documents: DataFrame,
+                       budgetPct: Int = 30): DataFrame = {
+    require(budgetPct >= 1 && budgetPct <= 100,
+      s"budgetPct must be in [1,100]: $budgetPct")
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = documents
+      .filter(col("source").isNotNull)
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(filter(col("ws"), w => array_contains(stopArr, w)))
+          .cast("long").as("n_stop"))
+      .select(col("source"), expr("(n_stop * 1000) div n_tok").as("score"))
+    val hist = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val budgets = hist.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"))
+      .withColumn("budget", expr(s"(n_docs * $budgetPct) div 100"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc)
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget"))
+      .groupBy(col("source"), col("n_docs"), col("budget"))
+      .agg(min(col("score")).as("threshold"), max(col("cum")).as("kept"))
+  }
+
   private[operators] val dicts: Seq[(String, Seq[String])] = Seq(
     "en"     -> Seq("the", "a", "fast", "slow", "small"),
     "sql"    -> Seq("table", "scan", "merge", "hash", "join", "sort", "query"),
@@ -724,6 +769,8 @@ object TextOps extends graft.QueryModule {
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
     "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
+    "q96_quality_threshold" ->
+      ((s, d) => qualityThreshold(Tables.documents(s, d))),
     "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
     "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
@@ -750,6 +797,32 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    /* q96: integer per-mille score → exact histogram; DuckDB's window
+     * sum returns HUGEINT, cast back for the driver hash. */
+    "q96_quality_threshold" -> s"""
+      WITH s AS (
+        SELECT source,
+               (len(list_filter(ws, w -> list_contains(
+                  ${sqlArr(stopwords)}, w))) * 1000) // len(ws) AS score
+        FROM (SELECT source,
+                string_split(trim(regexp_replace(lower(text), '\\s+',
+                  ' ', 'g')), ' ') AS ws
+              FROM documents WHERE source IS NOT NULL)),
+      hist AS (SELECT source, score, count(*) AS c FROM s GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                    (CAST(sum(c) AS BIGINT) * 30) // 100 AS budget
+             FROM hist GROUP BY 1),
+      cum AS (
+        SELECT source, score, c,
+               sum(c) OVER (PARTITION BY source ORDER BY score DESC)
+                 AS cum
+        FROM hist)
+      SELECT source, n_docs, CAST(budget AS BIGINT) AS budget,
+             CAST(min(score) AS BIGINT) AS threshold,
+             CAST(max(cum) AS BIGINT) AS kept
+      FROM cum JOIN ns USING (source)
+      WHERE cum <= budget
+      GROUP BY 1, 2, 3""",
     "q74_bpe_pairs" -> """
       WITH w AS (
         SELECT unnest(string_split(trim(regexp_replace(lower(text),

@@ -275,4 +275,41 @@ object StreamAggs {
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lower") &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
   }
+
+  /** Streaming twin of q90's drift alarm: per event-time window and
+    * source, the exact total-variation distance of the window's token
+    * distribution against a FROZEN reference distribution (batch-fit
+    * word-hash counts + grand total — the train/serve split of
+    * [[surprisalScore]]). This is the per-ingest-batch alarm wired to
+    * the live feed: append mode emits one (window, source, n_tokens,
+    * tv_dist) row when the watermark closes the window.
+    *
+    * Scale/state: a single streaming aggregation (no chained-agg
+    * restriction hit); state per (window, source) group is that
+    * cell's word histogram, watermark-evicted with its window. The
+    * reference is model-sized and rides the task closure — refit it
+    * batch-side and rebuild the query to refresh, the
+    * [[surprisalScore]] broadcast discipline. Math matches the batch
+    * op bit-for-bit: exact integer numerators, the absent-word mass
+    * folded in closed form, one final double sequence.
+    */
+  def sourceDriftStream(docs: DataFrame, ts: Column, source: Column,
+                        text: Column, ref: Map[Long, Long], refTotal: Long,
+                        windowSize: String = "10 minutes",
+                        watermarkDelay: String = "0 seconds"): DataFrame = {
+    import graft.functions.Portable.{hash60, words}
+    docs
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .select(col("__ts"), source.as("__src"),
+        explode_outer(words(text)).as("__w"))
+      .filter(col("__w").isNotNull)
+      .select(col("__ts"), col("__src"), hash60(col("__w")).as("__wh"))
+      .groupBy(window(col("__ts"), windowSize).as("w"), col("__src"))
+      .agg(graft.functions.Aggregators.driftAgg(ref, refTotal)(col("__wh"))
+        .as("d"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("__src").as("source"), col("d._1").as("n_tokens"),
+        col("d._2").as("tv_dist"))
+  }
 }

@@ -399,4 +399,42 @@ class StreamAggsSpec extends SparkSpec {
       assert(viaBc == viaMap)
     } finally bc.destroy()
   }
+
+  test("streaming drift alarm reproduces the batch TV distance when the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Portable.h60Scala
+    // the q90 hand fixture (CorpusSpec): source a = {x:3, y:1},
+    // source b = {x:1, z:3}; against the corpus mix {x:4, y:1, z:3}
+    // both sources sit at TV = 0.375 — the reference here IS that mix
+    val ref = Map(h60Scala("x") -> 4L, h60Scala("y") -> 1L,
+      h60Scala("z") -> 3L)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamAggs.sourceDriftStream(
+        in.toDF().toDF("tsm", "source", "text"),
+        timestamp_millis(col("tsm")), col("source"), col("text"),
+        ref, refTotal = 8L, windowSize = "1 second")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      in.addData((100L, "a", "x x x y"), (200L, "b", "x z z z"))
+      q.processAllAvailable()
+      // append emits only when the watermark passes the window end —
+      // a later event closes the first window; its own window stays
+      // open and must NOT emit
+      in.addData((5000L, "a", "x x x y"))
+      q.processAllAvailable()
+      val got = spark.table("drift_out")
+        .select("source", "n_tokens", "tv_dist")
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      assert(got == Seq(("a", 4L, 0.375), ("b", 4L, 0.375)), got.toString)
+      // a batch distributed EXACTLY like the reference alarms at 0
+      in.addData((5100L, "c", "x x x x y z z z"))
+      in.addData((9000L, "c", "x"))   // close the [5s,6s) window
+      q.processAllAvailable()
+      val w2 = spark.table("drift_out")
+        .filter(col("source") === "c").select("n_tokens", "tv_dist")
+        .as[(Long, Double)].collect().toSeq
+      assert(w2 == Seq((8L, 0.0)), w2.toString)
+    } finally q.stop()
+  }
 }
