@@ -109,6 +109,75 @@ object TextOps extends graft.QueryModule {
       .agg(min(col("score")).as("threshold"), max(col("cum")).as("kept"))
   }
 
+  /** Fixed subword vocabulary for [[subwordEncode]]: frequent English
+    * digrams/trigrams plus every single letter/digit as base pieces
+    * (so only punctuation falls back to unk). A learned vocab (q74's
+    * pair stats iterated) plugs into the same apply path. */
+  private[operators] val subwordVocab: Seq[String] =
+    Seq("the", "ing", "and", "ion", "ent", "for", "th", "he", "in", "er",
+      "an", "re", "on", "at", "en", "nd", "ti", "es", "or", "te", "of",
+      "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng", "se", "ha",
+      "as", "ou", "io", "le", "ve", "co", "me", "de", "hi") ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Subword tokenizer APPLY (WordPiece-style greedy longest-match):
+    * encode every word as the sequence of longest vocabulary prefixes
+    * (unknown characters consume one position each), and report per
+    * document the word, piece, and unk counts — the token-budget
+    * accounting a training pipeline runs with the production
+    * tokenizer before packing (q57) or mixing (q61/q91).
+    *
+    * The iterative longest-prefix loop is a Scala UDF — the one shape
+    * codegen can't express — but it runs ONLY on the DISTINCT word
+    * table: vocabulary-scale work no matter the corpus size (the q74
+    * trick). The token-scale side is a hash join against those
+    * vocab-sized encodings plus one per-doc aggregate.
+    *
+    * SCALE SHAPE: one token-scale exchange produces the distinct-word
+    * table; encodings broadcast back under the q29 source-stats gate
+    * (shuffled word-key join fallback above it — `Some(false)`
+    * forces it for tests); the per-doc rollup rides a doc_id
+    * exchange. Greedy-longest-match is deterministic, so the DuckDB
+    * recursive-CTE oracle reproduces counts exactly.
+    */
+  def subwordEncode(documents: DataFrame,
+                    vocab: Seq[String] = subwordVocab,
+                    broadcastEncodings: Option[Boolean] = None): DataFrame = {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+      "subword vocab must be non-empty strings")
+    val vset = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    val enc = udf { w: String =>
+      val s = if (w == null) "" else w
+      var i = 0
+      var p = 0L
+      var u = 0L
+      while (i < s.length) {
+        var l = math.min(maxLen, s.length - i)
+        var found = 0
+        while (l >= 1 && found == 0) {
+          if (vset.contains(s.substring(i, i + l))) found = l
+          l -= 1
+        }
+        if (found > 0) i += found else { i += 1; u += 1 }
+        p += 1
+      }
+      (p, u)
+    }
+    val tok = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val dw = tok.select(col("w")).distinct()
+      .withColumn("e", enc(col("w")))
+      .select(col("w"), col("e._1").as("np"), col("e._2").as("nu"))
+    val bcast = broadcastEncodings.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tok.join(if (bcast) broadcast(dw) else dw, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("nu")).as("n_unk"))
+  }
+
   private[operators] val dicts: Seq[(String, Seq[String])] = Seq(
     "en"     -> Seq("the", "a", "fast", "slow", "small"),
     "sql"    -> Seq("table", "scan", "merge", "hash", "join", "sort", "query"),
@@ -771,6 +840,7 @@ object TextOps extends graft.QueryModule {
     "q22_quality"     -> ((s, d) => qualityScore(Tables.documents(s, d))),
     "q96_quality_threshold" ->
       ((s, d) => qualityThreshold(Tables.documents(s, d))),
+    "q97_subword" -> ((s, d) => subwordEncode(Tables.documents(s, d))),
     "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
     "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
@@ -797,6 +867,38 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    /* q97: the greedy longest-prefix encode as a recursive CTE over
+     * the DISTINCT word table (one step strips one piece); terminal
+     * rows (rest = '') carry each word's piece/unk counts. */
+    "q97_subword" -> s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g')), ' ') AS ws
+        FROM documents),
+      w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+      dw AS (SELECT DISTINCT w FROM w),
+      st AS (
+        SELECT w, w AS rest, 0::BIGINT AS n_pieces, 0::BIGINT AS n_unk
+        FROM dw
+        UNION ALL
+        SELECT w,
+               substr(rest, CASE WHEN p > 0 THEN p + 1 ELSE 2 END),
+               n_pieces + 1,
+               n_unk + CASE WHEN p > 0 THEN 0 ELSE 1 END
+        FROM (
+          SELECT w, rest, n_pieces, n_unk,
+                 (SELECT COALESCE(max(len(v)), 0)
+                  FROM (SELECT unnest(${sqlArr(subwordVocab)}) AS v)
+                  WHERE substr(rest, 1, len(v)) = v) AS p
+          FROM st WHERE len(rest) > 0) s),
+      enc AS (
+        SELECT w, n_pieces, n_unk FROM st WHERE len(rest) = 0)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+             CAST(sum(n_unk) AS BIGINT) AS n_unk
+      FROM w JOIN enc USING (w)
+      GROUP BY 1""",
     /* q96: integer per-mille score → exact histogram; DuckDB's window
      * sum returns HUGEINT, cast back for the driver hash. */
     "q96_quality_threshold" -> s"""

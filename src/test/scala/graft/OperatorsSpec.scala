@@ -1070,6 +1070,34 @@ class OperatorsSpec extends SparkSpec {
       s"pair expansion crept into the census:\n$p")
   }
 
+  test("subword encode: greedy longest-match counts, both join paths") {
+    import spark.implicits._
+    // vocab pieces: "the"→[the]=1; "thering"→[the,r,ing]=3 (ri beats
+    // nothing: longest prefix at pos 3 is 'r'? no — 'ri' is in the
+    // vocab, then 'ng': [the, ri, ng] = 3 either way); "x,y"→
+    // [x , y]=3 with 1 unk (','); ""→0 pieces
+    val d = Seq((1L, "the thering", "s"), (2L, "x,y", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.subwordEncode(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 4L, 0L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, 3L, 1L)), s"doc2: ${got(2L)}")
+    // the shuffled fallback (forced past the gate) returns identical
+    // results to the broadcast path on real data
+    val real = Tables.documents(spark, sf)
+    val bc = TextOps.subwordEncode(real).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val sh = TextOps.subwordEncode(real, broadcastEncodings = Some(false))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(bc == sh)
+    // the UDF runs on the distinct-word table, never the token scale:
+    // the encode projection sits above an exchange on `w`
+    val p = TextOps.subwordEncode(real)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("shard-skew audit: balanced ids vs a single hot key") {
     import spark.implicits._
     // doc_id as key at 64 shards: ~uniform; source constant: all rows
