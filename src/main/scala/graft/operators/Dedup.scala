@@ -908,6 +908,24 @@ object Dedup extends graft.QueryModule {
           .as("recall"))
   }
 
+  /** Post-dedup summary: the duplicate-group SIZE histogram — how many
+    * groups of 2, of 3, …, and how many documents a keep-one-per-group
+    * pass removes at each size. The first report printed after any
+    * corpus dedup run (is duplication dominated by pairs or by a few
+    * giant clusters?), and the input to choosing q53's keeper policy.
+    *
+    * SCALE SHAPE: rides [[dedupGroups]] unchanged, then adds one
+    * exchange keyed by group id (collapsing to group sizes) and one
+    * keyed by size — the histogram key space is log-scale tiny. No
+    * payload ever moves.
+    */
+  def dedupGroupProfile(documents: DataFrame): DataFrame =
+    dedupGroups(documents)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+      .select(col("sz").as("group_size"), col("n_groups"),
+        ((col("sz") - 1) * col("n_groups")).as("docs_removed"))
+
   // ---- driver bindings -------------------------------------------------
 
   /** q73's deterministic reference/batch split of the documents table
@@ -940,7 +958,8 @@ object Dedup extends graft.QueryModule {
     "q47_dedup_groups"   -> ((s, d) => dedupGroups(Tables.documents(s, d))),
     "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9)),
     "q87_minhash_recall" -> ((s, d) => minhashRecallEval(Tables.documents(s, d))),
-    "q94_dup_rate"       -> ((s, d) => dupRateEstimate(Tables.documents(s, d)))
+    "q94_dup_rate"       -> ((s, d) => dupRateEstimate(Tables.documents(s, d))),
+    "q98_group_profile"  -> ((s, d) => dedupGroupProfile(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -1192,6 +1211,13 @@ object Dedup extends graft.QueryModule {
                AS BIGINT) AS capped_buckets
       FROM cnt GROUP BY 1""",
     "q47_dedup_groups" -> q47Sql,
+    /* q98: q47's groups collapsed to the size histogram. */
+    "q98_group_profile" -> s"""
+      WITH g AS ($q47Sql),
+      s AS (SELECT group_id, count(*) AS sz FROM g GROUP BY 1)
+      SELECT sz AS group_size, count(*) AS n_groups,
+             CAST((sz - 1) * count(*) AS BIGINT) AS docs_removed
+      FROM s GROUP BY 1""",
     "q64_dup_sources" -> s"""
       WITH p AS (SELECT a, b FROM ($q26Sql) q26),
       s AS (SELECT doc_id, source FROM documents)

@@ -469,6 +469,54 @@ object Similarity extends graft.QueryModule {
     * is one broadcast map pass, candidate fan-in is corpus/nCentroids
     * × nProbe.
     */
+  /** IVF index-balance audit (q95's discipline for the vector side):
+    * assign every vector to its max-cosine coarse centroid, then
+    * report the CELL-occupancy distribution — cells, vectors, min/max/
+    * median occupancy (empty cells folded back from the centroid
+    * list), and the balance ratio max·cells/vectors. Probe cost of an
+    * IVF search is driven by the cells the query probes; a ratio ≫ 1
+    * means hot cells dominate every probe and the quantizer needs
+    * refitting (q34) before serving.
+    *
+    * SCALE SHAPE: assignment is the one corpus-scale stage — a pure
+    * map over the broadcast centroid table (no exchange below it);
+    * occupancy is one |C|-keyed exchange of partial counts, and every
+    * stat computes on the |C|-row table (tiny window + one-row
+    * broadcast; integer cross-multiplied median, the q59 rule).
+    */
+  def ivfOccupancy(embeddings: DataFrame, centroidMod: Int = 127): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assign = base.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+          .as("c_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("centroid"))
+    val occ0 = assign.groupBy(col("centroid")).agg(count(lit(1)).as("c"))
+    val occ = cents.select(col("c_id").as("centroid"))
+      .join(occ0, Seq("centroid"), "left")
+      .select(col("centroid"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"),
+      col("centroid"))
+    occ.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(occ.agg(
+        count(lit(1)).as("n_cells"), sum(col("c")).as("n_vectors"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))))
+      .groupBy(col("n_cells"), col("n_vectors"), col("min_c"),
+        col("max_c"))
+      .agg(min(when(col("rk") * 2 >= col("n_cells"), col("c"))).as("p50"))
+      .select(col("n_cells"), col("n_vectors"), col("min_c"),
+        col("max_c"), col("p50"),
+        (col("max_c").cast("double") * col("n_cells").cast("double") /
+          col("n_vectors").cast("double")).as("balance"))
+  }
+
   def knnIvf(embeddings: DataFrame, nQueries: Int, k: Int,
              centroidMod: Int = 127, nProbe: Int = 2): DataFrame = {
     val base = embeddings.select(col("vec_id"),
@@ -910,7 +958,8 @@ object Similarity extends graft.QueryModule {
     "q82_pq_search" -> ((s, d) => pqSearch(Tables.embeddings(s, d), 16, 5)),
     "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d))),
     "q86_rand_proj" -> ((s, d) => randomProject(Tables.embeddings(s, d))),
-    "q88_cluster_quality" -> ((s, d) => clusterQuality(Tables.embeddings(s, d)))
+    "q88_cluster_quality" -> ((s, d) => clusterQuality(Tables.embeddings(s, d))),
+    "q99_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1278,6 +1327,32 @@ object Similarity extends graft.QueryModule {
                  ORDER BY sim DESC, neighbor_id ASC) AS rn
         FROM scored)
       WHERE rn <= 5""",
+    /* q99: the ivf chain's assignment collapsed to the cell-occupancy
+     * distribution; empty cells fold back from the centroid list. */
+    "q99_ivf_occupancy" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      $ivfChainSql,
+      occ0 AS (SELECT centroid, count(*) AS c FROM assign GROUP BY 1),
+      occ AS (
+        SELECT c_id AS centroid, COALESCE(c, 0) AS c
+        FROM cents LEFT JOIN occ0 ON cents.c_id = occ0.centroid),
+      rk AS (
+        SELECT c, centroid,
+               row_number() OVER (ORDER BY c, centroid) AS rk
+        FROM occ),
+      tot AS (
+        SELECT count(*) AS n_cells, CAST(sum(c) AS BIGINT) AS n_vectors,
+               CAST(min(c) AS BIGINT) AS min_c,
+               CAST(max(c) AS BIGINT) AS max_c
+        FROM occ)
+      SELECT n_cells, n_vectors, min_c, max_c,
+             CAST(min(CASE WHEN rk * 2 >= n_cells THEN c END) AS BIGINT)
+               AS p50,
+             CAST(max_c AS DOUBLE) * CAST(n_cells AS DOUBLE)
+               / CAST(n_vectors AS DOUBLE) AS balance
+      FROM rk CROSS JOIN tot
+      GROUP BY 1, 2, 3, 4""",
     "q41_ivf_recall" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -1070,6 +1070,31 @@ class OperatorsSpec extends SparkSpec {
       s"pair expansion crept into the census:\n$p")
   }
 
+  test("group profile histogram is consistent with the groups it summarizes") {
+    val docs = Tables.documents(spark, sf)
+    val prof = Dedup.dedupGroupProfile(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(prof.nonEmpty && prof.forall(_._1 >= 2))
+    assert(prof.forall { case (sz, n, rem) => rem == (sz - 1) * n })
+    // totals reconcile with the underlying group table
+    val sizes = Dedup.dedupGroups(docs).groupBy("group_id").count()
+      .select("count").as[Long].collect()
+    assert(prof.map(_._2).sum == sizes.length)
+    assert(prof.map(p => p._1 * p._2).sum == sizes.sum)
+  }
+
+  test("ivf occupancy: cells, totals, and empty-cell folding reconcile") {
+    val embs = Tables.embeddings(spark, sf)
+    val r = Similarity.ivfOccupancy(embs).collect().head
+    val nCells = embs.filter(col("vec_id") % 127 === 0).count()
+    val nVec = embs.count()
+    assert(r.getLong(0) == nCells && r.getLong(1) == nVec, r)
+    // min <= p50 <= max; balance = max*cells/vectors >= 1
+    assert(r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(3))
+    assert(r.getDouble(5) >= 1.0 &&
+      r.getDouble(5) == r.getLong(3).toDouble * nCells / nVec)
+  }
+
   test("subword encode: greedy longest-match counts, both join paths") {
     import spark.implicits._
     // vocab pieces: "the"→[the]=1; "thering"→[the,r,ing]=3 (ri beats
