@@ -457,38 +457,85 @@ object Corpus extends graft.QueryModule {
     * below 2⁸⁰ « 10³⁸); the only double op is a single sqrt per
     * SOURCE, bit-identical across engines on identical operands.
     */
-  def tempMixture(documents: DataFrame, budgetNum: Int = 1,
-                  budgetDen: Int = 4): DataFrame = {
+  /** The α=0.5 plan table (source, t_s, wq, planned) for a
+    * (source, n_tok) frame — the budget-split math shared by q91 and
+    * the q100 pipeline. planned_s = floor(floor(t·num/den)·wq_s/wsum),
+    * spelled as remainder-subtract-then-divide so the decimal division
+    * is exact (no dependence on either engine's quotient rounding). */
+  private[operators] def mixturePlan(toks: DataFrame, budgetNum: Int,
+                                     budgetDen: Int): DataFrame = {
     require(budgetNum >= 1 && budgetDen >= budgetNum,
       s"budget fraction must be in (0,1]: $budgetNum/$budgetDen")
-    val toks = documents
-      .filter(col("source").isNotNull)
-      .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("n_tok"))
     val ts = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("t_s"))
       .withColumn("wq",
         floor(sqrt(col("t_s").cast("double")) * lit(1048576.0d))
           .cast("long"))
     val tot = ts.agg(sum(col("t_s")).as("t"), sum(col("wq")).as("wsum"))
-    // planned_s = floor(floor(t·num/den) · wq_s / wsum), spelled as
-    // remainder-subtract-then-divide so the decimal division is exact
-    // (no dependence on either engine's quotient rounding mode)
     val q = expr(s"(t * $budgetNum) div $budgetDen").cast("decimal(38,0)") *
       col("wq").cast("decimal(38,0)")
-    val st = ts.crossJoin(broadcast(tot))
+    ts.crossJoin(broadcast(tot))
       .withColumn("planned",
         ((q - pmod(q, col("wsum").cast("decimal(38,0)"))) /
           col("wsum").cast("decimal(38,0)")).cast("decimal(38,0)"))
       .select(col("source"), col("t_s"), col("wq"), col("planned"))
-    val kept = toks.join(broadcast(st), "source")
-      .filter(hash32(col("doc_id").cast("string"), "mix")
-        .cast("decimal(38,0)") * col("t_s").cast("decimal(38,0)") <
-        col("planned") * lit(4294967296L).cast("decimal(38,0)"))
+  }
+
+  /** The exact integer Bernoulli keep rule h32·t_s < planned·2³²,
+    * evaluated against [[mixturePlan]] columns. */
+  private[operators] def mixtureKeep: Column =
+    hash32(col("doc_id").cast("string"), "mix")
+      .cast("decimal(38,0)") * col("t_s").cast("decimal(38,0)") <
+      col("planned") * lit(4294967296L).cast("decimal(38,0)")
+
+  def tempMixture(documents: DataFrame, budgetNum: Int = 1,
+                  budgetDen: Int = 4): DataFrame = {
+    val toks = documents
+      .filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+    val st = mixturePlan(toks, budgetNum, budgetDen)
+    val kept = toks.join(broadcast(st), "source").filter(mixtureKeep)
     kept.groupBy(col("source"), col("t_s"), col("wq"), col("planned"))
       .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
       .select(col("source"), col("t_s"), col("wq"),
         col("planned").cast("long").as("planned"),
         col("kept_docs"), col("kept_tokens"))
+  }
+
+  /** q100: the composed curation pipeline — quality/PII filter (the
+    * q62 keep rule) → α=0.5 temperature subsample over the SURVIVORS
+    * (the q91 plan + Bernoulli keep) → sequence packing → the q70
+    * per-source packing report, all as ONE declarative plan. This is
+    * the capstone composition check: every stage is the same operator
+    * a user calls standalone, and Catalyst still fuses the filter and
+    * sampling decisions into the scans — the corpus is read for the
+    * mixture totals and the pack, but never shuffled except by the
+    * pack's own shard exchange.
+    *
+    * SCALE SHAPE: stage exchanges only — the survivors' per-source
+    * token totals (tiny key), the pack's (source, shard) exchange,
+    * and the report rollups. The filter + keep predicates are
+    * map-side against the broadcast plan table; no new shuffle
+    * appears from composing.
+    */
+  def curationPipeline(documents: DataFrame, minTokens: Int = 50,
+                       budgetNum: Int = 1, budgetDen: Int = 2,
+                       budget: Int = 256, shards: Int = 4): DataFrame = {
+    val pat = graft.operators.TextOps.scrubPat(
+      graft.operators.TextOps.scrubTerms)
+    val kept = documents
+      .filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .as("n_hits"))
+      .filter(col("n_tok") >= minTokens && col("n_hits") === 0)
+    val st = mixturePlan(
+      kept.select(col("doc_id"), col("source"), col("n_tok")),
+      budgetNum, budgetDen)
+    val sampled = kept.join(broadcast(st), "source").filter(mixtureKeep)
+      .select(col("doc_id"), col("source"), col("text"))
+    packStats(sampled, budget, shards)
   }
 
   /** Per-source filter-funnel report: how many documents survive each
@@ -590,13 +637,67 @@ object Corpus extends graft.QueryModule {
                                                 shards = 4)),
     "q91_temp_mix"       -> ((s, d) => tempMixture(Tables.documents(s, d))),
     "q92_filter_funnel"  -> ((s, d) => filterFunnel(Tables.documents(s, d))),
-    "q93_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d)))
+    "q93_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    // shards pinned to 4 like q57/q70 so the oracle's `% 4` matches
+    "q100_pipeline"      -> ((s, d) => curationPipeline(Tables.documents(s, d)))
   )
 
   private val wsSql =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   def oracle: Map[String, String] = Map(
+    /* q100: the q62 keep rule, the q91 mixture CTEs over the
+     * survivors, and the q57/q70 pack report, chained verbatim. */
+    "q100_pipeline" -> {
+      val pat = graft.operators.TextOps.scrubPat(
+        graft.operators.TextOps.scrubTerms)
+      s"""
+      WITH k AS (
+        SELECT doc_id, source, text, CAST(len(ws) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, source, text, $wsSql AS ws
+              FROM documents WHERE source IS NOT NULL)
+        WHERE len(ws) >= 50
+          AND len(regexp_extract_all(lower(text), '$pat')) = 0),
+      ts AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s
+             FROM k GROUP BY 1),
+      wq AS (SELECT source, t_s,
+               CAST(floor(sqrt(CAST(t_s AS DOUBLE)) * 1048576.0)
+                 AS BIGINT) AS wq
+             FROM ts),
+      tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t,
+                     CAST(sum(wq) AS BIGINT) AS wsum FROM wq),
+      st AS (SELECT source, t_s, wq,
+               (((t * 1) // 2) * CAST(wq AS HUGEINT))
+                 // CAST(wsum AS HUGEINT) AS planned
+             FROM wq CROSS JOIN tot),
+      samp AS (
+        SELECT k.doc_id, k.source, k.n_tok
+        FROM k JOIN st USING (source)
+        WHERE ('0x' || substr(md5('mix|' || CAST(k.doc_id AS VARCHAR)),
+                 1, 8))::BIGINT * CAST(st.t_s AS HUGEINT)
+              < st.planned * 4294967296),
+      p AS (
+        SELECT doc_id, source, n_tok AS n_tokens,
+               ('0x' || substr(md5('pack|' || doc_id), 1, 15))::BIGINT % 4
+                 AS shard
+        FROM samp),
+      s AS (
+        SELECT doc_id, source, shard, n_tokens,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY source, shard
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS st
+        FROM p),
+      seqs AS (
+        SELECT source, shard, CAST(floor(st / 256) AS BIGINT) AS seq_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+        FROM s GROUP BY 1, 2, 3)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens,
+             CAST(sum(toks) AS DOUBLE) / (count(*) * 256) AS fill_rate
+      FROM seqs GROUP BY source"""
+    },
     /* q91: all mixture arithmetic in BIGINT/HUGEINT (// is exact
      * integer division, mirroring Spark's remainder-subtract decimal
      * spelling); the only double op is the per-source sqrt — IEEE

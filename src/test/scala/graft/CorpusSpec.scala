@@ -354,6 +354,35 @@ class CorpusSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("curation pipeline composes filter, mixture, and packing without new shuffles") {
+    val d = Tables.documents(spark, sf)
+    val out = Corpus.curationPipeline(d)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // fill rate is a true packing ratio and the report reconciles
+    rows.foreach { r =>
+      val (nSeqs, nDocs, nToks, fill) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nSeqs >= 1 && nDocs >= 1 && nToks >= nDocs * 50,
+        s"filter floor violated: $r")
+      assert(fill > 0.0 && fill <= 1.0 &&
+        fill == nToks.toDouble / (nSeqs * 256), r.toString)
+    }
+    // composing stages must not invent shuffles: every exchange keys
+    // on source or the pack's (source, shard); no global sort/window
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keys = """Exchange hashpartitioning\((\w+)#"""
+      .r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("source", "shard")), s"keys $keys:\n$p")
+    // a SinglePartition exchange exists but only under the mixture's
+    // one-row totals aggregate (model-sized); the corpus-scale
+    // hazards — a global sort or an unpartitioned window — must not
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!"""Window .*\n.*Exchange SinglePartition""".r
+      .findFirstIn(p).isDefined, s"unpartitioned window:\n$p")
+  }
+
   test("tempMixture splits the budget by sqrt share and keeps by integer Bernoulli") {
     // s0: 9 docs × 4 tokens (t_s=36), s1: 1 doc × 4 tokens (t_s=4);
     // t=40, budget = 40 div 4 = 10
