@@ -106,7 +106,10 @@ object ProfileScale {
       "q92_filter_funnel" -> (d => graft.operators.Corpus.filterFunnel(d)),
       "q93_source_overlap"-> (d => graft.operators.Corpus.sourceOverlap(d)),
       "q94_dup_rate"      -> (d => Dedup.dupRateEstimate(d)),
-      "q95_shard_skew"    -> (d => graft.operators.Skew.shardSkewAudit(d)))
+      "q95_shard_skew"    -> (d => graft.operators.Skew.shardSkewAudit(d)),
+      "q96_quality_thr"   -> (d => graft.operators.TextOps.qualityThreshold(d)),
+      "q97_subword"       -> (d => graft.operators.TextOps.subwordEncode(d)),
+      "q100_pipeline"     -> (d => graft.operators.Corpus.curationPipeline(d)))
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
