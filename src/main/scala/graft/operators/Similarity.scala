@@ -478,28 +478,38 @@ object Similarity extends graft.QueryModule {
     * means hot cells dominate every probe and the quantizer needs
     * refitting (q34) before serving.
     *
-    * SCALE SHAPE: assignment is the one corpus-scale stage — a pure
-    * map over the broadcast centroid table (no exchange below it);
-    * occupancy is one |C|-keyed exchange of partial counts, and every
-    * stat computes on the |C|-row table (tiny window + one-row
-    * broadcast; integer cross-multiplied median, the q59 rule).
+    * SCALE SHAPE: assignment is the q34/q84 literal-centroid PURE MAP
+    * — centroids are collected driver-side (model-sized, the
+    * documented kmeans-family collect) and inlined as plan literals,
+    * so the per-vector argmax is a projection with NO exchange below
+    * it (a broadcast-join + groupBy(vec_id) spelling would shuffle a
+    * corpus-keyed row set instead — PlanAudit caught exactly that in
+    * the first cut); occupancy is one |C|-keyed exchange of partial
+    * counts, and every stat computes on the |C|-row table (tiny
+    * window + one-row broadcast; integer cross-multiplied median, the
+    * q59 rule).
     */
   def ivfOccupancy(embeddings: DataFrame, centroidMod: Int = 127): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(col("vec_id"),
-        asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-    val cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val assign = base.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("c_id"),
-        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-          .as("c_sim"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg")).as("centroid"))
-    val occ0 = assign.groupBy(col("centroid")).agg(count(lit(1)).as("c"))
-    val occ = cents.select(col("c_id").as("centroid"))
+      asDouble(col("embedding")).as("emb"))
+    val cents = base
+      .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cEmb = typedlit(cents.map(_._2))
+    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = transform(cEmb, (ce, i) =>
+      dot(col("emb"), ce) /
+        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // first max = smallest centroid id (cents sorted) — the same
+    // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
+    val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
+      nullif(array_position(sims, array_max(sims)), lit(0L)),
+      lit(1L)).cast("int"))
+    val occ0 = base.select(centroid.as("centroid"))
+      .groupBy(col("centroid")).agg(count(lit(1)).as("c"))
+    val occ = cents.map(_._1).toDF("centroid")
       .join(occ0, Seq("centroid"), "left")
       .select(col("centroid"), coalesce(col("c"), lit(0L)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"),
