@@ -74,7 +74,9 @@ object ProfileGateFlip {
       "q43_dedup_apply" ->
         (o => Dedup.dedupApply(docs, broadcastGroups = o)),
       "q55_contamination" ->
-        (o => TextOps.contamination(docs, broadcastIndex = o)))
+        (o => TextOps.contamination(docs, broadcastIndex = o)),
+      "q97_subword" ->
+        (o => TextOps.subwordEncode(docs, broadcastEncodings = o)))
 
     // 2. plan shape: the auto plan shows the shuffled fallback
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
