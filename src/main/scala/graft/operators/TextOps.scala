@@ -832,7 +832,248 @@ object TextOps extends graft.QueryModule {
       .limit(topN)
   }
 
+  /** Full BPE tokenizer training (q101): learn the first `merges`
+    * byte-pair merges from the corpus — the iterative loop q74 is one
+    * step of, and the artifact q97's encoder consumes. Each round
+    * counts adjacent-piece frequencies (weighted by word frequency,
+    * overlapping adjacencies counted — the classic get_stats), picks
+    * the (count desc, left asc, right asc) argmax, and rewrites every
+    * word's piece sequence by merging that pair left-to-right
+    * non-overlapping (exactly `replace` over a space-separated piece
+    * string, so the Spark and oracle rewrites share one definition).
+    * Words are restricted to `^[a-z0-9]+$` so per-character splitting
+    * is engine-portable (no grapheme-vs-code-unit ambiguity).
+    *
+    * SCALE SHAPE: the corpus collapses ONCE to the distinct-word
+    * frequency table (one word-keyed exchange — vocab-sized, millions
+    * of rows at 100 TB, not trillions), checkpointed so no iteration
+    * re-scans the corpus; every training round is then one vocab-keyed
+    * aggregate over a character-pair key space plus a 1-row argmax
+    * collect — the kmeans (q34) driver-loop discipline: model state
+    * (the merge) rides the driver, data never re-shuffles. Pass
+    * `checkpointDir` for a reliable leaf on a real cluster (the
+    * [[Dedup.dedupGroups]] durability option); the default
+    * localCheckpoint is executor-local.
+    */
+  def bpeTrain(documents: DataFrame, merges: Int = 8,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = documents.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val wf0 = documents
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+          lit(" ")).as("ps"),
+        col("freq"))
+    val wf =
+      if (checkpointDir.isDefined) wf0.checkpoint(eager = true)
+      else wf0.localCheckpoint(true)
+    var state = wf
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val n1 = greatest(size(col("p")) - 1, lit(0))
+      val best = state
+        .select(filter(split(col("ps"), " "), x => x =!= "").as("p"),
+          col("freq"))
+        .select(explode(zip_with(
+            slice(col("p"), lit(1), n1), slice(col("p"), lit(2), n1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"),
+          col("freq"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((step, l, r, l + r, n))
+        // pieces are ^[a-z0-9]+$ by construction — safe to inline
+        state = state.withColumn("ps",
+          expr(s"replace(ps, ' $l $r ', ' $l$r ')"))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("step", "lhs", "rhs", "merged", "n")
+  }
+
+  /** Linear-probe classifier training (q102): batch gradient descent
+    * on squared loss over hashed-bigram bucket counts, predicting a
+    * language label — the trainable cousin of q23's heuristic
+    * language-ID and the FineWeb-Edu-style "train a cheap quality
+    * probe, score the corpus" pattern (feature hashing as in q83's
+    * DSIR buckets). All arithmetic is scaled-integer: weights live as
+    * `w·2²⁰` longs, the learning rate is the exact dyadic
+    * `1/(n·2^(lrShift-1))`, and every update is a truncating integer
+    * division — bit-identical across engines, no float accumulation.
+    *
+    * SCALE SHAPE: the feature map `[bias] ++ bucket(bigram)*` is a
+    * PURE MAP (zero exchanges — no doc_id ever needed); each GD
+    * iteration scores against the weight vector inlined as a LITERAL
+    * array (the q34 kmeans discipline: model state rides the driver)
+    * and reduces to ONE map-side-combined aggregate over the
+    * `buckets+1`-key space — per-occurrence error sums, which equal
+    * the err·count formulation exactly. The corpus is scanned
+    * `iters` times and never shuffled; the only exchange per
+    * iteration carries ≤ (buckets+1) partial rows per task.
+    * Per-row products stay within LONG (|err| ≤ ~2⁴⁰ for sane
+    * feature counts); cross-row gradient sums ride DECIMAL(38,0).
+    */
+  def probeTrain(documents: DataFrame, buckets: Int = 64, iters: Int = 4,
+                 lrShift: Int = 8, targetLang: String = "en"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val scale = 1L << 20
+    val docFeats = documents.select(
+      (col("lang") === targetLang).cast("long").as("y"),
+      concat(array(lit(0)),
+        transform(shingles(words(col("text")), 2),
+          g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
+        .as("js"))
+    val n = docFeats.count()
+    require(n > 0, "probeTrain: empty corpus")
+    val divisor = n * (1L << (lrShift - 1))
+    val w = Array.fill(buckets + 1)(0L)
+    for (_ <- 1 to iters) {
+      val wlit = typedlit(w.toSeq)
+      val grads = docFeats
+        .select((aggregate(col("js"), lit(0L),
+            (a, j) => a + element_at(wlit, j + 1)) -
+          col("y") * scale).as("err"), col("js"))
+        .select(explode(col("js")).as("j"), col("err"))
+        .groupBy(col("j"))
+        .agg(sum(col("err").cast("decimal(38,0)")).as("g"))
+        .as[(Int, java.math.BigDecimal)].collect()
+      grads.foreach { case (j, g) =>
+        w(j) -= g.toBigInteger.longValueExact() / divisor
+      }
+    }
+    w.toSeq.zipWithIndex.map { case (wv, j) => (j, wv) }.toDF("j", "w")
+  }
+
+  /** Scaled-integer sum of squared errors of a trained probe on the
+    * corpus — the training-curve check ([[probeTrain]] semantics). */
+  private[graft] def probeSse(documents: DataFrame, weights: Seq[Long],
+                              buckets: Int = 64,
+                              targetLang: String = "en"): BigDecimal = {
+    val scale = 1L << 20
+    val wlit = typedlit(weights)
+    val row = documents.select(
+        (col("lang") === targetLang).cast("long").as("y"),
+        concat(array(lit(0)),
+          transform(shingles(words(col("text")), 2),
+            g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
+          .as("js"))
+      .select((aggregate(col("js"), lit(0L),
+          (a, j) => a + element_at(wlit, j + 1)) -
+        col("y") * scale).as("err"))
+      .agg(sum((col("err") * col("err")).cast("decimal(38,0)")))
+      .head()
+    BigDecimal(row.getDecimal(0))
+  }
+
+  /** Oracle twin of [[probeTrain]]: the GD loop unrolled into chained
+    * CTEs over the sparse (doc_id, j) occurrence table — per-occurrence
+    * error sums equal the err·count gradient exactly, and the update's
+    * floor division on an exactly-divisible numerator matches Spark's
+    * truncating long division for either sign. */
+  private def probeOracle(buckets: Int, iters: Int, lrShift: Int,
+                          targetLang: String): String = {
+    val scale = 1L << 20
+    val iterCtes = (1 to iters).map { i =>
+      s"""
+      p$i AS (
+        SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS pred
+        FROM f JOIN w${i - 1} w USING (j) GROUP BY f.doc_id),
+      e$i AS (
+        SELECT p.doc_id, p.pred - y.y * $scale AS err
+        FROM p$i p JOIN yt y USING (doc_id)),
+      g$i AS (
+        SELECT f.j, CAST(sum(e.err) AS BIGINT) AS g
+        FROM f JOIN e$i e USING (doc_id) GROUP BY f.j),
+      w$i AS (
+        SELECT w.j,
+               CAST(w.w - ((COALESCE(g.g, 0) - COALESCE(g.g, 0) %
+                 (n.n * ${1L << (lrShift - 1)})) //
+                 (n.n * ${1L << (lrShift - 1)})) AS BIGINT) AS w
+        FROM w${i - 1} w LEFT JOIN g$i g USING (j), nn n)"""
+    }.mkString(",")
+    s"""
+      WITH d0 AS (
+        SELECT doc_id,
+               CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END AS y,
+               list_concat([0], list_transform(CASE WHEN len(ws) < 2
+                   THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(ws) - 1),
+                     i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                   END,
+                 g -> CAST(('0x' || substr(md5(g), 1, 15))::BIGINT %
+                   $buckets AS INT) + 1)) AS js
+        FROM (
+          SELECT doc_id, lang,
+                 string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents)),
+      f AS (SELECT doc_id, unnest(js) AS j FROM d0),
+      yt AS (SELECT doc_id, y FROM d0),
+      nn AS (SELECT count(*) AS n FROM d0),
+      w0 AS (SELECT CAST(unnest(range(0, ${buckets + 1})) AS INT) AS j,
+                    CAST(0 AS BIGINT) AS w),$iterCtes
+      SELECT CAST(j AS INT) AS j, w FROM w$iters ORDER BY j"""
+  }
+
+  /** Oracle twin of [[bpeTrain]]: the driver loop unrolled into
+    * chained CTEs — per round, the pair aggregate (p), the 1-row
+    * argmax (b), and the rewrite (s) over the previous round's piece
+    * table, sharing bpeTrain's replace() semantics verbatim. */
+  private def bpeOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      val rewrite =
+        if (i == merges) "" // last round's rewrite feeds nothing
+        else s""",
+      s$i AS (
+        SELECT replace(s.ps, ' ' || b.l || ' ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ') AS ps, s.freq
+        FROM s${i - 1} s, b$i b)"""
+      s"""
+      p$i AS (
+        SELECT p[j] AS l, p[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+        FROM (
+          SELECT p, freq, unnest(range(1, len(p))) AS j FROM (
+            SELECT list_filter(string_split(ps, ' '), x -> x <> '') AS p,
+                   freq
+            FROM s${i - 1}))
+        GROUP BY 1, 2),
+      b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC
+              LIMIT 1)$rewrite"""
+    }.mkString(",")
+    val emit = (1 to merges).map { i =>
+      s"""SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs,
+                 l || r AS merged, n FROM b$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH w0 AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS word
+          FROM documents)
+        WHERE regexp_matches(word, '^[a-z0-9]+$$') AND strlen(word) >= 2
+        GROUP BY word),
+      s0 AS (
+        SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                 || ' ' AS ps, freq
+        FROM w0),$rounds
+      $emit"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bpe_train"  -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "q102_probe_train" -> ((s, d) => probeTrain(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
@@ -867,6 +1108,8 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    "q101_bpe_train" -> bpeOracle(8),
+    "q102_probe_train" -> probeOracle(64, 4, 8, "en"),
     /* q97: the greedy longest-prefix encode as a recursive CTE over
      * the DISTINCT word table (one step strips one piece); terminal
      * rows (rest = '') carry each word's piece/unk counts. */

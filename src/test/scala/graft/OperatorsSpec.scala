@@ -333,6 +333,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("ab", 3L), ("aa", 2L), ("bc", 1L)))
   }
 
+  test("BPE training: hand-computed merge sequence, exhaustion stops early") {
+    // wf: aaab=3, ab=2, cd=1 → step1 (a,a)=6 → "aa"; after rewrite
+    // aaab = [aa a b]: step2 (a,b)=3+2=5 → "ab"; step3 (aa,ab)=3;
+    // step4 (c,d)=1; then no pairs remain → 4 rows despite merges=6
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab cd"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, merges = 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L),
+      (4, "c", "d", "cd", 1L)))
+  }
+
+  test("probe training: gradient steps reduce SSE, deterministic weights") {
+    val en = (0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog", "en"))
+    val xx = (0 until 20).map(i =>
+      (100L + i, "zhe kuai zong se hu li tiao guo lan gou", "zh"))
+    val docs = (en ++ xx).toDF("doc_id", "text", "lang")
+    val w0 = TextOps.probeTrain(docs, iters = 0)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(w0.forall(_ == 0L))
+    val w4 = TextOps.probeTrain(docs, iters = 4)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val w4b = TextOps.probeTrain(docs, iters = 4)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(w4.toSeq == w4b.toSeq, "training must be deterministic")
+    assert(w4.exists(_ != 0L), "training must move the weights")
+    val sse0 = TextOps.probeSse(docs, w0.toSeq)
+    val sse4 = TextOps.probeSse(docs, w4.toSeq)
+    assert(sse4 < sse0, s"SSE must decrease: $sse0 -> $sse4")
+  }
+
   test("incremental admission: exact, vs-reference, and in-batch rejections") {
     def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
