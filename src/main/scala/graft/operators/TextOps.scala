@@ -859,14 +859,7 @@ object TextOps extends graft.QueryModule {
                checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    val wf0 = documents
-      .select(explode(words(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
-          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
-          lit(" ")).as("ps"),
-        col("freq"))
+    val wf0 = bpeInitState(documents)
     val wf =
       if (checkpointDir.isDefined) wf0.checkpoint(eager = true)
       else wf0.localCheckpoint(true)
@@ -875,16 +868,7 @@ object TextOps extends graft.QueryModule {
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val n1 = greatest(size(col("p")) - 1, lit(0))
-      val best = state
-        .select(filter(split(col("ps"), " "), x => x =!= "").as("p"),
-          col("freq"))
-        .select(explode(zip_with(
-            slice(col("p"), lit(1), n1), slice(col("p"), lit(2), n1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"),
-          col("freq"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum(col("freq")).as("n"))
+      val best = bpePairAgg(state)
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -900,6 +884,35 @@ object TextOps extends graft.QueryModule {
     }
     import spark.implicits._
     out.result().toDF("step", "lhs", "rhs", "merged", "n")
+  }
+
+  /** [[bpeTrain]]'s vocab state: one corpus collapse to the
+    * distinct-word frequency table with space-separated piece
+    * strings. Split out so PlanSpec can pin the round shape. */
+  private[graft] def bpeInitState(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+          lit(" ")).as("ps"),
+        col("freq"))
+
+  /** One [[bpeTrain]] round's adjacent-pair frequency aggregate over a
+    * piece table — one vocab-keyed exchange on the character-pair key
+    * space; the caller's limit(1) rides TakeOrderedAndProject. */
+  private[graft] def bpePairAgg(state: DataFrame): DataFrame = {
+    val n1 = greatest(size(col("p")) - 1, lit(0))
+    state
+      .select(filter(split(col("ps"), " "), x => x =!= "").as("p"),
+        col("freq"))
+      .select(explode(zip_with(
+          slice(col("p"), lit(1), n1), slice(col("p"), lit(2), n1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("pr"),
+        col("freq"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
   }
 
   /** Linear-probe classifier training (q102): batch gradient descent
@@ -918,36 +931,33 @@ object TextOps extends graft.QueryModule {
     * array (the q34 kmeans discipline: model state rides the driver)
     * and reduces to ONE map-side-combined aggregate over the
     * `buckets+1`-key space — per-occurrence error sums, which equal
-    * the err·count formulation exactly. The corpus is scanned
-    * `iters` times and never shuffled; the only exchange per
-    * iteration carries ≤ (buckets+1) partial rows per task.
+    * the err·count formulation exactly. The corpus text is scanned
+    * and hashed ONCE — GD passes iterate over the checkpointed
+    * feature table — and never shuffled; the only exchange per
+    * iteration carries ≤ (buckets+1) partial rows per task. Pass
+    * `checkpointDir` for a reliable feature leaf on a real cluster.
     * Per-row products stay within LONG (|err| ≤ ~2⁴⁰ for sane
     * feature counts); cross-row gradient sums ride DECIMAL(38,0).
     */
   def probeTrain(documents: DataFrame, buckets: Int = 64, iters: Int = 4,
-                 lrShift: Int = 8, targetLang: String = "en"): DataFrame = {
+                 lrShift: Int = 8, targetLang: String = "en",
+                 checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val scale = 1L << 20
-    val docFeats = documents.select(
-      (col("lang") === targetLang).cast("long").as("y"),
-      concat(array(lit(0)),
-        transform(shingles(words(col("text")), 2),
-          g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
-        .as("js"))
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // feature extraction runs ONCE (the standard extract-then-iterate
+    // ML split): the checkpointed (y, js) table is ~40% the text's
+    // size and saves re-hashing the corpus every GD pass
+    val feats0 = probeFeatures(documents, buckets, targetLang)
+    val docFeats =
+      if (checkpointDir.isDefined) feats0.checkpoint(eager = true)
+      else feats0.localCheckpoint(true)
     val n = docFeats.count()
     require(n > 0, "probeTrain: empty corpus")
     val divisor = n * (1L << (lrShift - 1))
     val w = Array.fill(buckets + 1)(0L)
     for (_ <- 1 to iters) {
-      val wlit = typedlit(w.toSeq)
-      val grads = docFeats
-        .select((aggregate(col("js"), lit(0L),
-            (a, j) => a + element_at(wlit, j + 1)) -
-          col("y") * scale).as("err"), col("js"))
-        .select(explode(col("js")).as("j"), col("err"))
-        .groupBy(col("j"))
-        .agg(sum(col("err").cast("decimal(38,0)")).as("g"))
+      val grads = probeGrad(docFeats, w.toSeq)
         .as[(Int, java.math.BigDecimal)].collect()
       grads.foreach { case (j, g) =>
         w(j) -= g.toBigInteger.longValueExact() / divisor
@@ -956,22 +966,44 @@ object TextOps extends graft.QueryModule {
     w.toSeq.zipWithIndex.map { case (wv, j) => (j, wv) }.toDF("j", "w")
   }
 
+  private val ProbeScale = 1L << 20
+
+  /** [[probeTrain]]'s feature map — label + `[bias] ++ bucket(bigram)`
+    * occurrence ids, a pure map over the corpus (zero exchanges). */
+  private[graft] def probeFeatures(documents: DataFrame, buckets: Int,
+                                   targetLang: String): DataFrame =
+    documents.select(
+      (col("lang") === targetLang).cast("long").as("y"),
+      concat(array(lit(0)),
+        transform(shingles(words(col("text")), 2),
+          g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
+        .as("js"))
+
+  /** One [[probeTrain]] GD iteration: per-doc scaled error against the
+    * LITERAL weight vector, reduced to per-feature error sums in one
+    * map-side-combined (buckets+1)-key aggregate. */
+  private[graft] def probeGrad(docFeats: DataFrame,
+                               w: Seq[Long]): DataFrame = {
+    val wlit = typedlit(w)
+    docFeats
+      .select((aggregate(col("js"), lit(0L),
+          (a, j) => a + element_at(wlit, j + 1)) -
+        col("y") * ProbeScale).as("err"), col("js"))
+      .select(explode(col("js")).as("j"), col("err"))
+      .groupBy(col("j"))
+      .agg(sum(col("err").cast("decimal(38,0)")).as("g"))
+  }
+
   /** Scaled-integer sum of squared errors of a trained probe on the
     * corpus — the training-curve check ([[probeTrain]] semantics). */
   private[graft] def probeSse(documents: DataFrame, weights: Seq[Long],
                               buckets: Int = 64,
                               targetLang: String = "en"): BigDecimal = {
-    val scale = 1L << 20
     val wlit = typedlit(weights)
-    val row = documents.select(
-        (col("lang") === targetLang).cast("long").as("y"),
-        concat(array(lit(0)),
-          transform(shingles(words(col("text")), 2),
-            g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
-          .as("js"))
+    val row = probeFeatures(documents, buckets, targetLang)
       .select((aggregate(col("js"), lit(0L),
           (a, j) => a + element_at(wlit, j + 1)) -
-        col("y") * scale).as("err"))
+        col("y") * ProbeScale).as("err"))
       .agg(sum((col("err") * col("err")).cast("decimal(38,0)")))
       .head()
     BigDecimal(row.getDecimal(0))

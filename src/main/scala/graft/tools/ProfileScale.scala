@@ -109,14 +109,25 @@ object ProfileScale {
       "q95_shard_skew"    -> (d => graft.operators.Skew.shardSkewAudit(d)),
       "q96_quality_thr"   -> (d => graft.operators.TextOps.qualityThreshold(d)),
       "q97_subword"       -> (d => graft.operators.TextOps.subwordEncode(d)),
-      "q100_pipeline"     -> (d => graft.operators.Corpus.curationPipeline(d)))
+      "q100_pipeline"     -> (d => graft.operators.Corpus.curationPipeline(d)),
+      // trainers: construction runs the driver loop (collect actions),
+      // so the timed thunk measures the full training pass; outputs
+      // are model-sized by design (8 merges / 65 weights)
+      "q101_bpe_train"    -> (d => graft.operators.TextOps.bpeTrain(d)),
+      "q102_probe_train"  -> (d => graft.operators.TextOps.probeTrain(d)))
+
+    // optional positional args narrow the docs-family sweep (the
+    // replica build still runs — it is the input)
+    val only = args.toSet
+    val opsRun = if (only.isEmpty) ops
+                 else ops.filter { case (n, _) => only(n) }
 
     for ((docs, label) <- Seq((d01, "sf0.1"), (d1, "sf1"))) {
       val stats = docs.queryExecution.optimizedPlan.stats.sizeInBytes
       println(s"== $label: ${docs.count()} docs, scan stats $stats bytes, " +
         s"q29 gate -> ${if (stats <= BigInt(1L << 30)) "broadcast"
           else "shuffled"}")
-      for ((name, op) <- ops) {
+      for ((name, op) <- opsRun) {
         op(docs).write.format("noop").mode("overwrite")
           .save() // warm: codegen+JIT compile out of the timing
         val (sec, rows) = time(op(docs))
@@ -145,10 +156,12 @@ object ProfileScale {
       // centroid count — measuring the linear scan, not a 10× model
       "q80_pq_encode" -> ((e, label) => graft.operators.Similarity.pqEncode(
         e, centroidMod = if (label == "sf1") 1270 else 127)))
+    val embOpsRun = if (only.isEmpty) embOps
+                    else embOps.filter { case (n, _) => only(n) }
     for ((embs, label) <- Seq(
         (Tables.embeddings(spark, sf01), "sf0.1"),
         (spark.read.parquet(e1Path), "sf1"))) {
-      for ((name, op0) <- embOps) {
+      for ((name, op0) <- embOpsRun) {
         val op = (e: DataFrame) => op0(e, label)
         op(embs).write.format("noop").mode("overwrite").save()
         val (sec, rows) = time(op(embs))

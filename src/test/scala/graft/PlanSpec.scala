@@ -375,4 +375,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window "),
       s"rank window crept back in:\n$plan")
   }
+
+  test("probe-training iteration: pure map + ONE (buckets+1)-key aggregate") {
+    // weights ride as literals — no join, no corpus shuffle; the only
+    // exchange carries per-feature partial error sums (65 keys)
+    val feats = TextOps.probeFeatures(Tables.documents(spark, sf), 64, "en")
+    val df = TextOps.probeGrad(feats, Seq.fill(65)(3L))
+    df.collect() // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"iteration joins:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges (want 1):\n$plan")
+  }
+
+  test("BPE training round: one pair aggregate, argmax via bounded take") {
+    // per round: one vocab-keyed pair exchange (plus the init state's
+    // word collapse, which training hides behind the checkpoint), and
+    // the argmax is TakeOrderedAndProject — never a global sort
+    val df = TextOps.bpePairAgg(TextOps.bpeInitState(
+        Tables.documents(spark, sf)))
+      .orderBy(org.apache.spark.sql.functions.col("n").desc)
+      .limit(1)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded take:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"$exchanges exchanges (want 2):\n$plan")
+  }
 }
