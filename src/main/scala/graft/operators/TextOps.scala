@@ -858,6 +858,17 @@ object TextOps extends graft.QueryModule {
   def bpeTrain(documents: DataFrame, merges: Int = 8,
                checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
+    import spark.implicits._
+    bpeLoop(documents, merges, checkpointDir)._1
+      .toDF("step", "lhs", "rhs", "merged", "n")
+  }
+
+  /** The [[bpeTrain]] driver loop; also returns the final piece table
+    * (word, ps, freq) so [[bpeEncode]] can apply the learned merges. */
+  private def bpeLoop(documents: DataFrame, merges: Int,
+                      checkpointDir: Option[String])
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val wf0 = bpeInitState(documents)
     val wf =
@@ -882,8 +893,47 @@ object TextOps extends graft.QueryModule {
         step += 1
       }
     }
-    import spark.implicits._
-    out.result().toDF("step", "lhs", "rhs", "merged", "n")
+    (out.result(), state)
+  }
+
+  /** BPE corpus encoding (q103): train the first `merges` merges
+    * ([[bpeTrain]]) and tokenize every document with them — the
+    * train→apply composition that closes the tokenizer family
+    * (q74 pair stats → q101 merge learning → q103 encoding → q57
+    * packing). Per-doc output: qualifying-word and BPE-token counts;
+    * words outside `^[a-z0-9]{2,}$` (the trainable alphabet) pass
+    * through as one token each, the byte-fallback simplification.
+    *
+    * SCALE SHAPE: training is q101's (vocab-keyed rounds over the
+    * checkpointed word table); the final piece table is VOCAB-sized
+    * and joins the exploded corpus under the q97 source gate
+    * (broadcast below [[Dedup.MaxBroadcastSourceBytes]], shuffled
+    * key-join fallback above); the per-doc rollup rides one doc_id
+    * exchange. The corpus text itself never shuffles with payloads —
+    * only (doc_id, word) pairs move.
+    *
+    * Requires the corpus to sustain all `merges` rounds (throws on
+    * early pair exhaustion — the unrolled oracle cannot branch).
+    */
+  def bpeEncode(documents: DataFrame, merges: Int = 8,
+                broadcastVocab: Option[Boolean] = None,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val (learned, state) = bpeLoop(documents, merges, checkpointDir)
+    require(learned.size == merges,
+      s"bpeEncode: corpus exhausted adjacent pairs after ${learned.size} " +
+        s"of $merges merges — lower `merges`")
+    val enc = state.select(col("word"),
+      size(filter(split(col("ps"), " "), x => x =!= "")).cast("long")
+        .as("np"))
+    val dw = documents.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val bcast = broadcastVocab.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    dw.join(if (bcast) broadcast(enc) else enc, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("np"), lit(1L))).as("n_tokens"))
   }
 
   /** [[bpeTrain]]'s vocab state: one corpus collapse to the
@@ -894,7 +944,8 @@ object TextOps extends graft.QueryModule {
       .select(explode(words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
+      .select(col("word"),
+        concat(lit(" "),
           array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
           lit(" ")).as("ps"),
         col("freq"))
@@ -968,16 +1019,38 @@ object TextOps extends graft.QueryModule {
 
   private val ProbeScale = 1L << 20
 
+  /** `[bias] ++ bucket(bigram)` feature-occurrence ids of a text
+    * column — the [[probeTrain]]/[[probeScore]] feature map, a pure
+    * Column expression (works on batch and streaming frames alike). */
+  private def probeJs(text: Column, buckets: Int): Column =
+    concat(array(lit(0)),
+      transform(shingles(words(text), 2),
+        g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
+
   /** [[probeTrain]]'s feature map — label + `[bias] ++ bucket(bigram)`
     * occurrence ids, a pure map over the corpus (zero exchanges). */
   private[graft] def probeFeatures(documents: DataFrame, buckets: Int,
                                    targetLang: String): DataFrame =
     documents.select(
       (col("lang") === targetLang).cast("long").as("y"),
-      concat(array(lit(0)),
-        transform(shingles(words(col("text")), 2),
-          g => (pmod(hash60(g), lit(buckets.toLong)) + 1).cast("int")))
-        .as("js"))
+      probeJs(col("text"), buckets).as("js"))
+
+  /** Score documents with a trained probe ([[probeTrain]] weights):
+    * scaled-integer prediction `Σ w[j]` over feature occurrences —
+    * ≥ 2¹⁹ (= 0.5 in w·2²⁰ units) reads "target class". A pure map
+    * with the weights inlined as literals, so it serves unchanged on
+    * a STREAMING frame (stateless — no watermark or state store);
+    * the train/serve split of the q65 surprisal family.
+    */
+  def probeScore(documents: DataFrame, weights: Seq[Long],
+                 buckets: Int = 64): DataFrame = {
+    require(weights.size == buckets + 1,
+      s"probeScore: ${weights.size} weights for $buckets buckets")
+    val wlit = typedlit(weights)
+    documents.select(col("doc_id"),
+      aggregate(probeJs(col("text"), buckets), lit(0L),
+        (a, j) => a + element_at(wlit, j + 1)).as("score_s"))
+  }
 
   /** One [[probeTrain]] GD iteration: per-doc scaled error against the
     * LITERAL weight vector, reduced to per-feature error sums in one
@@ -1064,12 +1137,47 @@ object TextOps extends graft.QueryModule {
     * argmax (b), and the rewrite (s) over the previous round's piece
     * table, sharing bpeTrain's replace() semantics verbatim. */
   private def bpeOracle(merges: Int): String = {
+    val emit = (1 to merges).map { i =>
+      s"""SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs,
+                 l || r AS merged, n FROM b$i"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH ${bpeCtes(merges, keepLast = false)}
+      $emit"""
+  }
+
+  /** Oracle twin of [[bpeEncode]]: the shared training CTEs (with the
+    * final rewrite kept) feed a vocab-sized piece-count table that
+    * left-joins the exploded corpus; non-trainable words fall back to
+    * one token, mirroring the Spark coalesce. */
+  private def bpeEncodeOracle(merges: Int): String = s"""
+      WITH ${bpeCtes(merges, keepLast = true)},
+      enc AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(ps, ' '), x -> x <> ''))
+                 AS BIGINT) AS np
+        FROM s$merges),
+      dw AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(COALESCE(e.np, 1)) AS BIGINT) AS n_tokens
+      FROM dw LEFT JOIN enc e USING (word)
+      GROUP BY doc_id"""
+
+  /** Shared WITH-body of the unrolled BPE training loop: per round the
+    * pair aggregate (p), 1-row argmax (b), and word-carrying rewrite
+    * (s). `keepLast` materializes the final rewrite for consumers of
+    * the trained piece table (q103). */
+  private def bpeCtes(merges: Int, keepLast: Boolean): String = {
     val rounds = (1 to merges).map { i =>
       val rewrite =
-        if (i == merges) "" // last round's rewrite feeds nothing
+        if (i == merges && !keepLast) "" // feeds nothing in q101
         else s""",
       s$i AS (
-        SELECT replace(s.ps, ' ' || b.l || ' ' || b.r || ' ',
+        SELECT s.word, replace(s.ps, ' ' || b.l || ' ' || b.r || ' ',
                        ' ' || b.l || b.r || ' ') AS ps, s.freq
         FROM s${i - 1} s, b$i b)"""
       s"""
@@ -1084,12 +1192,7 @@ object TextOps extends graft.QueryModule {
       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC
               LIMIT 1)$rewrite"""
     }.mkString(",")
-    val emit = (1 to merges).map { i =>
-      s"""SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs,
-                 l || r AS merged, n FROM b$i"""
-    }.mkString("\n      UNION ALL\n      ")
-    s"""
-      WITH w0 AS (
+    s"""w0 AS (
         SELECT word, count(*) AS freq FROM (
           SELECT unnest(string_split(trim(regexp_replace(lower(text),
                    '\\s+', ' ', 'g')), ' ')) AS word
@@ -1097,15 +1200,16 @@ object TextOps extends graft.QueryModule {
         WHERE regexp_matches(word, '^[a-z0-9]+$$') AND strlen(word) >= 2
         GROUP BY word),
       s0 AS (
-        SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+        SELECT word,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
                  || ' ' AS ps, freq
-        FROM w0),$rounds
-      $emit"""
+        FROM w0),$rounds"""
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bpe_train"  -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q102_probe_train" -> ((s, d) => probeTrain(Tables.documents(s, d))),
+    "q103_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
@@ -1142,6 +1246,7 @@ object TextOps extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracle(8),
     "q102_probe_train" -> probeOracle(64, 4, 8, "en"),
+    "q103_bpe_encode" -> bpeEncodeOracle(8),
     /* q97: the greedy longest-prefix encode as a recursive CTE over
      * the DISTINCT word table (one step strips one piece); terminal
      * rows (rest = '') carry each word's piece/unk counts. */

@@ -348,6 +348,28 @@ class OperatorsSpec extends SparkSpec {
       (4, "c", "d", "cd", 1L)))
   }
 
+  test("BPE encode: learned merges tokenize the corpus, fallback = 1 token") {
+    // merges on this corpus: aa, ab, aaab, cd → aaab/ab/cd all encode
+    // to ONE piece; the 1-char word "z" is outside the trainable
+    // alphabet and falls back to a single token
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab cd"), (3L, "z aaab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, merges = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 2L, 2L)))
+    // with fewer merges the same words need more pieces:
+    // merges=2 (aa, ab) → aaab = [aa, ab] = 2 pieces
+    val got2 = TextOps.bpeEncode(docs, merges = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 3L, 5L), (2L, 3L, 5L), (3L, 2L, 3L)))
+    // early pair exhaustion throws rather than silently diverging
+    // from the unrolled oracle
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeEncode(tiny, merges = 4))
+    assert(e.getMessage.contains("exhausted"))
+  }
+
   test("probe training: gradient steps reduce SSE, deterministic weights") {
     val en = (0 until 20).map(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog", "en"))

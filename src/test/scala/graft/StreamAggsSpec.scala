@@ -378,6 +378,32 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming probe scoring reproduces the batch scores exactly") {
+    import graft.core.Tables
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = TextOps.probeTrain(docs, iters = 2)
+      .orderBy("j").as[(Int, Long)].collect().map(_._2).toSeq
+    val want = TextOps.probeScore(docs, w)
+      .as[(Long, Long)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the scoring map is stateless Column code — the SAME operator
+    // call serves the streaming frame, no twin implementation
+    val q = TextOps.probeScore(in.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("probe_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      in.addData(rows.take(60).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("probe_out")
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 60)
+      got.foreach { case (id, s) => assert(s == want(id), s"doc $id") }
+    } finally q.stop()
+  }
+
   test("surprisal scoring rejects a degenerate fit and honors a caller broadcast") {
     import graft.core.Tables
     import graft.operators.TextOps
