@@ -110,11 +110,15 @@ object ProfileScale {
       "q96_quality_thr"   -> (d => graft.operators.TextOps.qualityThreshold(d)),
       "q97_subword"       -> (d => graft.operators.TextOps.subwordEncode(d)),
       "q100_pipeline"     -> (d => graft.operators.Corpus.curationPipeline(d)),
+      "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)),
+      "q89_distinct_toks" -> (d => graft.operators.TextOps.distinctiveTokens(d)),
+      "q90_source_drift"  -> (d => graft.operators.Corpus.sourceDrift(d)),
       // trainers: construction runs the driver loop (collect actions),
       // so the timed thunk measures the full training pass; outputs
       // are model-sized by design (8 merges / 65 weights)
       "q101_bpe_train"    -> (d => graft.operators.TextOps.bpeTrain(d)),
-      "q102_probe_train"  -> (d => graft.operators.TextOps.probeTrain(d)))
+      "q102_probe_train"  -> (d => graft.operators.TextOps.probeTrain(d)),
+      "q103_bpe_encode"   -> (d => graft.operators.TextOps.bpeEncode(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)

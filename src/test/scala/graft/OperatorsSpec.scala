@@ -370,6 +370,16 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("BPE encode: shuffled vocab-join fallback returns identical counts") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaB = TextOps.bpeEncode(docs, broadcastVocab = Some(true))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaS = TextOps.bpeEncode(docs, broadcastVocab = Some(false))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaB == viaS, "gate fallback must not change the encoding")
+    assert(viaB.nonEmpty && viaB.forall { case (_, w, t) => t >= 1 && w >= 1 })
+  }
+
   test("probe training: gradient steps reduce SSE, deterministic weights") {
     val en = (0 until 20).map(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog", "en"))
