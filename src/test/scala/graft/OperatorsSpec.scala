@@ -370,6 +370,102 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("BPE training equals an independent in-memory trainer on random corpora") {
+    // reference implementation: greedy left-to-right non-overlapping
+    // merge over piece LISTS — structurally unrelated to the
+    // operator's separator-string replace, so agreement checks the
+    // rewrite semantics, the overlap counting, and the tie order
+    def mergeList(ps: List[String], l: String, r: String): List[String] =
+      ps match {
+        case a :: b :: rest if a == l && b == r =>
+          (l + r) :: mergeList(rest, l, r)
+        case a :: rest => a :: mergeList(rest, l, r)
+        case Nil => Nil
+      }
+    def refBpe(words: Seq[(String, Long)],
+               merges: Int): Seq[(Int, String, String, String, Long)] = {
+      var state = words.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var step = 1
+      var done = false
+      while (step <= merges && !done) {
+        val counts = state.flatMap { case (ps, f) =>
+          ps.zip(ps.tail).map(p => (p, f))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((step, l, r, l + r, n))
+          state = state.map { case (ps, f) => (mergeList(ps, l, r), f) }
+          step += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      // small alphabet → dense pair collisions and frequent ties
+      val vocab = (1 to (5 + rnd.nextInt(10))).map { _ =>
+        val len = 2 + rnd.nextInt(4)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val freqs = vocab.map(w => (w, 1L + rnd.nextInt(5)))
+      val text = freqs.flatMap { case (w, f) =>
+        Seq.fill(f.toInt)(w)
+      }.mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val got = TextOps.bpeTrain(docs, merges = 6)
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+      val want = refBpe(freqs, merges = 6)
+      assert(got == want, s"trial $trial diverged: corpus $freqs")
+    }
+  }
+
+  test("probe training equals an independent in-memory GD on random docs") {
+    import graft.functions.Portable.{h60Scala, wordsScala}
+    val buckets = 16
+    val iters = 3
+    val lrShift = 8
+    val scale = 1L << 20
+    def refTrain(docs: Seq[(String, String)]): Seq[Long] = {
+      val feats = docs.map { case (text, lang) =>
+        val ws = wordsScala(text)
+        val js = 0 +: ws.zip(ws.tail).map { case (a, b) =>
+          (math.floorMod(h60Scala(s"$a $b"), buckets.toLong) + 1).toInt
+        }.toSeq
+        (if (lang == "en") 1L else 0L, js)
+      }
+      val n = feats.size.toLong
+      val divisor = n * (1L << (lrShift - 1))
+      val w = Array.fill(buckets + 1)(0L)
+      for (_ <- 1 to iters) {
+        val grads = Array.fill(buckets + 1)(BigInt(0))
+        feats.foreach { case (y, js) =>
+          val err = js.map(j => w(j)).sum - y * scale
+          js.foreach(j => grads(j) += err)
+        }
+        for (j <- 0 to buckets)
+          w(j) -= (grads(j) / divisor).toLong
+      }
+      w.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val langs = Seq("en", "de", "zh")
+    val wordsPool = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docs = (1 to 30).map { i =>
+      val text = (1 to 3 + rnd.nextInt(8))
+        .map(_ => wordsPool(rnd.nextInt(wordsPool.size))).mkString(" ")
+      (i.toLong, text, langs(rnd.nextInt(langs.size)))
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val got = TextOps.probeTrain(df, buckets = buckets, iters = iters,
+        lrShift = lrShift)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    val want = refTrain(docs.map(d => (d._2, d._3)))
+    assert(got == want)
+  }
+
   test("BPE encode: shuffled vocab-join fallback returns identical counts") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val viaB = TextOps.bpeEncode(docs, broadcastVocab = Some(true))
