@@ -209,7 +209,10 @@ object ProfileScale {
     }
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q29_jaccard_pairs" -> (d => Dedup.ngramJaccardPairs(d, 0.8)),
-      "q66_containment"   -> (d => Dedup.containmentPairs(d)))
+      "q66_containment"   -> (d => Dedup.containmentPairs(d)),
+      // the heaviest non-pair op: one token-scale doc_id repartition
+      // (~50M bigrams here) feeding a 4096-key model
+      "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)))
     for ((name, op) <- ops) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))
