@@ -871,10 +871,10 @@ object TextOps extends graft.QueryModule {
     val spark = documents.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val wf0 = bpeInitState(documents)
-    val wf =
-      if (checkpointDir.isDefined) wf0.checkpoint(eager = true)
-      else wf0.localCheckpoint(true)
-    var state = wf
+    def leaf(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    var state = leaf(wf0)
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -890,6 +890,12 @@ object TextOps extends graft.QueryModule {
         // pieces are ^[a-z0-9]+$ by construction — safe to inline
         state = state.withColumn("ps",
           expr(s"replace(ps, ' $l $r ', ' $l$r ')"))
+        // production merge counts are vocab-scale (tens of thousands):
+        // re-leaf periodically so plan depth stays bounded instead of
+        // chaining one replace projection per round (the q47
+        // propagation-loop discipline — constant plan size, no cache
+        // bookkeeping)
+        if (step % 64 == 0) state = leaf(state)
         step += 1
       }
     }

@@ -419,6 +419,17 @@ class OperatorsSpec extends SparkSpec {
       val want = refBpe(freqs, merges = 6)
       assert(got == want, s"trial $trial diverged: corpus $freqs")
     }
+    // a merge count past the 64-round re-leaf boundary: wide alphabet
+    // sustains 70 merges, the periodic checkpoint must not change them
+    val wide = (1 to 150).map { _ =>
+      (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(4)))
+    val wdocs = Seq((1L, wide.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w) }.mkString(" "))).toDF("doc_id", "text")
+    val got70 = TextOps.bpeTrain(wdocs, merges = 70)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got70 == refBpe(wide, merges = 70), "70-merge run diverged")
+    assert(got70.size == 70)
   }
 
   test("probe training equals an independent in-memory GD on random docs") {
