@@ -19,7 +19,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational, EventOps, TextOps, Dedup, Similarity, Multimodal, Skew,
-    Corpus)
+    Corpus, Analysis)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

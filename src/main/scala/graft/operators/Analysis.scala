@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Portable._
+
+/** Corpus-evaluation operators: the measurement passes a training-data
+  * pipeline runs over its own filters and tokenizers before committing
+  * a 100 TB pass to them. Everything here reduces the corpus to a
+  * model-sized table (a score histogram, a bounded candidate set, a
+  * per-language rollup, a bucket layout) in at most one token-scale
+  * exchange, then finishes on that tiny table — the same discipline as
+  * q59/q96: never a sort, window, or rank over raw documents.
+  */
+object Analysis extends graft.QueryModule {
+
+  /** Exact ROC-AUC of an integer quality score against a binary label
+    * (here: the per-mille stopword ratio predicting `lang = posLang`) —
+    * the standard "is this cheap filter worth running?" measurement
+    * for a quality signal before it gates a corpus pass.
+    *
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) over all
+    * positive/negative pairs. Computed exactly from the per-score
+    * histogram: with p_s positives and n_s negatives at score s and
+    * N_s the running negative total up to and including s,
+    * 2·U = Σ_s p_s·(2·N_s − n_s), AUC = U / (pos·neg). All pair
+    * counting is exact integer arithmetic; only the final single-row
+    * division is a double (IEEE ops on identical exact operands are
+    * bit-identical across engines).
+    *
+    * SCALE SHAPE: one map-only scoring scan, ONE exchange on the
+    * score histogram key (≤1001 rows for a per-mille score no matter
+    * the corpus size), then the rank-free pair count runs on that tiny
+    * table (the global window orders ≤1001 rows — model-sized by
+    * construction, not a corpus sort).
+    */
+  def aucEval(documents: DataFrame, posLang: String = "en"): DataFrame = {
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val scored = documents
+      .filter(col("lang").isNotNull)
+      .select((col("lang") === posLang).cast("long").as("y"),
+        words(col("text")).as("ws"))
+      .select(col("y"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(filter(col("ws"), w => array_contains(stopArr, w)))
+          .cast("long").as("n_stop"))
+      .select(col("y"), expr("(n_stop * 1000) div n_tok").as("score"))
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
+    // ≤1001-row table: the unpartitioned window is model-sized by
+    // construction (per-mille score domain), not a corpus-wide sort
+    val cum = hist.withColumn("cum_n",
+      sum(col("n")).over(Window.orderBy(col("score").asc)))
+    cum.agg(
+      sum(col("p")).cast("long").as("n_pos"),
+      sum(col("n")).cast("long").as("n_neg"),
+      sum(col("p") * (col("cum_n") * 2 - col("n"))).cast("long").as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Guaranteed heavy hitters: every word with frequency strictly
+    * above total/k, with its EXACT count — boilerplate/spam token
+    * detection at corpus scale. Two passes, and the full vocabulary
+    * is never shuffled:
+    *
+    *  1. a Misra-Gries pass with k counters per partition emits a
+    *     bounded candidate set (≤ k·partitions rows total). Pigeonhole
+    *     gives the guarantee: a word with global freq > total/k has
+    *     local freq > local/k in at least one partition, and MG with
+    *     k counters keeps every item above local/(k+1) ≥ that bar;
+    *  2. an exact confirm pass counts ONLY tokens matching the
+    *     broadcast candidate set and filters freq·k > total.
+    *
+    * False candidates are eliminated by the exact filter, so the
+    * result is deterministic — identical for every partition layout —
+    * even though the intermediate candidate set is not. Compare q45's
+    * bounded top-k (needs a vocabulary-scale (key, count) exchange for
+    * exact ranks): heavy hitters with a support threshold need only
+    * candidate-scale state, the right tool when the vocabulary itself
+    * is too large to shuffle.
+    */
+  def heavyHitters(documents: DataFrame, k: Int = 40): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = documents.select(explode(words(col("text"))).as("w"))
+    val cands = tok.as[String].mapPartitions { it =>
+      // Misra-Gries with k counters: increment on hit, insert while
+      // room, else decrement all (amortized O(1): each decrement
+      // cancels one prior increment). Survivors = local candidates.
+      val c = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        c.get(w) match {
+          case Some(v) => c.update(w, v + 1)
+          case None if c.size < k => c.update(w, 1L)
+          case None =>
+            c.mapValuesInPlace((_, v) => v - 1)
+            c.filterInPlace((_, v) => v > 0)
+        }
+      }
+      c.keysIterator
+    }.toDF("w").distinct()
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(cands), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("total"))
+      .select(col("w").as("word"), col("freq").cast("long").as("freq"))
+  }
+
+  /** Tokenizer fertility per language: pieces-per-word and unk share
+    * of the q97 subword tokenizer, weighted by token frequency — THE
+    * standard tokenizer-evaluation table (a tokenizer trained on
+    * English text typically shows fertility 1.2–1.5 on English and
+    * 2–4× that on unseen scripts, where every character falls back to
+    * unk). Run before committing a vocabulary to a multilingual
+    * corpus: high-fertility languages pay proportionally more of the
+    * sequence budget per word.
+    *
+    * SCALE SHAPE: identical to q97 — the greedy encode loop runs only
+    * on the DISTINCT word table (vocabulary-scale), encodings rejoin
+    * the token stream under the q29 stats gate, and the final rollup
+    * key is `lang` (a handful of groups). The per-language division
+    * happens once per group row on exact integer sums.
+    */
+  def tokenizerFertility(documents: DataFrame,
+                         vocab: Seq[String] = TextOps.subwordVocab,
+                         broadcastEncodings: Option[Boolean] = None)
+  : DataFrame = {
+    val tok = documents
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+    val dw = TextOps.encodeDistinctWords(tok.select(col("w")), vocab)
+    val bcast = broadcastEncodings.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tok.join(if (bcast) broadcast(dw) else dw, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("nu")).as("n_unk"))
+      .select(col("lang"), col("n_words"),
+        col("n_pieces").cast("long").as("n_pieces"),
+        col("n_unk").cast("long").as("n_unk"),
+        (col("n_pieces") / col("n_words")).as("fertility"),
+        expr("(n_unk * 1000) div n_pieces").as("unk_permille"))
+  }
+
+  /** Length-bucketed batching report: assign each document to the
+    * power-of-two length bucket covering its token count (bucket b
+    * holds 2^(b−1) ≤ n < 2^b, i.e. b = bit-length of n) and report
+    * per bucket the sequence count, token total, full-batch count,
+    * padded capacity, and fill rate — the padding-waste ledger for
+    * dynamic-batching trainers that pad each batch to its bucket cap
+    * instead of packing (q57). A fill_permille far below 1000 in a
+    * populated bucket says the bucket boundaries (or q57 packing)
+    * should be revisited before a full training run.
+    *
+    * Bit-length is exact integer arithmetic in any engine (length of
+    * the base-2 string — no float log2 at power-of-two edges).
+    *
+    * SCALE SHAPE: map-only bucket assignment fused into the scan, ONE
+    * exchange on the bucket id (≤64 keys); every downstream number is
+    * integer arithmetic on that tiny table.
+    */
+  def lengthBuckets(documents: DataFrame, batchSize: Int = 16): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    documents
+      .select(size(words(col("text"))).cast("long").as("n_tok"))
+      .select(length(conv(col("n_tok"), 10, 2)).cast("long").as("bucket_bits"),
+        col("n_tok"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("sum_tok"))
+      .select(col("bucket_bits"),
+        expr("shiftleft(1L, cast(bucket_bits as int)) - 1").as("cap"),
+        col("n_seqs"), col("sum_tok").cast("long").as("sum_tok"))
+      .select(col("bucket_bits"), col("cap"), col("n_seqs"), col("sum_tok"),
+        expr(s"(n_seqs + ${batchSize - 1}) div $batchSize").as("batches"),
+        (col("n_seqs") * col("cap")).as("capacity"),
+        expr("(sum_tok * 1000) div (n_seqs * cap)").as("fill_permille"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_auc" -> ((s, d) => aucEval(Tables.documents(s, d))),
+    "q105_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
+    "q106_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
+    "q107_length_buckets" -> ((s, d) => lengthBuckets(Tables.documents(s, d)))
+  )
+
+  private def wsSql =
+    """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
+
+  def oracle: Map[String, String] = Map(
+    /* q104: per-score histogram → running negative count → exact 2U. */
+    "q104_auc" -> s"""
+      WITH s AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               (len(list_filter(ws, w -> list_contains(
+                  ${TextOps.sqlArr(TextOps.stopwords)}, w))) * 1000)
+                 // len(ws) AS score
+        FROM (SELECT lang, $wsSql AS ws
+              FROM documents WHERE lang IS NOT NULL)),
+      hist AS (
+        SELECT score, sum(y) AS p, count(*) - sum(y) AS n
+        FROM s GROUP BY 1),
+      cum AS (
+        SELECT score, p, n,
+               sum(n) OVER (ORDER BY score ASC) AS cum_n
+        FROM hist),
+      u AS (
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(n) AS BIGINT) AS n_neg,
+               CAST(sum(p * (cum_n * 2 - n)) AS BIGINT) AS u2
+        FROM cum)
+      SELECT n_pos, n_neg, u2, u2 / (2.0 * n_pos * n_neg) AS auc
+      FROM u""",
+    /* q105: the exact definition — the MG candidate pass is a pure
+     * optimization (deterministic final set, see scaladoc). */
+    "q105_heavy_hitters" -> s"""
+      WITH w AS (SELECT unnest($wsSql) AS w FROM documents),
+      t AS (SELECT count(*) AS total FROM w),
+      f AS (SELECT w AS word, count(*) AS freq FROM w GROUP BY 1)
+      SELECT word, CAST(freq AS BIGINT) AS freq
+      FROM f, t WHERE freq * 40 > total""",
+    /* q106: the q97 greedy-encode recursive CTE, rolled up by lang. */
+    "q106_fertility" -> s"""
+      WITH RECURSIVE d AS (
+        SELECT lang, $wsSql AS ws
+        FROM documents WHERE lang IS NOT NULL),
+      w AS (SELECT lang, unnest(ws) AS w FROM d),
+      dw AS (SELECT DISTINCT w FROM w),
+      st AS (
+        SELECT w, w AS rest, 0::BIGINT AS n_pieces, 0::BIGINT AS n_unk
+        FROM dw
+        UNION ALL
+        SELECT w,
+               substr(rest, CASE WHEN p > 0 THEN p + 1 ELSE 2 END),
+               n_pieces + 1,
+               n_unk + CASE WHEN p > 0 THEN 0 ELSE 1 END
+        FROM (
+          SELECT w, rest, n_pieces, n_unk,
+                 (SELECT COALESCE(max(len(v)), 0)
+                  FROM (SELECT unnest(${TextOps.sqlArr(TextOps.subwordVocab)})
+                        AS v)
+                  WHERE substr(rest, 1, len(v)) = v) AS p
+          FROM st WHERE len(rest) > 0) s),
+      enc AS (
+        SELECT w, n_pieces, n_unk FROM st WHERE len(rest) = 0)
+      SELECT lang, count(*) AS n_words,
+             CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+             CAST(sum(n_unk) AS BIGINT) AS n_unk,
+             CAST(sum(n_pieces) AS BIGINT) / CAST(count(*) AS BIGINT)
+               AS fertility,
+             (CAST(sum(n_unk) AS BIGINT) * 1000)
+               // CAST(sum(n_pieces) AS BIGINT) AS unk_permille
+      FROM w JOIN enc USING (w)
+      GROUP BY 1""",
+    /* q107: bit-length bucketing via the base-2 string — exact at
+     * power-of-two edges where float log2 is not. */
+    "q107_length_buckets" -> s"""
+      WITH s AS (SELECT len($wsSql) AS n_tok FROM documents),
+      b AS (SELECT CAST(len(bin(n_tok)) AS BIGINT) AS bucket_bits, n_tok
+            FROM s),
+      g AS (SELECT bucket_bits, count(*) AS n_seqs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok
+            FROM b GROUP BY 1)
+      SELECT bucket_bits,
+             (1::BIGINT << CAST(bucket_bits AS INT)) - 1 AS cap,
+             n_seqs, sum_tok,
+             (n_seqs + ${16 - 1}) // 16 AS batches,
+             n_seqs * ((1::BIGINT << CAST(bucket_bits AS INT)) - 1)
+               AS capacity,
+             (sum_tok * 1000)
+               // (n_seqs * ((1::BIGINT << CAST(bucket_bits AS INT)) - 1))
+               AS fill_permille
+      FROM g"""
+  )
+}

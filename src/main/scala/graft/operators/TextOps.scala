@@ -143,6 +143,27 @@ object TextOps extends graft.QueryModule {
   def subwordEncode(documents: DataFrame,
                     vocab: Seq[String] = subwordVocab,
                     broadcastEncodings: Option[Boolean] = None): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val dw = encodeDistinctWords(tok.select(col("w")), vocab)
+    val bcast = broadcastEncodings.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tok.join(if (bcast) broadcast(dw) else dw, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("nu")).as("n_unk"))
+  }
+
+  /** The vocabulary-scale half of [[subwordEncode]] (shared with
+    * q106's per-language fertility): greedy longest-prefix-encode the
+    * DISTINCT words of a `w`-column token frame, returning
+    * (w, np, nu) = word, piece count, unk count. The iterative match
+    * loop is a Scala UDF — the one shape codegen can't express — but
+    * it runs only on the distinct-word table, so the work is
+    * vocabulary-sized no matter the corpus size. */
+  private[operators] def encodeDistinctWords(tokens: DataFrame,
+                                             vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
       "subword vocab must be non-empty strings")
     val vset = vocab.toSet
@@ -164,18 +185,9 @@ object TextOps extends graft.QueryModule {
       }
       (p, u)
     }
-    val tok = documents
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val dw = tok.select(col("w")).distinct()
+    tokens.select(col("w")).distinct()
       .withColumn("e", enc(col("w")))
       .select(col("w"), col("e._1").as("np"), col("e._2").as("nu"))
-    val bcast = broadcastEncodings.getOrElse(
-      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        Dedup.MaxBroadcastSourceBytes)
-    tok.join(if (bcast) broadcast(dw) else dw, "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
-        sum(col("nu")).as("n_unk"))
   }
 
   private[operators] val dicts: Seq[(String, Seq[String])] = Seq(

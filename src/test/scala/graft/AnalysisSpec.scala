@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analysis, TextOps}
+
+/** Corpus-evaluation operators: exact AUC, guaranteed heavy hitters,
+  * tokenizer fertility, length-bucket batching report. */
+class AnalysisSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("aucEval matches brute-force pair counting on a skewed fixture") {
+    // stopword set includes "the" and "a"; "zz" is not a stopword.
+    // Engineer per-mille scores via token mix, with a tie on 500.
+    val rows = Seq(
+      (1L, "the the the the", "en"),  // score 1000, pos
+      (2L, "the zz", "en"),           // score  500, pos
+      (3L, "the zz", "de"),           // score  500, neg (tie with 2)
+      (4L, "zz zz zz", "de"),         // score    0, neg
+      (5L, "the the zz", "en"),       // score  666, pos
+      (6L, "zz zz the", "fr"))        // score  333, neg
+    val out = Analysis.aucEval(docs(rows)).collect().head
+    // brute force over pos/neg pairs of the engineered scores
+    val pos = Seq(1000L, 500L, 666L)
+    val neg = Seq(500L, 0L, 333L)
+    val u2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L)
+    assert(out.getLong(2) == u2)
+    assert(out.getDouble(3) == u2.toDouble / (2.0 * 3 * 3))
+  }
+
+  test("aucEval is 1.0 for a perfectly separating score, 0.5 for a constant") {
+    val sep = Seq(
+      (1L, "the the", "en"), (2L, "the a", "en"),
+      (3L, "zz zz", "de"), (4L, "zz zz zz", "fr"))
+    val a1 = Analysis.aucEval(docs(sep)).collect().head.getDouble(3)
+    assert(a1 == 1.0)
+    val const = Seq(
+      (1L, "the zz", "en"), (2L, "the zz", "de"),
+      (3L, "the zz", "en"), (4L, "the zz", "fr"))
+    val a2 = Analysis.aucEval(docs(const)).collect().head.getDouble(3)
+    assert(a2 == 0.5)
+  }
+
+  test("heavyHitters equals the exact definition on random corpora, any layout") {
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: word w_i drawn with weight ~ 1/(i+1) over 50 words
+    val weights = (0 until 50).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): String = {
+      val x = rnd.nextDouble() * total
+      s"w${cum.indexWhere(x <= _)}"
+    }
+    val texts = (1L to 60L).map(i =>
+      (i, (1 to 40).map(_ => draw()).mkString(" "), "en"))
+    val d = docs(texts)
+    val k = 15
+    // exact definition, computed independently
+    val toks = texts.flatMap(_._2.split(" "))
+    val n = toks.size
+    val expect = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, f) => f * k > n }.toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Analysis.heavyHitters(d.repartition(parts), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"partitions=$parts")
+    }
+  }
+
+  test("misra-gries candidates always contain the true heavy hitters") {
+    // direct guarantee check at an adversarial k (2 counters)
+    val d = docs(Seq((1L, ("x " * 30 + "y z q r s t u v") .trim, "en")))
+    val got = Analysis.heavyHitters(d, k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 38 tokens; only "x" (30) clears 38/4
+    assert(got == Map("x" -> 30L))
+  }
+
+  test("tokenizerFertility rolls up the q97 encoding per language") {
+    // vocab covers a-z digrams etc.; "??" is all-unk (2 pieces, 2 unk)
+    val d = docs(Seq(
+      (1L, "the cat", "en"),   // the=1 piece; cat = ca+t = 2 pieces
+      (2L, "?? ??", "xx")))
+    val out = Analysis.tokenizerFertility(d)
+      .orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getString(0) == "en" && en.getLong(1) == 2L)
+    assert(en.getLong(2) == 3L && en.getLong(3) == 0L)
+    assert(en.getDouble(4) == 1.5 && en.getLong(5) == 0L)
+    val xx = out(1)
+    assert(xx.getString(0) == "xx" && xx.getLong(1) == 2L)
+    assert(xx.getLong(2) == 4L && xx.getLong(3) == 4L)
+    assert(xx.getDouble(4) == 2.0 && xx.getLong(5) == 1000L)
+  }
+
+  test("tokenizerFertility shuffled-join fallback equals the broadcast path") {
+    val d = docs(Seq((1L, "the cat sat", "en"), (2L, "?? !!", "xx")))
+    val a = Analysis.tokenizerFertility(d,
+        broadcastEncodings = Some(true)).orderBy("lang").collect().toSeq
+    val b = Analysis.tokenizerFertility(d,
+        broadcastEncodings = Some(false)).orderBy("lang").collect().toSeq
+    assert(a == b)
+  }
+
+  test("lengthBuckets bit-length bucketing and fill accounting") {
+    // token counts: 1 -> bucket 1 (cap 1); 3 -> bucket 2 (cap 3);
+    // 4 and 7 -> bucket 3 (cap 7); 8 -> bucket 4 (cap 15)
+    val d = docs(Seq(
+      (1L, "a", "en"),
+      (2L, "a b c", "en"),
+      (3L, "a b c d", "en"),
+      (4L, "a b c d e f g", "en"),
+      (5L, "a b c d e f g h", "en")))
+    val got = Analysis.lengthBuckets(d, batchSize = 2)
+      .orderBy("bucket_bits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 1L, 1L, 1000L),
+      (2L, 3L, 1L, 3L, 1L, 3L, 1000L),
+      (3L, 7L, 2L, 11L, 1L, 14L, 785L),
+      (4L, 15L, 1L, 8L, 1L, 15L, 533L)))
+  }
+
+  test("heavyHitters confirm pass joins against a broadcast candidate set") {
+    val d = docs(Seq((1L, "x x x y", "en")))
+    val plan = Analysis.heavyHitters(d, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

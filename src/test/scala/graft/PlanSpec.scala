@@ -402,4 +402,36 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 2, s"$exchanges exchanges (want 2):\n$plan")
   }
+
+  test("analysis queries keep their scale shapes") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(planOf(df).split("== Initial Plan ==")(0)).size
+    // q104: ONE exchange — the per-mille score histogram (≤1001 keys);
+    // the window/sort that follows orders that model-sized table, not
+    // the corpus (single-partition exchange, not hashpartitioning)
+    val auc = Analysis.aucEval(Tables.documents(spark, sf))
+    assert(exchanges(auc) == 1, s"want 1 exchange:\n${planOf(auc)}")
+    assert(!planOf(auc).contains("SortMergeJoin"), planOf(auc))
+    // q105: the vocabulary never shuffles — candidate distinct + the
+    // candidate-scale confirm agg are the only keyed exchanges, and
+    // the confirm pass joins tokens against the BROADCAST candidates
+    val hh = Analysis.heavyHitters(Tables.documents(spark, sf))
+    assert(exchanges(hh) == 2, s"want 2 exchanges:\n${planOf(hh)}")
+    assert(planOf(hh).contains("BroadcastHashJoin"), planOf(hh))
+    assert(!planOf(hh).contains("Window") &&
+      !planOf(hh).contains("SortMergeJoin"), planOf(hh))
+    // q106: q97's shape with a lang rollup — distinct-word exchange +
+    // ~#langs-keyed rollup; encodings broadcast under the gate
+    val fert = Analysis.tokenizerFertility(Tables.documents(spark, sf))
+    assert(exchanges(fert) == 2, s"want 2 exchanges:\n${planOf(fert)}")
+    assert(planOf(fert).contains("BroadcastHashJoin"), planOf(fert))
+    assert(!planOf(fert).contains("Window"), planOf(fert))
+    // q107: map-only bucket id fused into the scan, one ≤64-key
+    // exchange, no join/window anywhere
+    val lb = Analysis.lengthBuckets(Tables.documents(spark, sf))
+    assert(exchanges(lb) == 1, s"want 1 exchange:\n${planOf(lb)}")
+    assert(!planOf(lb).contains("Join") && !planOf(lb).contains("Window"),
+      planOf(lb))
+  }
 }
