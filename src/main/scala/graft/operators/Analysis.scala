@@ -182,12 +182,105 @@ object Analysis extends graft.QueryModule {
         expr("(sum_tok * 1000) div (n_seqs * cap)").as("fill_permille"))
   }
 
+  /** Per-dimension-pair Pearson correlation of the first `probeDims`
+    * embedding dimensions — the redundant-dimension screen run before
+    * committing a PQ subspace split (q80) or an IVF coarse quantizer
+    * (q36) to a corpus: |corr| ≈ 1 pairs say the quantizer is paying
+    * two dimensions for one signal (rotate or drop before indexing).
+    * Complements q68 (per-dim mean/variance finds DEAD dims; this
+    * finds DUPLICATED ones).
+    *
+    * All cross-moments accumulate as 2²⁰-quantized exact DECIMAL sums
+    * (the q68 spelling, overflow-guarded the same way); the Pearson
+    * ratio itself is computed per pair-row in double from those exact
+    * sums — identical expression tree on identical operands on both
+    * engines. Zero-variance dimensions yield corr = 0 by definition
+    * (guarded, not NaN).
+    *
+    * SCALE SHAPE: ONE map-side-combined global aggregate carrying
+    * 2·D + D·(D−1)/2 decimal sums (D=8 → 44 numbers) — zero
+    * hashpartitioning exchanges, no per-dim explode, the corpus never
+    * shuffles; the pair table is unstacked from the single result row.
+    */
+  def dimCorr(embeddings: DataFrame, probeDims: Int = 8): DataFrame = {
+    require(probeDims >= 2, s"probeDims must be >= 2: $probeDims")
+    val pow20 = 1048576.0 // 2^20, the q68 quantization
+    val d = probeDims
+    val q = embeddings.select(col("embedding").cast("array<double>").as("emb"))
+      .select((1 to d).map(i =>
+        floor(element_at(col("emb"), i) * pow20).cast("long").as(s"q$i")): _*)
+    val pairs = for { i <- 1 to d; j <- i + 1 to d } yield (i, j)
+    val absCols = (1 to d).map(i => abs(col(s"q$i")))
+    val aggs = Seq(count(lit(1)).as("n"),
+      max(absCols.reduceLeft(greatest(_, _))).as("qabs")) ++
+      (1 to d).map(i => sum(col(s"q$i").cast("decimal(38,0)")).as(s"s$i")) ++
+      (1 to d).map(i => sum((col(s"q$i") * col(s"q$i"))
+        .cast("decimal(38,0)")).as(s"ss$i")) ++
+      pairs.map { case (i, j) => sum((col(s"q$i") * col(s"q$j"))
+        .cast("decimal(38,0)")).as(s"p${i}_$j") }
+    // same loud overflow guard as q68: q*q silently wraps past 2^62
+    val one = q.agg(aggs.head, aggs.tail: _*)
+      .filter(when(col("qabs") > lit(1L << 31),
+        raise_error(concat(
+          lit("dimCorr: component magnitude >= 2^11 (max |q| = "),
+          col("qabs"),
+          lit(") - cross products would overflow LONG; rescale")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+    val stacked = one.select(expr(
+      s"stack(${pairs.size}, " + pairs.map { case (i, j) =>
+        s"$i, $j, n, cast(s$i as double), cast(s$j as double), " +
+          s"cast(ss$i as double), cast(ss$j as double), " +
+          s"cast(p${i}_$j as double)"
+      }.mkString(", ") + ") as (d1, d2, n, sx, sy, sxx, syy, sxy)"))
+    stacked.select(col("d1").cast("long").as("d1"),
+      col("d2").cast("long").as("d2"), col("n"),
+      expr("""CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+                   THEN (n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   ELSE 0.0 END""").as("corr"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_auc" -> ((s, d) => aucEval(Tables.documents(s, d))),
     "q105_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q106_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
-    "q107_length_buckets" -> ((s, d) => lengthBuckets(Tables.documents(s, d)))
+    "q107_length_buckets" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
+    "q108_dim_corr" -> ((s, d) => dimCorr(Tables.embeddings(s, d)))
   )
+
+  /** The q108 oracle, generated for `probeDims` dims: one sums CTE
+    * carrying the same 2D + D(D−1)/2 exact decimal moments, then one
+    * SELECT per pair unioned into the pair table — the same numbers
+    * the single Spark aggregate produces, same double Pearson. */
+  private def dimCorrOracle(d: Int): String = {
+    val pairs = for { i <- 1 to d; j <- i + 1 to d } yield (i, j)
+    val qCols = (1 to d).map(i =>
+      s"CAST(floor(emb[$i] * 1048576.0) AS BIGINT) AS q$i").mkString(", ")
+    val moments = (Seq("count(*) AS n") ++
+      (1 to d).map(i => s"sum(CAST(q$i AS DECIMAL(38,0))) AS s$i") ++
+      (1 to d).map(i => s"sum(CAST(q$i * q$i AS DECIMAL(38,0))) AS ss$i") ++
+      pairs.map { case (i, j) =>
+        s"sum(CAST(q$i * q$j AS DECIMAL(38,0))) AS p${i}_$j" }).mkString(", ")
+    val rows = pairs.map { case (i, j) =>
+      s"""SELECT CAST($i AS BIGINT) AS d1, CAST($j AS BIGINT) AS d2, n,
+             CAST(s$i AS DOUBLE) AS sx, CAST(s$j AS DOUBLE) AS sy,
+             CAST(ss$i AS DOUBLE) AS sxx, CAST(ss$j AS DOUBLE) AS syy,
+             CAST(p${i}_$j AS DOUBLE) AS sxy
+      FROM sums"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH base AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (SELECT $qCols FROM base),
+      sums AS (SELECT $moments FROM q),
+      pairs AS ($rows)
+      SELECT d1, d2, n,
+             CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  ELSE 0.0 END AS corr
+      FROM pairs"""
+  }
 
   private def wsSql =
     """string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"""
@@ -257,6 +350,7 @@ object Analysis extends graft.QueryModule {
                // CAST(sum(n_pieces) AS BIGINT) AS unk_permille
       FROM w JOIN enc USING (w)
       GROUP BY 1""",
+    "q108_dim_corr" -> dimCorrOracle(8),
     /* q107: bit-length bucketing via the base-2 string — exact at
      * power-of-two edges where float log2 is not. */
     "q107_length_buckets" -> s"""

@@ -184,6 +184,55 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
   }
 
+  /** Curriculum ordering: a deterministic global training order that
+    * feeds documents quality-tier first — all of bucket B before any
+    * of bucket B−1 — with a seeded pseudo-random order INSIDE each
+    * tier (curriculum learning's standard data schedule: order by
+    * difficulty tier, shuffle within tier so the model never sees a
+    * correlated run). The tier is the per-mille stopword-ratio score
+    * (q96's integer signal) in 100-per-mille buckets; any integer
+    * score plugs in.
+    *
+    * Same machinery as q60's deterministic shuffle: the within-tier
+    * rank is computed per (bucket, shard) where shard = the hash key's
+    * own high bits — so ordering by (bucket desc, shard, k) IS
+    * ordering by (bucket desc, k) — and global positions come from
+    * prefix-summed (bucket, shard) counts. Reshuffle-stable: the
+    * position depends only on doc_id and text, never on layout.
+    *
+    * SCALE SHAPE: one map-only scoring pass, ONE exchange on
+    * (bucket, shard) with a per-shard sort (each of ≤11·2^shardBits
+    * shards sorts independently — 1000 executors sort 1000 shards),
+    * and a broadcast of the tiny offsets table. Never a global sort:
+    * the q60 rule with a curriculum prefix on the key.
+    */
+  def curriculumOrder(documents: DataFrame, shardBits: Int = 8): DataFrame = {
+    val stopArr = array(TextOps.stopwords.map(lit): _*)
+    val scored = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(filter(col("ws"), w => array_contains(stopArr, w)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"),
+        expr("((n_stop * 1000) div n_tok) div 100").as("bucket"))
+    val keyed = scored
+      .withColumn("k", hash60(concat(lit("curriculum|"), col("doc_id"))))
+      .withColumn("shard", shiftright(col("k"), 60 - shardBits))
+    val offs = keyed.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket").desc, col("shard").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("shard"), col("off"))
+    val wr = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(wr))
+      .join(broadcast(offs), Seq("bucket", "shard"))
+      .select(col("doc_id"), col("bucket"), (col("off") + col("rn")).as("pos"))
+  }
+
   /** Mixture rebalancing to a token budget: give every source an
     * equal share of `budgetTokens` and derive its integer keep-rate
     * from its measured token total (clipped at 100% — a source
@@ -630,6 +679,7 @@ object Corpus extends graft.QueryModule {
     "q58_vocab_sketch"  -> ((s, d) => vocabSketch(Tables.documents(s, d))),
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
+    "q109_curriculum"   -> ((s, d) => curriculumOrder(Tables.documents(s, d))),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -971,6 +1021,21 @@ object Corpus extends graft.QueryModule {
                ('0x' || substr(md5('shuffle|' || doc_id), 1, 15))::BIGINT,
                doc_id) AS pos
       FROM documents""",
+    /* q109: the engine's (bucket desc, shard, k) order equals
+     * (bucket desc, k) because shard is k's own high bits — one
+     * global row_number reproduces the prefix-summed positions. */
+    "q109_curriculum" -> s"""
+      WITH s AS (
+        SELECT doc_id,
+               ((len(list_filter(ws, w -> list_contains(
+                   ${TextOps.sqlArr(TextOps.stopwords)}, w))) * 1000)
+                 // len(ws)) // 100 AS bucket
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents))
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             row_number() OVER (ORDER BY bucket DESC,
+               ('0x' || substr(md5('curriculum|' || doc_id), 1, 15))::BIGINT,
+               doc_id) AS pos
+      FROM s""",
     "q61_mix_rebalance" -> s"""
       WITH t AS (
         SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tok

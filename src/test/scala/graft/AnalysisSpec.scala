@@ -127,6 +127,41 @@ class AnalysisSpec extends SparkSpec {
       (4L, 15L, 1L, 8L, 1L, 15L, 533L)))
   }
 
+  test("dimCorr finds identical, inverted, and constant dimensions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // dim1 random; dim2 = dim1; dim3 = -dim1; dim4 constant
+    val rows = (1L to 50L).map { i =>
+      val x = rnd.nextFloat() - 0.5f
+      (i, Array(x, x, -x, 0.25f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Analysis.dimCorr(emb, probeDims = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9)
+    assert(math.abs(got((1L, 3L)) + 1.0) < 1e-9)
+    // constant dim -> zero variance -> guarded corr = 0, not NaN
+    assert(got((1L, 4L)) == 0.0 && got((2L, 4L)) == 0.0)
+    assert(got.size == 6)
+  }
+
+  test("dimCorr raises loudly on components that would overflow the cross products") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(3000.0f, 1.0f)), (2L, Array(-3000.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Analysis.dimCorr(emb, probeDims = 2).collect()
+    }
+    // either failure is loud and correct: the q68-style guard message,
+    // or ANSI's own long-overflow during the partial aggregate (Spark 4
+    // default ansi.enabled=true throws on the q*q multiply itself)
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("dimCorr") ||
+        c.getMessage.contains("ARITHMETIC_OVERFLOW"))))
+  }
+
   test("heavyHitters confirm pass joins against a broadcast candidate set") {
     val d = docs(Seq((1L, "x x x y", "en")))
     val plan = Analysis.heavyHitters(d, k = 4)

@@ -178,6 +178,35 @@ class CorpusSpec extends SparkSpec {
     assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
   }
 
+  test("curriculumOrder: tiers are contiguous, within-tier order is the seeded hash") {
+    val d = Tables.documents(spark, sf)
+    val out = Corpus.curriculumOrder(d)
+    val n = d.count()
+    // a permutation of 1..N
+    assert(out.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .collect().head.toSeq == Seq(1L, n, n))
+    // identical to the single-window global formulation (viable on the
+    // small fixture; the operator itself never does a global sort)
+    val k = graft.functions.Portable.hash60(
+      concat(lit("curriculum|"), col("doc_id")))
+    val ref = out.select(col("doc_id"), col("bucket"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("bucket").desc, k, col("doc_id"))).cast("long"))
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+    // every doc of a higher tier precedes every doc of a lower tier
+    val tiers = out.groupBy("bucket")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("c"))
+      .orderBy(col("bucket").desc).collect()
+    assert(tiers.forall(r => r.getLong(2) - r.getLong(1) + 1 == r.getLong(3)))
+    tiers.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) + 1 == b.getLong(1))
+      case _ =>
+    }
+    // reshuffle-stable: the position depends on content, not layout
+    val re = Corpus.curriculumOrder(d.repartition(7))
+    assert(out.except(re).isEmpty && re.except(out).isEmpty)
+  }
+
   test("mixRebalance clips small sources at 100% and samples large ones") {
     val d = Tables.documents(spark, sf)
     val out = Corpus.mixRebalance(d, budgetTokens = 4000L)

@@ -433,5 +433,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(lb) == 1, s"want 1 exchange:\n${planOf(lb)}")
     assert(!planOf(lb).contains("Join") && !planOf(lb).contains("Window"),
       planOf(lb))
+    // q108: ONE global aggregate carrying all 44 decimal moments —
+    // ZERO hashpartitioning exchanges, the corpus never shuffles
+    val corr = Analysis.dimCorr(Tables.embeddings(spark, sf))
+    assert(exchanges(corr) == 0, s"want 0 exchanges:\n${planOf(corr)}")
+    assert(!planOf(corr).contains("Join"), planOf(corr))
+    // q109: rank-window exchange on (bucket, shard) + the tiny counts
+    // agg; offsets broadcast back; every Sort is partition-local
+    // (global=false) — never a corpus-wide global sort
+    val cur = Corpus.curriculumOrder(Tables.documents(spark, sf))
+    assert(exchanges(cur) == 2, s"want 2 exchanges:\n${planOf(cur)}")
+    assert(planOf(cur).contains("BroadcastHashJoin"), planOf(cur))
+    assert(!planOf(cur).contains("SortMergeJoin"), planOf(cur))
+    assert(!planOf(cur).contains("], true, "),
+      s"global sort found:\n${planOf(cur)}")
   }
 }
