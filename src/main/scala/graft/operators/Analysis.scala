@@ -47,10 +47,18 @@ object Analysis extends graft.QueryModule {
         size(filter(col("ws"), w => array_contains(stopArr, w)))
           .cast("long").as("n_stop"))
       .select(col("y"), expr("(n_stop * 1000) div n_tok").as("score"))
+    aucFromScores(scored)
+  }
+
+  /** The histogram half of [[aucEval]] (shared with q110's trained-
+    * probe eval): exact AUC of an integer-`score` / 0-1-`y` frame.
+    * The caller guarantees a model-sized score domain — the exchange
+    * and window here touch one row per distinct score. */
+  private[operators] def aucFromScores(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
-    // ≤1001-row table: the unpartitioned window is model-sized by
-    // construction (per-mille score domain), not a corpus-wide sort
+    // model-sized table: the unpartitioned window orders one row per
+    // distinct integer score, not the corpus
     val cum = hist.withColumn("cum_n",
       sum(col("n")).over(Window.orderBy(col("score").asc)))
     cum.agg(

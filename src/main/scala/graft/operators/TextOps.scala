@@ -1013,6 +1013,24 @@ object TextOps extends graft.QueryModule {
                  checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val (_, w) = probeTrainOn(documents, buckets, iters, lrShift,
+      targetLang, checkpointDir)
+    w.toSeq.zipWithIndex.map { case (wv, j) => (j, wv) }.toDF("j", "w")
+  }
+
+  /** The [[probeTrain]] loop, also returning the checkpointed feature
+    * table so callers (q110's AUC eval) can score the trained weights
+    * WITHOUT re-scanning and re-hashing the corpus. Feature-leaf
+    * lifetime follows [[probeTrain]]'s existing semantics (local
+    * checkpoint blocks are reclaimed by the ContextCleaner when the
+    * frame goes out of scope). */
+  private[operators] def probeTrainOn(documents: DataFrame, buckets: Int,
+                                      iters: Int, lrShift: Int,
+                                      targetLang: String,
+                                      checkpointDir: Option[String])
+  : (DataFrame, Array[Long]) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // feature extraction runs ONCE (the standard extract-then-iterate
     // ML split): the checkpointed (y, js) table is ~40% the text's
@@ -1032,7 +1050,33 @@ object TextOps extends graft.QueryModule {
         w(j) -= g.toBigInteger.longValueExact() / divisor
       }
     }
-    w.toSeq.zipWithIndex.map { case (wv, j) => (j, wv) }.toDF("j", "w")
+    (docFeats, w)
+  }
+
+  /** Trained-probe AUC (q110): train the q102 probe, then measure its
+    * discrimination on the corpus with q104's exact histogram AUC —
+    * the train-then-evaluate loop a pipeline runs before trusting a
+    * cheap probe to gate a 100 TB filtering pass (FineWeb-Edu's
+    * "validate the classifier before scoring the dump" step). Scores
+    * quantize by the exact power of two 1024 (floor on an exact
+    * double division — identical in any engine), giving a ≤4096-key
+    * score domain for the histogram.
+    *
+    * SCALE SHAPE: scoring rides the SAME checkpointed feature table
+    * the GD loop iterated (no second corpus scan or re-hash); the
+    * trained weights inline as literals; then one model-sized score
+    * exchange finishes the AUC (the q104 shape). */
+  def probeAuc(documents: DataFrame, buckets: Int = 64, iters: Int = 4,
+               lrShift: Int = 8, targetLang: String = "en",
+               checkpointDir: Option[String] = None): DataFrame = {
+    val (docFeats, w) = probeTrainOn(documents, buckets, iters, lrShift,
+      targetLang, checkpointDir)
+    val wlit = typedlit(w.toSeq)
+    val scored = docFeats.select(col("y"),
+      floor(aggregate(col("js"), lit(0L),
+        (a, j) => a + element_at(wlit, j + 1)) / lit(1024.0))
+        .cast("long").as("score"))
+    Analysis.aucFromScores(scored)
   }
 
   private val ProbeScale = 1L << 20
@@ -1105,8 +1149,11 @@ object TextOps extends graft.QueryModule {
     * error sums equal the err·count gradient exactly, and the update's
     * floor division on an exactly-divisible numerator matches Spark's
     * truncating long division for either sign. */
-  private def probeOracle(buckets: Int, iters: Int, lrShift: Int,
-                          targetLang: String): String = {
+  /** The [[probeTrain]] GD loop as chained CTEs (shared by the q102
+    * and q110 oracles): defines `f` (doc, feature) occurrences, `yt`
+    * labels, `nn` count, and `w0..w<iters>` weight tables. */
+  private def probeCtes(buckets: Int, iters: Int, lrShift: Int,
+                        targetLang: String): String = {
     val scale = 1L << 20
     val iterCtes = (1 to iters).map { i =>
       s"""
@@ -1126,8 +1173,7 @@ object TextOps extends graft.QueryModule {
                  (n.n * ${1L << (lrShift - 1)})) AS BIGINT) AS w
         FROM w${i - 1} w LEFT JOIN g$i g USING (j), nn n)"""
     }.mkString(",")
-    s"""
-      WITH d0 AS (
+    s"""d0 AS (
         SELECT doc_id,
                CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END AS y,
                list_concat([0], list_transform(CASE WHEN len(ws) < 2
@@ -1146,9 +1192,40 @@ object TextOps extends graft.QueryModule {
       yt AS (SELECT doc_id, y FROM d0),
       nn AS (SELECT count(*) AS n FROM d0),
       w0 AS (SELECT CAST(unnest(range(0, ${buckets + 1})) AS INT) AS j,
-                    CAST(0 AS BIGINT) AS w),$iterCtes
-      SELECT CAST(j AS INT) AS j, w FROM w$iters ORDER BY j"""
+                    CAST(0 AS BIGINT) AS w),$iterCtes"""
   }
+
+  private def probeOracle(buckets: Int, iters: Int, lrShift: Int,
+                          targetLang: String): String = s"""
+      WITH ${probeCtes(buckets, iters, lrShift, targetLang)}
+      SELECT CAST(j AS INT) AS j, w FROM w$iters ORDER BY j"""
+
+  /** Oracle twin of [[probeAuc]]: the shared training CTEs feed one
+    * scoring join over the occurrence table, scores quantize by the
+    * exact power-of-two 1024 (floor on an exact double division), and
+    * the q104 histogram identity finishes the AUC. */
+  private def probeAucOracle(buckets: Int, iters: Int, lrShift: Int,
+                             targetLang: String): String = s"""
+      WITH ${probeCtes(buckets, iters, lrShift, targetLang)},
+      ps AS (
+        SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+        FROM f JOIN w$iters w USING (j) GROUP BY f.doc_id),
+      sc AS (
+        SELECT y.y, CAST(floor(ps.s / 1024.0) AS BIGINT) AS score
+        FROM ps JOIN yt y USING (doc_id)),
+      hist AS (
+        SELECT score, sum(y) AS p, count(*) - sum(y) AS n
+        FROM sc GROUP BY 1),
+      cum AS (
+        SELECT score, p, n, sum(n) OVER (ORDER BY score ASC) AS cum_n
+        FROM hist),
+      u AS (
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(n) AS BIGINT) AS n_neg,
+               CAST(sum(p * (cum_n * 2 - n)) AS BIGINT) AS u2
+        FROM cum)
+      SELECT n_pos, n_neg, u2, u2 / (2.0 * n_pos * n_neg) AS auc
+      FROM u"""
 
   /** Oracle twin of [[bpeTrain]]: the driver loop unrolled into
     * chained CTEs — per round, the pair aggregate (p), the 1-row
@@ -1227,6 +1304,7 @@ object TextOps extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bpe_train"  -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q102_probe_train" -> ((s, d) => probeTrain(Tables.documents(s, d))),
+    "q110_probe_auc"  -> ((s, d) => probeAuc(Tables.documents(s, d))),
     "q103_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
@@ -1264,6 +1342,7 @@ object TextOps extends graft.QueryModule {
   def oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracle(8),
     "q102_probe_train" -> probeOracle(64, 4, 8, "en"),
+    "q110_probe_auc" -> probeAucOracle(64, 4, 8, "en"),
     "q103_bpe_encode" -> bpeEncodeOracle(8),
     /* q97: the greedy longest-prefix encode as a recursive CTE over
      * the DISTINCT word table (one step strips one piece); terminal

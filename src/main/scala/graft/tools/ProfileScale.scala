@@ -118,7 +118,18 @@ object ProfileScale {
       // are model-sized by design (8 merges / 65 weights)
       "q101_bpe_train"    -> (d => graft.operators.TextOps.bpeTrain(d)),
       "q102_probe_train"  -> (d => graft.operators.TextOps.probeTrain(d)),
-      "q103_bpe_encode"   -> (d => graft.operators.TextOps.bpeEncode(d)))
+      "q103_bpe_encode"   -> (d => graft.operators.TextOps.bpeEncode(d)),
+      // round-8 evaluation ops: q104/q105/q106/q107 outputs are
+      // model-sized by construction (1 row / ≤k words / #langs /
+      // ≤64 buckets) — growth is pure scan+candidate cost; q109's
+      // output is corpus-sized (a permutation) by design
+      "q104_auc"          -> (d => graft.operators.Analysis.aucEval(d)),
+      "q105_heavy"        -> (d => graft.operators.Analysis.heavyHitters(d)),
+      "q106_fertility"    -> (d =>
+                               graft.operators.Analysis.tokenizerFertility(d)),
+      "q107_len_buckets"  -> (d => graft.operators.Analysis.lengthBuckets(d)),
+      "q109_curriculum"   -> (d =>
+                               graft.operators.Corpus.curriculumOrder(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
@@ -159,7 +170,8 @@ object ProfileScale {
       // grows, so the 10× run scales centroidMod to keep ~the same
       // centroid count — measuring the linear scan, not a 10× model
       "q80_pq_encode" -> ((e, label) => graft.operators.Similarity.pqEncode(
-        e, centroidMod = if (label == "sf1") 1270 else 127)))
+        e, centroidMod = if (label == "sf1") 1270 else 127)),
+      "q108_dim_corr" -> ((e, _) => graft.operators.Analysis.dimCorr(e)))
     val embOpsRun = if (only.isEmpty) embOps
                     else embOps.filter { case (n, _) => only(n) }
     for ((embs, label) <- Seq(

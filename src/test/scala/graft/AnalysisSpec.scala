@@ -127,6 +127,21 @@ class AnalysisSpec extends SparkSpec {
       (4L, 15L, 1L, 8L, 1L, 15L, 533L)))
   }
 
+  test("probeAuc: trained probe separates the target language on a learnable fixture") {
+    import spark.implicits._
+    // two classes with disjoint bigram vocabularies: the GD probe
+    // must reach AUC 1.0 after 4 iterations
+    val rows = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha beta", "en")
+      else (i, "uno dos tres uno dos", "es")
+    }
+    val out = TextOps.probeAuc(rows.toDF("doc_id", "text", "lang"))
+      .collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
+    assert(out.getDouble(3) == 1.0,
+      s"trained probe should fully separate: auc=${out.getDouble(3)}")
+  }
+
   test("dimCorr finds identical, inverted, and constant dimensions") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
