@@ -54,7 +54,7 @@ object Analysis extends graft.QueryModule {
     * probe eval): exact AUC of an integer-`score` / 0-1-`y` frame.
     * The caller guarantees a model-sized score domain — the exchange
     * and window here touch one row per distinct score. */
-  private[operators] def aucFromScores(scored: DataFrame): DataFrame = {
+  private[graft] def aucFromScores(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
     // model-sized table: the unpartitioned window orders one row per

@@ -1079,6 +1079,42 @@ object TextOps extends graft.QueryModule {
     Analysis.aucFromScores(scored)
   }
 
+  /** Trained-probe calibration table (q111, the reliability diagram):
+    * bucket the probe's clamped score into ten fixed-width bins of
+    * the 2²⁰ prediction scale and report, per bin, the document
+    * count, the mean predicted probability, and the actual positive
+    * rate — how a pipeline decides whether the probe's raw score can
+    * be read as a keep-probability (q91-style sampling) or needs
+    * recalibration first. Clamping to [0, 2²⁰) happens BEFORE the
+    * bucket division so the integer division is truncation==floor on
+    * both engines (no negative-division semantics divergence).
+    *
+    * SCALE SHAPE: q110's discipline — scoring rides the checkpointed
+    * GD feature table (no second corpus scan), then ONE 10-key
+    * exchange carries exact decimal score sums; the two ratios are
+    * per-bin doubles on exact sums.
+    */
+  def probeCalibration(documents: DataFrame, buckets: Int = 64,
+                       iters: Int = 4, lrShift: Int = 8,
+                       targetLang: String = "en",
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val (docFeats, w) = probeTrainOn(documents, buckets, iters, lrShift,
+      targetLang, checkpointDir)
+    val wlit = typedlit(w.toSeq)
+    docFeats.select(col("y"),
+      least(lit(ProbeScale - 1), greatest(lit(0L),
+        aggregate(col("js"), lit(0L),
+          (a, j) => a + element_at(wlit, j + 1)))).as("s"))
+      .select(col("y"), col("s"), expr(s"(s * 10) div $ProbeScale").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("s").cast("decimal(38,0)")).as("ssum"))
+      .select(col("bin"), col("n"), col("pos").cast("long").as("pos"),
+        ((col("ssum").cast("double") / col("n")) / ProbeScale.toDouble)
+          .as("mean_pred"),
+        (col("pos") / col("n").cast("double")).as("pos_rate"))
+  }
+
   private val ProbeScale = 1L << 20
 
   /** `[bias] ++ bucket(bigram)` feature-occurrence ids of a text
@@ -1105,13 +1141,20 @@ object TextOps extends graft.QueryModule {
     * the train/serve split of the q65 surprisal family.
     */
   def probeScore(documents: DataFrame, weights: Seq[Long],
-                 buckets: Int = 64): DataFrame = {
+                 buckets: Int = 64): DataFrame =
+    documents.select(col("doc_id"),
+      probeScoreCol(col("text"), weights, buckets).as("score_s"))
+
+  /** The [[probeScore]] expression as a bare Column (used by the
+    * streaming score-histogram monitor, which needs the score next to
+    * its own timestamp/window columns). */
+  private[graft] def probeScoreCol(text: Column, weights: Seq[Long],
+                                   buckets: Int): Column = {
     require(weights.size == buckets + 1,
       s"probeScore: ${weights.size} weights for $buckets buckets")
     val wlit = typedlit(weights)
-    documents.select(col("doc_id"),
-      aggregate(probeJs(col("text"), buckets), lit(0L),
-        (a, j) => a + element_at(wlit, j + 1)).as("score_s"))
+    aggregate(probeJs(text, buckets), lit(0L),
+      (a, j) => a + element_at(wlit, j + 1))
   }
 
   /** One [[probeTrain]] GD iteration: per-doc scaled error against the
@@ -1227,6 +1270,32 @@ object TextOps extends graft.QueryModule {
       SELECT n_pos, n_neg, u2, u2 / (2.0 * n_pos * n_neg) AS auc
       FROM u"""
 
+  /** Oracle twin of [[probeCalibration]]: shared training CTEs → one
+    * scoring join → clamp-then-bucket (clamping first keeps the
+    * integer division nonneg, so `//` floor == Spark's truncating
+    * `div`) → the 10-bin reliability table. */
+  private def probeCalibOracle(buckets: Int, iters: Int, lrShift: Int,
+                               targetLang: String): String = {
+    val scale = 1L << 20
+    s"""
+      WITH ${probeCtes(buckets, iters, lrShift, targetLang)},
+      ps AS (
+        SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+        FROM f JOIN w$iters w USING (j) GROUP BY f.doc_id),
+      sc AS (
+        SELECT y.y, least(${scale - 1}, greatest(0, ps.s)) AS s
+        FROM ps JOIN yt y USING (doc_id)),
+      b AS (SELECT y, s, (s * 10) // $scale AS bin FROM sc),
+      g AS (
+        SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+               sum(CAST(s AS DECIMAL(38,0))) AS ssum
+        FROM b GROUP BY 1)
+      SELECT CAST(bin AS BIGINT) AS bin, n, pos,
+             (CAST(ssum AS DOUBLE) / n) / ${scale}.0 AS mean_pred,
+             pos / CAST(n AS DOUBLE) AS pos_rate
+      FROM g"""
+  }
+
   /** Oracle twin of [[bpeTrain]]: the driver loop unrolled into
     * chained CTEs — per round, the pair aggregate (p), the 1-row
     * argmax (b), and the rewrite (s) over the previous round's piece
@@ -1305,6 +1374,7 @@ object TextOps extends graft.QueryModule {
     "q101_bpe_train"  -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q102_probe_train" -> ((s, d) => probeTrain(Tables.documents(s, d))),
     "q110_probe_auc"  -> ((s, d) => probeAuc(Tables.documents(s, d))),
+    "q111_probe_calib" -> ((s, d) => probeCalibration(Tables.documents(s, d))),
     "q103_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
@@ -1343,6 +1413,7 @@ object TextOps extends graft.QueryModule {
     "q101_bpe_train" -> bpeOracle(8),
     "q102_probe_train" -> probeOracle(64, 4, 8, "en"),
     "q110_probe_auc" -> probeAucOracle(64, 4, 8, "en"),
+    "q111_probe_calib" -> probeCalibOracle(64, 4, 8, "en"),
     "q103_bpe_encode" -> bpeEncodeOracle(8),
     /* q97: the greedy longest-prefix encode as a recursive CTE over
      * the DISTINCT word table (one step strips one piece); terminal

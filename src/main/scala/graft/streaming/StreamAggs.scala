@@ -293,6 +293,40 @@ object StreamAggs {
     * op bit-for-bit: exact integer numerators, the absent-word mass
     * folded in closed form, one final double sequence.
     */
+  /** Serving-side probe drift monitor: bucket every arriving
+    * document's probe score into the ten fixed bins of the 2²⁰
+    * prediction scale (the q111 calibration bins — same clamp-first
+    * integer arithmetic) and emit per-window bin counts when the
+    * watermark closes the window. Compare each window's histogram to
+    * the training-time calibration table: mass migrating across bins
+    * means the serving distribution has drifted from the corpus the
+    * probe was fit on (rescore/refit trigger) — the deployed-model
+    * twin of [[sourceDriftStream]]'s corpus alarm.
+    *
+    * Scale/state: scoring is STATELESS (weights inline as literals,
+    * the [[surprisalScore]] broadcast discipline — refit batch-side
+    * and rebuild the query to refresh); the single streaming
+    * aggregation keeps ≤10 bins per open window, watermark-evicted.
+    */
+  def probeScoreHistogram(docs: DataFrame, ts: Column, text: Column,
+                          weights: Seq[Long], buckets: Int = 64,
+                          windowSize: String = "10 minutes",
+                          watermarkDelay: String = "0 seconds"): DataFrame = {
+    val scale = 1L << 20
+    docs
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .select(col("__ts"),
+        least(lit(scale - 1), greatest(lit(0L),
+          graft.operators.TextOps.probeScoreCol(text, weights, buckets)))
+          .as("__s"))
+      .select(col("__ts"), expr(s"(__s * 10) div $scale").as("bin"))
+      .groupBy(window(col("__ts"), windowSize).as("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("bin"), col("n"))
+  }
+
   def sourceDriftStream(docs: DataFrame, ts: Column, source: Column,
                         text: Column, ref: Map[Long, Long], refTotal: Long,
                         windowSize: String = "10 minutes",

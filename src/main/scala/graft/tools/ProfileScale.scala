@@ -61,11 +61,19 @@ object ProfileScale {
     // cost was 7.8 s (round-6 finding; fixed to 1.5 s once visible)
     def time(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val sec = (1 to 2).map { _ =>
+        // drain prior ops' garbage + ContextCleaner work before the
+        // timed region (the Bench discipline) — without this a sweep
+        // neighbor's cleanup pause lands inside the window: observed
+        // q109 reporting 19.6 s in a six-op sweep vs 0.9 s measured
+        // alone (round-8 finding)
+        System.gc()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (sec, df.count())
+      val n = df.count()
+      spark.catalog.clearCache()
+      (sec, n)
     }
 
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(

@@ -33,6 +33,29 @@ class AnalysisSpec extends SparkSpec {
     assert(out.getDouble(3) == u2.toDouble / (2.0 * 3 * 3))
   }
 
+  test("histogram AUC equals O(n²) brute force on random score/label sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // random integer scores over a small domain (forces ties) and
+      // random labels with at least one of each class
+      val n = 30 + rnd.nextInt(40)
+      val data = (1 to n).map(_ =>
+        (rnd.nextInt(2).toLong, rnd.nextInt(8).toLong)) ++
+        Seq((0L, 3L), (1L, 3L))
+      val out = graft.operators.Analysis
+        .aucFromScores(data.toDF("y", "score")).collect().head
+      val pos = data.filter(_._1 == 1L).map(_._2)
+      val neg = data.filter(_._1 == 0L).map(_._2)
+      val u2 = (for { p <- pos; q <- neg } yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      assert(out.getLong(0) == pos.size && out.getLong(1) == neg.size)
+      assert(out.getLong(2) == u2, s"trial $trial")
+      assert(out.getDouble(3) ==
+        u2.toDouble / (2.0 * pos.size * neg.size), s"trial $trial")
+    }
+  }
+
   test("aucEval is 1.0 for a perfectly separating score, 0.5 for a constant") {
     val sep = Seq(
       (1L, "the the", "en"), (2L, "the a", "en"),
@@ -140,6 +163,29 @@ class AnalysisSpec extends SparkSpec {
     assert(out.getLong(0) == 10L && out.getLong(1) == 10L)
     assert(out.getDouble(3) == 1.0,
       s"trained probe should fully separate: auc=${out.getDouble(3)}")
+  }
+
+  test("probeCalibration bins partition the corpus and rates are exact ratios") {
+    import spark.implicits._
+    val rows = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha beta", "en")
+      else (i, "uno dos tres uno dos", "es")
+    }
+    val out = TextOps.probeCalibration(rows.toDF("doc_id", "text", "lang"))
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 20L)
+    out.foreach { r =>
+      val (n, pos) = (r.getLong(1), r.getLong(2))
+      assert(r.getDouble(4) == pos.toDouble / n)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      val bin = r.getLong(0)
+      assert(bin >= 0L && bin <= 9L)
+    }
+    // the two disjoint-vocabulary classes must land in different bins
+    // with pure class composition (pos_rate 0 or 1 per bin)
+    assert(out.forall(r => r.getDouble(4) == 0.0 || r.getDouble(4) == 1.0))
+    assert(out.exists(r => r.getDouble(4) == 1.0) &&
+      out.exists(r => r.getDouble(4) == 0.0))
   }
 
   test("dimCorr finds identical, inverted, and constant dimensions") {

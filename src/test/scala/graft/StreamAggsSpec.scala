@@ -404,6 +404,40 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming probe score histogram matches the batch calibration bins") {
+    import graft.core.Tables
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(80)
+    val w = TextOps.probeTrain(docs, iters = 2)
+      .orderBy("j").as[(Int, Long)].collect().map(_._2).toSeq
+    // batch truth: the q111 bin assignment on the same fixture
+    val want = TextOps.probeScore(docs, w)
+      .select(org.apache.spark.sql.functions.expr(
+        s"(least(${(1L << 20) - 1}, greatest(0L, score_s)) * 10) " +
+          s"div ${1L << 20}").as("bin"))
+      .groupBy("bin").count()
+      .as[(Long, Long)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamAggs.probeScoreHistogram(
+        in.toDF().toDF("tsm", "doc_id", "text"),
+        timestamp_millis(col("tsm")), col("text"), w,
+        windowSize = "1 second")
+      .writeStream.format("memory").queryName("probe_hist_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      in.addData(rows.map { case (id, t) => (100L, id, t) }.toSeq)
+      q.processAllAvailable()
+      in.addData((5000L, -1L, "closer"))  // close the first window
+      q.processAllAvailable()
+      val got = spark.table("probe_hist_out")
+        .filter(col("w_start") === timestamp_millis(lit(0L)))
+        .select("bin", "n").as[(Long, Long)].collect().toMap
+      assert(got == want, s"got $got want $want")
+    } finally q.stop()
+  }
+
   test("surprisal scoring rejects a degenerate fit and honors a caller broadcast") {
     import graft.core.Tables
     import graft.operators.TextOps
