@@ -95,12 +95,20 @@ object Analysis extends graft.QueryModule {
     val spark = documents.sparkSession
     import spark.implicits._
     val tok = documents.select(explode(words(col("text"))).as("w"))
-    val cands = tok.as[String].mapPartitions { it =>
+    // ONE pass computes both the MG candidates and the token total:
+    // each partition emits its candidates as (w, null) plus one
+    // (null, localCount) row. The tiny result (≤(k+1)·partitions
+    // rows) is localCheckpointed so deriving the two sides below
+    // doesn't re-run the corpus scan — the whole operator costs two
+    // corpus scans (this one + the confirm), not three.
+    val mg = tok.as[String].mapPartitions { it =>
       // Misra-Gries with k counters: increment on hit, insert while
       // room, else decrement all (amortized O(1): each decrement
       // cancels one prior increment). Survivors = local candidates.
       val c = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { w =>
+        n += 1
         c.get(w) match {
           case Some(v) => c.update(w, v + 1)
           case None if c.size < k => c.update(w, 1L)
@@ -109,9 +117,11 @@ object Analysis extends graft.QueryModule {
             c.filterInPlace((_, v) => v > 0)
         }
       }
-      c.keysIterator
-    }.toDF("w").distinct()
-    val total = tok.agg(count(lit(1)).as("total"))
+      c.keysIterator.map(w => (Option(w), None: Option[Long])) ++
+        Iterator((None: Option[String], Some(n)))
+    }.toDF("w", "cnt").localCheckpoint(true)
+    val cands = mg.filter(col("w").isNotNull).select(col("w")).distinct()
+    val total = mg.agg(sum(col("cnt")).as("total"))
     tok.join(broadcast(cands), "w")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(total))

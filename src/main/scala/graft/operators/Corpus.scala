@@ -219,16 +219,29 @@ object Corpus extends graft.QueryModule {
     val keyed = scored
       .withColumn("k", hash60(concat(lit("curriculum|"), col("doc_id"))))
       .withColumn("shard", shiftright(col("k"), 60 - shardBits))
-    val offs = keyed.groupBy(col("bucket"), col("shard"))
-      .agg(count(lit(1)).as("cnt"))
+      // explicit (not inferred) null-key filter: the inner join below
+      // drops null keys anyway, but making the constraint explicit
+      // keeps BOTH consumers' subtrees identical so the exchange is
+      // reused — otherwise only the join side gets an inferred
+      // isnotnull pushed into its scan and the reuse breaks
+      .filter(col("bucket").isNotNull && col("shard").isNotNull)
+    val wr = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.withColumn("rn", row_number().over(wr))
+    // per-(bucket, shard) counts come from the RANK WINDOW'S OWN
+    // exchange (max rank == count), not a second aggregate over the
+    // scoring scan — the tokenize+score pass runs ONCE and the counts
+    // branch shows up as a ReusedExchange (plan-asserted). At bench
+    // scale the saving hides inside run variance; at corpus scale it
+    // is one full tokenize+score pass.
+    val offs = ranked.groupBy(col("bucket"), col("shard"))
+      .agg(max(col("rn")).cast("long").as("cnt"))
       .withColumn("off",
         coalesce(sum(col("cnt")).over(
           Window.orderBy(col("bucket").desc, col("shard").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bucket"), col("shard"), col("off"))
-    val wr = Window.partitionBy(col("bucket"), col("shard"))
-      .orderBy(col("k"), col("doc_id"))
-    keyed.withColumn("rn", row_number().over(wr))
+    ranked
       .join(broadcast(offs), Seq("bucket", "shard"))
       .select(col("doc_id"), col("bucket"), (col("off") + col("rn")).as("pos"))
   }

@@ -438,14 +438,22 @@ class PlanSpec extends SparkSpec {
     val corr = Analysis.dimCorr(Tables.embeddings(spark, sf))
     assert(exchanges(corr) == 0, s"want 0 exchanges:\n${planOf(corr)}")
     assert(!planOf(corr).contains("Join"), planOf(corr))
-    // q109: rank-window exchange on (bucket, shard) + the tiny counts
-    // agg; offsets broadcast back; every Sort is partition-local
-    // (global=false) — never a corpus-wide global sort
-    val cur = Corpus.curriculumOrder(Tables.documents(spark, sf))
-    assert(exchanges(cur) == 2, s"want 2 exchanges:\n${planOf(cur)}")
-    assert(planOf(cur).contains("BroadcastHashJoin"), planOf(cur))
-    assert(!planOf(cur).contains("SortMergeJoin"), planOf(cur))
-    assert(!planOf(cur).contains("], true, "),
-      s"global sort found:\n${planOf(cur)}")
+    // q109: ONE rank-window exchange on (bucket, shard) — the counts
+    // branch REUSES it (max rank == count), so the tokenize+score
+    // scan runs once; offsets broadcast back; every Sort is
+    // partition-local (global=false) — never a corpus-wide sort
+    val curDf = Corpus.curriculumOrder(Tables.documents(spark, sf))
+    curDf.collect() // reuse materializes in the AQE-final plan
+    val cur = planOf(curDf).split("== Initial Plan ==")(0)
+    // a ReusedExchange node echoes its target's "Exchange
+    // hashpartitioning" text — subtract it to count REAL exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(cur).size -
+      "ReusedExchange".r.findAllIn(cur).size == 1,
+      s"want 1 keyed exchange:\n$cur")
+    assert(cur.contains("ReusedExchange"),
+      s"counts branch must reuse the rank exchange:\n$cur")
+    assert(cur.contains("BroadcastHashJoin"), cur)
+    assert(!cur.contains("SortMergeJoin"), cur)
+    assert(!cur.contains("], true, "), s"global sort found:\n$cur")
   }
 }
