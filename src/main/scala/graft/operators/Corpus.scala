@@ -184,6 +184,43 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
   }
 
+  /** Corpus snapshot diff (q112): per-source added / removed /
+    * changed / unchanged document counts between two corpus versions
+    * — the ingest-ops report run when crawl N+1 lands ("did a source
+    * silently vanish? did half its documents mutate?") before any
+    * re-processing is scheduled. Identity is doc_id; change is
+    * content md5 inequality.
+    *
+    * SCALE SHAPE: both sides collapse to (doc_id, source, md5)
+    * projections — 16-byte hashes ride the ONE doc_id-keyed shuffle
+    * of the full-outer join, document payloads never move — then the
+    * status rollup is a #sources-key exchange. At 100 TB this is the
+    * cheapest possible membership+equality pass: two scans, one
+    * hash-only join.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def keyed(d: DataFrame) = d.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"))
+    val o = keyed(oldDocs).withColumnRenamed("source", "o_src")
+      .withColumnRenamed("h", "o_h")
+    val n = keyed(newDocs).withColumnRenamed("source", "n_src")
+      .withColumnRenamed("h", "n_h")
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("n_src"), col("o_src")).as("source"),
+        when(col("o_h").isNull, "added")
+          .when(col("n_h").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+  }
+
   /** Curriculum ordering: a deterministic global training order that
     * feeds documents quality-tier first — all of bucket B before any
     * of bucket B−1 — with a seeded pseudo-random order INSIDE each
@@ -693,6 +730,17 @@ object Corpus extends graft.QueryModule {
     "q59_len_quantiles" -> ((s, d) => lenQuantiles(Tables.documents(s, d))),
     "q60_shuffle_order" -> ((s, d) => shuffleOrder(Tables.documents(s, d))),
     "q109_curriculum"   -> ((s, d) => curriculumOrder(Tables.documents(s, d))),
+    // two deterministic snapshot views of the same table: "old" drops
+    // the %10==9 ids, "new" drops %10==0 and mutates %4==0 texts
+    "q112_corpus_diff"  -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      corpusDiff(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 9),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(col("text"), lit(" updated"))).otherwise(col("text"))))
+    }),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -1034,6 +1082,34 @@ object Corpus extends graft.QueryModule {
                ('0x' || substr(md5('shuffle|' || doc_id), 1, 15))::BIGINT,
                doc_id) AS pos
       FROM documents""",
+    /* q112: membership + md5 equality over the same two snapshot
+     * views; FULL OUTER on doc_id. */
+    "q112_corpus_diff" -> """
+      WITH o AS (
+        SELECT doc_id, source, md5(text) AS h
+        FROM documents WHERE doc_id % 10 <> 9),
+      n AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 4 = 0 THEN text || ' updated'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 10 <> 0),
+      j AS (
+        SELECT COALESCE(n.source, o.source) AS source,
+               CASE WHEN o.h IS NULL THEN 'added'
+                    WHEN n.h IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM o FULL OUTER JOIN n USING (doc_id))
+      SELECT source,
+             CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_changed,
+             CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_same
+      FROM j GROUP BY source""",
     /* q109: the engine's (bucket desc, shard, k) order equals
      * (bucket desc, k) because shard is k's own high bits — one
      * global row_number reproduces the prefix-summed positions. */

@@ -166,6 +166,54 @@ object Dedup extends graft.QueryModule {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Winnowing fingerprint pairs (q113) — the MOSS algorithm
+    * (Schleimer et al., SIGMOD 2003): hash every k-gram, slide a
+    * w-hash window, keep each window's MINIMUM hash, and report
+    * document pairs sharing ≥ `minShared` distinct fingerprints.
+    * Winnowing guarantees any shared run of ≥ w+k−1 tokens yields at
+    * least one shared fingerprint — POSITION-ROBUST local overlap
+    * detection (quotes, clone fragments, license boilerplate) where
+    * MinHash (q26) measures whole-document similarity and span dedup
+    * (q76) needs exact span equality. Fingerprints here are the
+    * window-min VALUES, distinct per document (the standard
+    * value-winnowing simplification; a doc shorter than one window
+    * contributes the min of what it has).
+    *
+    * SCALE SHAPE: the k-gram hash array and the window-min fold are
+    * map-only (the winnow step is one pass over the per-row hash
+    * array — evaluated once per row); candidates come from the same
+    * capped inverted-index-and-pair-aggregate shape as q26 — hot
+    * fingerprints (> maxDocsPerFp docs) are dropped as stop-grams, so
+    * no bucket ever expands O(n²) pairs; the pair key exchange
+    * carries ids only.
+    */
+  def winnowPairs(documents: DataFrame, k: Int = 3, window: Int = 4,
+                  minShared: Int = 2,
+                  maxDocsPerFp: Int = 50): DataFrame = {
+    require(k >= 1 && window >= 1 && minShared >= 1 && maxDocsPerFp >= 2,
+      s"bad winnow params: k=$k window=$window " +
+        s"minShared=$minShared maxDocsPerFp=$maxDocsPerFp")
+    val winnow = udf { gh: Seq[Long] =>
+      val m = gh.size
+      if (m == 0) Array.empty[Long]
+      else (0 until math.max(1, m - window + 1))
+        .map(i => gh.slice(i, math.min(i + window, m)).min)
+        .distinct.toArray
+    }
+    val fps = documents
+      .select(col("doc_id"), shingles(words(col("text")), k).as("gs"))
+      .select(col("doc_id"), transform(col("gs"), g => hash60(g)).as("gh"))
+      .select(col("doc_id"), explode(winnow(col("gh"))).as("f"))
+    fps.groupBy(col("f"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocsPerFp))
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Pre-flight duplicate-rate estimate: the per-band LSH bucket
     * census run BEFORE committing a cluster to the full q26→q47→q43
     * dedup chain. Reports, per band: how many buckets exist, how many
@@ -941,6 +989,7 @@ object Dedup extends graft.QueryModule {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
     "q76_span_dedup"     -> ((s, d) => spanDedup(Tables.documents(s, d))),
+    "q113_winnow_pairs"  -> ((s, d) => winnowPairs(Tables.documents(s, d))),
     "q81_span_attrib"    -> ((s, d) => spanAttribution(Tables.documents(s, d))),
     "q78_bloom_admit" -> ((s, d) => {
       val (ref, batch) = q73Split(Tables.documents(s, d))
@@ -1309,6 +1358,34 @@ object Dedup extends graft.QueryModule {
       WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
               / least(len(sa.ss), len(sb.ss)) >= 0.9""",
     "q29_jaccard_pairs" -> q29Sql,
+    /* q113: hash 3-grams, window-min over 4-hash windows (slice
+     * clamped for short docs), distinct per doc, capped inverted
+     * index, pair counts — value winnowing verbatim. */
+    "q113_winnow_pairs" -> s"""
+      WITH gh AS (
+        SELECT doc_id,
+               list_transform(${shinglesSql(wordsSql)}, g -> ${h60Sql("g")})
+                 AS gh
+        FROM documents),
+      fp AS (
+        SELECT DISTINCT doc_id, f
+        FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(gh) = 0 THEN []::BIGINT[]
+                        ELSE list_transform(
+                          generate_series(1, greatest(1, len(gh) - 3)),
+                          i -> list_min(list_slice(gh, i,
+                            least(i + 3, len(gh)))))
+                        END) AS f
+          FROM gh)),
+      keep AS (
+        SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 50),
+      pr AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM fp x JOIN keep USING (f) JOIN fp y USING (f)
+        WHERE x.doc_id < y.doc_id)
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""",
     /* q87: both pair sets as CTEs (the very SQL the driver already
      * hash-checks as q26/q29), three scalar counts, single-row
      * ratios. */

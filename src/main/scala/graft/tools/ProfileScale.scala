@@ -137,7 +137,11 @@ object ProfileScale {
                                graft.operators.Analysis.tokenizerFertility(d)),
       "q107_len_buckets"  -> (d => graft.operators.Analysis.lengthBuckets(d)),
       "q109_curriculum"   -> (d =>
-                               graft.operators.Corpus.curriculumOrder(d)))
+                               graft.operators.Corpus.curriculumOrder(d)),
+      "q112_corpus_diff"  -> (d => graft.operators.Corpus.corpusDiff(
+                               d.filter(pmod(col("doc_id"), lit(10)) =!= 9),
+                               d.filter(pmod(col("doc_id"), lit(10)) =!= 0))),
+      "q113_winnow"       -> (d => Dedup.winnowPairs(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)

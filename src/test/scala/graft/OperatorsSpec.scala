@@ -1319,4 +1319,52 @@ class OperatorsSpec extends SparkSpec {
     assert(bal.getLong(3) >= bal.getLong(5) &&
       bal.getLong(5) >= bal.getLong(4) && bal.getLong(4) >= bal.getLong(2))
   }
+
+  test("winnowing guarantees a shared fingerprint for a shared run >= w+k-1 tokens") {
+    // docs 1 and 2 share a 6-token run (= w+k-1 with k=3, w=4) inside
+    // otherwise disjoint text; doc 3 shares nothing with either
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val d = Seq(
+      (1L, s"one two three $shared nine ten"),
+      (2L, s"uno dos tres cuatro $shared once doce trece"),
+      (3L, "red green blue yellow purple orange pink brown"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(d, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)), got.toString)
+    assert(got.head._3 >= 1L)
+  }
+
+  test("winnowPairs drops stop-fingerprints shared by too many docs") {
+    // every doc is the same text: all fingerprints appear in 8 docs,
+    // above the cap of 5 -> no pairs survive (stop-gram semantics)
+    val d = (1L to 8L)
+      .map(i => (i, "same old text repeated verbatim here always"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(d, minShared = 1, maxDocsPerFp = 5).count() == 0)
+    // below the cap the clique emerges: 3 docs -> 3 pairs
+    val small = (1L to 3L)
+      .map(i => (i, "same old text repeated verbatim here always"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(small, minShared = 1, maxDocsPerFp = 5)
+      .count() == 3)
+  }
+
+  test("corpusDiff classifies added/removed/changed/same per source") {
+    val old = Seq(
+      (1L, "aa bb", "s1"), (2L, "cc dd", "s1"),
+      (3L, "ee ff", "s2"), (4L, "gg hh", "s2"))
+      .toDF("doc_id", "text", "source")
+    val nu = Seq(
+      (1L, "aa bb", "s1"),          // same
+      (2L, "cc dd CHANGED", "s1"),  // changed
+      (4L, "gg hh", "s2"),          // same (3 removed)
+      (5L, "new doc", "s2"))        // added
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.corpusDiff(old, nu)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 0L, 0L, 1L, 1L), ("s2", 1L, 1L, 0L, 1L)),
+      got.toString)
+  }
 }
