@@ -53,7 +53,12 @@ object Analysis extends graft.QueryModule {
   /** The histogram half of [[aucEval]] (shared with q110's trained-
     * probe eval): exact AUC of an integer-`score` / 0-1-`y` frame.
     * The caller guarantees a model-sized score domain — the exchange
-    * and window here touch one row per distinct score. */
+    * and window here touch one row per distinct score. The pair
+    * count runs in DECIMAL(38,0): the per-score product p·(2N−n)
+    * reaches ~n²/4 and would silently wrap LONG past ~4·10⁹ labeled
+    * documents (DuckDB's oracle side is already exact via HUGEINT);
+    * the final BIGINT cast fails loudly under ANSI if 2U itself ever
+    * exceeds long range, matching the oracle's overflow error. */
   private[graft] def aucFromScores(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("n"))
@@ -64,7 +69,9 @@ object Analysis extends graft.QueryModule {
     cum.agg(
       sum(col("p")).cast("long").as("n_pos"),
       sum(col("n")).cast("long").as("n_neg"),
-      sum(col("p") * (col("cum_n") * 2 - col("n"))).cast("long").as("u2"))
+      sum(col("p").cast("decimal(38,0)") *
+        (col("cum_n") * 2 - col("n")).cast("decimal(38,0)"))
+        .cast("long").as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
         (col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
