@@ -400,6 +400,38 @@ object Corpus extends graft.QueryModule {
         md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
   }
 
+  /** Per-document duplicate-chunk fraction (q114): chunk every
+    * document into NON-overlapping content-addressed windows (the
+    * q63 chunker with stride = size), count each chunk hash across
+    * the corpus, and report per document how much of it also appears
+    * elsewhere — the RefinedWeb-style "what share of this page is
+    * boilerplate" signal that feeds a drop-or-trim decision where
+    * whole-document dedup (q25/q26) would either keep or kill the
+    * page outright.
+    *
+    * SCALE SHAPE: chunks reduce to (doc_id, chunk_md5, token count)
+    * — chunk TEXT never materializes past its md5; the frequency
+    * table is corpus-vocabulary-scale so it never broadcasts — the
+    * rejoin is a chunk-hash-keyed shuffled join of ids+hashes, then
+    * one doc_id rollup. Three hash-scale exchanges, zero payload
+    * movement.
+    */
+  def chunkDupFraction(documents: DataFrame, size: Int = 32): DataFrame = {
+    val ch = chunk(documents, size, size)
+      .select(col("doc_id"), col("chunk_tokens"), col("chunk_md5"))
+    val freq = ch.groupBy(col("chunk_md5")).agg(count(lit(1)).as("cf"))
+    ch.join(freq, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("cf") > 1, col("chunk_tokens").cast("long"))
+          .otherwise(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_tokens"),
+        expr("(dup_tokens * 1000) div n_tokens").as("dup_permille"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** Per-column data-quality profile of ANY table in one pass — the
@@ -732,6 +764,7 @@ object Corpus extends graft.QueryModule {
     "q109_curriculum"   -> ((s, d) => curriculumOrder(Tables.documents(s, d))),
     // two deterministic snapshot views of the same table: "old" drops
     // the %10==9 ids, "new" drops %10==0 and mutates %4==0 texts
+    "q114_chunk_dup"    -> ((s, d) => chunkDupFraction(Tables.documents(s, d))),
     "q112_corpus_diff"  -> ((s, d) => {
       val docs = Tables.documents(s, d)
       corpusDiff(
@@ -1189,6 +1222,32 @@ object Corpus extends graft.QueryModule {
                AS chunk_tokens,
              md5(array_to_string(list_slice(ws, ci*24 + 1, ci*24 + 32), ' '))
                AS chunk_md5
-      FROM c"""
+      FROM c""",
+    /* q114: the q63 chunker with stride = size (non-overlapping),
+     * corpus-wide chunk-hash counts, per-doc duplicated share. */
+    "q114_chunk_dup" -> s"""
+      WITH t AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil((len(ws) - 32) / 32.0) AS BIGINT), 0)))
+                 AS ci
+        FROM t),
+      ch AS (
+        SELECT doc_id,
+               CAST(len(list_slice(ws, ci*32 + 1, ci*32 + 32)) AS BIGINT)
+                 AS ct,
+               md5(array_to_string(list_slice(ws, ci*32 + 1, ci*32 + 32),
+                 ' ')) AS h
+        FROM c),
+      f AS (SELECT h, count(*) AS cf FROM ch GROUP BY h)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST(sum(ct) AS BIGINT) AS n_tokens,
+             (CAST(sum(CASE WHEN cf > 1 THEN ct ELSE 0 END) AS BIGINT)
+               * 1000) // CAST(sum(ct) AS BIGINT) AS dup_permille
+      FROM ch JOIN f USING (h)
+      GROUP BY doc_id"""
   )
 }

@@ -236,11 +236,16 @@ object ProfileScale {
       "q66_containment"   -> (d => Dedup.containmentPairs(d)),
       // the heaviest non-pair op: one token-scale doc_id repartition
       // (~50M bigrams here) feeding a 4096-key model
-      "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)))
+      "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)),
+      // winnowing at 100×: the capped-fingerprint pair volume is the
+      // q29 question asked of the value-winnow index
+      "q113_winnow"       -> (d => Dedup.winnowPairs(d)))
     for ((name, op) <- ops) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))
       println(f"sf10 $name%-20s $sec%7.2f s  ($rows rows)")
+      spark.catalog.clearCache()
+      System.gc()
     }
   }
 }

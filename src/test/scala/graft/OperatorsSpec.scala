@@ -1350,6 +1350,24 @@ class OperatorsSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("chunkDupFraction reports the duplicated-token share per doc") {
+    // size=4 chunks; docs 1 and 2 share their first chunk exactly,
+    // doc 3 is unique. doc 1: chunks [shared(4), unique(2)] ->
+    // 4 of 6 tokens duplicated = 666 permille
+    val d = Seq(
+      (1L, "a b c d x y"),
+      (2L, "a b c d p q r s"),
+      (3L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDupFraction(d, size = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 6L, 666L),
+      (2L, 2L, 1L, 8L, 500L),
+      (3L, 2L, 0L, 5L, 0L)), got.toString)
+  }
+
   test("corpusDiff classifies added/removed/changed/same per source") {
     val old = Seq(
       (1L, "aa bb", "s1"), (2L, "cc dd", "s1"),
