@@ -266,12 +266,68 @@ object Analysis extends graft.QueryModule {
                    ELSE 0.0 END""").as("corr"))
   }
 
+  /** Filter ablation matrix — which quality filters are redundant?
+    * q92 reports the SEQUENTIAL funnel; this measures the filters
+    * INDEPENDENTLY and reports, per filter pair, how much their
+    * kill sets overlap (Jaccard). A pair with overlap ≈ 1 means the
+    * second filter is dead weight at 100 TB (drop it and save its
+    * pass); overlap ≈ 0 means they remove disjoint slices. Filters
+    * are q92's four signals, un-nested: length range, word count,
+    * mean word length, distinct-word ratio — all exact integer
+    * cross-multiplied predicates.
+    *
+    * SCALE SHAPE: the per-doc kill bits and all 4 + 2·C(4,2) pair
+    * sums fold into ONE map-side-combined global aggregate (a single
+    * 1-row exchange no matter the corpus size); the 6-row pair
+    * matrix unstacks from that row, and the only double is the final
+    * per-pair Jaccard on exact counts.
+    */
+  def filterAblation(documents: DataFrame,
+                     minChars: Int = 200, maxChars: Int = 100000,
+                     minWords: Int = 30): DataFrame = {
+    val m = documents
+      .filter(col("source").isNotNull)
+      .select(col("n_chars"), words(col("text")).as("ws"))
+      .select(col("n_chars"),
+        size(col("ws")).cast("long").as("n_w"),
+        size(array_distinct(col("ws"))).cast("long").as("n_d"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("wchars"))
+    val kill = Map(
+      1 -> !(col("n_chars") >= minChars && col("n_chars") <= maxChars),
+      2 -> !(col("n_w") >= minWords),
+      3 -> !(col("wchars") >= col("n_w") * 3 &&
+        col("wchars") <= col("n_w") * 10),
+      4 -> !(col("n_d") * 5 >= col("n_w") * 2))
+    val pairs = for { i <- 1 to 4; j <- i + 1 to 4 } yield (i, j)
+    val aggs = (1 to 4).map(i =>
+      sum(when(kill(i), 1L).otherwise(0L)).as(s"k$i")) ++
+      pairs.flatMap { case (i, j) => Seq(
+        sum(when(kill(i) && kill(j), 1L).otherwise(0L)).as(s"b${i}_$j"),
+        sum(when(kill(i) || kill(j), 1L).otherwise(0L)).as(s"e${i}_$j"))
+      }
+    val one = m.agg(aggs.head, aggs.tail: _*)
+    val stacked = one.select(expr(
+      s"stack(${pairs.size}, " + pairs.map { case (i, j) =>
+        s"$i, $j, k$i, k$j, b${i}_$j, e${i}_$j"
+      }.mkString(", ") +
+        ") as (fa, fb, killed_a, killed_b, killed_both, killed_either)"))
+    stacked.select(col("fa").cast("long").as("fa"),
+      col("fb").cast("long").as("fb"),
+      col("killed_a"), col("killed_b"),
+      col("killed_both"), col("killed_either"),
+      when(col("killed_either") > 0,
+        col("killed_both").cast("double") / col("killed_either"))
+        .otherwise(lit(0.0)).as("overlap_jacc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_auc" -> ((s, d) => aucEval(Tables.documents(s, d))),
     "q105_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q106_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
     "q107_length_buckets" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
-    "q108_dim_corr" -> ((s, d) => dimCorr(Tables.embeddings(s, d)))
+    "q108_dim_corr" -> ((s, d) => dimCorr(Tables.embeddings(s, d))),
+    "q115_filter_ablation" -> ((s, d) => filterAblation(Tables.documents(s, d)))
   )
 
   /** The q108 oracle, generated for `probeDims` dims: one sums CTE
@@ -394,6 +450,50 @@ object Analysis extends graft.QueryModule {
              (sum_tok * 1000)
                // (n_seqs * ((1::BIGINT << CAST(bucket_bits AS INT)) - 1))
                AS fill_permille
-      FROM g"""
+      FROM g""",
+    /* q115: same single sums row (4 kill counts + per-pair both/
+     * either), pair rows unioned out of it, Jaccard on exact counts. */
+    "q115_filter_ablation" -> {
+      val pairs = for { i <- 1 to 4; j <- i + 1 to 4 } yield (i, j)
+      val kills = Map(
+        1 -> "NOT (n_chars >= 200 AND n_chars <= 100000)",
+        2 -> "NOT (n_w >= 30)",
+        3 -> "NOT (wchars >= n_w * 3 AND wchars <= n_w * 10)",
+        4 -> "NOT (n_d * 5 >= n_w * 2)")
+      val sums = ((1 to 4).map(i =>
+        s"sum(CASE WHEN ${kills(i)} THEN 1 ELSE 0 END) AS k$i") ++
+        pairs.flatMap { case (i, j) => Seq(
+          s"sum(CASE WHEN (${kills(i)}) AND (${kills(j)}) " +
+            s"THEN 1 ELSE 0 END) AS b${i}_$j",
+          s"sum(CASE WHEN (${kills(i)}) OR (${kills(j)}) " +
+            s"THEN 1 ELSE 0 END) AS e${i}_$j")
+        }).mkString(",\n               ")
+      val rows = pairs.map { case (i, j) =>
+        s"""SELECT CAST($i AS BIGINT) AS fa, CAST($j AS BIGINT) AS fb,
+               CAST(k$i AS BIGINT) AS killed_a,
+               CAST(k$j AS BIGINT) AS killed_b,
+               CAST(b${i}_$j AS BIGINT) AS killed_both,
+               CAST(e${i}_$j AS BIGINT) AS killed_either
+      FROM sums"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH m AS (
+        SELECT n_chars,
+               CAST(len(ws) AS BIGINT) AS n_w,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_d,
+               CAST(list_sum(list_transform(ws, w -> strlen(w)))
+                 AS BIGINT) AS wchars
+        FROM (SELECT n_chars, $wsSql AS ws
+              FROM documents WHERE source IS NOT NULL)),
+      sums AS (
+        SELECT $sums
+        FROM m),
+      p AS ($rows)
+      SELECT fa, fb, killed_a, killed_b, killed_both, killed_either,
+             CASE WHEN killed_either > 0
+                  THEN CAST(killed_both AS DOUBLE) / killed_either
+                  ELSE 0.0 END AS overlap_jacc
+      FROM p"""
+    }
   )
 }

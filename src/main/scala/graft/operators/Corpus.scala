@@ -314,6 +314,81 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), col("source"), col("rate_pct"))
   }
 
+  /** Multi-epoch repeat-factor materialization — the upsampling half
+    * [[mixRebalance]] clips away: give every source an equal share of
+    * `budgetTokens` and emit each document `copies` times so the
+    * materialized stream hits the budget IN EXPECTATION, where
+    * copies = ⌊rate⌋ + Bernoulli(frac(rate)) per document. Small
+    * high-quality sources repeat across epochs (rate > 1), oversized
+    * sources subsample (rate < 1 drops docs) — the "repeat factors"
+    * of a mixed multi-epoch training recipe. The rate is carried as
+    * an exact integer micro-rate (units of 2⁻²⁰) and the Bernoulli
+    * draw is the integer comparison h₂₀ < rate_micro mod 2²⁰ on a
+    * seeded 60-bit doc hash — no float thresholds near the
+    * corpus-sized decision, reshuffle- and re-run-stable, and
+    * independent of the split/strata/mix hashes (distinct seed).
+    *
+    * SCALE SHAPE: per-source token totals are one partial-aggregated
+    * exchange on a tiny key; the #sources-row micro-rate table
+    * broadcasts back; copies + the sequence explode fuse into the
+    * corpus scan (the corpus itself never shuffles), and the output
+    * is exactly the epoch plan a downstream pack/shuffle pass
+    * consumes.
+    */
+  def epochRepeat(documents: DataFrame,
+                  budgetTokens: Long = 120000L): DataFrame = {
+    val perSrc = documents
+      .select(col("source"), ceil(col("n_chars") / 4.0).cast("long").as("et"))
+      .groupBy(col("source")).agg(sum(col("et")).as("tok"))
+    val micro = 1L << 20
+    val rates = perSrc
+      .crossJoin(broadcast(perSrc.agg(count(lit(1)).as("nsrc"))))
+      .select(col("source"),
+        floor(lit(micro) * lit(budgetTokens) / (col("nsrc") * col("tok")))
+          .cast("long").as("rate_micro"))
+    documents
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        (expr(s"rate_micro div $micro") +
+          when(pmod(hash60(concat(lit("epoch|"), col("doc_id"))),
+            lit(micro)) < pmod(col("rate_micro"), lit(micro)), 1L)
+            .otherwise(0L)).as("copies"))
+      .filter(col("copies") >= 1)
+      // Spark's sequence(1, 0) would yield the DESCENDING [1, 0] —
+      // zero-copy docs must be filtered before the explode, not
+      // handed an empty range
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+  }
+
+  /** Shard manifest with content checksums — the integrity ledger a
+    * 100 TB export writes next to its shards: per shard (the q60
+    * seeded-hash layout), document count, estimated token total, and
+    * an order-independent content checksum (the DECIMAL sum of each
+    * doc's 60-bit normalized-text hash, mod 2⁶⁰). A re-read of any
+    * shard recomputes its row and a mismatch pinpoints silent
+    * corruption/truncation to one shard without touching the rest —
+    * sum-based so the checksum is independent of row order and
+    * partition layout.
+    *
+    * SCALE SHAPE: one map-only hash pass fused into the scan, one
+    * partial-aggregated exchange on ≤2^shardBits keys; text never
+    * outlives its hash.
+    */
+  def shardManifest(documents: DataFrame, shardBits: Int = 8): DataFrame =
+    documents
+      .select(
+        shiftright(hash60(concat(lit("shuffle|"), col("doc_id"))),
+          60 - shardBits).as("shard"),
+        ceil(col("n_chars") / 4.0).cast("long").as("et"),
+        hash60(normText(col("text"))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("et")).as("n_tokens"),
+        pmod(sum(col("h").cast("decimal(38,0)")),
+          lit(1L << 60).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+
   /** One-pass fused preprocessing — the whole per-document decision
     * surface (quality gate, language route, PII scrub, split
     * assignment, keep verdict) computed in a SINGLE scan of the
@@ -775,6 +850,8 @@ object Corpus extends graft.QueryModule {
               concat(col("text"), lit(" updated"))).otherwise(col("text"))))
     }),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
+    "q116_epoch_repeat" -> ((s, d) => epochRepeat(Tables.documents(s, d))),
+    "q119_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
     "q70_pack_stats"    -> ((s, d) => packStats(Tables.documents(s, d),
@@ -788,6 +865,7 @@ object Corpus extends graft.QueryModule {
 
   private val wsSql =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   def oracle: Map[String, String] = Map(
     /* q100: the q62 keep rule, the q91 mixture CTEs over the
@@ -1158,6 +1236,42 @@ object Corpus extends graft.QueryModule {
                ('0x' || substr(md5('curriculum|' || doc_id), 1, 15))::BIGINT,
                doc_id) AS pos
       FROM s""",
+    /* q116: q61's budget-share CTEs carried as exact 2^-20 micro-rates
+     * (no 100% clip — rates above 1 mean whole-corpus epochs), then
+     * each doc materializes floor + seeded-Bernoulli-fraction copies
+     * via generate_series (empty for copies = 0). */
+    "q116_epoch_repeat" -> s"""
+      WITH t AS (
+        SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tok
+        FROM documents GROUP BY 1),
+      n AS (SELECT count(*) AS nsrc FROM t),
+      r AS (
+        SELECT source,
+               CAST(floor(${1048576L * 120000L} / (nsrc * tok))
+                 AS BIGINT) AS rate_micro
+        FROM t CROSS JOIN n),
+      c AS (
+        SELECT d.doc_id, d.source,
+               r.rate_micro // 1048576 +
+               CASE WHEN ('0x' || substr(md5('epoch|' || d.doc_id), 1, 15))
+                      ::BIGINT % 1048576 < r.rate_micro % 1048576
+                    THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN r USING (source))
+      SELECT doc_id, source,
+             CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
+      FROM c WHERE copies >= 1""",
+    /* q119: q60's high-bit shard of the seeded doc hash; the checksum
+     * is the order-independent HUGEINT sum of 60-bit content hashes
+     * mod 2^60. */
+    "q119_shard_manifest" -> s"""
+      SELECT ('0x' || substr(md5('shuffle|' || doc_id), 1, 15))::BIGINT
+               // ${1L << 52} AS shard,
+             count(*) AS n_docs,
+             CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(('0x' || substr(md5($normSql), 1, 15))::BIGINT)
+               % ${1L << 60} AS BIGINT) AS checksum
+      FROM documents GROUP BY 1""",
     "q61_mix_rebalance" -> s"""
       WITH t AS (
         SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tok

@@ -74,6 +74,38 @@ object Dedup extends graft.QueryModule {
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Aggressively-normalized dedup groups — the near-exact tier
+    * BETWEEN [[exactGroups]] and MinHash: lowercase, strip every
+    * non-alphanumeric to a space, collapse runs. Catches the trivial
+    * variants exact dedup misses (punctuation/hyphenation/quote-style
+    * edits, "Hello, World!" vs "hello world") at exact-dedup cost —
+    * no shingling, no candidate join. Only groups that collide ACROSS
+    * distinct exact-normalized contents are emitted (`n_variants >
+    * 1`): a group of byte-identical dupes is q25's finding, not a new
+    * one, so the output is exactly the increment this tier adds.
+    *
+    * SCALE SHAPE: identical to q25 — one map-only normalize+hash pass
+    * (text never outlives its two 128-bit hashes), one partial-
+    * aggregated exchange on the aggressive hash; the distinct-variant
+    * count folds into the same aggregate via a 1-scan two-level
+    * groupBy on (agg_md5, exact_md5) then agg_md5.
+    */
+  def normVariantGroups(documents: DataFrame): DataFrame = {
+    // one regex: any run of non-alphanumerics (incl. whitespace)
+    // collapses to a single space, so no second collapse pass needed
+    val aggNorm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    documents
+      .select(md5(aggNorm).as("norm_md5"),
+        md5(normText(col("text"))).as("exact_md5"), col("doc_id"))
+      .groupBy(col("norm_md5"), col("exact_md5"))
+      .agg(min(col("doc_id")).as("kid"), count(lit(1)).as("nd"))
+      .groupBy(col("norm_md5"))
+      .agg(min(col("kid")).as("keep_id"),
+        sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_variants"))
+      .filter(col("n_variants") > 1)
+  }
+
   /** doc_id + per-seed min columns m0..m{k-1}: shingles exploded once,
     * then k mins in ONE vectorized hash aggregate (whole-stage
     * codegen) — a nested HOF fold would interpret k×|shingles| lambda
@@ -1000,6 +1032,17 @@ object Dedup extends graft.QueryModule {
     "q43_dedup_apply"    -> ((s, d) => dedupApply(Tables.documents(s, d))),
     "q53_dedup_keep"     -> ((s, d) => dedupKeepers(Tables.documents(s, d))),
     "q25_dedup_exact"    -> ((s, d) => exactGroups(Tables.documents(s, d))),
+    // the synthetic corpus has no punctuation/case variants, so the
+    // fixture unions in a deterministic re-rendered copy of every 5th
+    // doc (trailing "!!" — differs under exact norm, identical under
+    // the aggressive norm), the q112 mutated-snapshot style
+    "q117_norm_variants" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      normVariantGroups(docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            concat(col("text"), lit("!!")).as("text"))))
+    }),
     "q26_minhash_pairs"  -> ((s, d) => minhashPairs(Tables.documents(s, d))),
     "q27_simhash"        -> ((s, d) => simhash(Tables.documents(s, d))),
     "q28_simhash_pairs"  -> ((s, d) => simhashPairs(Tables.documents(s, d))),
@@ -1240,6 +1283,26 @@ object Dedup extends graft.QueryModule {
       SELECT md5($normSql) AS content_md5,
              min(doc_id) AS keep_id, count(*) AS n_docs
       FROM documents GROUP BY 1""",
+    /* q117: the aggressive norm collapses every non-alphanumeric run
+     * to one space; only norm groups spanning >1 distinct exact-norm
+     * content qualify (byte-identical dupes are q25's finding). */
+    "q117_norm_variants" -> s"""
+      WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text || '!!'
+        FROM documents WHERE doc_id % 5 = 0),
+      v AS (
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS norm_md5,
+               md5($normSql) AS exact_md5,
+               min(doc_id) AS kid, count(*) AS nd
+        FROM d2 GROUP BY 1, 2)
+      SELECT norm_md5, min(kid) AS keep_id,
+             CAST(sum(nd) AS BIGINT) AS n_docs,
+             count(*) AS n_variants
+      FROM v GROUP BY 1
+      HAVING count(*) > 1""",
     "q26_minhash_pairs" -> q26Sql,
     /* q94: the q26 banded CTEs truncated at the bucket census —
      * integer counts only, the pair join never runs. */

@@ -223,6 +223,37 @@ class AnalysisSpec extends SparkSpec {
         c.getMessage.contains("ARITHMETIC_OVERFLOW"))))
   }
 
+  test("filterAblation reports engineered kill overlaps and one 1-row exchange") {
+    import spark.implicits._
+    // n_chars is a COLUMN here (deliberately inconsistent with text)
+    // so each filter can be toggled independently:
+    //   A fails length only; B fails word-count only; C fails both;
+    //   D passes everything. 35/5/30 distinct 5-char words keep the
+    //   word-length and distinct-ratio filters green throughout.
+    def ws(n: Int) = (1 to n).map(i => f"w$i%04d").mkString(" ")
+    val d = Seq(
+      (1L, "s", 10L, ws(35)),
+      (2L, "s", 300L, ws(5)),
+      (3L, "s", 10L, ws(5)),
+      (4L, "s", 300L, ws(30))
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val out = graft.operators.Analysis.filterAblation(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out.size == 6)
+    // k1 = {A, C} = 2, k2 = {B, C} = 2, both = {C} = 1, either = 3
+    assert(out((1L, 2L)) == ((2L, 2L, 1L, 3L, 1.0 / 3.0)))
+    // filters 3/4 kill nothing -> zero counts, guarded 0.0 jaccard
+    assert(out((3L, 4L)) == ((0L, 0L, 0L, 0L, 0.0)))
+    assert(out((1L, 3L)) == ((2L, 0L, 0L, 2L, 0.0)))
+    // scale shape: the whole matrix folds into one global aggregate —
+    // no hashpartitioning exchange at all (single-partition agg)
+    val plan = graft.operators.Analysis.filterAblation(d)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("heavyHitters confirm pass joins against a broadcast candidate set") {
     val d = docs(Seq((1L, "x x x y", "en")))
     val plan = Analysis.heavyHitters(d, k = 4)

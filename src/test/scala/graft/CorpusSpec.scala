@@ -17,6 +17,62 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "source")
   }
 
+  test("epochRepeat materializes floor+Bernoulli copies per doc, exact vs a driver twin") {
+    import spark.implicits._
+    import graft.functions.Portable.h60Scala
+    // "small" upsamples (rate > 1 -> whole-corpus epochs), "big"
+    // subsamples (rate < 1 -> some docs drop) under an equal share
+    val rows = (1L to 4L).map(i => (i, "small", 40L)) ++
+      (11L to 30L).map(i => (i, "big", 400L))
+    val d = rows.toDF("doc_id", "source", "n_chars")
+    val budget = 800L
+    val out = Corpus.epochRepeat(d, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver twin of the integer micro-rate + seeded Bernoulli
+    val tok = rows.groupBy(_._2).view
+      .mapValues(_.map(t => math.ceil(t._3 / 4.0).toLong).sum).toMap
+    val micro = 1L << 20
+    def copies(id: Long, src: String): Long = {
+      val rm = micro * budget / (2 * tok(src))
+      rm / micro +
+        (if (java.lang.Long.remainderUnsigned(
+          h60Scala(s"epoch|$id"), micro) < rm % micro) 1L else 0L)
+    }
+    val want = rows.flatMap { case (id, src, _) =>
+      (1L to copies(id, src)).map(c => (id, src, c)) }
+    assert(out.sorted.toSeq == want.sorted)
+    // the upsampled source repeats: every small doc appears >= 2x
+    assert((1L to 4L).forall(id => out.count(_._1 == id) >= 2))
+    // and the oversized source drops some docs entirely
+    assert((11L to 30L).exists(id => !out.exists(_._1 == id)))
+  }
+
+  test("shardManifest is layout-independent and pinpoints a corrupted shard") {
+    import spark.implicits._
+    val d = (1L to 200L)
+      .map(i => (i, s"doc $i body ${"w " * (i % 7).toInt}", 20L + i % 13))
+      .toDF("doc_id", "text", "n_chars")
+    val a = Corpus.shardManifest(d.repartition(1), shardBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val b = Corpus.shardManifest(d.repartition(7), shardBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(a == b)
+    assert(a.values.map(_._1).sum == 200L)
+    // flip one document's text: exactly that doc's shard row changes,
+    // and only its checksum (counts/tokens intact)
+    val mut = d.withColumn("text",
+      when(col("doc_id") === 42L, lit("corrupted")).otherwise(col("text")))
+    val c = Corpus.shardManifest(mut, shardBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val diff = a.keySet.filter(k => a(k) != c(k))
+    assert(diff.size == 1)
+    val k = diff.head
+    assert(a(k)._1 == c(k)._1 && a(k)._2 == c(k)._2 && a(k)._3 != c(k)._3)
+  }
+
   test("seqPack chunks a shard's running token stream at the budget") {
     // one source, one shard: token counts 4,4,4,4 at budget 10 lay
     // end-to-end as starts 0,4,8,12 -> seqs 0,0,0,1 offsets 0,4,8,2

@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkSpec {
     agg.foreach { case (id, s) => assert(perRow(id) == s, s"doc $id") }
   }
 
+  test("normVariantGroups finds punctuation/case variants and skips exact-only groups") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),       // variant of 2/3 under aggressive norm
+      (2L, "hello world"),
+      (3L, "hello  world"),        // exact-norm dup of 2 (ws collapse)
+      (4L, "unique text here"),    // singleton -> not emitted
+      (5L, "same same"),           // exact-only dup group -> not emitted
+      (6L, "same  same"),
+      (7L, "Mixed-Case; TEXT 42"), // variant pair via case+punct
+      (8L, "mixed case text 42")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.normVariantGroups(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    // group {1,2,3}: 3 docs over 2 exact variants; group {7,8}: 2/2.
+    // {5,6} collapses under the EXACT norm already -> one variant ->
+    // excluded (q25's finding, not this tier's); {4} is a singleton.
+    assert(out.toSeq == Seq((1L, 3L, 2L), (7L, 2L, 2L)))
+  }
+
   test("dedup groups are closed over pairs and labeled by their min id") {
     val docs = Tables.documents(spark, sf)
     val group = Dedup.dedupGroups(docs)
