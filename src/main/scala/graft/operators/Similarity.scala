@@ -947,6 +947,89 @@ object Similarity extends graft.QueryModule {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Cluster-balanced diverse sampling — keep at most `cap` vectors
+    * per coarse cluster, chosen by seeded-hash priority: the
+    * diversity-preserving subsample that follows SemDeDup-style
+    * curation (a uniform sample over-represents dense regions; a
+    * per-cluster cap flattens them while every populated region of
+    * embedding space stays represented). Assignment is the q34/q84/
+    * q99 literal-centroid pure map; selection is the bounded top-k
+    * aggregator — at most `cap` candidates per map task per cluster,
+    * never a rank window over the corpus.
+    *
+    * SCALE SHAPE: one corpus scan (assignment fused, zero joins), one
+    * partial-aggregated exchange on the #centroids key whose payload
+    * is ≤ cap ids per cluster per task; the kept-id explode is
+    * #centroids·cap rows — model-sized output.
+    */
+  def diverseSample(embeddings: DataFrame, centroidMod: Int = 127,
+                    cap: Int = 8, seed: String = "div"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val cents = base
+      .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cEmb = typedlit(cents.map(_._2))
+    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = transform(cEmb, (ce, i) =>
+      dot(col("emb"), ce) /
+        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // first max = smallest centroid id (cents sorted) — the same
+    // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
+    val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
+      nullif(array_position(sims, array_max(sims)), lit(0L)),
+      lit(1L)).cast("int"))
+    val assigned = base.select(col("vec_id"), centroid.as("centroid"))
+    // smallest seeded hash survives (topK keeps LARGEST sims, so the
+    // priority is negated); ties break by id — q85's discipline
+    val pri = graft.functions.Portable
+      .hash32(col("vec_id").cast("string"), seed)
+    assigned
+      .groupBy(col("centroid"))
+      .agg(graft.functions.Aggregators.topK(cap)(
+        -pri.cast("double"), col("vec_id")).as("ks"))
+      .select(col("centroid"), explode(col("ks")).as("k"))
+      .select(col("k.id").as("vec_id"), col("centroid"))
+  }
+
+  /** Embedding-level benchmark decontamination — flag every corpus
+    * vector whose cosine to ANY held-out benchmark vector reaches
+    * `threshold` (the semantic sibling of q55's n-gram check: catches
+    * paraphrased eval contamination that shares no 8-gram). The
+    * benchmark set is label-designated and model-sized — it collects
+    * to plan literals, so the scan side is a PURE MAP: per corpus
+    * vector one fold over the literal benchmark arrays producing the
+    * max cosine and its argmax benchmark id, then a filter. No join,
+    * no exchange, corpus never shuffles — the same literal-fold shape
+    * as q34/q84 assignment.
+    */
+  def semanticDecon(embeddings: DataFrame, benchLabel: Int = 9,
+                    threshold: Double = 0.38): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("emb"))
+    val bench = base.filter(col("label") === benchLabel)
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    require(bench.nonEmpty, s"no benchmark vectors with label $benchLabel")
+    val bEmb = typedlit(bench.map(_._2))
+    val bNrm = typedlit(bench.map(b => math.sqrt(pqN2(b._2))))
+    val sims = transform(bEmb, (be, i) =>
+      dot(col("emb"), be) /
+        (norm(col("emb")) * element_at(bNrm, (i + lit(1)).cast("int"))))
+    val benchId = element_at(typedlit(bench.map(_._1)), coalesce(
+      nullif(array_position(sims, array_max(sims)), lit(0L)),
+      lit(1L)).cast("int"))
+    base.filter(col("label") =!= benchLabel)
+      .select(col("vec_id"), benchId.as("bench_id"),
+        array_max(sims).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -969,7 +1052,9 @@ object Similarity extends graft.QueryModule {
     "q84_semantic_prune" -> ((s, d) => semanticPrune(Tables.embeddings(s, d))),
     "q86_rand_proj" -> ((s, d) => randomProject(Tables.embeddings(s, d))),
     "q88_cluster_quality" -> ((s, d) => clusterQuality(Tables.embeddings(s, d))),
-    "q99_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d)))
+    "q99_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))),
+    "q118_diverse_sample" -> ((s, d) => diverseSample(Tables.embeddings(s, d))),
+    "q120_semantic_decon" -> ((s, d) => semanticDecon(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1182,6 +1267,57 @@ object Similarity extends graft.QueryModule {
              CAST(sum(CAST(a AS DECIMAL(18,9))) AS DOUBLE) / count(*)
                AS mean_cohesion
       FROM sil GROUP BY centroid""",
+    /* q118: q84's assignment CTEs, then the q85 seeded-priority
+     * row_number per cluster. */
+    "q118_diverse_sample" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cents AS (
+        SELECT vec_id AS c_id, emb AS c_emb FROM base
+        WHERE vec_id % 127 = 0),
+      sc AS (
+        SELECT base.vec_id, c_id,
+               ${cosSql("emb", "c_emb")} AS s
+        FROM base CROSS JOIN cents),
+      assign AS (
+        SELECT vec_id, c_id AS centroid FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, c_id ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      pri AS (
+        SELECT vec_id, centroid,
+               ('0x' || substr(md5('div|' || CAST(vec_id AS VARCHAR)),
+                 1, 8))::BIGINT AS h
+        FROM assign)
+      SELECT vec_id, centroid FROM (
+        SELECT vec_id, centroid,
+               row_number() OVER (PARTITION BY centroid
+                 ORDER BY h ASC, vec_id ASC) AS rn
+        FROM pri)
+      WHERE rn <= 8""",
+    /* q120: brute-force cross join against the label-9 benchmark set,
+     * argmax by (cos DESC, bench id ASC), threshold filter — the
+     * same numbers the literal-fold pure map produces. */
+    "q120_semantic_decon" -> s"""
+      WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      bench AS (
+        SELECT vec_id AS b_id, emb AS b_emb FROM base WHERE label = 9),
+      sc AS (
+        SELECT base.vec_id, b_id,
+               ${cosSql("emb", "b_emb")} AS c
+        FROM base CROSS JOIN bench
+        WHERE base.label <> 9),
+      best AS (
+        SELECT vec_id, b_id AS bench_id, c AS cos FROM (
+          SELECT vec_id, b_id, c,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c DESC, b_id ASC) AS rn
+          FROM sc)
+        WHERE rn = 1)
+      SELECT vec_id, bench_id, cos FROM best WHERE cos >= 0.38""",
     "q84_semantic_prune" -> s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

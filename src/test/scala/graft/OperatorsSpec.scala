@@ -697,6 +697,51 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L), s"got $capped")
   }
 
+  test("diverse sample caps every cluster and keeps the smallest-priority ids") {
+    // centroidMod=3 seeds v0=(1,0) and v3=(0,1) (16/17 dodge the
+    // mod): ids 1,4,16,17 cluster with v0; 2,5,8 with v3
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.9, 0.1), 2L -> Seq(0.1, 0.9),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(0.89, 0.11), 5L -> Seq(0.1, 0.91),
+      16L -> Seq(0.95, 0.05), 17L -> Seq(0.88, 0.12), 8L -> Seq(0.2, 0.8))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.diverseSample(df, centroidMod = 3, cap = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // driver twin of the seeded priority (Portable.hash32 spelling)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val clusters = Map(0L -> Seq(0L, 1L, 4L, 16L, 17L), 3L -> Seq(2L, 3L, 5L, 8L))
+    val want = clusters.toSeq.flatMap { case (c, ids) =>
+      ids.sortBy(id => (h32(s"div|$id"), id)).take(2).map(id => (id, c))
+    }.sorted
+    assert(got == want, s"got $got want $want")
+    // every cluster respects the cap
+    assert(got.groupBy(_._2).values.forall(_.size <= 2))
+  }
+
+  test("semantic decon flags only above-threshold vectors with the argmax bench id") {
+    // bench set = label 9: b10 = e1, b11 = e2. a1 aligns with b10
+    // (cos 1), a2 sits between (cos .7071 to both -> tie, lowest
+    // bench id wins), a3 is orthogonal to b10 and anti to b11.
+    val rows: Seq[(Long, Seq[Double], Int)] = Seq(
+      (10L, Seq(1.0, 0.0), 9), (11L, Seq(0.0, 1.0), 9),
+      (1L, Seq(2.0, 0.0), 0), (2L, Seq(1.0, 1.0), 1),
+      (3L, Seq(1e-9, -1.0), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDecon(df, benchLabel = 9, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 10L), (2L, 10L)), s"got $got")
+    assert(got.head._3 == 1.0)
+    // pure map: no exchange of any kind in the scan-side plan
+    val plan = Similarity.semanticDecon(df, benchLabel = 9, threshold = 0.7)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("cluster quality matches an independent driver-side computation") {
     // same centroidMod=3 fixture as the semantic-prune test: centroids
     // v0=(1,0) and v3=(0,1); members {0,1,4} and {2,3,5}
