@@ -75,19 +75,32 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // The driver captures only the LAST ~2000 chars of output and
+    // The driver captures only the LAST 2000 chars of output and
     // parses the JSON line out of that tail; sbt appends a "[success]"
-    // line after us. With 84 queries, full query names + full double
-    // precision overflow the window (rounds 1-5 all recorded
-    // parsed:null). Short qNN keys + ms precision keep the whole line
-    // ~1.2 KB so it survives the tail capture intact.
+    // line (~75 chars) after us. With 84 queries, full query names +
+    // full double precision overflow the window (rounds 1-5 all
+    // recorded parsed:null). Short qNN keys + centisecond precision
+    // keep the whole line ~1.5 KB at 120 queries so it survives the
+    // tail capture intact (per-query ms precision lives in SCALE.md's
+    // profile runs, not here).
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
-    }.mkString("{", ",", "}")
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(prec: Double => String): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + prec(v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // degrade per-query precision before ever risking the window; the
+    // headline total keeps ms precision in every shape
+    val out = Seq[Double => String](cs,
+      v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+      .map(line).find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(out)
     spark.stop()
   }
 }

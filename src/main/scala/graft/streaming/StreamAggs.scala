@@ -327,6 +327,42 @@ object StreamAggs {
         col("bin"), col("n"))
   }
 
+  /** Streaming twin of q119 (`Corpus.shardManifest`) — the ingest
+    * integrity ledger written AS DATA ARRIVES: per event-time window
+    * and q60-shard, document count, token estimate, and the same
+    * order-independent content checksum (DECIMAL sum of 60-bit
+    * normalized-text hashes mod 2⁶⁰). A batch re-read of the window's
+    * shard recomputes its row; a mismatch pinpoints loss/corruption
+    * to one (window, shard) cell without re-reading the stream. State
+    * per open window is ≤2^shardBits cells of three numbers —
+    * watermark-evicted, independent of rate. Stream ≡ batch on the
+    * same rows (same hash, same mod) — parity spec-asserted.
+    */
+  def shardManifestStream(docs: DataFrame, ts: Column, docId: Column,
+                          text: Column, nChars: Column,
+                          shardBits: Int = 8,
+                          windowSize: String = "10 minutes",
+                          watermarkDelay: String = "0 seconds"): DataFrame = {
+    import graft.functions.Portable.{hash60, normText}
+    docs
+      .withColumn("__ts", ts)
+      .withWatermark("__ts", watermarkDelay)
+      .select(col("__ts"),
+        shiftright(hash60(concat(lit("shuffle|"), docId)),
+          60 - shardBits).as("__shard"),
+        ceil(nChars / 4.0).cast("long").as("__et"),
+        hash60(normText(text)).as("__h"))
+      .groupBy(window(col("__ts"), windowSize).as("w"), col("__shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__et")).as("n_tokens"),
+        pmod(sum(col("__h").cast("decimal(38,0)")),
+          lit(1L << 60).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("__shard").as("shard"), col("n_docs"), col("n_tokens"),
+        col("checksum"))
+  }
+
   def sourceDriftStream(docs: DataFrame, ts: Column, source: Column,
                         text: Column, ref: Map[Long, Long], refTotal: Long,
                         windowSize: String = "10 minutes",

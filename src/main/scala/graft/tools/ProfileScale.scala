@@ -24,7 +24,7 @@ object ProfileScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.headOption.contains("sf10")) {
-      runSf10(spark)
+      runSf10(spark, args.drop(1).toSet)
       spark.stop()
       return
     }
@@ -141,7 +141,22 @@ object ProfileScale {
       "q112_corpus_diff"  -> (d => graft.operators.Corpus.corpusDiff(
                                d.filter(pmod(col("doc_id"), lit(10)) =!= 9),
                                d.filter(pmod(col("doc_id"), lit(10)) =!= 0))),
-      "q113_winnow"       -> (d => Dedup.winnowPairs(d)))
+      "q113_winnow"       -> (d => Dedup.winnowPairs(d)),
+      // round-9 additions: q115 output is 6 rows by construction,
+      // q116/q119 are #copies-/#shards-sized; q117 runs on the driver
+      // binding's variant-union fixture so its output scales linearly
+      "q115_ablation"     -> (d => graft.operators.Analysis.filterAblation(d)),
+      "q116_epoch"        -> (d => graft.operators.Corpus.epochRepeat(d)),
+      "q117_norm_var"     -> (d => {
+                               val b = d.select(col("doc_id"), col("text"))
+                               Dedup.normVariantGroups(b.unionByName(
+                                 b.filter(pmod(col("doc_id"), lit(5)) === 0)
+                                   .select((col("doc_id") + lit(1000000000L))
+                                     .as("doc_id"),
+                                     concat(col("text"), lit("!!"))
+                                       .as("text"))))
+                             }),
+      "q119_manifest"     -> (d => graft.operators.Corpus.shardManifest(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
@@ -183,7 +198,17 @@ object ProfileScale {
       // centroid count — measuring the linear scan, not a 10× model
       "q80_pq_encode" -> ((e, label) => graft.operators.Similarity.pqEncode(
         e, centroidMod = if (label == "sf1") 1270 else 127)),
-      "q108_dim_corr" -> ((e, _) => graft.operators.Analysis.dimCorr(e)))
+      "q108_dim_corr" -> ((e, _) => graft.operators.Analysis.dimCorr(e)),
+      // like q80: production holds the coarse-cluster count fixed as
+      // the corpus grows, so the model (and the per-row literal fold)
+      // stays constant-size while the scan scales
+      "q118_diverse" -> ((e, label) => graft.operators.Similarity
+        .diverseSample(e, centroidMod = if (label == "sf1") 1270 else 127)),
+      // the benchmark set is fixed-size by definition — replica
+      // label-9 rows are dropped so the 10× run measures 10× corpus
+      // against the SAME benchmark literals
+      "q120_decon" -> ((e, _) => graft.operators.Similarity.semanticDecon(
+        e.filter(col("label") =!= 9 || col("vec_id") < 10000000L))))
     val embOpsRun = if (only.isEmpty) embOps
                     else embOps.filter { case (n, _) => only(n) }
     for ((embs, label) <- Seq(
@@ -208,7 +233,7 @@ object ProfileScale {
     * either confirms the bucket-cap math holds for another 10× or
     * exposes the knee.
     */
-  private def runSf10(spark: SparkSession): Unit = {
+  private def runSf10(spark: SparkSession, only: Set[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
     val sf10Path = "/tmp/graft_sf10/documents.parquet"
     val base = Tables.documents(spark, sf01)
@@ -239,8 +264,26 @@ object ProfileScale {
       "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)),
       // winnowing at 100×: the capped-fingerprint pair volume is the
       // q29 question asked of the value-winnow index
-      "q113_winnow"       -> (d => Dedup.winnowPairs(d)))
-    for ((name, op) <- ops) {
+      "q113_winnow"       -> (d => Dedup.winnowPairs(d)),
+      // connected components at 100×: ~53M pairs blows past the 5M
+      // driver-union-find gate, so THIS is the volume where the
+      // distributed min-label propagation loop (pointer jumping +
+      // reliable checkpoint) actually runs — the one §2 at-scale path
+      // the small sweeps never trigger un-forced
+      "q47_dedup_groups"  -> (d => Dedup.dedupGroups(d,
+                               checkpointDir =
+                                 Some("/tmp/graft_sf10/ckpt"))),
+      // the ~480k-edge sf10 graph stays under the 5M driver gate, so
+      // the automatic path above is union-find; this variant lowers
+      // the gate to run the DISTRIBUTED propagation loop (pointer
+      // jumping + reliable checkpoint) on the same graph — the
+      // result must match row-for-row and the wall-time is the
+      // at-scale path's price at 100× bench volume
+      "q47_distributed"   -> (d => Dedup.dedupGroups(d,
+                               maxDriverEdges = 100000L,
+                               checkpointDir =
+                                 Some("/tmp/graft_sf10/ckpt"))))
+    for ((name, op) <- ops if only.isEmpty || only(name)) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))
       println(f"sf10 $name%-20s $sec%7.2f s  ($rows rows)")

@@ -460,6 +460,34 @@ class StreamAggsSpec extends SparkSpec {
     } finally bc.destroy()
   }
 
+  test("streaming shard manifest equals the batch manifest on the window's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 60L).map(i => (100L + i, i, s"doc body $i", 20L + i % 9))
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamAggs.shardManifestStream(
+        in.toDF().toDF("tsm", "doc_id", "text", "n_chars"),
+        timestamp_millis(col("tsm")), col("doc_id"), col("text"),
+        col("n_chars"), shardBits = 3, windowSize = "1 second")
+      .writeStream.format("memory").queryName("manifest_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((5000L, 999L, "closer", 4L)) // close the [0s,1s) window
+      q.processAllAvailable()
+      val got = spark.table("manifest_out")
+        .select("shard", "n_docs", "n_tokens", "checksum")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      // batch twin over the same rows — identical hash, mod, shard
+      val want = graft.operators.Corpus.shardManifest(
+          rows.map { case (_, id, t, nc) => (id, t, nc) }
+            .toDF("doc_id", "text", "n_chars"), shardBits = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"got $got want $want")
+      assert(got.map(_._2).sum == 60L)
+    } finally q.stop()
+  }
+
   test("streaming drift alarm reproduces the batch TV distance when the window closes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.Portable.h60Scala
