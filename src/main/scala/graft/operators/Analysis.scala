@@ -321,13 +321,44 @@ object Analysis extends graft.QueryModule {
         .otherwise(lit(0.0)).as("overlap_jacc"))
   }
 
+  /** Zipf-conformance profile — the rank-frequency curve of the
+    * corpus vocabulary at power-of-two ranks, with the rank·freq
+    * product that Zipf's law predicts is ~constant. A natural-language
+    * corpus tracks a flat curve; boilerplate/spam floods specific
+    * ranks (the q105 heavy hitters) and template-generated text decays
+    * too fast — this is the one-page "does this corpus look like
+    * language" screen, all in exact integers (no log fit, so no ln()
+    * portability hazard and no float regression over unordered sums).
+    *
+    * SCALE SHAPE: one token-scale partial-aggregated exchange (word
+    * counts), then ONE bounded top-k aggregate (≤ maxRank entries per
+    * map task — the vocabulary never meets a rank window); the
+    * power-of-two filter runs on the ≤ maxRank result rows.
+    */
+  def zipfProfile(documents: DataFrame, maxRank: Int = 1024): DataFrame = {
+    val counts = documents
+      .select(explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    counts
+      .agg(graft.functions.Aggregators.topKByKey(maxRank)(
+        col("c"), col("w")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("s.key").as("word"), col("s.score").as("freq"))
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .select(col("rank"), col("word"), col("freq"),
+        (col("rank") * col("freq")).as("rank_freq"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_auc" -> ((s, d) => aucEval(Tables.documents(s, d))),
     "q105_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
     "q106_fertility" -> ((s, d) => tokenizerFertility(Tables.documents(s, d))),
     "q107_length_buckets" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
     "q108_dim_corr" -> ((s, d) => dimCorr(Tables.embeddings(s, d))),
-    "q115_filter_ablation" -> ((s, d) => filterAblation(Tables.documents(s, d)))
+    "q115_filter_ablation" -> ((s, d) => filterAblation(Tables.documents(s, d))),
+    "q122_zipf" -> ((s, d) => zipfProfile(Tables.documents(s, d)))
   )
 
   /** The q108 oracle, generated for `probeDims` dims: one sums CTE
@@ -494,6 +525,18 @@ object Analysis extends graft.QueryModule {
                   THEN CAST(killed_both AS DOUBLE) / killed_either
                   ELSE 0.0 END AS overlap_jacc
       FROM p"""
-    }
+    },
+    /* q122: word counts → row_number by (count DESC, word ASC) — the
+     * aggregator's total order — at power-of-two ranks ≤ 1024. */
+    "q122_zipf" -> s"""
+      WITH tok AS (
+        SELECT unnest($wsSql) AS w FROM documents),
+      c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      r AS (SELECT w, c,
+                   row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+            FROM c)
+      SELECT rank, w AS word, c AS freq, rank * c AS rank_freq
+      FROM r
+      WHERE rank <= 1024 AND (rank & (rank - 1)) = 0"""
   )
 }

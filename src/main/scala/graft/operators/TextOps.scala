@@ -728,6 +728,62 @@ object TextOps extends graft.QueryModule {
         col("c_sw"), col("pmi_bits"))
   }
 
+  /** Corpus-wide collocation extraction — the top-k adjacent word
+    * pairs by pointwise mutual information (weighted by support):
+    * multi-word entities, templated boilerplate phrases, and glued
+    * tokens a tokenizer or a phrase-aware dedup pass should know
+    * about. PMI uses [[distinctiveTokens]]' exact integer-bits
+    * formulation (floor-log2 of each factor — deterministic and
+    * engine-portable, no ln()); the ranking score packs
+    * (pmi_bits, count) into one long so the bounded aggregator's
+    * total order equals the oracle's two-key sort.
+    *
+    * SCALE SHAPE: two token-scale partial-aggregated exchanges (the
+    * bigram-vocabulary and word-vocabulary counts — counts, never
+    * positions); the PMI join runs at bigram-vocab scale; the global
+    * top-k is ONE bounded aggregate carrying ≤ k pairs per map task.
+    * No rank window ever sees the vocabulary.
+    */
+  def collocations(documents: DataFrame, k: Int = 20,
+                   minCount: Int = 5): DataFrame = {
+    def flog2(c: Column): Column = length(bin(c)) - 1
+    val bi = documents
+      .select(words(col("text")).as("ws"))
+      .select(explode_outer(shingles(col("ws"), 2)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(split(col("sh"), " ", 2).getItem(0).as("wa"),
+        split(col("sh"), " ", 2).getItem(1).as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val toks = documents
+      .select(explode_outer(words(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    // pmi_bits ∈ [-120, 120] and c_ab < 2^38, so the BIASED pack
+    // score = (pmi_bits + 128)·2^38 + c_ab is positive and exact in a
+    // long (truncating div == floor div on the unpack) and orders by
+    // (pmi DESC, count DESC) — the aggregator breaks full ties by
+    // the "wa wb" key ascending, mirrored in the oracle
+    val scored = bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("wa"), col("c_w").as("c_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c_w").as("c_b")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        (flog2(col("c_ab")) + flog2(col("t")) -
+          flog2(col("c_a")) - flog2(col("c_b")))
+          .cast("long").as("pmi_bits"))
+    scored
+      .agg(graft.functions.Aggregators.topKByKey(k)(
+        (col("pmi_bits") + lit(128L)) * lit(1L << 38) + col("c_ab"),
+        concat(col("wa"), lit(" "), col("wb"))).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        split(col("s.key"), " ", 2).getItem(0).as("wa"),
+        split(col("s.key"), " ", 2).getItem(1).as("wb"),
+        pmod(col("s.score"), lit(1L << 38)).as("c_ab"),
+        (expr(s"s.score div ${1L << 38}") - 128L).as("pmi_bits"))
+  }
+
   /** Fit the [[unigramSurprisal]] model for the STREAMING serve path
     * (`StreamAggs.surprisalScore`): collect the (word-hash → count)
     * vocabulary and the token total. The collect is model-sized (a
@@ -1377,6 +1433,7 @@ object TextOps extends graft.QueryModule {
     "q111_probe_calib" -> ((s, d) => probeCalibration(Tables.documents(s, d))),
     "q103_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
+    "q121_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
@@ -1410,6 +1467,46 @@ object TextOps extends graft.QueryModule {
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   def oracle: Map[String, String] = Map(
+    /* q121: bigram/unigram count CTEs, the same floor-log2 PMI bits,
+     * the same biased (pmi+128)·2^38 + count pack, row_number by
+     * (score DESC, "wa wb" ASC) — the aggregator's total order. */
+    "q121_collocations" -> s"""
+      WITH w AS (
+        SELECT string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      sh AS (
+        SELECT unnest(CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len(ws) - 1),
+                      i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+               END) AS sh
+        FROM w),
+      bi AS (
+        SELECT split_part(sh, ' ', 1) AS wa, split_part(sh, ' ', 2) AS wb,
+               count(*) AS c_ab
+        FROM sh GROUP BY 1, 2),
+      tok AS (SELECT unnest(ws) AS w FROM w),
+      uni AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS t FROM tok),
+      scored AS (
+        SELECT wa, wb, c_ab,
+               (length(bin(c_ab)) - 1) + (length(bin(t)) - 1)
+                 - (length(bin(ua.c_w)) - 1) - (length(bin(ub.c_w)) - 1)
+                 AS pmi_bits
+        FROM bi
+        JOIN uni ua ON ua.w = bi.wa
+        JOIN uni ub ON ub.w = bi.wb
+        CROSS JOIN tot
+        WHERE c_ab >= 5),
+      r AS (
+        SELECT wa, wb, c_ab, pmi_bits,
+               row_number() OVER (ORDER BY
+                 (pmi_bits + 128) * ${1L << 38} + c_ab DESC,
+                 wa || ' ' || wb ASC) AS rn
+        FROM scored)
+      SELECT CAST(rn AS INT) AS rank, wa, wb, c_ab,
+             CAST(pmi_bits AS BIGINT) AS pmi_bits
+      FROM r WHERE rn <= 20""",
     "q101_bpe_train" -> bpeOracle(8),
     "q102_probe_train" -> probeOracle(64, 4, 8, "en"),
     "q110_probe_auc" -> probeAucOracle(64, 4, 8, "en"),

@@ -345,6 +345,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("collocations equal a driver brute force, including negative-PMI packing") {
+    import spark.implicits._
+    // "x" floods the corpus so "x y" gets NEGATIVE pmi bits — the
+    // packed score must still unpack exactly (the +128 bias)
+    val texts = Seq.fill(5)("x y") ++ Seq.fill(15)("x x") ++
+      Seq.fill(6)("p q") ++ Seq("y y y y y y y y y y y y y y y")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.collocations(d, k = 10, minCount = 5)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    // brute force: same tokenization, same floor-log2 bits, same order
+    def fl(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val ws = texts.map(_.split(" ").toSeq)
+    val toks = ws.flatten
+    val t = toks.size.toLong
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = ws.flatMap(w => w.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = bi.toSeq.filter(_._2 >= 5).map { case ((a, b), cab) =>
+      val pmi = fl(cab) + fl(t) - fl(uni(a)) - fl(uni(b))
+      (a, b, cab, pmi)
+    }.sortBy { case (a, b, cab, pmi) =>
+      (-((pmi + 128) * (1L << 38) + cab), s"$a $b")
+    }.take(10).zipWithIndex
+      .map { case ((a, b, cab, pmi), i) => (i + 1, a, b, cab, pmi) }
+    assert(got == want, s"got $got want $want")
+    assert(got.exists(_._5 < 0), "fixture must exercise a negative PMI")
+  }
+
+  test("zipf profile reports power-of-two ranks with (count desc, word asc) order") {
+    import spark.implicits._
+    // freqs: a=8, b=4, c=4, d=2, e=1 -> ranks a1 b2 c3 d4 e5; the
+    // power-of-two cut keeps ranks 1, 2, 4 (b before c on the tie)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(2)("d") ++ Seq("e")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.operators.Analysis.zipfProfile(d)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", 8L, 8L), (2L, "b", 4L, 8L),
+      (4L, "d", 2L, 8L)), s"got $got")
+  }
+
   test("BPE pair stats: frequency-weighted adjacent pairs, deterministic order") {
     // wf: aa=2, ab=2, abc=1 (b dropped: 1 char) →
     // pairs: ab = 2 (word ab) + 1 (abc) = 3; aa = 2; bc = 1
