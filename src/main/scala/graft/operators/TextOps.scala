@@ -728,6 +728,85 @@ object TextOps extends graft.QueryModule {
         col("c_sw"), col("pmi_bits"))
   }
 
+  /** Unigram-LM tokenizer: fit a substring piece inventory from the
+    * corpus and tokenize by VITERBI (minimum-cost) segmentation — the
+    * SentencePiece-style optimal counterpart of q97's greedy
+    * longest-match, completing the tokenizer family (q74 pair stats →
+    * q101 BPE train → q103 BPE encode → q97 greedy apply → optimal
+    * apply here). Piece costs are exact integer bits
+    * (flog2(total) − flog2(count), the q65 spelling) packed as
+    * cost·256 + 1 so one integer DP minimizes total bits first,
+    * piece count second; per-word results are VALUES (bits, pieces),
+    * so cost ties never make the output ambiguous. Single-character
+    * pieces are kept unconditionally — full coverage, no unk path.
+    *
+    * SCALE SHAPE: piece counting and the DP run ONLY on the distinct
+    * word table (vocab-scale; the substring explode and the DP UDF
+    * never see the corpus); the kept piece inventory is a model-sized
+    * driver collect (it IS the tokenizer — the q34/q65 discipline);
+    * per-word results rejoin the token stream under the q97 source
+    * gate and roll up per doc.
+    */
+  def unigramTokenize(documents: DataFrame, maxPiece: Int = 4,
+                      minCount: Long = 5,
+                      broadcastEncodings: Option[Boolean] = None): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tok = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val wtab = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // all substrings with multiplicity, freq-weighted — vocab-scale
+    val mp = maxPiece
+    val subs = udf { (w: String) =>
+      val s = if (w == null) "" else w
+      (for {
+        i <- 0 until s.length
+        l <- 1 to math.min(mp, s.length - i)
+      } yield s.substring(i, i + l)).toArray
+    }
+    val pieces = wtab
+      .select(explode(subs(col("w"))).as("p"), col("f"))
+      .groupBy(col("p")).agg(sum(col("f")).as("c"))
+      .filter(col("c") >= minCount || length(col("p")) === 1)
+    // model-sized collect: the piece inventory IS the tokenizer
+    val pcs = pieces.as[(String, Long)].collect()
+    val total = pcs.map(_._2).sum
+    def fl(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val costMap = pcs.map { case (p, c) =>
+      p -> ((fl(total) - fl(c)) * 256L + 1L) }.toMap
+    val dp = udf { (w: String) =>
+      val s = if (w == null) "" else w
+      val n = s.length
+      val cost = Array.fill(n + 1)(Long.MaxValue)
+      cost(n) = 0L
+      var i = n - 1
+      while (i >= 0) {
+        var l = 1
+        while (l <= math.min(mp, n - i)) {
+          costMap.get(s.substring(i, i + l)) match {
+            case Some(pc) if cost(i + l) != Long.MaxValue =>
+              val c2 = pc + cost(i + l)
+              if (c2 < cost(i)) cost(i) = c2
+            case _ =>
+          }
+          l += 1
+        }
+        i -= 1
+      }
+      (cost(0) / 256L, cost(0) % 256L) // (total bits, piece count)
+    }
+    val dw = wtab.select(col("w")).withColumn("e", dp(col("w")))
+      .select(col("w"), col("e._1").as("bits"), col("e._2").as("pieces"))
+    val bcast = broadcastEncodings.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tok.join(if (bcast) broadcast(dw) else dw, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("bits")).as("total_bits"))
+  }
+
   /** Corpus-wide collocation extraction — the top-k adjacent word
     * pairs by pointwise mutual information (weighted by support):
     * multi-word entities, templated boilerplate phrases, and glued
@@ -1434,6 +1513,7 @@ object TextOps extends graft.QueryModule {
     "q103_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d))),
     "q74_bpe_pairs"   -> ((s, d) => bpePairStats(Tables.documents(s, d))),
     "q121_collocations" -> ((s, d) => collocations(Tables.documents(s, d))),
+    "q123_unigram_lm" -> ((s, d) => unigramTokenize(Tables.documents(s, d))),
     "q39_bm25"        -> ((s, d) => bm25(Tables.documents(s, d), bm25Terms)),
     "q20_wordcount"   -> ((s, d) => wordCount(Tables.documents(s, d))),
     "q21_token_stats" -> ((s, d) => tokenStats(Tables.documents(s, d))),
@@ -1466,7 +1546,77 @@ object TextOps extends graft.QueryModule {
   private[operators] def sqlArr(xs: Seq[String]) =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** The q123 oracle: the Viterbi DP unrolled position by position.
+    * Substring pieces with multiplicity via a constant (start, len)
+    * VALUES cross join; position CTEs c{N}..c0 compute, per distinct
+    * word, the min packed cost from position i — `least` skips NULL
+    * candidates (missing piece / invalid tail) on both engines, and
+    * a word of length i contributes the base case 0. The synthetic
+    * vocabulary's words are ≤ `maxWordLen` chars (asserted by the
+    * guard CTE: any longer word makes the oracle return the poison
+    * row that fails the compare loudly rather than silently wrong). */
+  private def unigramOracle(maxWordLen: Int, maxPiece: Int,
+                            minCount: Long): String = {
+    val ws =
+      "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    val slPairs = (for {
+      s <- 1 to maxWordLen
+      l <- 1 to maxPiece
+    } yield s"($s, $l)").mkString(", ")
+    val dpCtes = (maxWordLen - 1 to 0 by -1).map { i =>
+      val terms = (1 to maxPiece).filter(i + _ <= maxWordLen).map { l =>
+        s"p$l.cost + n$l.c"
+      }
+      val joins = (1 to maxPiece).filter(i + _ <= maxWordLen).map { l =>
+        s"""LEFT JOIN pieces p$l
+             ON p$l.p = substr(wt.w, ${i + 1}, $l)
+             AND strlen(wt.w) >= ${i + l}
+           LEFT JOIN c${i + l} n$l ON n$l.w = wt.w"""
+      }.mkString("\n           ")
+      s"""c$i AS (
+        SELECT wt.w,
+               CASE WHEN strlen(wt.w) = $i THEN 0
+                    ELSE least(${terms.mkString(", ")}) END AS c
+        FROM wt
+           $joins)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH w0 AS (
+        SELECT doc_id, unnest($ws) AS w FROM documents),
+      wt AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
+      guard AS (
+        SELECT CASE WHEN max(strlen(w)) > $maxWordLen
+               THEN error('q123 oracle: word longer than $maxWordLen')
+               END AS ok FROM wt),
+      sl(s, l) AS (VALUES $slPairs),
+      subs AS (
+        SELECT substr(wt.w, sl.s, sl.l) AS p, wt.f
+        FROM wt CROSS JOIN sl
+        WHERE sl.s + sl.l - 1 <= strlen(wt.w)),
+      pieces0 AS (
+        SELECT p, CAST(sum(f) AS BIGINT) AS c FROM subs GROUP BY 1),
+      kept AS (
+        SELECT p, c FROM pieces0 WHERE c >= $minCount OR strlen(p) = 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM kept),
+      pieces AS (
+        SELECT p,
+               (length(bin(t)) - length(bin(c))) * 256 + 1 AS cost
+        FROM kept CROSS JOIN tot),
+      c$maxWordLen AS (
+        SELECT w, CASE WHEN strlen(w) = $maxWordLen THEN 0 END AS c
+        FROM wt),
+      $dpCtes,
+      wcost AS (
+        SELECT w, c // 256 AS bits, c % 256 AS pieces FROM c0)
+      SELECT w0.doc_id, count(*) AS n_words,
+             CAST(sum(wc.pieces) AS BIGINT) AS n_pieces,
+             CAST(sum(wc.bits) AS BIGINT) AS total_bits
+      FROM w0 JOIN wcost wc ON wc.w = w0.w CROSS JOIN guard
+      GROUP BY 1"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "q123_unigram_lm" -> unigramOracle(8, 4, 5),
     /* q121: bigram/unigram count CTEs, the same floor-log2 PMI bits,
      * the same biased (pmi+128)·2^38 + count pack, row_number by
      * (score DESC, "wa wb" ASC) — the aggregator's total order. */

@@ -345,6 +345,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("unigram-LM tokenizer equals an all-segmentations brute force") {
+    import spark.implicits._
+    // "abab" floods the corpus so pieces "ab"/"abab" clear minCount;
+    // "axby" forces single-char fallback; mixed docs check rollups
+    val texts = Seq.fill(6)("abab") ++ Seq.fill(3)("abab axby") ++
+      Seq("ab ba abab")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.unigramTokenize(d)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // independent model fit: substring counts -> kept pieces -> costs
+    val ws = texts.map(_.split(" ").toSeq)
+    val freq = ws.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val subCnt = freq.toSeq.flatMap { case (w, f) =>
+      for { i <- 0 until w.length; l <- 1 to math.min(4, w.length - i) }
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val kept = subCnt.filter { case (p, c) => c >= 5 || p.length == 1 }
+    val total = kept.values.sum
+    def fl(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val cost = kept.map { case (p, c) => p -> ((fl(total) - fl(c)) * 256L + 1L) }
+    // brute force: every segmentation via split bitmask
+    def best(w: String): Long = {
+      val n = w.length
+      (0 until (1 << (n - 1))).flatMap { m =>
+        val cuts = 0 +: (1 until n).filter(i => (m & (1 << (i - 1))) != 0) :+ n
+        val parts = cuts.zip(cuts.tail).map { case (a, b) => w.substring(a, b) }
+        if (parts.forall(cost.contains)) Some(parts.map(cost).sum) else None
+      }.min
+    }
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val parts = t.split(" ").toSeq
+      val cs = parts.map(best)
+      (i.toLong, parts.size.toLong,
+        cs.map(_ % 256).sum, cs.map(_ / 256).sum)
+    }.sorted
+    assert(got == want, s"got $got want $want")
+    // the optimal segmentation actually uses a multi-char piece:
+    // "abab" must cost fewer than 4 pieces
+    val abab = got(texts.indexOf("abab"))
+    assert(abab._3 < 4L, s"abab should segment with multi-char pieces: $abab")
+  }
+
   test("collocations equal a driver brute force, including negative-PMI packing") {
     import spark.implicits._
     // "x" floods the corpus so "x y" gets NEGATIVE pmi bits — the
