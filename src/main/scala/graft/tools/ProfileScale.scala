@@ -156,7 +156,12 @@ object ProfileScale {
                                      concat(col("text"), lit("!!"))
                                        .as("text"))))
                              }),
-      "q119_manifest"     -> (d => graft.operators.Corpus.shardManifest(d)))
+      "q119_manifest"     -> (d => graft.operators.Corpus.shardManifest(d)),
+      // q121/q122 outputs are top-k-sized; q123's is corpus-sized
+      // per-doc rollups (linear by design), its model vocab-scale
+      "q121_colloc"       -> (d => graft.operators.TextOps.collocations(d)),
+      "q122_zipf"         -> (d => graft.operators.Analysis.zipfProfile(d)),
+      "q123_unigram"      -> (d => graft.operators.TextOps.unigramTokenize(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
