@@ -389,6 +389,65 @@ object Corpus extends graft.QueryModule {
           lit(1L << 60).cast("decimal(38,0)"))
           .cast("long").as("checksum"))
 
+  /** Release assembly — the "cut the release" capstone composing the
+    * round-9 family into ONE declarative plan: drop aggressive-norm
+    * duplicate variants (q117's tier, min-id keeper), expand the
+    * survivors to their multi-epoch repeat factors (q116's exact
+    * micro-rates over the DEDUPED token mass), and emit the q119
+    * integrity manifest of the materialized release — per shard (the
+    * copy-aware seeded hash, so a doc's epochs spread across shards):
+    * row count, token total, and the order-independent content
+    * checksum with copy multiplicity. The output IS the release
+    * ledger a downstream trainer verifies against.
+    *
+    * SCALE SHAPE: composing adds nothing beyond the constituents —
+    * one corpus-scale exchange on the norm hash (the dedup's own key,
+    * REUSED by the keeper join: groupBy and join share partitioning),
+    * one tiny per-source token aggregate broadcast back, the copies
+    * explode fused into the scan, and the final ≤2^bits-key rollup.
+    * Text never outlives its 60-bit hash.
+    */
+  def releaseAssembly(documents: DataFrame, budgetTokens: Long = 120000L,
+                      shardBits: Int = 8): DataFrame = {
+    val aggNorm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val keyed = documents.select(col("doc_id"), col("source"),
+      col("n_chars"), md5(aggNorm).as("nm"), hash60(normText(col("text"))).as("h"))
+    val keep = keyed.groupBy(col("nm")).agg(min(col("doc_id")).as("keep_id"))
+    val surv = keyed.join(keep, "nm").filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("h"))
+    val perSrc = surv
+      .select(col("source"), ceil(col("n_chars") / 4.0).cast("long").as("et"))
+      .groupBy(col("source")).agg(sum(col("et")).as("tok"))
+    val micro = 1L << 20
+    val rates = perSrc
+      .crossJoin(broadcast(perSrc.agg(count(lit(1)).as("nsrc"))))
+      .select(col("source"),
+        floor(lit(micro) * lit(budgetTokens) / (col("nsrc") * col("tok")))
+          .cast("long").as("rate_micro"))
+    surv
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("h"),
+        ceil(col("n_chars") / 4.0).cast("long").as("et"),
+        (expr(s"rate_micro div $micro") +
+          when(pmod(hash60(concat(lit("epoch|"), col("doc_id"))),
+            lit(micro)) < pmod(col("rate_micro"), lit(micro)), 1L)
+            .otherwise(0L)).as("copies"))
+      .filter(col("copies") >= 1)
+      .select(col("h"), col("et"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"),
+        col("doc_id"))
+      .select(
+        shiftright(hash60(concat(lit("shuffle|"), col("doc_id"),
+          lit("#"), col("copy"))), 60 - shardBits).as("shard"),
+        col("et"), col("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("et")).as("n_tokens"),
+        pmod(sum(col("h").cast("decimal(38,0)")),
+          lit(1L << 60).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
   /** One-pass fused preprocessing — the whole per-document decision
     * surface (quality gate, language route, PII scrub, split
     * assignment, keep verdict) computed in a SINGLE scan of the
@@ -851,6 +910,7 @@ object Corpus extends graft.QueryModule {
     }),
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q116_epoch_repeat" -> ((s, d) => epochRepeat(Tables.documents(s, d))),
+    "q124_release" -> ((s, d) => releaseAssembly(Tables.documents(s, d))),
     "q119_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -1260,6 +1320,47 @@ object Corpus extends graft.QueryModule {
       SELECT doc_id, source,
              CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
       FROM c WHERE copies >= 1""",
+    /* q124: the q117 keeper CTEs, q116's micro-rate CTEs over the
+     * SURVIVORS, the copy unnest, and the q119 manifest with a
+     * copy-aware shard key — composed verbatim. */
+    "q124_release" -> s"""
+      WITH k AS (
+        SELECT doc_id, source, n_chars,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS nm,
+               ('0x' || substr(md5($normSql), 1, 15))::BIGINT AS h
+        FROM documents),
+      keep AS (SELECT nm, min(doc_id) AS keep_id FROM k GROUP BY 1),
+      surv AS (
+        SELECT k.doc_id, k.source, k.n_chars, k.h
+        FROM k JOIN keep USING (nm) WHERE k.doc_id = keep.keep_id),
+      t AS (
+        SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS tok
+        FROM surv GROUP BY 1),
+      n AS (SELECT count(*) AS nsrc FROM t),
+      r AS (
+        SELECT source,
+               CAST(floor(${1048576L * 120000L} / (nsrc * tok))
+                 AS BIGINT) AS rate_micro
+        FROM t CROSS JOIN n),
+      c AS (
+        SELECT s.doc_id, s.h,
+               CAST(ceil(s.n_chars / 4.0) AS BIGINT) AS et,
+               r.rate_micro // 1048576 +
+               CASE WHEN ('0x' || substr(md5('epoch|' || s.doc_id), 1, 15))
+                      ::BIGINT % 1048576 < r.rate_micro % 1048576
+                    THEN 1 ELSE 0 END AS copies
+        FROM surv s JOIN r USING (source)),
+      rel AS (
+        SELECT doc_id, h, et,
+               unnest(generate_series(1, copies)) AS copy
+        FROM c WHERE copies >= 1)
+      SELECT ('0x' || substr(md5('shuffle|' || doc_id || '#' || copy),
+               1, 15))::BIGINT // ${1L << 52} AS shard,
+             count(*) AS n_rows,
+             CAST(sum(et) AS BIGINT) AS n_tokens,
+             CAST(sum(h) % ${1L << 60} AS BIGINT) AS checksum
+      FROM rel GROUP BY 1""",
     /* q119: q60's high-bit shard of the seeded doc hash; the checksum
      * is the order-independent HUGEINT sum of 60-bit content hashes
      * mod 2^60. */

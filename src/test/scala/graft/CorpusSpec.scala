@@ -47,6 +47,46 @@ class CorpusSpec extends SparkSpec {
     assert((11L to 30L).exists(id => !out.exists(_._1 == id)))
   }
 
+  test("releaseAssembly composes dedup, epoch expansion, and the manifest consistently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 exact-norm variants of one text (only id 1 survives), plus
+    // distinct docs across two sources sized to force both an
+    // upsampled and a subsampled source
+    val rows = Seq(
+      (1L, "shared body text", "small", 40L),
+      (2L, "Shared, Body; Text!", "small", 40L),
+      (3L, "shared  body  text", "small", 40L),
+      (4L, "alpha beta", "small", 40L)) ++
+      (11L to 30L).map(i => (i, s"doc body $i", "big", 400L))
+    val d = rows.toDF("doc_id", "text", "source", "n_chars")
+    val out = Corpus.releaseAssembly(d, budgetTokens = 800L, shardBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // survivors = min doc_id per aggressive-norm group
+    val surv = d.withColumn("nm",
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .groupBy("nm").agg(min("doc_id").as("doc_id"))
+      .join(d, "doc_id").select("doc_id", "source", "n_chars")
+    assert(!surv.as[(Long, String, Long)].collect().map(_._1).toSet
+      .exists(Set(2L, 3L)), "variants 2/3 must not survive")
+    // the release row/token totals equal the q116 expansion of the
+    // survivors (same budget, same hash) summed independently
+    val rep = Corpus.epochRepeat(
+      surv.toDF("doc_id", "source", "n_chars"), budgetTokens = 800L)
+    val nTok = rep.join(d.select("doc_id", "n_chars"), "doc_id")
+      .agg(sum(ceil(col("n_chars") / 4.0).cast("long"))).as[Long].head()
+    assert(out.map(_._2).sum == rep.count(), "release row total")
+    assert(out.map(_._3).sum == nTok, "release token total")
+    // composition adds no corpus exchange beyond the constituents:
+    // the only hashpartitioning keys are the dedup's nm (group + join
+    // reuse), the tiny source agg, and the final shard rollup
+    val plan = Corpus.releaseAssembly(d, budgetTokens = 800L, shardBits = 4)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val keys = """Exchange hashpartitioning\((\w+)#"""
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("nm", "source", "shard")), s"keys $keys:\n$plan")
+  }
+
   test("shardManifest is layout-independent and pinpoints a corrupted shard") {
     import spark.implicits._
     val d = (1L to 200L)
