@@ -161,7 +161,8 @@ object ProfileScale {
       // per-doc rollups (linear by design), its model vocab-scale
       "q121_colloc"       -> (d => graft.operators.TextOps.collocations(d)),
       "q122_zipf"         -> (d => graft.operators.Analysis.zipfProfile(d)),
-      "q123_unigram"      -> (d => graft.operators.TextOps.unigramTokenize(d)))
+      "q123_unigram"      -> (d => graft.operators.TextOps.unigramTokenize(d)),
+      "q124_release"      -> (d => graft.operators.Corpus.releaseAssembly(d)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
