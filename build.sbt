@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // a 124-query sweep compiles ~400 whole-stage-codegen classes; the
+  // 240m default code cache starts evicting near the (alphabetical)
+  // tail, deoptimizing late queries' hot loops (q30-q70 measured
+  // 1.3-1.7x slower in a full sweep than in isolation)
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
