@@ -437,6 +437,40 @@ object TextOps extends graft.QueryModule {
           .as("contam_ratio"))
   }
 
+  /** Decontamination APPLY — the surviving corpus after dropping every
+    * document whose shared-n-gram ratio with the held-out benchmark
+    * source reaches `maxSharePermille` (q43's report→apply closure for
+    * q55: the report says how contaminated the corpus is; this cuts
+    * the corpus that ships). The threshold compare is exact integer
+    * cross-multiplication (n_shared·1000 ≥ permille·n_grams) — no
+    * float near the corpus-sized keep/drop decision. Benchmark rows
+    * themselves are not part of the output (they are eval data, not
+    * training data).
+    *
+    * SCALE SHAPE: rides [[contamination]]'s gated gram-index shape
+    * unchanged (60-bit gram hashes, distinct bench index, stats-gated
+    * broadcast), then ONE bare-id drop set anti-joins the corpus
+    * under the same gate — payloads move zero times.
+    */
+  def decontaminate(documents: DataFrame, benchSource: String = "src0",
+                    n: Int = 5, maxSharePermille: Long = 100,
+                    broadcastIndex: Option[Boolean] = None): DataFrame = {
+    require(maxSharePermille >= 1,
+      s"maxSharePermille must be >= 1, got $maxSharePermille")
+    val bcast = broadcastIndex.getOrElse(
+      documents.filter(col("source") === benchSource)
+        .queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    def g(df: DataFrame) = if (bcast) broadcast(df) else df
+    val drops = contamination(documents, benchSource, n, Some(bcast))
+      .filter(col("n_shared") * 1000L >=
+        lit(maxSharePermille) * col("n_grams"))
+      .select(col("doc_id"))
+    documents.filter(col("source") =!= benchSource)
+      .join(g(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Unigram-LM surprisal — the perplexity-proxy quality score every
     * production filtering pipeline runs (CCNet-style: score each
     * document by how surprising its tokens are under a language model
@@ -1531,6 +1565,7 @@ object TextOps extends graft.QueryModule {
     "q45_top_tokens"  -> ((s, d) => topTokensPerSource(Tables.documents(s, d))),
     "q54_repetition"  -> ((s, d) => repetitionSignals(Tables.documents(s, d))),
     "q55_contamination" -> ((s, d) => contamination(Tables.documents(s, d))),
+    "q125_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q65_surprisal"   -> ((s, d) => unigramSurprisal(Tables.documents(s, d))),
     "q79_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "q83_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d))),
@@ -1863,6 +1898,34 @@ object TextOps extends graft.QueryModule {
       FROM h JOIN b USING (gh)
       WHERE source <> 'src0'
       GROUP BY doc_id, n_grams""",
+    /* q125: q55's CTEs ending in the integer cross-multiplied drop
+     * set, anti-joined against the non-benchmark corpus. */
+    "q125_decontaminate" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               list_distinct(CASE WHEN len(ws) < 5 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(ws) - 4),
+                           i -> array_to_string(list_slice(ws, i, i + 4), ' ')) END) AS gs
+        FROM t),
+      h AS (SELECT doc_id, source, len(gs) AS n_grams,
+                   ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gh
+            FROM s),
+      b AS (SELECT DISTINCT gh FROM h WHERE source = 'src0'),
+      drops AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, n_grams, count(*) AS n_shared
+          FROM h JOIN b USING (gh)
+          WHERE source <> 'src0'
+          GROUP BY doc_id, n_grams)
+        WHERE n_shared * 1000 >= 100 * n_grams)
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE source <> 'src0'
+        AND doc_id NOT IN (SELECT doc_id FROM drops)""",
     /* q79: A-ES weighted sampling — same seeded-hash uniform, same
      * -ln(u)/w priority, k smallest per source with doc_id ties. The
      * priority itself is never an output column (double from ln), so

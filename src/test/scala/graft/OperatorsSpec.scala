@@ -345,6 +345,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate drops only docs at or past the shared-gram threshold") {
+    import spark.implicits._
+    val bench = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, bench, "en", "src0", 50L),                      // benchmark row
+      // shares the 5-gram "one two three four five" -> 1/6 grams ≈
+      // 167 permille ≥ 100 -> dropped
+      (2L, "one two three four five aa bb cc dd ee", "en", "srcA", 40L),
+      // 1 shared gram out of 16 -> 62 permille < 100 -> kept
+      (3L, ("one two three four five " +
+        (1 to 15).map(i => s"w$i").mkString(" ")), "en", "srcA", 80L),
+      (4L, "clean text with no overlap at all here", "en", "srcB", 40L),
+      (5L, "too short", "en", "srcB", 9L)                  // <5 words: kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextOps.decontaminate(d)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(3L, 4L, 5L), s"got $got")
+  }
+
   test("unigram-LM tokenizer equals an all-segmentations brute force") {
     import spark.implicits._
     // "abab" floods the corpus so pieces "ab"/"abab" clear minCount;
