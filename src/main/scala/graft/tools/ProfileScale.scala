@@ -162,7 +162,13 @@ object ProfileScale {
       "q121_colloc"       -> (d => graft.operators.TextOps.collocations(d)),
       "q122_zipf"         -> (d => graft.operators.Analysis.zipfProfile(d)),
       "q123_unigram"      -> (d => graft.operators.TextOps.unigramTokenize(d)),
-      "q124_release"      -> (d => graft.operators.Corpus.releaseAssembly(d)))
+      "q124_release"      -> (d => graft.operators.Corpus.releaseAssembly(d)),
+      // the benchmark is fixed-size by definition — replica src0
+      // rows are dropped so the 10x run measures 10x corpus against
+      // the SAME gram index (the q120 discipline)
+      "q125_decontam"     -> (d => graft.operators.TextOps.decontaminate(
+                               d.filter(col("source") =!= "src0" ||
+                                 col("doc_id") < 10000000L))))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
