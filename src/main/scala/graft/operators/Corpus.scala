@@ -283,6 +283,74 @@ object Corpus extends graft.QueryModule {
       .select(col("doc_id"), col("bucket"), (col("off") + col("rn")).as("pos"))
   }
 
+  /** Topic-clustered training order — related documents ADJACENT in
+    * the stream (the in-context-pretraining recipe: packing a
+    * sequence from one topic beats random neighbors), with a seeded
+    * shuffle inside each topic. Topics are coarse clusters in a
+    * 16-bucket hashed-word count space against modulo-sampled literal
+    * centroids; the metric is exact INTEGER squared L2 (counts are
+    * small integers, no norm, no doubles anywhere — ties go to the
+    * smallest centroid id). Ordering is q109's machinery keyed by
+    * (cluster, shard): positions are cluster-major, per-shard
+    * independent, reshuffle-stable.
+    *
+    * SCALE SHAPE: the feature map and literal-centroid assignment
+    * fuse into the corpus scan (the hashed-bucket array materializes
+    * once per row — never per lambda element); centroids are a
+    * model-sized driver collect; then exactly one (cluster, shard)
+    * exchange whose rank window sorts each shard independently (the
+    * rank's own exchange is reused for the offsets — no second scan),
+    * tiny offsets broadcast back.
+    */
+  def topicOrder(documents: DataFrame, centroidMod: Int = 127,
+                 buckets: Int = 16, shardBits: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // bucket-hash array in its OWN projection so the md5 runs once
+    // per word, not once per (word, bucket) lambda reference
+    val feats = documents
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        transform(col("ws"), w =>
+          pmod(hash60(concat(lit("topic|"), w)), lit(buckets.toLong)))
+          .as("bh"))
+      .select(Seq(col("doc_id")) ++ (0 until buckets).map(j =>
+        size(filter(col("bh"), h => h === j)).cast("long").as(s"x$j")): _*)
+    val xarr = array((0 until buckets).map(j => col(s"x$j")): _*)
+    val cents = feats
+      .filter(pmod(col("doc_id"), lit(centroidMod.toLong)) === 0)
+      .select(col("doc_id"),
+        array((0 until buckets).map(j => col(s"x$j")): _*))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"no centroid docs with doc_id % $centroidMod = 0")
+    val dists = transform(typedlit(cents.map(_._2)), ce =>
+      aggregate(zip_with(xarr, ce, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    // first min = smallest centroid id (cents id-sorted) — the same
+    // tie-break as the oracle's ORDER BY d2 ASC, c_id ASC
+    val cluster = element_at(typedlit(cents.map(_._1)), coalesce(
+      nullif(array_position(dists, array_min(dists)), lit(0L)),
+      lit(1L)).cast("int"))
+    val keyed = feats
+      .select(col("doc_id"), cluster.as("cluster"))
+      .withColumn("k", hash60(concat(lit("topicord|"), col("doc_id"))))
+      .withColumn("shard", shiftright(col("k"), 60 - shardBits))
+      .filter(col("cluster").isNotNull && col("shard").isNotNull)
+    val wr = Window.partitionBy(col("cluster"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.withColumn("rn", row_number().over(wr))
+    val offs = ranked.groupBy(col("cluster"), col("shard"))
+      .agg(max(col("rn")).cast("long").as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("cluster").asc, col("shard").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cluster"), col("shard"), col("off"))
+    ranked
+      .join(broadcast(offs), Seq("cluster", "shard"))
+      .select(col("doc_id"), col("cluster"), (col("off") + col("rn")).as("pos"))
+  }
+
   /** Mixture rebalancing to a token budget: give every source an
     * equal share of `budgetTokens` and derive its integer keep-rate
     * from its measured token total (clipped at 100% — a source
@@ -911,6 +979,7 @@ object Corpus extends graft.QueryModule {
     "q61_mix_rebalance" -> ((s, d) => mixRebalance(Tables.documents(s, d))),
     "q116_epoch_repeat" -> ((s, d) => epochRepeat(Tables.documents(s, d))),
     "q124_release" -> ((s, d) => releaseAssembly(Tables.documents(s, d))),
+    "q126_topic_order" -> ((s, d) => topicOrder(Tables.documents(s, d))),
     "q119_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "q62_preprocess"    -> ((s, d) => preprocess(Tables.documents(s, d))),
     "q63_chunk"         -> ((s, d) => chunk(Tables.documents(s, d))),
@@ -1320,6 +1389,58 @@ object Corpus extends graft.QueryModule {
       SELECT doc_id, source,
              CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy
       FROM c WHERE copies >= 1""",
+    /* q126: 16-bucket hashed-word count features, integer squared-L2
+     * argmin against the modulo-sampled centroids (ties -> smallest
+     * c_id), then q109's rank/offset CTEs keyed (cluster, shard). */
+    "q126_topic_order" -> {
+      val buckets = 16
+      val xs = (0 until buckets).map(j =>
+        s"CAST(len(list_filter(bh, h -> h = $j)) AS BIGINT) AS x$j")
+        .mkString(",\n               ")
+      val d2 = (0 until buckets).map(j =>
+        s"(f.x$j - c.x$j) * (f.x$j - c.x$j)").mkString(" + ")
+      s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      b AS (
+        SELECT doc_id,
+               list_transform(ws, w ->
+                 ('0x' || substr(md5('topic|' || w), 1, 15))::BIGINT
+                   % $buckets) AS bh
+        FROM w),
+      f AS (SELECT doc_id, $xs FROM b),
+      cents AS (
+        SELECT * FROM f WHERE doc_id % 127 = 0),
+      d AS (
+        SELECT f.doc_id, c.doc_id AS c_id, $d2 AS d2
+        FROM f CROSS JOIN cents c),
+      assign AS (
+        SELECT doc_id, c_id AS cluster FROM (
+          SELECT doc_id, c_id,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY d2 ASC, c_id ASC) AS rn
+          FROM d)
+        WHERE rn = 1),
+      k2 AS (
+        SELECT doc_id, cluster,
+               ('0x' || substr(md5('topicord|' || doc_id), 1, 15))::BIGINT
+                 AS k
+        FROM assign),
+      r AS (
+        SELECT doc_id, cluster, k // ${1L << 52} AS shard,
+               row_number() OVER (
+                 PARTITION BY cluster, k // ${1L << 52}
+                 ORDER BY k, doc_id) AS rn
+        FROM k2),
+      offs AS (
+        SELECT cluster, shard,
+               coalesce(sum(cnt) OVER (ORDER BY cluster ASC, shard ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+        FROM (SELECT cluster, shard, count(*) AS cnt
+              FROM r GROUP BY 1, 2))
+      SELECT r.doc_id, r.cluster, CAST(off + rn AS BIGINT) AS pos
+      FROM r JOIN offs USING (cluster, shard)"""
+    },
     /* q124: the q117 keeper CTEs, q116's micro-rate CTEs over the
      * SURVIVORS, the copy unnest, and the q119 manifest with a
      * copy-aware shard key — composed verbatim. */

@@ -168,7 +168,16 @@ object ProfileScale {
       // the SAME gram index (the q120 discipline)
       "q125_decontam"     -> (d => graft.operators.TextOps.decontaminate(
                                d.filter(col("source") =!= "src0" ||
-                                 col("doc_id") < 10000000L))))
+                                 col("doc_id") < 10000000L))),
+      // like q80/q118: production holds the topic-model size fixed as
+      // the corpus grows
+      "q126_topic_order"  -> (d => graft.operators.Corpus.topicOrder(d,
+                               // inputFiles is metadata-only: a count()
+                               // here would run a job INSIDE the timed
+                               // thunk and pollute the measurement
+                               centroidMod = if (d.inputFiles.exists(
+                                   _.contains("graft_sf1"))) 1270
+                                 else 127)))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
