@@ -1011,6 +1011,121 @@ object Dedup extends graft.QueryModule {
       .select(col("sz").as("group_size"), col("n_groups"),
         ((col("sz") - 1) * col("n_groups")).as("docs_removed"))
 
+  /** Split-leakage audit: near-duplicate contamination ACROSS the
+    * train/val/test split. An eval (val/test) document with a train
+    * near-dup is a leaked benchmark row — the model has effectively
+    * seen it, so held-out metrics on it are inflated. The split is
+    * q44's seeded-hash bucketing recomputed as an EXPRESSION on the
+    * pair ids (split is a pure function of doc_id), and candidates
+    * are q26's banded MinHash pairs, so the audit composes the two
+    * existing disciplines without new machinery. Emits one row per
+    * leaked eval doc: its split, how many train near-dups touch it,
+    * and the smallest such train id (a stable exemplar to inspect).
+    *
+    * SCALE SHAPE: the pair set is the bucket-capped LSH candidate
+    * output (bare ids — orders of magnitude smaller than the corpus)
+    * and the split buckets are map-side hash expressions on those
+    * ids, so the corpus itself is touched only inside [[minhashPairs]]
+    * and NO join against the document table exists here: the only
+    * added exchange is the final (eval_id, split) aggregate over the
+    * filtered cross-split pairs.
+    */
+  def splitLeakage(documents: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame = {
+    def bucket(id: Column): Column =
+      pmod(hash60(concat(lit("split|"), id)), lit(100))
+    // each (a < b) pair leaks in at most one direction, so both
+    // buckets are computed once per pair and a `when` picks the eval
+    // side — no undirected union, the pair subtree plans ONCE
+    minhashPairs(documents)
+      .select(col("a"), col("b"),
+        bucket(col("a")).as("ba"), bucket(col("b")).as("bb"))
+      .filter((col("ba") >= trainPct && col("bb") < trainPct) ||
+        (col("bb") >= trainPct && col("ba") < trainPct))
+      .select(
+        when(col("ba") >= trainPct, col("a")).otherwise(col("b"))
+          .as("eval_id"),
+        when(col("ba") >= trainPct, col("b")).otherwise(col("a"))
+          .as("train_id"),
+        when(col("ba") >= trainPct, col("ba")).otherwise(col("bb"))
+          .as("be"))
+      .groupBy(col("eval_id"),
+        when(col("be") < trainPct + valPct, "val").otherwise("test")
+          .as("split"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_id")).as("min_train_id"))
+  }
+
+  /** Near-dup THRESHOLD profile: where should τ be set before running
+    * [[ngramJaccardPairs]]/[[dedupApply]] over the full corpus? For
+    * every candidate pair the frequency-capped inverted index
+    * surfaces, the exact shingle-set jaccard is bucketed into integer
+    * deciles (least(9, 10·|∩| div |∪|) — integer cross-multiplication,
+    * no float selection), and each decile reports its pair count and
+    * how many distinct documents those pairs touch. Reading the
+    * histogram top-down gives the kept/removed doc counts at every
+    * candidate τ in one pass — instead of re-running the dedup per τ.
+    * Scored over the 60-bit shingle-hash sets (the space the index
+    * itself operates in, shared with [[containmentPairs]]), so the
+    * per-pair score is one codegen merge walk over sorted long arrays.
+    *
+    * SCALE SHAPE: identical candidate machinery to q29/q66 (capped
+    * buckets bound fan-out; 8-byte hashes travel, never strings; the
+    * doc→shingle-set lookup broadcasts only under the source-stats
+    * gate, else the join shuffles on pair keys). Everything after the
+    * per-pair walk is model-sized: two rollups keyed by the ≤10-row
+    * decile space.
+    */
+  def jaccardProfile(documents: DataFrame,
+                     maxShingleFreq: Int = DefaultMaxBucket,
+                     broadcastLookup: Option[Boolean] = None): DataFrame = {
+    val ssets = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles(col("w"), 3),
+          s => hash60(s)))).as("ss"))
+    val inv = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), hash60(col("shingle")).as("sh"))
+    val cands = inv
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleFreq))
+      .select(explode_outer(sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    val bcast = broadcastLookup.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        MaxBroadcastSourceBytes)
+    def lookup(idCol: String, sCol: String): DataFrame = {
+      val t = ssets.toDF(idCol, sCol)
+      if (bcast) broadcast(t) else t
+    }
+    val deciled = cands
+      .join(lookup("a", "a_s"), "a")
+      .join(lookup("b", "b_s"), "b")
+      .select(col("a"), col("b"),
+        graft.functions.VectorExpressions
+          .sortedLongIntersect(col("a_s"), col("b_s")).as("inter"),
+        (size(col("a_s")) + size(col("b_s"))).as("tot"))
+      // decile by integer division: union = tot - inter ≥ 1 (candidate
+      // pairs share ≥ 1 shingle hash); `div` keeps selection float-free
+      .select(col("a"), col("b"),
+        least(lit(9L), expr("10 * inter div (tot - inter)")).as("decile"))
+    // both rollups in ONE aggregate over the exploded endpoints: each
+    // pair contributes exactly 2 rows, so n_pairs = count div 2 —
+    // no second pass over the candidate subtree, no decile join
+    deciled
+      .select(col("decile"),
+        explode_outer(array(col("a"), col("b"))).as("d"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("decile"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   /** q73's deterministic reference/batch split of the documents table
@@ -1056,7 +1171,9 @@ object Dedup extends graft.QueryModule {
     "q66_containment"    -> ((s, d) => containmentPairs(Tables.documents(s, d), 0.9)),
     "q87_minhash_recall" -> ((s, d) => minhashRecallEval(Tables.documents(s, d))),
     "q94_dup_rate"       -> ((s, d) => dupRateEstimate(Tables.documents(s, d))),
-    "q98_group_profile"  -> ((s, d) => dedupGroupProfile(Tables.documents(s, d)))
+    "q98_group_profile"  -> ((s, d) => dedupGroupProfile(Tables.documents(s, d))),
+    "q127_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
+    "q128_jaccard_profile" -> ((s, d) => jaccardProfile(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -1469,7 +1586,58 @@ object Dedup extends graft.QueryModule {
                   ELSE CAST(n_hits AS DOUBLE) / n_candidates END AS prec,
              CASE WHEN n_truth = 0 THEN NULL
                   ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall
-      FROM n"""
+      FROM n""",
+    /* q127: q26's banded pairs made undirected, split buckets as the
+     * q44 hash expression on the pair ids (90/95 = the default
+     * trainPct/valPct), cross-split filter, then the per-eval-doc
+     * rollup. */
+    "q127_split_leakage" -> s"""
+      WITH p AS (SELECT a, b FROM ($q26Sql) q26),
+      und AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+      k AS (SELECT a AS eval_id, b AS train_id,
+              ${h60Sql("'split|' || a")} % 100 AS ba,
+              ${h60Sql("'split|' || b")} % 100 AS bb
+            FROM und)
+      SELECT eval_id,
+             CASE WHEN ba < 95 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_train_dups,
+             min(train_id) AS min_train_id
+      FROM k WHERE bb < 90 AND ba >= 90
+      GROUP BY 1, 2""",
+    /* q128: q29's capped candidate CTEs, exact shingle-hash-set
+     * jaccard bucketed by integer division into deciles, then the
+     * two model-sized rollups. */
+    "q128_jaccard_profile" -> s"""
+      WITH ss AS (
+        SELECT doc_id, list_sort(list_distinct(list_transform(
+                 ${shinglesSql(wordsSql)}, x -> ${h60Sql("x")}))) AS ss
+        FROM documents),
+      inv AS (
+        SELECT DISTINCT doc_id,
+               ${h60Sql("unnest(" + shinglesSql(wordsSql) + ")")} AS sh
+        FROM documents),
+      hot AS (
+        SELECT sh FROM inv GROUP BY sh HAVING count(*) <= $DefaultMaxBucket),
+      capped AS (
+        SELECT inv.doc_id, inv.sh FROM inv JOIN hot USING (sh)),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM capped x JOIN capped y
+          ON x.sh = y.sh AND x.doc_id < y.doc_id),
+      d AS (
+        SELECT a, b,
+               CAST(least(9, (10 * len(list_intersect(sa.ss, sb.ss))) //
+                 (len(sa.ss) + len(sb.ss)
+                  - len(list_intersect(sa.ss, sb.ss)))) AS BIGINT) AS decile
+        FROM cands
+        JOIN ss sa ON sa.doc_id = a
+        JOIN ss sb ON sb.doc_id = b)
+      SELECT decile, n_pairs, n_docs
+      FROM (SELECT decile, count(*) AS n_pairs FROM d GROUP BY 1) p
+      JOIN (SELECT decile, count(DISTINCT x) AS n_docs
+            FROM (SELECT decile, unnest([a, b]) AS x FROM d) u
+            GROUP BY 1) q
+      USING (decile)"""
   )
 
   /** q29's oracle, shared verbatim by the q87 recall eval. */

@@ -169,6 +169,11 @@ object ProfileScale {
       "q125_decontam"     -> (d => graft.operators.TextOps.decontaminate(
                                d.filter(col("source") =!= "src0" ||
                                  col("doc_id") < 10000000L))),
+      // q127's pairs-with-split-buckets ride q26's candidate shape;
+      // q128 shares q29/q66's — both outputs scale linearly with the
+      // prefix-remapped replicas (replicas share no shingles)
+      "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
+      "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)),
       // like q80/q118: production holds the topic-model size fixed as
       // the corpus grows
       "q126_topic_order"  -> (d => graft.operators.Corpus.topicOrder(d,
@@ -303,7 +308,11 @@ object ProfileScale {
       "q47_distributed"   -> (d => Dedup.dedupGroups(d,
                                maxDriverEdges = 100000L,
                                checkpointDir =
-                                 Some("/tmp/graft_sf10/ckpt"))))
+                                 Some("/tmp/graft_sf10/ckpt"))),
+      // the round-6 pair audits at 100×: q128 re-walks every capped
+      // candidate (the q29 volume question), q127 rides q26's bands
+      "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
+      "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)))
     for ((name, op) <- ops if only.isEmpty || only(name)) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))

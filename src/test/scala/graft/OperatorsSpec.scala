@@ -1554,4 +1554,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("s1", 0L, 0L, 1L, 1L), ("s2", 1L, 1L, 0L, 1L)),
       got.toString)
   }
+
+  test("split leakage reports every cross-split dup with driver-exact counts") {
+    import graft.functions.Portable.h60Scala
+    // 100 identical docs: every pair band-collides (one bucket of
+    // exactly the 100-doc cap), so leakage reduces to the split hash
+    val docs = (0L until 100L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def bucket(id: Long): Long = h60Scala(s"split|$id") % 100
+    val train = (0L until 100L).filter(bucket(_) < 90)
+    val eval = (0L until 100L).filterNot(bucket(_) < 90)
+    assert(train.nonEmpty && eval.nonEmpty) // fixture sanity
+    val got = Dedup.splitLeakage(docs)
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, sp, n, m) => id -> ((sp, n, m)) }.toMap
+    assert(got.keySet == eval.toSet)
+    for (id <- eval) {
+      val want = (if (bucket(id) < 95) "val" else "test",
+        train.size.toLong, train.min)
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+  }
+
+  test("jaccard profile buckets hand-computed shingle-set deciles") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // shingles {abc, bcd, cde, def}
+      (2L, "a b c d e f"),  // identical -> jaccard 1.0 vs 1
+      (3L, "a b c d x y"))  // {abc, bcd, cdx, dxy}: inter 2, union 6
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardProfile(d)
+      .orderBy("decile").as[(Long, Long, Long)].collect().toSeq
+    // (1,2): 4/4 -> decile 9; (1,3) and (2,3): 10*2 div 6 = 3
+    assert(got == Seq((3L, 2L, 3L), (9L, 1L, 2L)), got.toString)
+  }
+
+  test("jaccard profile covers exactly the capped candidate pairs") {
+    val docs = Tables.documents(spark, sf)
+    val nCands = Dedup.ngramJaccardPairs(docs, threshold = 0.0).count()
+    val prof = Dedup.jaccardProfile(docs)
+      .agg(sum("n_pairs")).as[Long].collect().head
+    assert(prof == nCands, s"profile $prof pairs vs $nCands candidates")
+  }
 }
