@@ -1059,21 +1059,24 @@ object Dedup extends graft.QueryModule {
   /** Near-dup THRESHOLD profile: where should τ be set before running
     * [[ngramJaccardPairs]]/[[dedupApply]] over the full corpus? For
     * every candidate pair the frequency-capped inverted index
-    * surfaces, the exact shingle-set jaccard is bucketed into integer
-    * deciles (least(9, 10·|∩| div |∪|) — integer cross-multiplication,
-    * no float selection), and each decile reports its pair count and
-    * how many distinct documents those pairs touch. Reading the
-    * histogram top-down gives the kept/removed doc counts at every
-    * candidate τ in one pass — instead of re-running the dedup per τ.
-    * Scored over the 60-bit shingle-hash sets (the space the index
-    * itself operates in, shared with [[containmentPairs]]), so the
-    * per-pair score is one codegen merge walk over sorted long arrays.
+    * surfaces, the exact WORD-set jaccard — the measure q29's τ
+    * filter actually applies, so decile ≥ 8 is exactly q29's τ=0.8
+    * pair set (10i div u ≥ 8 ⟺ i/u ≥ 0.8, spec-asserted) — is
+    * bucketed into integer deciles (least(9, 10·|∩| div |∪|) —
+    * integer cross-multiplication, no float selection), and each
+    * decile reports its pair count and how many distinct documents
+    * those pairs touch. Reading the histogram top-down gives the
+    * kept/removed doc counts at every candidate τ in one pass —
+    * instead of re-running the dedup per τ. Words ride as sorted
+    * 60-bit hash sets so the per-pair score is one codegen merge
+    * walk over long arrays (a hash collision merges two words for
+    * BOTH sides — mirrored in the oracle).
     *
     * SCALE SHAPE: identical candidate machinery to q29/q66 (capped
     * buckets bound fan-out; 8-byte hashes travel, never strings; the
-    * doc→shingle-set lookup broadcasts only under the source-stats
+    * doc→word-hash-set lookup broadcasts only under the source-stats
     * gate, else the join shuffles on pair keys). Everything after the
-    * per-pair walk is model-sized: two rollups keyed by the ≤10-row
+    * per-pair walk is model-sized: one rollup keyed by the ≤10-row
     * decile space.
     */
   def jaccardProfile(documents: DataFrame,
@@ -1082,8 +1085,8 @@ object Dedup extends graft.QueryModule {
     val ssets = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(shingles(col("w"), 3),
-          s => hash60(s)))).as("ss"))
+        array_sort(array_distinct(transform(col("w"),
+          w => hash60(w)))).as("ss"))
     val inv = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("shingle"))
@@ -1604,13 +1607,13 @@ object Dedup extends graft.QueryModule {
              min(train_id) AS min_train_id
       FROM k WHERE bb < 90 AND ba >= 90
       GROUP BY 1, 2""",
-    /* q128: q29's capped candidate CTEs, exact shingle-hash-set
-     * jaccard bucketed by integer division into deciles, then the
-     * two model-sized rollups. */
+    /* q128: q29's capped candidate CTEs, exact word-hash-set jaccard
+     * (q29's own measure) bucketed by integer division into deciles,
+     * then the two model-sized rollups. */
     "q128_jaccard_profile" -> s"""
       WITH ss AS (
         SELECT doc_id, list_sort(list_distinct(list_transform(
-                 ${shinglesSql(wordsSql)}, x -> ${h60Sql("x")}))) AS ss
+                 $wordsSql, x -> ${h60Sql("x")}))) AS ss
         FROM documents),
       inv AS (
         SELECT DISTINCT doc_id,

@@ -1576,23 +1576,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("jaccard profile buckets hand-computed shingle-set deciles") {
+  test("split leakage equals a driver recompute from the minhash pair set") {
+    import graft.functions.Portable.h60Scala
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs)
+      .select("a", "b").as[(Long, Long)].collect()
+    def bucket(id: Long): Long = h60Scala(s"split|$id") % 100
+    val want = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (e, t) => bucket(e) >= 90 && bucket(t) < 90 }
+      .groupBy(_._1)
+      .map { case (e, ps) =>
+        (e, if (bucket(e) < 95) "val" else "test",
+          ps.length.toLong, ps.map(_._2).min) }
+      .toSet
+    assert(want.nonEmpty) // fixture sanity: sf0.001 has cross-split dups
+    val got = Dedup.splitLeakage(docs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("jaccard profile buckets hand-computed word-set deciles") {
     val d = Seq(
-      (1L, "a b c d e f"),  // shingles {abc, bcd, cde, def}
-      (2L, "a b c d e f"),  // identical -> jaccard 1.0 vs 1
-      (3L, "a b c d x y"))  // {abc, bcd, cdx, dxy}: inter 2, union 6
+      (1L, "a b c d e f"),  // word set {a,b,c,d,e,f}
+      (2L, "a b c d e f"),  // identical -> jaccard 1.0
+      (3L, "a b c d x y"))  // inter 4, union 8 vs 1/2
       .toDF("doc_id", "text")
     val got = Dedup.jaccardProfile(d)
       .orderBy("decile").as[(Long, Long, Long)].collect().toSeq
-    // (1,2): 4/4 -> decile 9; (1,3) and (2,3): 10*2 div 6 = 3
-    assert(got == Seq((3L, 2L, 3L), (9L, 1L, 2L)), got.toString)
+    // (1,2): 6/6 -> decile 9; (1,3) and (2,3): 10*4 div 8 = 5
+    assert(got == Seq((5L, 2L, 3L), (9L, 1L, 2L)), got.toString)
   }
 
-  test("jaccard profile covers exactly the capped candidate pairs") {
+  test("jaccard profile covers exactly the capped candidate pairs " +
+    "and deciles >= 8 are exactly q29's tau=0.8 set") {
     val docs = Tables.documents(spark, sf)
     val nCands = Dedup.ngramJaccardPairs(docs, threshold = 0.0).count()
     val prof = Dedup.jaccardProfile(docs)
       .agg(sum("n_pairs")).as[Long].collect().head
     assert(prof == nCands, s"profile $prof pairs vs $nCands candidates")
+    // integer floor: 10i div u >= 8 <=> i/u >= 0.8 — the profile's
+    // top-two deciles ARE q29's default threshold set
+    val q29 = Dedup.ngramJaccardPairs(docs, threshold = 0.8).count()
+    val top = Dedup.jaccardProfile(docs).filter(col("decile") >= 8)
+      .agg(sum("n_pairs")).as[Long].collect().head
+    assert(top == q29, s"deciles>=8 $top pairs vs q29 $q29")
   }
 }

@@ -456,4 +456,39 @@ class PlanSpec extends SparkSpec {
     assert(!cur.contains("SortMergeJoin"), cur)
     assert(!cur.contains("], true, "), s"global sort found:\n$cur")
   }
+
+  test("q127 split leakage never joins the corpus (split is an expression)") {
+    val leak = planOf(Dedup.splitLeakage(Tables.documents(spark, sf)))
+      .split("== Initial Plan ==")(0)
+    // q26's three exchanges + the (eval_id, split) rollup — and NO
+    // join anywhere: the split buckets are hash expressions on the
+    // pair ids, not a lookup against the document table
+    assert(!leak.contains("Join"), s"join found:\n$leak")
+    assert("Exchange hashpartitioning".r.findAllIn(leak).size == 4,
+      s"want 4 exchanges:\n$leak")
+    assert(!leak.contains("Window"), leak)
+  }
+
+  test("q128 profile lookup broadcast is size-gated with a shuffled-join fallback") {
+    val docs = Tables.documents(spark, sf)
+    val auto = planOf(Dedup.jaccardProfile(docs))
+    assert(auto.contains("BroadcastHashJoin"), s"no broadcast join:\n$auto")
+    assert(!auto.contains("Window"), auto)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fbPlan = planOf(
+          Dedup.jaccardProfile(docs, broadcastLookup = Some(false)))
+        .split("== Initial Plan ==")(0)
+      assert(!fbPlan.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n$fbPlan")
+      assert(fbPlan.contains("SortMergeJoin") ||
+        fbPlan.contains("ShuffledHashJoin"), s"no shuffled join:\n$fbPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // both paths produce the identical histogram
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(Dedup.jaccardProfile(docs, broadcastLookup = Some(false))) ==
+      rows(Dedup.jaccardProfile(docs, broadcastLookup = Some(true))))
+  }
 }
