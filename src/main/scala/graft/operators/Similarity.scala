@@ -58,13 +58,23 @@ object Similarity extends graft.QueryModule {
     * partition reach the final top-k shuffle). Norms are precomputed
     * per side so the per-pair work is a single dot product.
     */
-  def knnBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def knnBruteForce(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    knnPrefix(embeddings, nQueries, k, width = 0)
+
+  /** [[knnBruteForce]] generalized to score over only the FIRST
+    * `width` dimensions (`width = 0` = full vectors) — the primitive
+    * behind [[truncationRecall]]. Same broadcast-queries /
+    * corpus-streams shape at any width. */
+  private def knnPrefix(embeddings: DataFrame, nQueries: Int, k: Int,
+                        width: Int): DataFrame = {
+    def emb(c: Column): Column =
+      if (width > 0) slice(asDouble(c), 1, width) else asDouble(c)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("q_emb"))
+        emb(col("embedding")).as("q_emb"))
       .withColumn("q_nrm", norm(col("q_emb")))
     val c = embeddings.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("c_emb"))
+      emb(col("embedding")).as("c_emb"))
       .withColumn("c_nrm", norm(col("c_emb")))
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
@@ -72,6 +82,40 @@ object Similarity extends graft.QueryModule {
         (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
           .as("sim"))
     rankTopK(scored, k)
+  }
+
+  /** Matryoshka-style truncation-recall eval: how much top-k recall
+    * survives serving only the FIRST `d` embedding dimensions? For
+    * each prefix width the brute-force top-k over the truncated
+    * vectors is compared against the full-width ground truth, and one
+    * row per width reports total hits and recall — the measurement
+    * behind choosing a cheap serving width (or validating an
+    * MRL-trained model's prefix quality) before building the ANN
+    * index at that width.
+    *
+    * SCALE SHAPE: one map-only scored pass per width + one for the
+    * truth (widths is a small constant list) — each is q30's shape:
+    * queries broadcast, the corpus streams and NEVER shuffles, only
+    * ≤ k rows per query per partition reach the bounded top-k
+    * aggregate. The recall join runs on (widths+1) × nQueries × k
+    * id pairs — model-sized; output is |widths| rows.
+    */
+  def truncationRecall(embeddings: DataFrame, nQueries: Int = 16,
+                       k: Int = 5,
+                       widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1),
+      s"widths must be >= 1: $widths")
+    val truth = knnBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    widths.map { w =>
+      val ap = knnPrefix(embeddings, nQueries, k, w)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+        .select(lit(w.toLong).as("dims_kept"), col("n_hits"),
+          col("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Per-query top-k via a bounded Aggregator (partial-aggregated:
@@ -1065,7 +1109,8 @@ object Similarity extends graft.QueryModule {
     "q88_cluster_quality" -> ((s, d) => clusterQuality(Tables.embeddings(s, d))),
     "q99_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))),
     "q118_diverse_sample" -> ((s, d) => diverseSample(Tables.embeddings(s, d))),
-    "q120_semantic_decon" -> ((s, d) => semanticDecon(Tables.embeddings(s, d)))
+    "q120_semantic_decon" -> ((s, d) => semanticDecon(Tables.embeddings(s, d))),
+    "q129_trunc_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1538,6 +1583,41 @@ object Similarity extends graft.QueryModule {
       FROM bf LEFT JOIN ivf
         ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
       GROUP BY bf.query_id""",
+    /* q129: full-width brute-force truth vs the same top-k over each
+     * prefix width (list_slice mirrors the Spark slice; the widths
+     * list pins the operator default). */
+    "q129_trunc_recall" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      bfq AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM base
+        WHERE vec_id < 16),
+      bf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("q_emb", "c.emb")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM bfq JOIN base c ON query_id <> c.vec_id)
+        WHERE rn <= 5),
+      wd AS (SELECT unnest([8, 16, 32]) AS w),
+      ap AS (
+        SELECT w, query_id, neighbor_id FROM (
+          SELECT w, query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY w, query_id
+                   ORDER BY ${cosSql("list_slice(q_emb, 1, w)",
+                                     "list_slice(c.emb, 1, w)")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM wd CROSS JOIN bfq JOIN base c ON query_id <> c.vec_id)
+        WHERE rn <= 5)
+      SELECT wd.w::BIGINT AS dims_kept,
+             count(ap.neighbor_id) AS n_hits,
+             count(*) AS n_truth,
+             CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS recall
+      FROM wd CROSS JOIN bf
+      LEFT JOIN ap ON ap.w = wd.w AND ap.query_id = bf.query_id
+                  AND ap.neighbor_id = bf.neighbor_id
+      GROUP BY 1""",
     "q30_knn_cosine" -> s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

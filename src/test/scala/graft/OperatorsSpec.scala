@@ -1576,6 +1576,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("truncation recall: prefix flips the neighbor, full width recovers it") {
+    // query v0: full-width nearest is v1 (cos 0.5 vs 0), but on the
+    // first two dims v1 is orthogonal and v2 is parallel
+    val e = Seq(
+      (0L, Array(1f, 0f, 1f, 0f), 0),
+      (1L, Array(0f, 1f, 1f, 0f), 0),
+      (2L, Array(1f, 0f, -1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.truncationRecall(e, nQueries = 1, k = 1,
+        widths = Seq(2, 4))
+      .orderBy("dims_kept").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 0L, 1L, 0.0), (4L, 1L, 1L, 1.0)), got.toString)
+  }
+
   test("split leakage equals a driver recompute from the minhash pair set") {
     import graft.functions.Portable.h60Scala
     val docs = Tables.documents(spark, sf)
