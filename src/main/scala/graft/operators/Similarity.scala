@@ -100,6 +100,42 @@ object Similarity extends graft.QueryModule {
     * aggregate. The recall join runs on (widths+1) × nQueries × k
     * id pairs — model-sized; output is |widths| rows.
     */
+  /** Two-stage (coarse-to-fine) ANN: stage 1 scores the corpus over
+    * only the first `width` dims and keeps top-`m` candidates per
+    * query (m > k — the recall buffer [[truncationRecall]] sizes);
+    * stage 2 re-ranks ONLY those candidates with the exact full-width
+    * cosine and returns top-k. The standard serving trade: the wide
+    * corpus scan runs at prefix cost, the expensive exact score
+    * touches nQueries×m rows.
+    *
+    * SCALE SHAPE: stage 1 is q30's map-only shape at prefix width
+    * (queries broadcast, corpus never shuffles, bounded top-m
+    * aggregate). The candidate set (nQueries×m bare ids) broadcasts
+    * against the corpus to fetch full vectors — the corpus streams
+    * map-side again, no shuffle — and the final top-k runs on ≤ m
+    * rows per query. With m = corpus size it degrades to exact
+    * brute force (spec-asserted equality).
+    */
+  def knnTwoStage(embeddings: DataFrame, nQueries: Int = 16, k: Int = 5,
+                  width: Int = 8, m: Int = 25): DataFrame = {
+    require(m >= k, s"rerank pool m=$m must be >= k=$k")
+    val cand = knnPrefix(embeddings, nQueries, m, width)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+    val c = embeddings.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+    val rescored = c.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
+    rankTopK(rescored, k)
+  }
+
   def truncationRecall(embeddings: DataFrame, nQueries: Int = 16,
                        k: Int = 5,
                        widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
@@ -1110,7 +1146,8 @@ object Similarity extends graft.QueryModule {
     "q99_ivf_occupancy" -> ((s, d) => ivfOccupancy(Tables.embeddings(s, d))),
     "q118_diverse_sample" -> ((s, d) => diverseSample(Tables.embeddings(s, d))),
     "q120_semantic_decon" -> ((s, d) => semanticDecon(Tables.embeddings(s, d))),
-    "q129_trunc_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d)))
+    "q129_trunc_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d))),
+    "q130_two_stage" -> ((s, d) => knnTwoStage(Tables.embeddings(s, d)))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1618,6 +1655,35 @@ object Similarity extends graft.QueryModule {
       LEFT JOIN ap ON ap.w = wd.w AND ap.query_id = bf.query_id
                   AND ap.neighbor_id = bf.neighbor_id
       GROUP BY 1""",
+    /* q130: prefix-width top-25 candidates (list_slice stage 1), then
+     * the exact full-width rerank to top-5 — defaults pinned to the
+     * operator binding (width 8, m 25). */
+    "q130_two_stage" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM base
+        WHERE vec_id < 16),
+      cand AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${cosSql("list_slice(q_emb, 1, 8)",
+                                     "list_slice(c.emb, 1, 8)")} DESC,
+                            c.vec_id ASC) AS rn
+          FROM q JOIN base c ON query_id <> c.vec_id)
+        WHERE rn <= 25),
+      rescored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ${cosSql("q.q_emb", "c.emb")} AS sim
+        FROM cand JOIN base c ON cand.neighbor_id = c.vec_id
+                  JOIN q ON cand.query_id = q.query_id)
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM rescored)
+      WHERE rn <= 5""",
     "q30_knn_cosine" -> s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

@@ -1590,6 +1590,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((2L, 0L, 1L, 0.0), (4L, 1L, 1L, 1.0)), got.toString)
   }
 
+  test("two-stage ANN: rerank recovers the prefix miss; m=corpus equals brute force") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 1f, 0f), 0),
+      (1L, Array(0f, 1f, 1f, 0f), 0),   // full-width nearest to v0
+      (2L, Array(1f, 0f, -1f, 0f), 0))  // prefix-2 nearest to v0
+      .toDF("vec_id", "embedding", "label")
+    // stage 1 at width 2 ranks v2 first, but m=2 keeps both and the
+    // exact rerank puts v1 back on top
+    val got = Similarity.knnTwoStage(e, nQueries = 1, k = 1,
+        width = 2, m = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)), got.toString)
+    // m = corpus size degrades to exact brute force on real data
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rn")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(rows(Similarity.knnTwoStage(embs, 16, 5, width = 8, m = n)) ==
+      rows(Similarity.knnBruteForce(embs, 16, 5)))
+  }
+
   test("split leakage equals a driver recompute from the minhash pair set") {
     import graft.functions.Portable.h60Scala
     val docs = Tables.documents(spark, sf)
