@@ -84,6 +84,43 @@ object Similarity extends graft.QueryModule {
     rankTopK(scored, k)
   }
 
+  /** Batch/stream-agnostic kNN SERVE: external query vectors
+    * `(query_id, embedding)` — a batch frame OR a micro-batch stream —
+    * scored against the static corpus, one row per query with the
+    * bounded top-k `[struct(sim, id)]` neighbor list. The SAME plan
+    * serves both surfaces (the [[graft.streaming.StreamAggs]]
+    * surprisal-serve discipline): as a streaming frame the corpus is
+    * the static side of a stream-static join and the top-k is an
+    * update-mode streaming aggregation; batch and streaming outputs
+    * on the same queries are identical (spec-asserted parity,
+    * StreamAggsSpec). Query ids sharing the corpus id space skip the
+    * self-match, so serving corpus rows as queries reproduces
+    * [[knnBruteForce]] exactly.
+    *
+    * SCALE SHAPE: a per-micro-batch query set is model-sized, so the
+    * nested-loop join should broadcast IT while the corpus streams
+    * map-side — in local tests the planner picks that side from
+    * stats; at scale pin it by hinting the query frame
+    * (`broadcast(queries)`) before calling. Only ≤ k rows per query
+    * per partition reach the top-k exchange.
+    */
+  def knnServe(queries: DataFrame, corpus: DataFrame,
+               k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+    val q = queries.select(col("query_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", norm(col("q_emb")))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.Aggregators.topK(k)(
+        col("sim"), col("neighbor_id")).as("top"))
+  }
+
   /** Matryoshka-style truncation-recall eval: how much top-k recall
     * survives serving only the FIRST `d` embedding dimensions? For
     * each prefix width the brute-force top-k over the truncated

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.operators.Similarity
 import graft.streaming.StreamAggs
 
 /** Golden tests for declarative streaming aggregations against the
@@ -524,5 +525,39 @@ class StreamAggsSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
       assert(w2 == Seq((8L, 0.0)), w2.toString)
     } finally q.stop()
+  }
+
+  test("streaming kNN serve equals the batch path and brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // batch twin: serving corpus rows as queries IS knnBruteForce
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id"), col("t.sim"))
+        .as[(Long, Long, Double)].collect().groupBy(_._1)
+        .view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    val batch = asMap(Similarity.knnServe(queries, corpus, k = 3))
+    val bf = Similarity.knnBruteForce(corpus, nQueries = 4, k = 3)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    assert(batch == bf)
+    // streaming: same queries through a MemoryStream, update mode
+    val in = MemoryStream[(Long, Array[Float])]
+    val sq = Similarity.knnServe(
+        in.toDF().toDF("query_id", "embedding"), corpus, k = 3)
+      .writeStream.format("memory").queryName("knn_serve_out")
+      .outputMode("update").start()
+    try {
+      val qRows = queries.as[(Long, Array[Float])].collect()
+      in.addData(qRows.take(2).toSeq)
+      sq.processAllAvailable()
+      in.addData(qRows.drop(2).toSeq)
+      sq.processAllAvailable()
+      val stream = asMap(spark.table("knn_serve_out"))
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally sq.stop()
   }
 }
