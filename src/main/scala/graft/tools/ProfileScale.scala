@@ -234,7 +234,13 @@ object ProfileScale {
       // label-9 rows are dropped so the 10× run measures 10× corpus
       // against the SAME benchmark literals
       "q120_decon" -> ((e, _) => graft.operators.Similarity.semanticDecon(
-        e.filter(col("label") =!= 9 || col("vec_id") < 10000000L))))
+        e.filter(col("label") =!= 9 || col("vec_id") < 10000000L))),
+      // serving evals: query count is fixed (16) as the corpus grows,
+      // so both measure the pure corpus-scan growth of the q30 shape
+      "q129_trunc" ->
+        ((e, _) => graft.operators.Similarity.truncationRecall(e)),
+      "q130_two_stage" ->
+        ((e, _) => graft.operators.Similarity.knnTwoStage(e)))
     val embOpsRun = if (only.isEmpty) embOps
                     else embOps.filter { case (n, _) => only(n) }
     for ((embs, label) <- Seq(
