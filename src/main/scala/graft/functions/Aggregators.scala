@@ -26,11 +26,19 @@ object Aggregators {
     * alternative to a rank-over-window — each map task keeps at most
     * k candidates, so no full sort/shuffle of all scored pairs. The
     * ordering is total (ties broken by id), so the result equals the
-    * window formulation exactly.
+    * window formulation exactly. NaN ranks GREATEST (SQL ORDER BY
+    * DESC semantics in both Spark and DuckDB) — a primitive `>`
+    * comparator would break the strict weak ordering on NaN (a
+    * zero-norm vector's cosine) and could throw in sortWith, while
+    * silently never ranking the NaN row the oracle ranks first;
+    * ±0.0 stay equal (primitive ==), matching SQL comparison.
     */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    private def better(a: Scored, b: Scored): Boolean = {
+      val (an, bn) = (a.sim.isNaN, b.sim.isNaN)
+      if (an || bn) (an && !bn) || (an && bn && a.id < b.id)
+      else a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    }
     private def trim(xs: Seq[Scored]): Seq[Scored] =
       xs.sortWith(better).take(k)
     def zero: Seq[Scored] = Seq.empty

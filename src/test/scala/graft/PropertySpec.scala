@@ -18,33 +18,45 @@ object GraftProperties extends Properties("graft") {
 
   private val topk = new Aggregators.TopK(5)
   private val scoredGen: Gen[Scored] = for {
-    s <- Gen.chooseNum(-1.0, 1.0)
+    // NaN included: a zero-norm vector's cosine — TopK must stay a
+    // total order (NaN greatest, the SQL ORDER BY DESC semantics)
+    s <- Gen.frequency(9 -> Gen.chooseNum(-1.0, 1.0),
+      1 -> Gen.const(Double.NaN))
     id <- Gen.chooseNum(0L, 50L)
   } yield Scored(s, id)
   private val scoredList = Gen.listOf(scoredGen)
 
   private def runSeq(xs: Seq[Scored]) = xs.foldLeft(topk.zero)(topk.reduce)
 
+  // primitive == on a Double field makes NaN != NaN, so sequence
+  // equality goes through bit canonicalization
+  private def canon(xs: Seq[Scored]): Seq[(Long, Long)] =
+    xs.map(s => (java.lang.Double.doubleToLongBits(s.sim), s.id))
+
+  /** The SQL (sim DESC NaN-greatest, id ASC) total order TopK must
+    * realize — the spec's independent spelling of the comparator. */
+  private val sqlOrd: Ordering[Scored] = Ordering.fromLessThan { (a, b) =>
+    val (an, bn) = (a.sim.isNaN, b.sim.isNaN)
+    if (an || bn) (an && !bn) || (an && bn && a.id < b.id)
+    else a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  }
+
   property("TopK.merge is order-insensitive (shuffle-safe)") =
     forAll(scoredList, scoredList) { (a, b) =>
-      topk.merge(runSeq(a), runSeq(b)) == topk.merge(runSeq(b), runSeq(a))
+      canon(topk.merge(runSeq(a), runSeq(b))) ==
+        canon(topk.merge(runSeq(b), runSeq(a)))
     }
 
   property("TopK partial-agg equals single-pass (partition-split safe)") =
     forAll(scoredList, Gen.chooseNum(0, 100)) { (xs, cut) =>
       val (l, r) = xs.splitAt(cut.min(xs.size))
-      topk.merge(runSeq(l), runSeq(r)) == runSeq(xs)
+      canon(topk.merge(runSeq(l), runSeq(r))) == canon(runSeq(xs))
     }
 
-  property("TopK result is sorted desc and bounded by k") =
+  property("TopK equals the k head of the SQL total order (NaN greatest)") =
     forAll(scoredList) { xs =>
       val out = topk.finish(runSeq(xs))
-      out.size <= 5 &&
-        out.sliding(2).forall {
-          // generated input may contain exact duplicates — both kept
-          case Seq(a, b) => a.sim > b.sim || (a.sim == b.sim && a.id <= b.id)
-          case _ => true
-        }
+      out.size <= 5 && canon(out) == canon(xs.sorted(sqlOrd).take(5))
     }
 
   // ---- DFA: alerts ⇔ illegal transitions ----------------------------
