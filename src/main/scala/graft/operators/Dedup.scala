@@ -1032,6 +1032,10 @@ object Dedup extends graft.QueryModule {
     */
   def splitLeakage(documents: DataFrame, trainPct: Int = 90,
                    valPct: Int = 5): DataFrame = {
+    // out-of-range percentages would silently classify nothing as
+    // train (or everything), reporting an empty/false-clean audit
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split: trainPct=$trainPct valPct=$valPct")
     def bucket(id: Column): Column =
       pmod(hash60(concat(lit("split|"), id)), lit(100))
     // each (a < b) pair leaks in at most one direction, so both

@@ -295,7 +295,9 @@ object TextOps extends graft.QueryModule {
     * narrow projection; no shuffle.
     */
   def trainSplit(documents: DataFrame, trainPct: Int = 90,
-                 valPct: Int = 5): DataFrame =
+                 valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split: trainPct=$trainPct valPct=$valPct")
     documents.select(col("doc_id"),
       pmod(hash60(concat(lit("split|"), col("doc_id"))), lit(100))
         .as("bucket"))
@@ -303,6 +305,7 @@ object TextOps extends graft.QueryModule {
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
+  }
 
   /** Deterministic stratified sampling — mixture rebalancing by
     * language: each stratum keeps `rates(lang)`% (else `defaultPct`%)
