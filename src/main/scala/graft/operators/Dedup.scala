@@ -1060,6 +1060,38 @@ object Dedup extends graft.QueryModule {
         min(col("train_id")).as("min_train_id"))
   }
 
+  /** Leakage SCRUB — the remediation [[splitLeakage]] motivates: drop
+    * from TRAIN every doc that near-dups a val/test doc, keeping the
+    * eval side intact (benchmark integrity preserved; training loses
+    * the contaminated rows — the q55→q125 measure→apply discipline
+    * applied to the split). Emits the surviving corpus.
+    *
+    * SCALE SHAPE: the drop set is bare train ids bounded by the
+    * bucket-capped pair count (orders of magnitude smaller than the
+    * corpus); it anti-joins the corpus under the same stats gate as
+    * q43 (broadcast below, shuffled id join above the 1 GiB source
+    * threshold). Split membership is a hash expression on the pair
+    * ids, so no corpus join exists before the single anti-join.
+    */
+  def leakageScrub(documents: DataFrame, trainPct: Int = 90,
+                   broadcastDrop: Option[Boolean] = None): DataFrame = {
+    require(trainPct > 0 && trainPct <= 100, s"bad trainPct=$trainPct")
+    val bcast = gateBroadcast(documents, broadcastDrop)
+    def g(df: DataFrame) = if (bcast) broadcast(df) else df
+    def bucket(id: Column): Column =
+      pmod(hash60(concat(lit("split|"), id)), lit(100))
+    val drops = minhashPairs(documents)
+      .select(col("a"), col("b"),
+        bucket(col("a")).as("ba"), bucket(col("b")).as("bb"))
+      .filter((col("ba") >= trainPct && col("bb") < trainPct) ||
+        (col("bb") >= trainPct && col("ba") < trainPct))
+      .select(when(col("ba") < trainPct, col("a")).otherwise(col("b"))
+        .as("doc_id"))
+      .distinct()
+    documents.join(g(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Near-dup THRESHOLD profile: where should τ be set before running
     * [[ngramJaccardPairs]]/[[dedupApply]] over the full corpus? For
     * every candidate pair the frequency-capped inverted index
@@ -1180,7 +1212,8 @@ object Dedup extends graft.QueryModule {
     "q94_dup_rate"       -> ((s, d) => dupRateEstimate(Tables.documents(s, d))),
     "q98_group_profile"  -> ((s, d) => dedupGroupProfile(Tables.documents(s, d))),
     "q127_split_leakage" -> ((s, d) => splitLeakage(Tables.documents(s, d))),
-    "q128_jaccard_profile" -> ((s, d) => jaccardProfile(Tables.documents(s, d)))
+    "q128_jaccard_profile" -> ((s, d) => jaccardProfile(Tables.documents(s, d))),
+    "q131_leakage_scrub" -> ((s, d) => leakageScrub(Tables.documents(s, d)))
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -1611,6 +1644,21 @@ object Dedup extends graft.QueryModule {
              min(train_id) AS min_train_id
       FROM k WHERE bb < 90 AND ba >= 90
       GROUP BY 1, 2""",
+    /* q131: the q127 cross-split pairs reduced to their TRAIN-side
+     * ids, anti-joined off the corpus (eval rows always survive). */
+    "q131_leakage_scrub" -> s"""
+      WITH p AS (SELECT a, b FROM ($q26Sql) q26),
+      k AS (SELECT a, b,
+              ${h60Sql("'split|' || a")} % 100 AS ba,
+              ${h60Sql("'split|' || b")} % 100 AS bb
+            FROM p),
+      drops AS (
+        SELECT DISTINCT CASE WHEN ba < 90 THEN a ELSE b END AS doc_id
+        FROM k
+        WHERE (ba >= 90 AND bb < 90) OR (bb >= 90 AND ba < 90))
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d LEFT JOIN drops USING (doc_id)
+      WHERE drops.doc_id IS NULL""",
     /* q128: q29's capped candidate CTEs, exact word-hash-set jaccard
      * (q29's own measure) bucketed by integer division into deciles,
      * then the two model-sized rollups. */

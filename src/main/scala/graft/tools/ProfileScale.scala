@@ -174,6 +174,7 @@ object ProfileScale {
       // prefix-remapped replicas (replicas share no shingles)
       "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
       "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)),
+      "q131_leak_scrub"   -> (d => Dedup.leakageScrub(d)),
       // like q80/q118: production holds the topic-model size fixed as
       // the corpus grows
       "q126_topic_order"  -> (d => graft.operators.Corpus.topicOrder(d,

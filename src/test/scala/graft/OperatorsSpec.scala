@@ -1631,6 +1631,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("leakage scrub drops exactly the train-side dups; eval rows survive") {
+    import graft.functions.Portable.h60Scala
+    def bucket(id: Long): Long = h60Scala(s"split|$id") % 100
+    // all-identical fixture: every train doc pairs with every eval
+    // doc, so the scrub must drop ALL train rows and keep ALL eval
+    val docs = (0L until 100L)
+      .map(i => (i, "alpha beta gamma delta", "en", "s", 22))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val eval = (0L until 100L).filter(bucket(_) >= 90)
+    val got = Dedup.leakageScrub(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == eval.toSet, s"survivors $got vs eval $eval")
+    // natural corpus: survivors = all ids minus the driver-computed
+    // train-side drop set; broadcast and shuffled paths agree
+    val nat = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(nat)
+      .select("a", "b").as[(Long, Long)].collect()
+    val drop = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (t, e) if bucket(t) < 90 && bucket(e) >= 90 => t }
+      .toSet
+    val all = nat.select("doc_id").as[Long].collect().toSet
+    val natGot = Dedup.leakageScrub(nat)
+      .select("doc_id").as[Long].collect().toSet
+    assert(natGot == all -- drop)
+    assert(natGot == Dedup.leakageScrub(nat, broadcastDrop = Some(false))
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("jaccard profile buckets hand-computed word-set deciles") {
     val d = Seq(
       (1L, "a b c d e f"),  // word set {a,b,c,d,e,f}
