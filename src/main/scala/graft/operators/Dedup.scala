@@ -1036,8 +1036,7 @@ object Dedup extends graft.QueryModule {
     // train (or everything), reporting an empty/false-clean audit
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split: trainPct=$trainPct valPct=$valPct")
-    def bucket(id: Column): Column =
-      pmod(hash60(concat(lit("split|"), id)), lit(100))
+    def bucket(id: Column): Column = TextOps.splitBucket(id)
     // each (a < b) pair leaks in at most one direction, so both
     // buckets are computed once per pair and a `when` picks the eval
     // side — no undirected union, the pair subtree plans ONCE
@@ -1078,8 +1077,7 @@ object Dedup extends graft.QueryModule {
     require(trainPct > 0 && trainPct <= 100, s"bad trainPct=$trainPct")
     val bcast = gateBroadcast(documents, broadcastDrop)
     def g(df: DataFrame) = if (bcast) broadcast(df) else df
-    def bucket(id: Column): Column =
-      pmod(hash60(concat(lit("split|"), id)), lit(100))
+    def bucket(id: Column): Column = TextOps.splitBucket(id)
     val drops = minhashPairs(documents)
       .select(col("a"), col("b"),
         bucket(col("a")).as("ba"), bucket(col("b")).as("bb"))

@@ -294,12 +294,20 @@ object TextOps extends graft.QueryModule {
     * pipeline needs so splits never leak across reshuffles). Pure
     * narrow projection; no shuffle.
     */
+  /** The q44 split-bucket expression — THE one definition of split
+    * membership, shared by [[trainSplit]] and the leakage audit/scrub
+    * (Dedup.splitLeakage / Dedup.leakageScrub) so the three can never
+    * silently disagree on what "train" means.
+    * DuckDB: `('0x' || substr(md5('split|' || id), 1, 15))::BIGINT % 100` */
+  private[operators] def splitBucket(id: Column): Column =
+    pmod(hash60(concat(lit("split|"), id)), lit(100))
+
   def trainSplit(documents: DataFrame, trainPct: Int = 90,
                  valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split: trainPct=$trainPct valPct=$valPct")
     documents.select(col("doc_id"),
-      pmod(hash60(concat(lit("split|"), col("doc_id"))), lit(100))
+      splitBucket(col("doc_id"))
         .as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
