@@ -317,9 +317,11 @@ object ProfileScale {
                                checkpointDir =
                                  Some("/tmp/graft_sf10/ckpt"))),
       // the round-6 pair audits at 100×: q128 re-walks every capped
-      // candidate (the q29 volume question), q127 rides q26's bands
+      // candidate (the q29 volume question), q127/q131 ride q26's
+      // bands (audit and scrub respectively)
       "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
-      "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)))
+      "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)),
+      "q131_leak_scrub"   -> (d => Dedup.leakageScrub(d)))
     for ((name, op) <- ops if only.isEmpty || only(name)) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))
