@@ -155,6 +155,57 @@ object TextOps extends graft.QueryModule {
         sum(col("nu")).as("n_unk"))
   }
 
+  /** Candidate vocabulary for [[tokenizerDiff]]'s migration scenario:
+    * the current pieces plus whole-word merges for the corpus' domain
+    * vocabulary — the typical "retrain with more merges" upgrade whose
+    * token-count impact the diff measures before anyone re-tokenizes
+    * 100 TB. */
+  private[operators] val subwordVocabV2: Seq[String] =
+    subwordVocab ++ Seq("table", "scan", "merge", "hash", "join", "sort",
+      "query", "spark", "stream", "batch", "window", "row", "fast",
+      "key", "order", "part", "small", "dup")
+
+  /** Tokenizer MIGRATION diff: encode the corpus under the current
+    * vocabulary and a candidate one, and report the per-source token
+    * impact — words, piece totals under each, unk totals, and the
+    * integer per-mille ratio (1000·pieces_b div pieces_a; NULL when a
+    * source has no pieces). THE question before a tokenizer swap:
+    * how much does sequence length (= training cost and packing
+    * layout) change, and where. Selection arithmetic is integer; no
+    * float leaves the plan.
+    *
+    * SCALE SHAPE: q97's exactly — BOTH greedy encode loops run only
+    * on the DISTINCT-word table (vocabulary-scale UDF work, fused as
+    * two columns of ONE pass so the token-scale distinct runs once),
+    * the combined (w → counts) table joins back under the
+    * source-stats gate (broadcast ≤ 1 GiB, shuffled word-keyed join
+    * above), and the final exchange carries #sources keys.
+    */
+  def tokenizerDiff(documents: DataFrame,
+                    vocabA: Seq[String] = subwordVocab,
+                    vocabB: Seq[String] = subwordVocabV2,
+                    broadcastEncodings: Option[Boolean] = None): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(words(col("text"))).as("w"))
+    val dw = tok.select(col("w")).distinct()
+      .withColumn("ea", greedyEncode(vocabA)(col("w")))
+      .withColumn("eb", greedyEncode(vocabB)(col("w")))
+      .select(col("w"),
+        col("ea._1").as("np_a"), col("ea._2").as("nu_a"),
+        col("eb._1").as("np_b"), col("eb._2").as("nu_b"))
+    val bcast = broadcastEncodings.getOrElse(
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        Dedup.MaxBroadcastSourceBytes)
+    tok.join(if (bcast) broadcast(dw) else dw, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np_a")).as("pieces_a"), sum(col("np_b")).as("pieces_b"),
+        sum(col("nu_a")).as("unk_a"), sum(col("nu_b")).as("unk_b"))
+      .withColumn("ratio_permille",
+        when(col("pieces_a") > 0,
+          expr("1000 * pieces_b div pieces_a")))
+  }
+
   /** The vocabulary-scale half of [[subwordEncode]] (shared with
     * q106's per-language fertility): greedy longest-prefix-encode the
     * DISTINCT words of a `w`-column token frame, returning
@@ -162,13 +213,17 @@ object TextOps extends graft.QueryModule {
     * loop is a Scala UDF — the one shape codegen can't express — but
     * it runs only on the distinct-word table, so the work is
     * vocabulary-sized no matter the corpus size. */
-  private[operators] def encodeDistinctWords(tokens: DataFrame,
-                                             vocab: Seq[String]): DataFrame = {
+  /** Greedy longest-prefix (piece count, unk count) encoder for one
+    * vocabulary, as a reusable UDF — the iterative match loop is the
+    * one shape codegen can't express, so it runs only on
+    * vocabulary-scale inputs (distinct words), never the corpus. */
+  private[operators] def greedyEncode(
+      vocab: Seq[String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
       "subword vocab must be non-empty strings")
     val vset = vocab.toSet
     val maxLen = vocab.map(_.length).max
-    val enc = udf { w: String =>
+    udf { w: String =>
       val s = if (w == null) "" else w
       var i = 0
       var p = 0L
@@ -185,10 +240,13 @@ object TextOps extends graft.QueryModule {
       }
       (p, u)
     }
-    tokens.select(col("w")).distinct()
-      .withColumn("e", enc(col("w")))
-      .select(col("w"), col("e._1").as("np"), col("e._2").as("nu"))
   }
+
+  private[operators] def encodeDistinctWords(tokens: DataFrame,
+                                             vocab: Seq[String]): DataFrame =
+    tokens.select(col("w")).distinct()
+      .withColumn("e", greedyEncode(vocab)(col("w")))
+      .select(col("w"), col("e._1").as("np"), col("e._2").as("nu"))
 
   private[operators] val dicts: Seq[(String, Seq[String])] = Seq(
     "en"     -> Seq("the", "a", "fast", "slow", "small"),
@@ -1566,6 +1624,7 @@ object TextOps extends graft.QueryModule {
     "q96_quality_threshold" ->
       ((s, d) => qualityThreshold(Tables.documents(s, d))),
     "q97_subword" -> ((s, d) => subwordEncode(Tables.documents(s, d))),
+    "q132_tokenizer_diff" -> ((s, d) => tokenizerDiff(Tables.documents(s, d))),
     "q23_lang_id"     -> ((s, d) => languageId(Tables.documents(s, d))),
     "q24_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q44_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
@@ -1739,6 +1798,61 @@ object TextOps extends graft.QueryModule {
              CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
              CAST(sum(n_unk) AS BIGINT) AS n_unk
       FROM w JOIN enc USING (w)
+      GROUP BY 1""",
+    /* q132: q97's greedy recursive encode run under BOTH vocabularies
+     * on the distinct-word table, joined back per source; the ratio
+     * is integer per-mille on the aggregated sums. */
+    "q132_tokenizer_diff" -> s"""
+      WITH RECURSIVE t AS (
+        SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g')), ' ') AS ws
+        FROM documents),
+      w AS (SELECT source, unnest(ws) AS w FROM t),
+      dw AS (SELECT DISTINCT w FROM w),
+      sta AS (
+        SELECT w, w AS rest, 0::BIGINT AS n_pieces, 0::BIGINT AS n_unk
+        FROM dw
+        UNION ALL
+        SELECT w,
+               substr(rest, CASE WHEN p > 0 THEN p + 1 ELSE 2 END),
+               n_pieces + 1,
+               n_unk + CASE WHEN p > 0 THEN 0 ELSE 1 END
+        FROM (
+          SELECT w, rest, n_pieces, n_unk,
+                 (SELECT COALESCE(max(len(v)), 0)
+                  FROM (SELECT unnest(${sqlArr(subwordVocab)}) AS v)
+                  WHERE substr(rest, 1, len(v)) = v) AS p
+          FROM sta WHERE len(rest) > 0) s),
+      enca AS (
+        SELECT w, n_pieces AS np_a, n_unk AS nu_a
+        FROM sta WHERE len(rest) = 0),
+      stb AS (
+        SELECT w, w AS rest, 0::BIGINT AS n_pieces, 0::BIGINT AS n_unk
+        FROM dw
+        UNION ALL
+        SELECT w,
+               substr(rest, CASE WHEN p > 0 THEN p + 1 ELSE 2 END),
+               n_pieces + 1,
+               n_unk + CASE WHEN p > 0 THEN 0 ELSE 1 END
+        FROM (
+          SELECT w, rest, n_pieces, n_unk,
+                 (SELECT COALESCE(max(len(v)), 0)
+                  FROM (SELECT unnest(${sqlArr(subwordVocabV2)}) AS v)
+                  WHERE substr(rest, 1, len(v)) = v) AS p
+          FROM stb WHERE len(rest) > 0) s),
+      encb AS (
+        SELECT w, n_pieces AS np_b, n_unk AS nu_b
+        FROM stb WHERE len(rest) = 0)
+      SELECT source, count(*) AS n_words,
+             CAST(sum(np_a) AS BIGINT) AS pieces_a,
+             CAST(sum(np_b) AS BIGINT) AS pieces_b,
+             CAST(sum(nu_a) AS BIGINT) AS unk_a,
+             CAST(sum(nu_b) AS BIGINT) AS unk_b,
+             CASE WHEN sum(np_a) = 0 THEN NULL
+                  ELSE (1000 * CAST(sum(np_b) AS BIGINT))
+                       // CAST(sum(np_a) AS BIGINT) END AS ratio_permille
+      FROM w JOIN enca USING (w) JOIN encb USING (w)
       GROUP BY 1""",
     /* q96: integer per-mille score → exact histogram; DuckDB's window
      * sum returns HUGEINT, cast back for the driver hash. */

@@ -1576,6 +1576,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer diff: hand-computed per-source piece totals and ratio") {
+    val d = Seq(
+      (1L, "ab abc", "s1"),
+      (2L, "ab", "s2"))
+      .toDF("doc_id", "text", "source")
+    // vocab A = single letters (len(word) pieces); B adds the words
+    val got = TextOps.tokenizerDiff(d,
+        vocabA = Seq("a", "b", "c"),
+        vocabB = Seq("a", "b", "c", "ab", "abc"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // s1: words 2, pieces_a 2+3=5, pieces_b 1+1=2, ratio 1000*2 div 5
+    assert(got == Seq(("s1", 2L, 5L, 2L, 0L, 0L, 400L),
+      ("s2", 1L, 2L, 1L, 0L, 0L, 500L)), got.toString)
+    // above-gate path: with auto-broadcast disabled the word-keyed
+    // join really shuffles, and returns the same rows
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = TextOps.tokenizerDiff(d,
+          vocabA = Seq("a", "b", "c"),
+          vocabB = Seq("a", "b", "c", "ab", "abc"),
+          broadcastEncodings = Some(false))
+      assert(!shuffled.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("BroadcastHashJoin"))
+      assert(shuffled.orderBy("source")
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq == got)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("truncation recall: prefix flips the neighbor, full width recovers it") {
     // query v0: full-width nearest is v1 (cos 0.5 vs 0), but on the
     // first two dims v1 is orthogonal and v2 is parallel
