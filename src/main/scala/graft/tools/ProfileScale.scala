@@ -117,6 +117,9 @@ object ProfileScale {
       "q95_shard_skew"    -> (d => graft.operators.Skew.shardSkewAudit(d)),
       "q96_quality_thr"   -> (d => graft.operators.TextOps.qualityThreshold(d)),
       "q97_subword"       -> (d => graft.operators.TextOps.subwordEncode(d)),
+      // q132 shares q97's two-exchange shape; output is #sources rows
+      // by construction, growth is the distinct-word + token scan cost
+      "q132_tok_diff"     -> (d => graft.operators.TextOps.tokenizerDiff(d)),
       "q100_pipeline"     -> (d => graft.operators.Corpus.curationPipeline(d)),
       "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)),
       "q89_distinct_toks" -> (d => graft.operators.TextOps.distinctiveTokens(d)),
