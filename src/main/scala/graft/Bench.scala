@@ -28,6 +28,26 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Calibration anchor: a fixed, data-independent, codegen-only
+    // workload timed under the exact bench discipline. Round-7
+    // finding (BENCHDRIFT.md): the box's effective throughput drifts
+    // ≥1.24× across hours on IDENTICAL code+data (round 6 measured
+    // 90.0 s at 16:38 vs 111.4 s at 18:45 for the same 132-query
+    // sweep, near-uniform per query), so raw cross-round totals
+    // conflate engine changes with machine weather. The anchor moves
+    // with the machine and not with the engine, so
+    // query_sec / anchor_sec is the cross-round-comparable number.
+    val anchor = {
+      def run(): Unit = spark.range(512L << 20)
+        .selectExpr("sum(id % 1000007)").collect()
+      run() // warm: codegen+JIT out of the timing
+      (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     // Optional positional args narrow the run to named queries (local
     // debugging); the driver passes none and gets the full set.
     val only = args.toSet
@@ -92,14 +112,14 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + prec(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // degrade per-query precision before ever risking the window; the
     // headline total keeps ms precision in every shape
     val out = Seq[Double => String](cs,
       v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
       .map(line).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"queries":{},"sf":"$sfDir"}""")
     println(out)
     spark.stop()
   }
