@@ -90,8 +90,95 @@ object Multimodal extends graft.QueryModule {
     }
   }
 
+  /** Unified decoded-media statistic: one row per media object, all
+    * modalities, features from the ACTUAL decoded payload. `n_units`
+    * is the decoded sample count (pixels / PCM samples / pixels ×
+    * frames) and `mean_signal` the mean decoded magnitude (luma /
+    * |sample| / channel mean) — exact integer sums with one double
+    * division at the end, bit-portable across engines. */
+  case class MediaSignal(media_id: Long, kind: String, width: Int,
+                         height: Int, n_units: Long, mean_signal: Double)
+
+  /** Media table whose payloads are REAL encoded containers across
+    * all three modalities, keyed by doc_id mod 3: PNG/BMP images
+    * (ImageIO-encoded), WAV PCM16 audio, AVI raw-DIB video — each
+    * family's geometry/length formulas shared with its dedicated
+    * table ([[imageTable]]/[[audioTable]]/[[videoTable]]) so the q40
+    * oracle reuses the q71/q72 formula discipline. This is the
+    * mixed-manifest shape a 100 TB lakehouse scan actually sees. */
+  def mixedMediaTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val w = (id % 13 + 4).toInt
+            val h = (id % 9 + 4).toInt
+            val fmt = if (id % 2 == 0) "png" else "bmp"
+            MediaRecord(id, "image", w, h, syntheticImageBytes(w, h, id, fmt))
+          case 1 =>
+            val n = (id % 600 + 100).toInt
+            val rate = (8000 + (id % 3) * 4000).toInt
+            MediaRecord(id, "audio", 0, 0,
+              wavBytes(Array.tabulate(n)(t => audioSample(id, t)), rate))
+          case _ =>
+            val w = (id % 11 + 4).toInt
+            val h = (id % 7 + 4).toInt
+            val nf = (id % 4 + 2).toInt
+            MediaRecord(id, "video", w, h,
+              aviBytes((0 until nf).map(f => syntheticDibFrame(id, f, w, h)),
+                w, h, fps = 25, mjpeg = false))
+        }
+      }
+    }
+  }
+
+  /** REAL mixed-modality decode: dispatch on kind to the JDK codec
+    * paths (ImageIO raster / RIFF-WAVE PCM16 / RIFF-AVI DIB), reduce
+    * each decoded payload to the unified [[MediaSignal]]. The stub
+    * decoder is NOT on this path — it remains only the documented
+    * swap point for codecs with no pure-JDK decoder (MP3/AAC/H.264).
+    */
+  def decodeSignal(r: MediaRecord): MediaSignal = r.kind match {
+    case "audio" =>
+      val w = parseWav(r.payload)
+      val s = w.samples
+      var sumAbs = 0L
+      var i = 0
+      while (i < s.length) { sumAbs += math.abs(s(i).toLong); i += 1 }
+      val n = s.length.toLong
+      MediaSignal(r.media_id, r.kind, 0, 0, n,
+        if (n == 0) 0.0 else sumAbs.toDouble / n)
+    case "video" =>
+      val s = parseAvi(r.payload)
+      var total = 0L
+      s.frames.foreach { f =>
+        val (sr, sg, sb) = frameChannelSums(s, f)
+        total += sr + sg + sb
+      }
+      val units = s.width.toLong * s.height * s.frames.length
+      MediaSignal(r.media_id, r.kind, s.width, s.height, units,
+        if (units == 0) 0.0 else total.toDouble / (3 * units))
+    case _ => // image: ImageIO sniffs PNG vs BMP from the bytes
+      val f = decodeImage(r)
+      MediaSignal(r.media_id, r.kind, f.width, f.height,
+        f.width.toLong * f.height, f.mean_luma)
+  }
+
+  /** Batched per-partition mixed decode — the mapInPandas shape with
+    * the REAL codecs behind it. */
+  def extractSignals(media: Dataset[MediaRecord]): Dataset[MediaSignal] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec contexts would be created here
+      it.map(decodeSignal)
+    }
+  }
+
   def featureQuery(s: SparkSession, d: String): DataFrame =
-    extractFeatures(mediaTable(Tables.documents(s, d))).toDF()
+    extractSignals(mixedMediaTable(Tables.documents(s, d))).toDF()
 
   /** A resized media record: same payload contract, new target dims +
     * the scale factor a real resampler would apply. */
@@ -596,23 +683,67 @@ object Multimodal extends graft.QueryModule {
     "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d))
   )
 
-  /** The stub decode is pure byte arithmetic, so even this op gets a
-    * full oracle: utf-8 payload bytes are reproduced in SQL via the
-    * text's code units (ASCII corpus). */
+  /** Every payload q40 reports on is a REAL encoded container and
+    * every feature comes from the decoded raster/samples, so the
+    * oracle recomputes each modality's features straight from the
+    * generator formulas (the q71/q72 discipline): exact integer sums,
+    * one double division at the end — a codec bug anywhere in the
+    * encode → demux → decode round trip breaks the hash. */
   def oracle: Map[String, String] = Map(
     "q40_media_features" -> """
-      WITH t AS (
-        SELECT doc_id AS media_id,
-               ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
-               list_transform(string_split(text, ''), c -> ord(c)) AS bytes
-        FROM documents)
-      SELECT media_id, kind, len(bytes) AS n_bytes,
-             CASE WHEN len(bytes) = 0 THEN 0.0
-                  ELSE CAST(list_sum(bytes) AS DOUBLE) / len(bytes) END
-               AS mean_byte,
-             list_reduce(list_prepend(0::BIGINT, list_slice(bytes, 1, 16)),
-               (a, b) -> (a * 31 + b) % 1000000007) AS head_hash
-      FROM t""",
+      WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+      img AS (
+        SELECT media_id, (media_id % 13 + 4)::INT AS w,
+               (media_id % 9 + 4)::INT AS h
+        FROM m WHERE k = 0),
+      ipx AS (
+        SELECT media_id, w, h, CAST(unnest(range(0, w)) AS INT) AS x
+        FROM img),
+      ipxy AS (
+        SELECT media_id, w, h, x, CAST(unnest(range(0, h)) AS INT) AS y
+        FROM ipx),
+      irow AS (
+        SELECT media_id, 'image' AS kind, w AS width, h AS height,
+               CAST(w AS BIGINT) * h AS n_units,
+               CAST(sum((x*7 + y*3 + media_id) % 256
+                        + (x*5 + y*11 + 2*media_id) % 256
+                        + (x*13 + y*17 + 3*media_id) % 256) AS DOUBLE)
+                 / (3 * w * h) AS mean_signal
+        FROM ipxy GROUP BY media_id, w, h),
+      aud AS (
+        SELECT media_id, media_id % 600 + 100 AS n FROM m WHERE k = 1),
+      arow AS (
+        SELECT media_id, 'audio' AS kind, 0::INT AS width, 0::INT AS height,
+               n AS n_units,
+               CAST(list_sum(list_transform(range(0, n),
+                 t -> abs((t * (media_id % 7 + 2) + media_id) % 2048 - 1024)))
+                 AS DOUBLE) / n AS mean_signal
+        FROM aud),
+      vid AS (
+        SELECT media_id, (media_id % 11 + 4)::INT AS w,
+               (media_id % 7 + 4)::INT AS h, media_id % 4 + 2 AS nf
+        FROM m WHERE k = 2),
+      vf AS (
+        SELECT media_id, w, h, nf, CAST(unnest(range(0, nf)) AS INT) AS f
+        FROM vid),
+      vpx AS (
+        SELECT media_id, w, h, nf, f, CAST(unnest(range(0, w)) AS INT) AS x
+        FROM vf),
+      vpxy AS (
+        SELECT media_id, w, h, nf, f, x,
+               CAST(unnest(range(0, h)) AS INT) AS y
+        FROM vpx),
+      vrow AS (
+        SELECT media_id, 'video' AS kind, w AS width, h AS height,
+               CAST(w AS BIGINT) * h * nf AS n_units,
+               CAST(sum((x*7 + y*3 + media_id + f*31) % 256
+                        + (x*5 + y*11 + 2*media_id + f*17) % 256
+                        + (x*13 + y*17 + 3*media_id + f*7) % 256) AS DOUBLE)
+                 / (3 * w * h * nf) AS mean_signal
+        FROM vpxy GROUP BY media_id, w, h, nf)
+      SELECT * FROM irow
+      UNION ALL SELECT * FROM arow
+      UNION ALL SELECT * FROM vrow""",
 
     /* q71: the Spark side builds a REAL AVI container per doc (raw-DIB
      * frames of the vidPx raster), demuxes it back, and decodes the
