@@ -1093,9 +1093,9 @@ object Dedup extends graft.QueryModule {
   /** Near-dup THRESHOLD profile: where should τ be set before running
     * [[ngramJaccardPairs]]/[[dedupApply]] over the full corpus? For
     * every candidate pair the frequency-capped inverted index
-    * surfaces, the exact WORD-set jaccard — the measure q29's τ
-    * filter actually applies, so decile ≥ 8 is exactly q29's τ=0.8
-    * pair set (10i div u ≥ 8 ⟺ i/u ≥ 0.8, spec-asserted) — is
+    * surfaces, the WORD-set jaccard — the measure q29's τ filter
+    * applies, so decile ≥ 8 is q29's τ=0.8 pair set (10i div u ≥ 8
+    * ⟺ i/u ≥ 0.8; spec-asserted equal on the test corpus) — is
     * bucketed into integer deciles (least(9, 10·|∩| div |∪|) —
     * integer cross-multiplication, no float selection), and each
     * decile reports its pair count and how many distinct documents
@@ -1103,8 +1103,12 @@ object Dedup extends graft.QueryModule {
     * kept/removed doc counts at every candidate τ in one pass —
     * instead of re-running the dedup per τ. Words ride as sorted
     * 60-bit hash sets so the per-pair score is one codegen merge
-    * walk over long arrays (a hash collision merges two words for
-    * BOTH sides — mirrored in the oracle).
+    * walk over long arrays; q29 itself scores STRING word sets, so
+    * the decile-vs-τ correspondence is exact only modulo 60-bit
+    * word-hash collisions (a collision merges two words for both
+    * sides — mirrored in the oracle, so the driver hash never
+    * diverges; a pair could in principle cross a τ boundary vs
+    * q29's string score, at ~2⁻⁶⁰ per word pair).
     *
     * SCALE SHAPE: identical candidate machinery to q29/q66 (capped
     * buckets bound fan-out; 8-byte hashes travel, never strings; the

@@ -93,9 +93,13 @@ object Similarity extends graft.QueryModule {
     * the static side of a stream-static join and the top-k is an
     * update-mode streaming aggregation; batch and streaming outputs
     * on the same queries are identical (spec-asserted parity,
-    * StreamAggsSpec). Query ids sharing the corpus id space skip the
-    * self-match, so serving corpus rows as queries reproduces
-    * [[knnBruteForce]] exactly.
+    * StreamAggsSpec). `excludeSelf` (default true) skips the
+    * query_id = neighbor_id match, so serving corpus rows as queries
+    * reproduces [[knnBruteForce]] exactly — it assumes queries share
+    * the corpus id space. External callers with an UNRELATED query id
+    * space must pass excludeSelf = false, or a query whose id
+    * coincidentally collides with a corpus id silently loses that
+    * neighbor.
     *
     * SCALE SHAPE: a per-micro-batch query set is model-sized, so the
     * nested-loop join should broadcast IT while the corpus streams
@@ -105,14 +109,21 @@ object Similarity extends graft.QueryModule {
     * per partition reach the top-k exchange.
     */
   def knnServe(queries: DataFrame, corpus: DataFrame,
-               k: Int = 5): DataFrame = {
+               k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("c_emb"))
       .withColumn("c_nrm", norm(col("c_emb")))
     val q = queries.select(col("query_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_nrm", norm(col("q_emb")))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    // the self-skip compares ids across the two frames, so it is only
+    // meaningful when queries share the corpus id space (the
+    // corpus-as-queries parity case); external callers whose query ids
+    // could coincidentally collide with corpus ids pass
+    // excludeSelf = false to keep every neighbor
+    val joinCond =
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true)
+    q.join(c, joinCond)
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
           .as("sim"))

@@ -28,6 +28,11 @@ object ProfileScale {
       spark.stop()
       return
     }
+    if (args.headOption.contains("q47gate")) {
+      runQ47Gate(spark, args.drop(1))
+      spark.stop()
+      return
+    }
 
     val sf01 = "/root/testdata/sf0.1"
     // replicas are rebuilt unconditionally: an existence-keyed cache
@@ -258,6 +263,53 @@ object ProfileScale {
       }
     }
     spark.stop()
+  }
+
+  /** `runMain graft.tools.ProfileScale q47gate [k...]` — calibrate
+    * the dedupGroups driver-union-find vs distributed-propagation
+    * gate (`maxDriverEdges`). For each replica factor k the sweep
+    * builds a prefix-remapped k-replica corpus (the sf10 discipline:
+    * replicas share no tokens, so the pair graph is k disjoint copies
+    * of sf0.1's and edge count scales exactly linearly), reports the
+    * edge count, and times the WHOLE dedupGroups call down each path
+    * (gate forced wide open vs forced shut) — whole-call wall is the
+    * decision the gate actually makes. min-of-2 timed runs after a
+    * warm run, the Bench discipline. SCALE.md records the crossover;
+    * the `maxDriverEdges` default derives from it.
+    */
+  private def runQ47Gate(spark: SparkSession, argKs: Seq[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val ks = if (argKs.nonEmpty) argKs.map(_.toInt)
+             else Seq(1, 3, 10, 30, 100)
+    val base = Tables.documents(spark, sf01)
+    for (k <- ks) {
+      val path = s"/tmp/graft_q47gate/docs_$k.parquet"
+      (0 until k).map { r =>
+        if (r == 0) base
+        else base.select(
+          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"r${r}x"), w)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val nEdges = Dedup.minhashPairs(docs).count()
+      def time(gate: Long): Double = {
+        def run(): Unit = Dedup.dedupGroups(docs, maxDriverEdges = gate)
+          .write.format("noop").mode("overwrite").save()
+        run() // warm: codegen+JIT out of the timing
+        (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val tDriver = time(Long.MaxValue)
+      val tLoop = time(0L)
+      println(f"q47gate k=$k%-4d edges=$nEdges%8d  driver=$tDriver%7.2f s" +
+        f"  loop=$tLoop%7.2f s  ${if (tDriver <= tLoop) "driver" else "loop"}")
+    }
   }
 
   /** `runMain graft.tools.ProfileScale sf10` — one more decade for

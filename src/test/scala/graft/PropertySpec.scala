@@ -34,11 +34,19 @@ object GraftProperties extends Properties("graft") {
     xs.map(s => (java.lang.Double.doubleToLongBits(s.sim), s.id))
 
   /** The SQL (sim DESC NaN-greatest, id ASC) total order TopK must
-    * realize — the spec's independent spelling of the comparator. */
-  private val sqlOrd: Ordering[Scored] = Ordering.fromLessThan { (a, b) =>
-    val (an, bn) = (a.sim.isNaN, b.sim.isNaN)
-    if (an || bn) (an && !bn) || (an && bn && a.id < b.id)
-    else a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    * realize — spelled via the IEEE-754 bit-rank trick rather than a
+    * comparison chain, so it shares NO code shape with the
+    * production comparator (TopK.better is if/else over >, ==,
+    * isNaN; this is a monotone key function): non-negative bit
+    * patterns are already rank-ordered, negative ones flip to rank
+    * below them, and canonical NaN's pattern lands above +Inf —
+    * exactly SQL's NaN-greatest. -0.0 canonicalizes to 0.0 first,
+    * matching the primitive == the production comparator uses. */
+  private val sqlOrd: Ordering[Scored] = Ordering.by { s: Scored =>
+    val v = if (s.sim == 0.0) 0.0 else s.sim
+    val bits = java.lang.Double.doubleToLongBits(v)
+    val rank = if (bits >= 0L) bits else bits ^ 0x7fffffffffffffffL
+    (-rank, s.id) // sim DESC (NaN first), id ASC
   }
 
   property("TopK.merge is order-insensitive (shuffle-safe)") =
