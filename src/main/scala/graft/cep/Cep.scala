@@ -93,14 +93,28 @@ object Cep {
     * `groupLoop` alternative of the position — repetitions may switch
     * branches (B C B …), which is SQL's semantics for a quantified
     * group. A plain `B+` branch inside an unquantified group
-    * (`(B+|C)`) keeps `groupLoop = false` and self-loops only. */
+    * (`(B+|C)`) keeps `groupLoop = false` and self-loops only.
+    *
+    * `minReps`/`maxReps` bound a SELF-LOOPING step's repetition count
+    * (`B{n,m}` as a branch inside an alternation, where the
+    * position-expansion rewrite used for standalone `B{n,m}` can't
+    * apply because the other branches share the position): the step
+    * may not advance (or complete) before consuming `minReps` events
+    * and may not loop beyond `maxReps` (−1 = unbounded). Defaults
+    * (1, −1) reproduce the unbounded `B`/`B+` behavior exactly.
+    * Counts are per step index, so they must not be combined with
+    * `groupLoop` (group repetitions would re-enter the step and
+    * accumulate; the MATCH_RECOGNIZE front-end rejects quantified
+    * branches inside quantified groups for this reason). */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
                      entryPred: Option[(T, Vector[(Int, T)]) => Boolean] = None,
                      optional: Boolean = false,
                      altWithPrev: Boolean = false,
-                     groupLoop: Boolean = false) {
+                     groupLoop: Boolean = false,
+                     minReps: Int = 1,
+                     maxReps: Int = -1) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -206,8 +220,12 @@ object Cep {
     private val nPos = if (steps.isEmpty) 0 else posOf(steps.length - 1) + 1
     private val posSteps: Array[Array[Int]] =
       Array.tabulate(nPos)(p => steps.indices.filter(posOf(_) == p).toArray)
+    // a position is skippable if SOME alternative can match empty —
+    // skipping (B?|C) means choosing the B? branch and matching it
+    // empty, so one optional alternative suffices (for single-step
+    // positions exists ≡ forall, the pre-alternation behavior)
     private val posOptional: Array[Boolean] =
-      Array.tabulate(nPos)(p => posSteps(p).forall(i => steps(i).optional))
+      Array.tabulate(nPos)(p => posSteps(p).exists(i => steps(i).optional))
     /** allOptFrom(p) = every position >= p is optional; a partial
       * standing at position q is a COMPLETE match iff allOptFrom(q+1). */
     private val allOptFrom: Array[Boolean] = {
@@ -255,26 +273,38 @@ object Cep {
           val s = p.stepIdx
           val cur = steps(s)
           val curPos = posOf(s)
+          // repetition count at the current step — gates bounded
+          // branches (B{n,m} inside an alternation); entries are
+          // match-length vectors, so the count walk is cheap
+          val curCnt =
+            if (cur.minReps > 1 || cur.maxReps >= 0)
+              p.entries.count(_._1 == s)
+            else 1
           // loop targets: a group-quantified alternation position
           // ((B|C)+) loops via EVERY groupLoop alternative of the
           // position (repetitions may switch branches); a plain B+
-          // self-loops only
+          // self-loops only, a bounded B{n,m} only below its cap
           val loopTs: Vector[Int] =
             if (!cur.oneOrMore) Vector.empty
             else if (cur.groupLoop)
               posSteps(curPos).iterator
                 .filter(j => steps(j).groupLoop && steps(j).hit(e, p.entries))
                 .toVector
-            else if (cur.hit(e, p.entries)) Vector(s)
+            else if ((cur.maxReps < 0 || curCnt < cur.maxReps) &&
+              cur.hit(e, p.entries)) Vector(s)
             else Vector.empty
           // advance targets: every alternative of the next position,
-          // plus — while positions are optional — of the ones after it
+          // plus — while positions are optional — of the ones after
+          // it; a bounded branch holds the partial until its minimum
+          // repetition count is met
           val advT = Vector.newBuilder[Int]
-          var q = curPos + 1
-          var scan = true
-          while (q < nPos && scan) {
-            for (j <- posSteps(q)) if (steps(j).hit(e, p.entries)) advT += j
-            scan = posOptional(q); q += 1
+          if (curCnt >= cur.minReps) {
+            var q = curPos + 1
+            var scan = true
+            while (q < nPos && scan) {
+              for (j <- posSteps(q)) if (steps(j).hit(e, p.entries)) advT += j
+              scan = posOptional(q); q += 1
+            }
           }
           val adv = advT.result()
           val anyFired = loopTs.nonEmpty || adv.nonEmpty
@@ -296,7 +326,11 @@ object Cep {
             val pr = if (ranked) p.prio :+ r else p.prio
             val newEntries = p.entries :+ (j, e)
             val jPos = posOf(j)
-            val isFinal = allOptFrom(jPos + 1)
+            // a bounded branch (minReps > 1) is not a match boundary
+            // until its minimum repetition count is consumed
+            val isFinal = allOptFrom(jPos + 1) &&
+              (steps(j).minReps <= 1 ||
+                newEntries.count(_._1 == j) >= steps(j).minReps)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
               completed += Pending(p.origin, pr, newEntries)
@@ -331,7 +365,10 @@ object Cep {
         }
         val starts = startT.result()
         if (starts.nonEmpty) {
-          if (steps.length == 1) {
+          // single-step fast path: complete-per-event only applies to
+          // an unbounded-minimum step (a DSL B{2,3} must build a
+          // partial and count)
+          if (steps.length == 1 && steps(0).minReps <= 1) {
             completed += Pending(nextOrigin, Vector.empty, Vector((0, e)))
             nextOrigin += 1
           } else {
@@ -341,7 +378,8 @@ object Cep {
               val pr = if (ranked) Vector(r) else Vector.empty[Int]
               val entries0 = Vector((j, e))
               val jPos = posOf(j)
-              val isFinal = allOptFrom(jPos + 1)
+              // one event consumed at j: final only if j's minimum is 1
+              val isFinal = allOptFrom(jPos + 1) && steps(j).minReps <= 1
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
                 completed += Pending(nextOrigin, pr, entries0)

@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.StructType
   * `{n}` `{n,}` `{n,m}` (with `+?`/`*?` reluctant variants) on
   * single variables AND on alternation groups (`(B|C)+`,
   * `(B|C){n,m}` — repetitions may switch branches, per SQL), plus
-  * per-branch `+`/`?`/`*` inside a group (`(B+|C?)`). Not supported:
-  * multi-variable sequence groups (`(A B)+`), `{n,m}` on a branch
-  * inside alternation (quantify the group instead), and empty
-  * matches (a pattern whose every position is optional matching
-  * zero rows).
+  * per-branch quantifiers inside a group — `+`/`?`/`*` and bounded
+  * `{n,m}` (`(B+|C?)`, `(B{2,3}|C)`; a `B+` branch self-loops B
+  * only — repetitions do NOT switch branches, unlike `(B|C)+`).
+  * Not supported: multi-variable sequence groups (`(A B)+`),
+  * `{n,m}` on a branch inside a QUANTIFIED group (`(B{2}|C)+` —
+  * repetition counts are per branch and group loops would re-enter
+  * them), and empty matches (a pattern whose every position is
+  * optional matching zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -179,10 +182,15 @@ object MatchRecognize {
         while (more) { alts += parsePatVar(p); more = p.kw("|") }
         p.expect(")")
         val as = alts.result()
-        if (as.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)))
-          sys.error("MATCH_RECOGNIZE: {n,m} quantifiers on a BRANCH " +
-            "inside alternation are not supported (quantify the group)")
         val (gMin, gMax, gRel) = parseQuant(p)
+        // B{n,m} as a branch compiles to a repetition-counted
+        // self-loop (Cep.Step minReps/maxReps); counts are per step,
+        // so a QUANTIFIED group would re-enter the branch across
+        // group repetitions and mis-accumulate — reject that combo
+        if (as.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)) &&
+          !(gMin == 1 && gMax == 1))
+          sys.error("MATCH_RECOGNIZE: {n,m} quantifiers on a BRANCH " +
+            "inside a QUANTIFIED group are not supported")
         pat += PatElem(as, gMin, gMax, gRel)
       } else {
         val name = p.next()
@@ -410,25 +418,32 @@ object MatchRecognize {
     val schema = df.schema
 
     // expand quantifiers into linear pattern POSITIONS, each a vector
-    // of (name, oneOrMore, optional, reluctant, groupLoop)
-    // alternatives — the SAME expansion for single variables and
-    // alternation groups (an element is repeated as a unit):
+    // of (name, oneOrMore, optional, reluctant, groupLoop, minReps,
+    // maxReps) alternatives — the SAME expansion for single variables
+    // and alternation groups (an element is repeated as a unit):
     //   E{n,m} → n mandatory copies + (m-n) optional copies;
     //   E{n,}  → n copies, the last looping; E* → 1 optional looping.
     // groupLoop is set on looping copies of a multi-branch element:
     // (B|C)+ repetitions may switch branches, so the NFA loop tries
     // every alternative of the position, not just the current step.
-    // Per-branch quantifiers compose: (B+|C) self-loops B only.
-    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean, Boolean)]] =
+    // Per-branch quantifiers compose: (B+|C) self-loops B only, and
+    // a BOUNDED branch (B{n,m}|C) — which can't use the copy rewrite
+    // because the other branches share its position — rides the
+    // NFA's repetition-counted self-loop (minReps/maxReps); the
+    // parser guarantees bounded branches only occur in unquantified
+    // groups, so loop copies never carry counts.
+    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean, Boolean, Int, Int)]] =
       clause.pattern.iterator.flatMap { el =>
         def pos(loop: Boolean, opt: Boolean)
-            : Vector[(String, Boolean, Boolean, Boolean, Boolean)] =
+            : Vector[(String, Boolean, Boolean, Boolean, Boolean, Int, Int)] =
           el.alts.map { v =>
             (v.name,
-              v.max == -1 || loop,
+              v.max == -1 || v.max > 1 || loop,
               v.min == 0 || opt,
               if (loop) el.reluctant || v.reluctant else v.reluctant,
-              loop && el.alts.size > 1)
+              loop && el.alts.size > 1,
+              math.max(1, v.min),
+              if (loop) -1 else v.max)
           }
         if (el.max == -1) {
           if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))
@@ -469,7 +484,7 @@ object MatchRecognize {
 
     val steps = positions.zipWithIndex.flatMap { case (alts, posIdx) =>
       alts.zipWithIndex.map {
-        case ((v, oneOrMore, optional, reluctant, groupLoop), a) =>
+        case ((v, oneOrMore, optional, reluctant, groupLoop, mnR, mxR), a) =>
           val pred = clause.defines.get(v)
           Cep.Step[Row](v,
             contiguity = if (posIdx == 0) Cep.FollowedBy else Cep.Next,
@@ -481,7 +496,9 @@ object MatchRecognize {
               eval(_, Some(e), v, varIdx, entries))),
             optional = optional,
             altWithPrev = a > 0,
-            groupLoop = groupLoop)
+            groupLoop = groupLoop,
+            minReps = mnR,
+            maxReps = mxR)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)

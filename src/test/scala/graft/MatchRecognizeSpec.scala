@@ -112,13 +112,14 @@ class MatchRecognizeSpec extends SparkSpec {
       """)
     }
     assert(err3.getMessage.contains("expected )"))
-    // {n,m} on a BRANCH inside alternation: quantify the group instead
+    // {n,m} on a branch is fine in a plain group, but a QUANTIFIED
+    // group would re-enter the branch and mis-count — rejected loudly
     val err4 = intercept[RuntimeException] {
       MatchRecognize.run(rows, """
         PARTITION BY sym
         ORDER BY seq
         MEASURES A.price AS p
-        PATTERN (A (B{2}|C))
+        PATTERN (A (B{2}|C)+)
         DEFINE A AS price > 0
       """)
     }
@@ -212,6 +213,67 @@ class MatchRecognizeSpec extends SparkSpec {
     // (B|C)* allows the empty run
     assert(mr(tape(1L -> "a", 2L -> "d"), "A (B|C)* D", ms, defs) ==
       Seq(Seq(null, null, 2L)))
+  }
+
+  test("per-branch + inside alternation (B+|C) self-loops B, never switches") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "LAST(B.seq) AS b_seq, LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    // B+ branch consumes the whole b run
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "d"),
+      "A (B+|C) D", ms, defs) == Seq(Seq(4L, null, 5L)))
+    // the C branch is a single row
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"),
+      "A (B+|C) D", ms, defs) == Seq(Seq(null, 2L, 3L)))
+    // unlike (B|C)+, repetitions may NOT switch branches: b then c
+    // fits neither B+ (c breaks the loop) nor C (b took the position)
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "A (B+|C) D", ms, defs).isEmpty)
+    // + still requires at least one row
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B+|C) D", ms, defs).isEmpty)
+    // C+ branch: the c run is consumed by the self-loop
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "c", 4L -> "d"),
+      "A (B|C+) D", ms, defs) == Seq(Seq(null, 3L, 4L)))
+  }
+
+  test("optional branch (B?|C) lets the position match empty") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "LAST(B.seq) AS b_seq, LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "d"), "A (B?|C) D", ms, defs) ==
+      Seq(Seq(2L, null, 3L)))
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"), "A (B?|C) D", ms, defs) ==
+      Seq(Seq(null, 2L, 3L)))
+    // skipping the position = choosing B? empty (C alone cannot skip)
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B?|C) D", ms, defs) ==
+      Seq(Seq(null, null, 2L)))
+    // (B*|C): loop and empty-skip through the same branch
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d"),
+      "A (B*|C) D", ms, defs) == Seq(Seq(3L, null, 4L)))
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B*|C) D", ms, defs) ==
+      Seq(Seq(null, null, 2L)))
+  }
+
+  test("bounded branch (B{2,3}|C) counts its own repetitions") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1, " +
+      "LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    // two bs meet the minimum
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d"),
+      "A (B{2,3}|C) D", ms, defs) == Seq(Seq(2L, 3L, null, 4L)))
+    // three bs: greedy up to the cap
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "d"),
+      "A (B{2,3}|C) D", ms, defs) == Seq(Seq(2L, 4L, null, 5L)))
+    // one b is below the minimum — and the C branch does not take b
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "d"),
+      "A (B{2,3}|C) D", ms, defs).isEmpty)
+    // four bs exceed the cap: the un-consumed b breaks contiguity to D
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "d"), "A (B{2,3}|C) D", ms, defs).isEmpty)
+    // the unbounded branch is unaffected
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"),
+      "A (B{2,3}|C) D", ms, defs) == Seq(Seq(null, null, 2L, 3L)))
   }
 
   test("(B|C){2} takes exactly two rows from either branch") {
