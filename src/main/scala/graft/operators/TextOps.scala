@@ -540,6 +540,31 @@ object TextOps extends graft.QueryModule {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Train half of the streaming decontamination gate
+    * ([[graft.streaming.StreamAggs.decontamGate]]): the benchmark
+    * source's distinct n-gram 60-bit hashes as a SORTED array —
+    * binary-searchable, compact to broadcast, order-deterministic.
+    * Collecting is safe by construction: held-out benchmark suites
+    * are bounded eval sets (the q120 literal-benchmark argument), not
+    * corpus-scale — the index is grams-of-the-benchmark-sized. Gram
+    * definition (words → n-shingles → distinct → hash60) matches
+    * [[contamination]]/[[decontaminate]] bit for bit, so the gate's
+    * stream survivors equal q125's batch survivors (spec-asserted).
+    */
+  def fitContamIndex(documents: DataFrame, benchSource: String = "src0",
+                     n: Int = 5): Array[Long] = {
+    val idx = documents.filter(col("source") === benchSource)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(array_distinct(shingles(col("ws"), n))).as("g"))
+      .select(hash60(col("g")).as("gh"))
+      .distinct()
+      .as[Long](documents.sparkSession.implicits.newLongEncoder)
+      .collect()
+    java.util.Arrays.sort(idx)
+    idx
+  }
+
   /** Unigram-LM surprisal — the perplexity-proxy quality score every
     * production filtering pipeline runs (CCNet-style: score each
     * document by how surprising its tokens are under a language model

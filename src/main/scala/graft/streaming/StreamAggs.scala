@@ -240,6 +240,70 @@ object StreamAggs {
       .drop("__s")
   }
 
+  /** Streaming decontamination gate — the serve half of q125's
+    * report→apply closure (`TextOps.decontaminate`): the benchmark
+    * gram index is FROZEN at fit time (`TextOps.fitContamIndex`, a
+    * sorted 60-bit hash array) and every arriving document is scored
+    * and admitted/dropped in-stream. The per-doc measure is q125's
+    * exactly — distinct word n-grams, shared count vs the index,
+    * integer cross-multiplied threshold (shared·1000 ≥ permille·total)
+    * — so running the gate over the batch corpus reproduces q125's
+    * survivor set row for row (spec-asserted). Documents with fewer
+    * than n words have no grams and are always admitted, matching the
+    * batch inner-join semantics.
+    *
+    * Scale shape: STATELESS per row, like [[surprisalScore]] — the
+    * index ships once per executor as a broadcast (§2.3 P7: the
+    * lookup rides with the task; benchmark suites are bounded eval
+    * sets, so the index is benchmark-gram-sized, not corpus-sized),
+    * the stream never joins, shuffles, or keeps state, and no
+    * watermark is needed. Binary search per gram keeps the probe
+    * allocation-free.
+    */
+  def decontamGate(docs: DataFrame, textCol: Column,
+                   index: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                   n: Int = 5, maxSharePermille: Long = 100): DataFrame = {
+    import graft.functions.Portable.{h60Scala, wordsScala}
+    require(maxSharePermille >= 1,
+      s"maxSharePermille must be >= 1, got $maxSharePermille")
+    val bc = index
+    val nn = n
+    val permille = maxSharePermille
+    val keep = udf { text: String =>
+      val ws = wordsScala(if (text == null) "" else text)
+      if (ws.length < nn) true
+      else {
+        // distinct grams, the batch op's array_distinct semantics
+        val grams = new scala.collection.mutable.HashSet[Long]
+        var i = 0
+        while (i + nn <= ws.length) {
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < nn) { sb.append(' ').append(ws(i + j)); j += 1 }
+          grams += h60Scala(sb.toString)
+          i += 1
+        }
+        var shared = 0L
+        grams.foreach { g =>
+          if (java.util.Arrays.binarySearch(bc.value, g) >= 0) shared += 1
+        }
+        shared * 1000L < permille * grams.size
+      }
+    }
+    docs.filter(keep(textCol))
+  }
+
+  /** Convenience overload that broadcasts the index itself. Long-lived
+    * drivers that refit the benchmark index periodically should use
+    * the Broadcast overload and `destroy()` superseded broadcasts once
+    * the query using them stops (the [[surprisalScore]] lifecycle
+    * discipline) — this overload creates a new broadcast per call and
+    * never destroys it. */
+  def decontamGate(docs: DataFrame, textCol: Column, index: Array[Long],
+                   n: Int, maxSharePermille: Long): DataFrame =
+    decontamGate(docs, textCol,
+      docs.sparkSession.sparkContext.broadcast(index), n, maxSharePermille)
+
   /** W12: idle-source tolerance — the Spark counterpart of Flink's
     * `withIdleness` (`windowing/Flink Window.md` §2.4). Flink marks a
     * stalled source idle per-source; Spark's switch is per-query:

@@ -379,6 +379,49 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate reproduces q125's batch survivors") {
+    import graft.core.Tables
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch reference: q125's survivor set on the same fixture; a
+    // permissive permille would drop nothing, so use one that does
+    val permille = 1L
+    val want = TextOps.decontaminate(docs, maxSharePermille = permille)
+      .select("doc_id").as[Long].collect().toSet
+    val nonBench = docs.filter(col("source") =!= "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(want.size < nonBench.size,
+      "fixture must actually drop contaminated docs for the parity to bite")
+    val index = TextOps.fitContamIndex(docs)
+    assert(index.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    // the gate scores whatever arrives; the bench source itself is
+    // eval data and is filtered upstream, as the batch apply does
+    val q = StreamAggs.decontamGate(
+        in.toDF().toDF("doc_id", "text", "source")
+          .filter(col("source") =!= "src0"),
+        col("text"), index, 5, permille)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text", "source")
+        .as[(Long, String, String)].collect()
+      // two batches: the frozen index must score later arrivals
+      // identically to earlier ones
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("decontam_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        s"stream kept ${got.size} docs, batch kept ${want.size}; " +
+          s"diff ${(got -- want) ++ (want -- got)}")
+    } finally q.stop()
+  }
+
   test("streaming probe scoring reproduces the batch scores exactly") {
     import graft.core.Tables
     import graft.operators.TextOps
