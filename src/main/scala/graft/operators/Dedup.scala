@@ -485,7 +485,7 @@ object Dedup extends graft.QueryModule {
     *  - edge count ≤ `maxDriverEdges`: collect the pairs and run
     *    union-find (path compression, smaller root wins so every root
     *    IS its component's min id) on the driver — one pass, no
-    *    per-round shuffles. 5M edges ≈ 80 MB raw; the
+    *    per-round shuffles. 3M edges ≈ 48 MB raw; the
     *    result broadcasts back as a literal table. This is the normal
     *    case even at 100 TB corpus scale when dup density is sane.
     *  - otherwise: iterative min-label propagation with POINTER
@@ -499,15 +499,23 @@ object Dedup extends graft.QueryModule {
     *    loop's lineage.
     *
     * Both paths produce the identical (doc_id, min-id-of-component)
-    * labeling, so the gate is invisible to the oracle. Measured at a
-    * 480k-edge / 500k-doc graph (ProfileScale sf10, SCALE.md): the
-    * loop ran 4.7 s vs the driver path's 19.2 s — the collect +
-    * label-broadcast the driver path pays crosses over well below
-    * the 5M default, so the gate is a conservative correctness
-    * switch, not the performance optimum.
+    * labeling, so the gate is invisible to the oracle. The default
+    * derives from the round-7 crossover sweep (`ProfileScale
+    * q47gate`, SCALE.md): whole-call wall, both paths forced, on
+    * verbatim-duplication graphs from 60 k to 6.7 M edges — the
+    * driver path wins at ≤ 2.5 M edges (7.9 s vs 11.9 s at 2.5 M)
+    * and loses from ~5 M (19.7 s vs 14.2 s at 5.05 M), so the
+    * measured crossover sits between 2.5 M and 5 M. The 3 M default
+    * keeps headroom below it because a real cluster pays a network
+    * collect + rebroadcast that local-mode timing flatters, and the
+    * mis-pick penalty is asymmetric (the loop is ~1.5× when wrongly
+    * chosen; the driver path keeps degrading with edge count).
+    * (An earlier round-6 single-point reading of 19.2 s driver at
+    * 480 k edges did not reproduce — see BENCHDRIFT.md for the
+    * machine-weather/testdata-regeneration post-mortem.)
     */
   def dedupGroups(documents: DataFrame, maxRounds: Int = 20,
-                  maxDriverEdges: Long = 5000000L,
+                  maxDriverEdges: Long = 3000000L,
                   checkpointDir: Option[String] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

@@ -279,18 +279,33 @@ object ProfileScale {
     */
   private def runQ47Gate(spark: SparkSession, argKs: Seq[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
-    val ks = if (argKs.nonEmpty) argKs.map(_.toInt)
-             else Seq(1, 3, 10, 30, 100)
+    // "k" = k disjoint prefix-remapped replicas (edge count scales
+    // linearly with the base corpus's own near-dup density);
+    // "kxd" additionally duplicates every replica doc VERBATIM d
+    // times under fresh ids — each doc becomes a d-clique in the pair
+    // graph, so edges ≈ k·|docs|·d(d−1)/2: the dense-duplication
+    // regime (scrapes, mirrors) where the gate decision actually
+    // bites, at controllable edge volume
+    val ks = if (argKs.nonEmpty) argKs else Seq("1", "3", "10", "30", "100")
     val base = Tables.documents(spark, sf01)
-    for (k <- ks) {
-      val path = s"/tmp/graft_q47gate/docs_$k.parquet"
-      (0 until k).map { r =>
+    for (spec <- ks) {
+      val (k, d) = spec.split("x") match {
+        case Array(a) => (a.toInt, 1)
+        case Array(a, b) => (a.toInt, b.toInt)
+      }
+      val path = s"/tmp/graft_q47gate/docs_${k}x$d.parquet"
+      val replicated = (0 until k).map { r =>
         if (r == 0) base
         else base.select(
           (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             w => concat(lit(s"r${r}x"), w)), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionByName(_))
+      (0 until d).map { j =>
+        if (j == 0) replicated
+        else replicated.withColumn("doc_id",
+          col("doc_id") + lit(j * 1000000000L))
       }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val nEdges = Dedup.minhashPairs(docs).count()
@@ -307,7 +322,7 @@ object ProfileScale {
       }
       val tDriver = time(Long.MaxValue)
       val tLoop = time(0L)
-      println(f"q47gate k=$k%-4d edges=$nEdges%8d  driver=$tDriver%7.2f s" +
+      println(f"q47gate k=$k%-4dx$d%-3d edges=$nEdges%8d  driver=$tDriver%7.2f s" +
         f"  loop=$tLoop%7.2f s  ${if (tDriver <= tLoop) "driver" else "loop"}")
     }
   }
