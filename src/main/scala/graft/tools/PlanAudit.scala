@@ -10,11 +10,14 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // trailing query names narrow the audit (default: all queries)
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if only.isEmpty || only(name)) {
       val df = fn(spark, sf)
       df.collect() // finalize AQE so counts reflect the executed plan
       val plan = df.queryExecution.executedPlan.toString

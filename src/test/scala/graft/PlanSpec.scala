@@ -469,6 +469,29 @@ class PlanSpec extends SparkSpec {
     assert(!leak.contains("Window"), leak)
   }
 
+  test("q87 recall eval joins the two bounded pair sets without re-expansion") {
+    val docs = Tables.documents(spark, sf)
+    val eval = planOf(Dedup.minhashRecallEval(docs))
+      .split("== Initial Plan ==")(0)
+    // the full-outer join must sit directly on the two candidate
+    // subtrees: the corpus-exploding Generate count of the eval plan
+    // equals the SUM of the standalone subtrees' — nothing downstream
+    // of the pair sets re-runs a shingle/minhash expansion
+    val genCand = "Generate".r.findAllIn(
+      planOf(Dedup.minhashPairs(docs)).split("== Initial Plan ==")(0)).size
+    val genTruth = "Generate".r.findAllIn(
+      planOf(Dedup.ngramJaccardPairs(docs, 0.8))
+        .split("== Initial Plan ==")(0)).size
+    val genEval = "Generate".r.findAllIn(eval).size
+    assert(genEval == genCand + genTruth,
+      s"eval has $genEval Generates, subtrees $genCand + $genTruth:\n$eval")
+    // and collapses to ONE single-row aggregate — no rank window, no
+    // cartesian, one SinglePartition exchange for the final counts
+    assert("Exchange SinglePartition".r.findAllIn(eval).size == 1, eval)
+    assert(!eval.contains("Window"), eval)
+    assert(!eval.contains("CartesianProduct"), eval)
+  }
+
   test("q128 profile lookup broadcast is size-gated with a shuffled-join fallback") {
     val docs = Tables.documents(spark, sf)
     val auto = planOf(Dedup.jaccardProfile(docs))
