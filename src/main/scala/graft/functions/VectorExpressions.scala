@@ -50,6 +50,98 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The whole per-centroid squared-L2 distance ARRAY of one PQ
+  * subspace as a SINGLE expression: given the subvector column and a
+  * plan-constant codebook, emits `[ |x|² − 2·x·c_k + |c_k|² ]` for
+  * every centroid k in one fused nested loop.
+  *
+  * Why one fused node (round-7 measurements, 200 k × 64-d rows, 16
+  * centroids × 4 subspaces): spelling the 64 per-centroid distances
+  * as separate expressions hit a generated-code cliff whenever each
+  * element contained its own ARRAY loop — `transform()` HOF over
+  * literal centroids ~15 s, unrolled DotProduct against ArrayData
+  * literals (Generic- or Unsafe-backed) ~15 s, even a custom
+  * one-loop-per-centroid primitive-`double[]` expression ~12 s —
+  * while the same arithmetic as straight-line scalar multiply-add
+  * chains ran ~1 s. Straight-line chains split into many small
+  * JIT-able methods; dozens of distinct loops in one projection do
+  * not. But the scalar spelling costs ~32× more expression nodes,
+  * and PLANNING then dominates small inputs (the sf0.1 bench paid
+  * +1.5 s per PQ query re-optimizing the ~12 k-node tree each run).
+  * One fused node per subspace keeps the tree model-sized (4 nodes)
+  * AND the execution a single tight primitive loop: sf10 distance
+  * pass ~1 s, sf0.1 plan overhead gone.
+  *
+  * Bit-exactness: |x|² and each x·c accumulate in ascending index
+  * order from 0.0 — exactly [[DotProduct]]'s fold and the oracle's
+  * `list_reduce(list_prepend(0.0, …))` — and the element order is
+  * the codebook order, so argmin/array_min and the driver hash are
+  * unchanged against every previous spelling.
+  */
+case class PqDistances(child: Expression, cents: Array[Array[Double]],
+                       norms: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    var x2 = 0.0
+    var i = 0
+    while (i < x.length) { x2 += x(i) * x(i); i += 1 }
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(x.length, w.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x(j) * w(j); j += 1 }
+      out(c) = x2 - 2.0 * s + norms(c)
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ns = ctx.addReferenceObj("norms", norms, "double[]")
+      val x = ctx.freshName("x")
+      val x2 = ctx.freshName("x2")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double $x2 = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) { $x2 += $x[$i] * $x[$i]; }
+         |double[] $out = new double[$cs.length];
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $w = $cs[$c];
+         |  int $n = java.lang.Math.min($x.length, $w.length);
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) { $s += $x[$j] * $w[$j]; }
+         |  $out[$c] = $x2 - 2.0 * $s + $ns[$c];
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  // the weight matrix compares by reference under case-class
+  // equality; per-(subspace, round) instances are distinct anyway, so
+  // default equality/canonicalization costs at most a missed
+  // subexpression-elimination, never wrong results
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two SORTED DISTINCT string arrays via a
   * single merge walk — O(|a|+|b|) generated code per pair instead of
   * array_intersect + array_union building two intermediate arrays.
@@ -391,6 +483,14 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All per-centroid squared-L2 distances of one PQ subspace in one
+    * fused codegen node (see [[PqDistances]]). */
+  def pqDistances(sv: Column, cents: Seq[Seq[Double]],
+                  norms: Seq[Double]): Column =
+    ColumnBridge.column(
+      PqDistances(ColumnBridge.expression(sv),
+        cents.map(_.toArray).toArray, norms.toArray))
 
   /** Jaccard similarity of two sorted distinct string arrays. */
   def sortedJaccard(a: Column, b: Column): Column =

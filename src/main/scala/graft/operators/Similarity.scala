@@ -824,10 +824,11 @@ object Similarity extends graft.QueryModule {
     val base = embeddings.select(col("vec_id"),
       asDouble(col("embedding")).as("emb"))
     val models = pqFit(base, m, sub, centroidMod, iters)
+    val withD = pqWithDists(base, m, sub, models, Seq("vec_id"))
     val codeCols = (0 until m).map(s =>
-      pqCodeOf(pqDistsTo(sub, s, models(s)), models(s)).as(s"code_$s"))
-    val errCols = (0 until m).map(s => array_min(pqDistsTo(sub, s, models(s))))
-    base.select(Seq(col("vec_id")) ++ codeCols :+
+      pqCodeOf(col(s"__d_$s"), models(s)).as(s"code_$s"))
+    val errCols = (0 until m).map(s => array_min(col(s"__d_$s")))
+    withD.select(Seq(col("vec_id")) ++ codeCols :+
       errCols.reduceLeft(_ + _).as("err"): _*)
   }
 
@@ -841,17 +842,33 @@ object Similarity extends graft.QueryModule {
   private def pqDot(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
 
-  /** Per-centroid squared L2 distances of subspace `s`'s subvector via
-    * the |x|² − 2x·c + |c|² identity (|c|² folded driver-side). */
-  private def pqDistsTo(sub: Int, s: Int,
-                        cents: Seq[(Long, Seq[Double])]): Column = {
-    val cEmbs = typedlit(cents.map(_._2))
-    val cN2 = typedlit(cents.map(c => pqN2(c._2)))
-    val sv = pqSubvec(sub, s)
-    val x2 = dot(sv, sv)
-    transform(cEmbs, (ce, i) =>
-      x2 - lit(2.0) * dot(sv, ce) +
-        element_at(cN2, (i + lit(1)).cast("int")))
+  /** Per-centroid squared L2 distances of one subspace via the
+    * |x|² − 2x·c + |c|² identity, as ONE fused codegen node over the
+    * literal codebook ([[graft.functions.VectorExpressions.PqDistances]]
+    * — see its scaladoc for the round-7 measurement story: HOF
+    * lambdas, literal-array dots, and per-centroid loop expressions
+    * all hit a generated-code cliff; the fused nested loop runs the
+    * sf10 distance pass ~15× faster with a model-sized plan, bit
+    * identically). */
+  private def pqDistsTo(sv: Column,
+                        cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.VectorExpressions.pqDistances(sv,
+      cents.map(_._2), cents.map(c => pqN2(c._2)))
+
+  /** Adds the materialized per-subspace `__d_s` distance arrays (and
+    * `__sv_s` subvectors — needed again by fit's quantized-component
+    * columns): both are multi-referenced expensive aliases, which
+    * CollapseProject keeps materialized, so slices and distance
+    * arrays evaluate once per row. */
+  private def pqWithDists(base: DataFrame, m: Int, sub: Int,
+                          models: Seq[Seq[(Long, Seq[Double])]],
+                          keep: Seq[String]): DataFrame = {
+    val keepC = keep.map(col)
+    val withSv = base.select(keepC ++ (0 until m).map(s =>
+      pqSubvec(sub, s).as(s"__sv_$s")): _*)
+    withSv.select(keepC ++ (0 until m).flatMap(s => Seq(
+      col(s"__sv_$s"),
+      pqDistsTo(col(s"__sv_$s"), models(s)).as(s"__d_$s"))): _*)
   }
 
   /** 1-based POSITION of the argmin (ties → first = smallest centroid
@@ -889,11 +906,12 @@ object Similarity extends graft.QueryModule {
     for (_ <- 1 to iters) {
       // stack m rows per vector: (subspace, assigned code, quantized
       // subvector components) — all m assignments ride one scan
-      val stacked = base.select(explode(array((0 until m).map { s =>
+      val withD = pqWithDists(base, m, sub, models, Seq.empty)
+      val stacked = withD.select(explode(array((0 until m).map { s =>
         struct(Seq(lit(s).as("s"),
-          pqCodeOf(pqDistsTo(sub, s, models(s)), models(s)).as("code")) ++
+          pqCodeOf(col(s"__d_$s"), models(s)).as("code")) ++
           (0 until sub).map(i =>
-            floor(element_at(pqSubvec(sub, s), i + 1) * pow52)
+            floor(element_at(col(s"__sv_$s"), i + 1) * pow52)
               .cast("decimal(38,0)").as(s"v$i")): _*)
       }: _*)).as("r")).select(col("r.*"))
       val fitted = stacked
@@ -941,9 +959,11 @@ object Similarity extends graft.QueryModule {
     val models = pqFit(base, m, sub, centroidMod, iters)
     // corpus side: m code INDEXES per vector (positions into the
     // id-sorted codebooks — the LUT lookup is positional), map-only
+    val withD = pqWithDists(base, m, sub, models, Seq("vec_id"))
     val idxCols = (0 until m).map(s =>
-      pqCodeIdx(pqDistsTo(sub, s, models(s))).as(s"idx_$s"))
-    val codes = base.select(Seq(col("vec_id").as("neighbor_id")) ++ idxCols: _*)
+      pqCodeIdx(col(s"__d_$s")).as(s"idx_$s"))
+    val codes = withD.select(
+      Seq(col("vec_id").as("neighbor_id")) ++ idxCols: _*)
     // query side: model-sized collect (like centroids), then one
     // broadcast of per-query ADC tables
     val qs = base.filter(col("vec_id") < nQueries)

@@ -33,6 +33,32 @@ object ProfileScale {
       spark.stop()
       return
     }
+    if (args.headOption.contains("pqprobe")) {
+      // decompose q80's wall at an existing replica path: model fit
+      // (runs at construction — driver collects per Lloyd round) vs
+      // the map-only encode write. The round-7 spelling bake-off
+      // this probe drove (HOF vs literal-dot vs scalar chains vs the
+      // shipped fused PqDistances node) is recorded in
+      // VectorExpressions.PqDistances' scaladoc.
+      val path = args.lift(1).getOrElse("/tmp/graft_sf10/embeddings.parquet")
+      val mod = args.lift(2).map(_.toInt).getOrElse(12700)
+      val embs = spark.read.parquet(path)
+      println(s"pqprobe vecs=${embs.count()} " +
+        s"scanPartitions=${embs.rdd.getNumPartitions} centroidMod=$mod")
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"pqprobe $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
+      (1 to 2).foreach { i =>
+        val df = t(s"construct+fit (run $i)")(
+          graft.operators.Similarity.pqEncode(embs, centroidMod = mod))
+        t(s"encode write   (run $i)")(
+          df.write.format("noop").mode("overwrite").save())
+      }
+      spark.stop()
+      return
+    }
 
     val sf01 = "/root/testdata/sf0.1"
     // replicas are rebuilt unconditionally: an existence-keyed cache
@@ -391,10 +417,45 @@ object ProfileScale {
       // bands (audit and scrub respectively)
       "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
       "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)),
-      "q131_leak_scrub"   -> (d => Dedup.leakageScrub(d)))
+      "q131_leak_scrub"   -> (d => Dedup.leakageScrub(d)),
+      // round-7: the admission hot path a production pipeline runs
+      // CONTINUOUSLY — 80/20 reference/batch split per replica (ids
+      // shift by multiples of 10, so the split lands identically in
+      // every replica and admissions scale exactly linearly)
+      "q73_incremental"   -> (d => Dedup.incrementalAdmit(
+                               d.filter(pmod(col("doc_id"), lit(10)) < 8),
+                               d.filter(pmod(col("doc_id"), lit(10)) >= 8))))
     for ((name, op) <- ops if only.isEmpty || only(name)) {
       op(docs).write.format("noop").mode("overwrite").save() // warm
       val (sec, rows) = time(op(docs))
+      println(f"sf10 $name%-20s $sec%7.2f s  ($rows rows)")
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // embeddings at 100×: the PQ serving family (encode + ADC search)
+    // a production pipeline also runs continuously. Values replicate
+    // unchanged under offset ids; production holds the CODEBOOK size
+    // fixed as the corpus grows, so centroidMod scales with the
+    // replica factor (the q80 sf1 discipline) and the measured growth
+    // is the pure map-only encode/search scan, not a 100× model fit.
+    val embOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "q80_pq_encode" -> (e => graft.operators.Similarity.pqEncode(
+        e, centroidMod = 12700)),
+      "q82_pq_search" -> (e => graft.operators.Similarity.pqSearch(
+        e, nQueries = 16, k = 5, centroidMod = 12700)))
+    if (!(only.isEmpty || embOps.exists(o => only(o._1)))) return
+    val e10Path = "/tmp/graft_sf10/embeddings.parquet"
+    val ebase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    (0 until 100).map(k => ebase.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(e10Path)
+    val embs = spark.read.parquet(e10Path)
+    for ((name, op) <- embOps if only.isEmpty || only(name)) {
+      op(embs).write.format("noop").mode("overwrite").save() // warm
+      val (sec, rows) = time(op(embs))
       println(f"sf10 $name%-20s $sec%7.2f s  ($rows rows)")
       spark.catalog.clearCache()
       System.gc()
