@@ -142,6 +142,146 @@ case class PqDistances(child: Expression, cents: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Cosine similarity of an `array<double>` column against every row
+  * of a PLAN-CONSTANT centroid matrix, as one fused codegen node —
+  * the [[PqDistances]] treatment for the cosine-assignment family
+  * (SemDeDup prune, cluster quality, IVF occupancy, diverse
+  * sampling, semantic decontamination, k-means assignment): the
+  * `transform()`-HOF-over-literal-centroids spelling re-evaluated
+  * `norm(emb)` and the dot per element interpreted, and every
+  * loop-per-centroid alternative hits the many-loops generated-code
+  * cliff [[PqDistances]] documents.
+  *
+  * Bit-exactness: |x|² accumulates ascending from 0.0 (DotProduct's
+  * fold), `sqrt` once, and element k is `dot(x, c_k) / (√x2 ·
+  * cNrm_k)` — the identical op sequence the HOF spelling ran (its
+  * per-element `norm(emb)` recomputed the same value), so
+  * sims/argmax/oracle hashes are unchanged.
+  */
+case class CosineToConstants(child: Expression, cents: Array[Array[Double]],
+                             cNrms: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    var x2 = 0.0
+    var i = 0
+    while (i < x.length) { x2 += x(i) * x(i); i += 1 }
+    val nx = math.sqrt(x2)
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(x.length, w.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += x(j) * w(j); j += 1 }
+      out(c) = s / (nx * cNrms(c))
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ns = ctx.addReferenceObj("cNrms", cNrms, "double[]")
+      val x = ctx.freshName("x")
+      val x2 = ctx.freshName("x2")
+      val nx = ctx.freshName("nx")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double $x2 = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) { $x2 += $x[$i] * $x[$i]; }
+         |double $nx = java.lang.Math.sqrt($x2);
+         |double[] $out = new double[$cs.length];
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $w = $cs[$c];
+         |  int $n = java.lang.Math.min($x.length, $w.length);
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) { $s += $x[$j] * $w[$j]; }
+         |  $out[$c] = $s / ($nx * $ns[$c]);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer squared-L2 distance of an `array<long>` column
+  * against every row of a plan-constant long matrix, fused like
+  * [[CosineToConstants]] (the q126 topic-clustering assignment: the
+  * zip_with + aggregate HOF pair per centroid is interpreted AND
+  * loop-shaped). Ascending accumulate from 0, exact integer adds —
+  * identical values to the HOF spelling at any order, but the order
+  * matches anyway. */
+case class LongSqDistances(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(x.length, w.length)
+      var s = 0L
+      var j = 0
+      while (j < n) { val d = x(j) - w(j); s += d * d; j += 1 }
+      out(c) = s
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("cents", cents, "long[][]")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |long[] $x = $a.toLongArray();
+         |long[] $out = new long[$cs.length];
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  long[] $w = $cs[$c];
+         |  int $n = java.lang.Math.min($x.length, $w.length);
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $d = $x[$j] - $w[$j];
+         |    $s += $d * $d;
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Jaccard similarity of two SORTED DISTINCT string arrays via a
   * single merge walk — O(|a|+|b|) generated code per pair instead of
   * array_intersect + array_union building two intermediate arrays.
@@ -491,6 +631,22 @@ object VectorExpressions {
     ColumnBridge.column(
       PqDistances(ColumnBridge.expression(sv),
         cents.map(_.toArray).toArray, norms.toArray))
+
+  /** Cosine similarity against every row of a constant centroid
+    * matrix in one fused codegen node (see [[CosineToConstants]]). */
+  def cosineToConstants(v: Column, cents: Seq[Seq[Double]],
+                        cNrms: Seq[Double]): Column =
+    ColumnBridge.column(
+      CosineToConstants(ColumnBridge.expression(v),
+        cents.map(_.toArray).toArray, cNrms.toArray))
+
+  /** Exact integer squared-L2 distances against every row of a
+    * constant long matrix (see [[LongSqDistances]]). */
+  def longSqDistances(v: Column, cents: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(
+      LongSqDistances(ColumnBridge.expression(v),
+        cents.map(_.toArray).toArray))
+
 
   /** Jaccard similarity of two sorted distinct string arrays. */
   def sortedJaccard(a: Column, b: Column): Column =

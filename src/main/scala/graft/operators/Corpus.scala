@@ -323,9 +323,12 @@ object Corpus extends graft.QueryModule {
         array((0 until buckets).map(j => col(s"x$j")): _*))
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     require(cents.nonEmpty, s"no centroid docs with doc_id % $centroidMod = 0")
-    val dists = transform(typedlit(cents.map(_._2)), ce =>
-      aggregate(zip_with(xarr, ce, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
+    // one fused codegen node for all per-centroid integer L2
+    // distances — the zip_with+aggregate HOF pair per centroid is
+    // interpreted and loop-shaped (the many-literal-loops cliff,
+    // VectorExpressions.LongSqDistances); exact integers, identical
+    val dists = graft.functions.VectorExpressions.longSqDistances(
+      xarr, cents.map(_._2))
     // first min = smallest centroid id (cents id-sorted) — the same
     // tie-break as the oracle's ORDER BY d2 ASC, c_id ASC
     val cluster = element_at(typedlit(cents.map(_._1)), coalesce(

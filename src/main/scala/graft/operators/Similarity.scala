@@ -395,11 +395,11 @@ object Similarity extends graft.QueryModule {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     // cosine to each centroid with the shared fold; centroid norms are
     // driver-side sqrt of the same left-to-right |c|² fold
-    val cEmb = typedlit(cents.map(_._2))
-    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
-    val sims = transform(cEmb, (ce, i) =>
-      dot(col("emb"), ce) /
-        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // one fused codegen node for all per-centroid cosines — the HOF
+    // spelling hit the many-literal-loops cliff (VectorExpressions
+    // .CosineToConstants); values bit-identical
+    val sims = graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))
@@ -457,11 +457,11 @@ object Similarity extends graft.QueryModule {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     require(cents.size >= 2,
       s"clusterQuality needs >= 2 centroids, got ${cents.size}")
-    val cEmb = typedlit(cents.map(_._2))
-    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
-    val sims = transform(cEmb, (ce, i) =>
-      dot(col("emb"), ce) /
-        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // one fused codegen node for all per-centroid cosines — the HOF
+    // spelling hit the many-literal-loops cliff (VectorExpressions
+    // .CosineToConstants); values bit-identical
+    val sims = graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))
@@ -625,11 +625,11 @@ object Similarity extends graft.QueryModule {
     val cents = base
       .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    val cEmb = typedlit(cents.map(_._2))
-    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
-    val sims = transform(cEmb, (ce, i) =>
-      dot(col("emb"), ce) /
-        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // one fused codegen node for all per-centroid cosines — the HOF
+    // spelling hit the many-literal-loops cliff (VectorExpressions
+    // .CosineToConstants); values bit-identical
+    val sims = graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
     // first max = smallest centroid id (cents sorted) — the same
     // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
@@ -750,14 +750,12 @@ object Similarity extends graft.QueryModule {
     def step(cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
       val sorted = cents.sortBy(_._1)
       val cIds = typedlit(sorted.map(_._1))
-      val cEmbs = typedlit(sorted.map(_._2))
-      val cNrms = typedlit(sorted.map(_._3))
       base
+        // fused per-centroid cosines (CosineToConstants recomputes
+        // sqrt(|x|2) = the materialized nrm column bit-for-bit)
         .select(col("emb"),
-          transform(cEmbs, (ce, i) =>
-            dot(col("emb"), ce) /
-              (col("nrm") * element_at(cNrms, (i + lit(1)).cast("int"))))
-            .as("sims"))
+          graft.functions.VectorExpressions.cosineToConstants(
+            col("emb"), sorted.map(_._2), sorted.map(_._3)).as("sims"))
         // first position of the max = smallest centroid id among ties;
         // position 0 (max is NaN from a zero norm, equality never
         // matches) falls back to the first centroid, which is what the
@@ -1131,11 +1129,11 @@ object Similarity extends graft.QueryModule {
     val cents = base
       .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    val cEmb = typedlit(cents.map(_._2))
-    val cNrm = typedlit(cents.map(c => math.sqrt(pqN2(c._2))))
-    val sims = transform(cEmb, (ce, i) =>
-      dot(col("emb"), ce) /
-        (norm(col("emb")) * element_at(cNrm, (i + lit(1)).cast("int"))))
+    // one fused codegen node for all per-centroid cosines — the HOF
+    // spelling hit the many-literal-loops cliff (VectorExpressions
+    // .CosineToConstants); values bit-identical
+    val sims = graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
     // first max = smallest centroid id (cents sorted) — the same
     // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
@@ -1175,11 +1173,8 @@ object Similarity extends graft.QueryModule {
       .select(col("vec_id"), col("emb"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     require(bench.nonEmpty, s"no benchmark vectors with label $benchLabel")
-    val bEmb = typedlit(bench.map(_._2))
-    val bNrm = typedlit(bench.map(b => math.sqrt(pqN2(b._2))))
-    val sims = transform(bEmb, (be, i) =>
-      dot(col("emb"), be) /
-        (norm(col("emb")) * element_at(bNrm, (i + lit(1)).cast("int"))))
+    val sims = graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), bench.map(_._2), bench.map(b => math.sqrt(pqN2(b._2))))
     val benchId = element_at(typedlit(bench.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))
