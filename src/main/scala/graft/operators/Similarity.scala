@@ -657,23 +657,40 @@ object Similarity extends graft.QueryModule {
 
   def knnIvf(embeddings: DataFrame, nQueries: Int, k: Int,
              centroidMod: Int = 127, nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(col("vec_id"),
         asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", norm(col("emb")))
+    // round 7: the coarse ASSIGNMENT is a pure map over the literal
+    // centroid model (one fused CosineToConstants node — the q34/q84
+    // shape) instead of a broadcast cross-join that expanded the
+    // corpus |C|-fold and re-collapsed it through a corpus-wide
+    // max-struct exchange. At 100 TB that exchange was the plan's
+    // only corpus-sized shuffle; now the corpus never shuffles at
+    // all before the bounded top-k. Same assignment: first max in
+    // the id-sorted sims array = max cosine with ties to the
+    // smallest centroid id (all-NaN rows fall back to the first
+    // centroid — the max-struct tie-break's pick too).
     val cents = base.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val scoredCents = base.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("c_id"),
-        (dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-          .as("c_sim"))
-    // assignment: max cosine, ties to the smallest centroid id
-    val assign = scoredCents
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("c_sim"), (-col("c_id")).as("neg"))).as("m"))
-      .select(col("vec_id"), (-col("m.neg")).as("centroid"))
-    val probes = scoredCents.filter(col("vec_id") < nQueries)
-      .groupBy(col("vec_id").as("query_id"))
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cIds = typedlit(cents.map(_._1))
+    val withSims = base.select(col("vec_id"), col("emb"), col("nrm"),
+      graft.functions.VectorExpressions.cosineToConstants(
+        col("emb"), cents.map(_._2),
+        cents.map(c => math.sqrt(pqN2(c._2)))).as("__sims"))
+    val assign = withSims.select(col("vec_id"),
+      element_at(cIds, coalesce(
+        nullif(array_position(col("__sims"), array_max(col("__sims"))),
+          lit(0L)),
+        lit(1L)).cast("int")).as("centroid"))
+    val probes = withSims.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(col("__sims")))
+      .select(col("query_id"),
+        element_at(cIds, (col("pos") + 1).cast("int")).as("c_id"),
+        col("col").as("c_sim"))
+      .groupBy(col("query_id"))
       .agg(graft.functions.Aggregators.topK(nProbe)(
         col("c_sim"), col("c_id")).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("centroid"))
