@@ -186,4 +186,63 @@ object GraftProperties extends Properties("graft") {
       got == sa.toSet.intersect(sb.toSet).size.toLong
     }
   }
+
+  // ---- fused constant-matrix scoring nodes (round 7) ----------------
+  // each fused loop must equal the reference arithmetic BIT-FOR-BIT
+  // (same ascending fold from zero) — the codegen path is exercised
+  // end-to-end by the q34/q80/q82/q84/q88/q99/q118/q120/q126 oracle
+  // checks; these pin the interpreted eval against a plain-Scala fold
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+  private val dvec = Gen.listOfN(8, Gen.chooseNum(-4.0, 4.0))
+  private def sqSum(x: Seq[Double]): Double =
+    x.foldLeft(0.0)((a, v) => a + v * v)
+  private def dotRef(x: Seq[Double], y: Seq[Double]): Double =
+    x.zip(y).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+
+  property("PqDistances fused loop == |x|2 - 2x.c + |c|2 per centroid") =
+    forAll(dvec, Gen.listOfN(5, dvec)) { (x, cs) =>
+      val norms = cs.map(sqSum)
+      val got = graft.functions.PqDistances(
+        Literal.create(x.toArray, ArrayType(DoubleType)),
+        cs.map(_.toArray).toArray, norms.toArray).eval(null)
+        .asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val want = cs.zip(norms).map { case (c, n2) =>
+        sqSum(x) - 2.0 * dotRef(x, c) + n2 }
+      canonD(got) == canonD(want)
+    }
+
+  property("CosineToConstants fused loop == dot / (|x| * |c|) per centroid") =
+    forAll(dvec, Gen.listOfN(5, dvec)) { (x, cs) =>
+      val nrms = cs.map(c => math.sqrt(sqSum(c)))
+      val got = graft.functions.CosineToConstants(
+        Literal.create(x.toArray, ArrayType(DoubleType)),
+        cs.map(_.toArray).toArray, nrms.toArray).eval(null)
+        .asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val want = cs.zip(nrms).map { case (c, nc) =>
+        dotRef(x, c) / (math.sqrt(sqSum(x)) * nc) }
+      canonD(got) == canonD(want)
+    }
+
+  property("LongSqDistances fused loop == exact integer squared L2") = {
+    val lvec = Gen.listOfN(6, Gen.chooseNum(-1000L, 1000L))
+    forAll(lvec, Gen.listOfN(5, lvec)) { (x, cs) =>
+      val got = graft.functions.LongSqDistances(
+        Literal.create(x.toArray, ArrayType(LongType)),
+        cs.map(_.toArray).toArray).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = cs.map(c =>
+        x.zip(c).foldLeft(0L)((a, p) =>
+          a + (p._1 - p._2) * (p._1 - p._2)))
+      got == want
+    }
+  }
+
+  // doubles compared by BITS (0/0 NaN cases must match too, not be
+  // unequal-by-NaN)
+  private def canonD(xs: Seq[Double]): Seq[Long] =
+    xs.map(java.lang.Double.doubleToLongBits)
 }
