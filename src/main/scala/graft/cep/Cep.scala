@@ -333,10 +333,27 @@ object Cep {
                 newEntries.count(_._1 == j) >= steps(j).minReps)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
-              completed += Pending(p.origin, pr, newEntries)
+              // a completion on a still-extendable LOOPING final step
+              // is a length tie the quantifier must arbitrate: greedy
+              // holds the shorter match (the continuation threatens
+              // it; if a longer completion lands it wins), reluctant
+              // releases it immediately; AllMatches stays unranked
+              // and reports every length (FlinkCEP-style). Without
+              // this, a pattern ENDING in a greedy loop ((B{2,3}),
+              // A B+) emitted one match per length.
+              val canLoopOn = extendable && steps(j).oneOrMore &&
+                (steps(j).maxReps < 0 ||
+                  newEntries.count(_._1 == j) < steps(j).maxReps)
+              val (prPend, prLive) =
+                if (canLoopOn && steps(j).quant == Greedy)
+                  (pr :+ 1, pr :+ 0)
+                else if (canLoopOn && steps(j).quant == Reluctant)
+                  (pr :+ 0, pr :+ 1)
+                else (pr, pr)
+              completed += Pending(p.origin, prPend, newEntries)
               if (extendable) // a B+/B* tail (or optional suffix) extends
                 live += Partial(newEntries, p.startTs, matched = true,
-                  p.origin, pr)
+                  p.origin, prLive)
             } else live += Partial(newEntries, p.startTs, p.matched,
               p.origin, pr)
             r += 1
@@ -366,9 +383,11 @@ object Cep {
         val starts = startT.result()
         if (starts.nonEmpty) {
           // single-step fast path: complete-per-event only applies to
-          // an unbounded-minimum step (a DSL B{2,3} must build a
-          // partial and count)
-          if (steps.length == 1 && steps(0).minReps <= 1) {
+          // an unbounded, non-counting step — a bounded B{n,m}
+          // (minReps > 1 OR maxReps >= 0) must build a partial, loop,
+          // and count, or the cap would be silently ignored
+          if (steps.length == 1 && steps(0).minReps <= 1 &&
+            steps(0).maxReps < 0) {
             completed += Pending(nextOrigin, Vector.empty, Vector((0, e)))
             nextOrigin += 1
           } else {
@@ -382,9 +401,21 @@ object Cep {
               val isFinal = allOptFrom(jPos + 1) && steps(j).minReps <= 1
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
-                completed += Pending(nextOrigin, pr, entries0)
+                // same loop-vs-complete quantifier arbitration as the
+                // transition path (a start event can both complete a
+                // final looping step and keep looping)
+                val canLoopOn = extendable && steps(j).oneOrMore &&
+                  (steps(j).maxReps < 0 || steps(j).maxReps > 1)
+                val (prPend, prLive) =
+                  if (canLoopOn && steps(j).quant == Greedy)
+                    (pr :+ 1, pr :+ 0)
+                  else if (canLoopOn && steps(j).quant == Reluctant)
+                    (pr :+ 0, pr :+ 1)
+                  else (pr, pr)
+                completed += Pending(nextOrigin, prPend, entries0)
                 if (extendable)
-                  live += Partial(entries0, ts, matched = true, nextOrigin, pr)
+                  live += Partial(entries0, ts, matched = true, nextOrigin,
+                    prLive)
               } else live += Partial(entries0, ts, matched = false,
                 nextOrigin, pr)
               r += 1

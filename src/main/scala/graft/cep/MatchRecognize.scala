@@ -443,7 +443,11 @@ object MatchRecognize {
               if (loop) el.reluctant || v.reluctant else v.reluctant,
               loop && el.alts.size > 1,
               math.max(1, v.min),
-              if (loop) -1 else v.max)
+              // only genuinely bounded branches (max > 1) carry a cap:
+              // maxReps >= 0 switches the NFA onto its per-event
+              // repetition-count walk, which plain variables (max = 1,
+              // no loop possible) must not pay on the hot path
+              if (loop || v.max <= 1) -1 else v.max)
           }
         if (el.max == -1) {
           if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))

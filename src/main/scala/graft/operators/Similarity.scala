@@ -395,11 +395,7 @@ object Similarity extends graft.QueryModule {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     // cosine to each centroid with the shared fold; centroid norms are
     // driver-side sqrt of the same left-to-right |c|² fold
-    // one fused codegen node for all per-centroid cosines — the HOF
-    // spelling hit the many-literal-loops cliff (VectorExpressions
-    // .CosineToConstants); values bit-identical
-    val sims = graft.functions.VectorExpressions.cosineToConstants(
-      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = centroidCosines(cents)
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))
@@ -457,11 +453,7 @@ object Similarity extends graft.QueryModule {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     require(cents.size >= 2,
       s"clusterQuality needs >= 2 centroids, got ${cents.size}")
-    // one fused codegen node for all per-centroid cosines — the HOF
-    // spelling hit the many-literal-loops cliff (VectorExpressions
-    // .CosineToConstants); values bit-identical
-    val sims = graft.functions.VectorExpressions.cosineToConstants(
-      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = centroidCosines(cents)
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))
@@ -625,11 +617,7 @@ object Similarity extends graft.QueryModule {
     val cents = base
       .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    // one fused codegen node for all per-centroid cosines — the HOF
-    // spelling hit the many-literal-loops cliff (VectorExpressions
-    // .CosineToConstants); values bit-identical
-    val sims = graft.functions.VectorExpressions.cosineToConstants(
-      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = centroidCosines(cents)
     // first max = smallest centroid id (cents sorted) — the same
     // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
@@ -677,9 +665,7 @@ object Similarity extends graft.QueryModule {
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     val cIds = typedlit(cents.map(_._1))
     val withSims = base.select(col("vec_id"), col("emb"), col("nrm"),
-      graft.functions.VectorExpressions.cosineToConstants(
-        col("emb"), cents.map(_._2),
-        cents.map(c => math.sqrt(pqN2(c._2)))).as("__sims"))
+      centroidCosines(cents).as("__sims"))
     val assign = withSims.select(col("vec_id"),
       element_at(cIds, coalesce(
         nullif(array_position(col("__sims"), array_max(col("__sims"))),
@@ -856,6 +842,17 @@ object Similarity extends graft.QueryModule {
     v.foldLeft(0.0)((a, x) => a + x * x)
   private def pqDot(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  /** Fused per-centroid cosine sims of the `emb` column against a
+    * collected id-sorted (id, embedding) model — ONE codegen node
+    * ([[graft.functions.VectorExpressions.CosineToConstants]]; the
+    * HOF-over-literal-centroids spelling hit the many-literal-loops
+    * generated-code cliff), centroid norms via the shared |c|² fold.
+    * The single spelling keeps the bit-exactness contract of every
+    * literal-centroid assignment site in one place. */
+  private def centroidCosines(cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.VectorExpressions.cosineToConstants(
+      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
 
   /** Per-centroid squared L2 distances of one subspace via the
     * |x|² − 2x·c + |c|² identity, as ONE fused codegen node over the
@@ -1146,11 +1143,7 @@ object Similarity extends graft.QueryModule {
     val cents = base
       .filter(pmod(col("vec_id"), lit(centroidMod.toLong)) === 0)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-    // one fused codegen node for all per-centroid cosines — the HOF
-    // spelling hit the many-literal-loops cliff (VectorExpressions
-    // .CosineToConstants); values bit-identical
-    val sims = graft.functions.VectorExpressions.cosineToConstants(
-      col("emb"), cents.map(_._2), cents.map(c => math.sqrt(pqN2(c._2))))
+    val sims = centroidCosines(cents)
     // first max = smallest centroid id (cents sorted) — the same
     // tie-break as the oracle's ORDER BY c_sim DESC, c_id ASC
     val centroid = element_at(typedlit(cents.map(_._1)), coalesce(
@@ -1190,8 +1183,7 @@ object Similarity extends graft.QueryModule {
       .select(col("vec_id"), col("emb"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
     require(bench.nonEmpty, s"no benchmark vectors with label $benchLabel")
-    val sims = graft.functions.VectorExpressions.cosineToConstants(
-      col("emb"), bench.map(_._2), bench.map(b => math.sqrt(pqN2(b._2))))
+    val sims = centroidCosines(bench)
     val benchId = element_at(typedlit(bench.map(_._1)), coalesce(
       nullif(array_position(sims, array_max(sims)), lit(0L)),
       lit(1L)).cast("int"))

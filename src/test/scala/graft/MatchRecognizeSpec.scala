@@ -254,6 +254,22 @@ class MatchRecognizeSpec extends SparkSpec {
       Seq(Seq(null, null, 2L)))
   }
 
+  test("single-position bounded loop ((B{2,3})) builds partials and counts") {
+    // regression: the single-step complete-per-event fast path must
+    // not swallow a bounded loop — ((B{2,3})) is ONE position (one
+    // group, one branch) and must consume 2-3 rows per match
+    val defs = "B AS name = 'b'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1"
+    assert(mr(tape(1L -> "b", 2L -> "b", 3L -> "b"),
+      "(B{2,3})", ms, defs).toSet ==
+      Set(Seq(1L, 3L), Seq(2L, 3L)))
+    // a single b is below the minimum
+    assert(mr(tape(1L -> "b"), "(B{2,3})", ms, defs).isEmpty)
+    // two bs: exactly the minimum
+    assert(mr(tape(1L -> "b", 2L -> "b"), "(B{2,3})", ms, defs).toSet ==
+      Set(Seq(1L, 2L)))
+  }
+
   test("bounded branch (B{2,3}|C) counts its own repetitions") {
     val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
       "D AS name = 'd'"
