@@ -102,10 +102,16 @@ object Cep {
     * may not advance (or complete) before consuming `minReps` events
     * and may not loop beyond `maxReps` (−1 = unbounded). Defaults
     * (1, −1) reproduce the unbounded `B`/`B+` behavior exactly.
-    * Counts are per step index, so they must not be combined with
-    * `groupLoop` (group repetitions would re-enter the step and
-    * accumulate; the MATCH_RECOGNIZE front-end rejects quantified
-    * branches inside quantified groups for this reason). */
+    * Counts gate on the TRAILING consecutive run of events at the
+    * step, which makes them compose with `groupLoop` (`(B{n,m}|C)+`):
+    * a quantified group may re-enter the branch back to back, so a
+    * trailing run of k events is legal-complete iff it splits into
+    * r ≥ 1 whole repetitions each in [n, m] — ∃r: r·n ≤ k ≤ r·m,
+    * i.e. ⌈k/m⌉·n ≤ k — and may absorb one more event iff k+1 splits
+    * into whole repetitions plus an OPEN run in [1, m]. Without
+    * `groupLoop` only a single run can exist (positions advance
+    * monotonically), so the same gates reduce to n ≤ k ≤ m — the
+    * unquantified-group semantics. */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
@@ -243,6 +249,46 @@ object Cep {
       steps.exists(s => s.oneOrMore && s.quant != AllMatches) ||
         steps.exists(_.optional) || posSteps.exists(_.length > 1)
 
+    // ---- bounded-branch repetition gates (B{n,m} as an alternation
+    // branch, Step.minReps/maxReps) — all pure functions of the
+    // TRAILING consecutive run length at the step, so the NFA state
+    // needs no extra bookkeeping (see the Step scaladoc for why the
+    // trailing run suffices even when a quantified group re-enters
+    // the branch) -------------------------------------------------
+
+    private def isBounded(s: Step[T]): Boolean =
+      s.minReps > 1 || s.maxReps >= 0
+
+    /** Trailing consecutive entries at step `s` — the current run. */
+    private def trailingRun(entries: Vector[(Int, T)], s: Int): Int = {
+      var i = entries.length - 1; var k = 0
+      while (i >= 0 && entries(i)._1 == s) { k += 1; i -= 1 }
+      k
+    }
+
+    /** Is a trailing run of k a legal COMPLETED repetition sequence —
+      * may the partial leave the step (advance, switch branch, or
+      * finish the match)? groupLoop: ∃r ≥ 1 with r·n ≤ k ≤ r·m;
+      * single-run: n ≤ k ≤ m (k ≤ m is a loop-gate invariant). */
+    private def runsDone(s: Step[T], k: Int): Boolean =
+      if (!isBounded(s)) true
+      else if (s.maxReps < 0) k >= s.minReps
+      else if (!s.groupLoop) s.minReps <= k && k <= s.maxReps
+      else k >= 1 && ((k + s.maxReps - 1) / s.maxReps) * s.minReps <= k
+
+    /** May a trailing run of k absorb one more event at the same
+      * step? groupLoop: k+1 must split into whole repetitions plus an
+      * open run in [1, m]; single-run: k < m. */
+    private def canTakeAnother(s: Step[T], k: Int): Boolean =
+      if (!isBounded(s) || s.maxReps < 0) true
+      else if (!s.groupLoop) k < s.maxReps
+      else if (k + 1 <= s.maxReps) true
+      else {
+        var c = 1; var ok = false
+        while (c <= s.maxReps && !ok) { ok = runsDone(s, k + 1 - c); c += 1 }
+        ok
+      }
+
     /** Lexicographic order on priority vectors; a proper prefix sorts
       * before its extensions (the un-branched ancestor could still
       * take the preferred side of a future tie). */
@@ -273,32 +319,36 @@ object Cep {
           val s = p.stepIdx
           val cur = steps(s)
           val curPos = posOf(s)
-          // repetition count at the current step — gates bounded
+          // trailing-run length at the current step — gates bounded
           // branches (B{n,m} inside an alternation); entries are
-          // match-length vectors, so the count walk is cheap
+          // match-length vectors, so the run walk is cheap
           val curCnt =
-            if (cur.minReps > 1 || cur.maxReps >= 0)
-              p.entries.count(_._1 == s)
-            else 1
+            if (isBounded(cur)) trailingRun(p.entries, s) else 1
           // loop targets: a group-quantified alternation position
           // ((B|C)+) loops via EVERY groupLoop alternative of the
-          // position (repetitions may switch branches); a plain B+
-          // self-loops only, a bounded B{n,m} only below its cap
+          // position (repetitions may switch branches) — a bounded
+          // branch continues only while its run stays decomposable
+          // and is left (branch switch) only on a whole repetition
+          // boundary; a plain B+ self-loops only, a bounded B{n,m}
+          // only below its cap
           val loopTs: Vector[Int] =
             if (!cur.oneOrMore) Vector.empty
             else if (cur.groupLoop)
               posSteps(curPos).iterator
-                .filter(j => steps(j).groupLoop && steps(j).hit(e, p.entries))
-                .toVector
-            else if ((cur.maxReps < 0 || curCnt < cur.maxReps) &&
+                .filter { j =>
+                  steps(j).groupLoop && steps(j).hit(e, p.entries) &&
+                    (if (j == s) canTakeAnother(cur, curCnt)
+                     else runsDone(cur, curCnt))
+                }.toVector
+            else if (canTakeAnother(cur, curCnt) &&
               cur.hit(e, p.entries)) Vector(s)
             else Vector.empty
           // advance targets: every alternative of the next position,
           // plus — while positions are optional — of the ones after
-          // it; a bounded branch holds the partial until its minimum
-          // repetition count is met
+          // it; a bounded branch holds the partial until its trailing
+          // run is a whole number of legal repetitions
           val advT = Vector.newBuilder[Int]
-          if (curCnt >= cur.minReps) {
+          if (runsDone(cur, curCnt)) {
             var q = curPos + 1
             var scan = true
             while (q < nPos && scan) {
@@ -326,11 +376,12 @@ object Cep {
             val pr = if (ranked) p.prio :+ r else p.prio
             val newEntries = p.entries :+ (j, e)
             val jPos = posOf(j)
-            // a bounded branch (minReps > 1) is not a match boundary
-            // until its minimum repetition count is consumed
-            val isFinal = allOptFrom(jPos + 1) &&
-              (steps(j).minReps <= 1 ||
-                newEntries.count(_._1 == j) >= steps(j).minReps)
+            // trailing run at j after consuming e: extends the current
+            // run when looping on the same step, else starts a new one
+            val jTrail = if (j == s) curCnt + 1 else 1
+            // a bounded branch is not a match boundary until its
+            // trailing run is a whole number of legal repetitions
+            val isFinal = allOptFrom(jPos + 1) && runsDone(steps(j), jTrail)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
               // a completion on a still-extendable LOOPING final step
@@ -342,8 +393,7 @@ object Cep {
               // this, a pattern ENDING in a greedy loop ((B{2,3}),
               // A B+) emitted one match per length.
               val canLoopOn = extendable && steps(j).oneOrMore &&
-                (steps(j).maxReps < 0 ||
-                  newEntries.count(_._1 == j) < steps(j).maxReps)
+                canTakeAnother(steps(j), jTrail)
               val (prPend, prLive) =
                 if (canLoopOn && steps(j).quant == Greedy)
                   (pr :+ 1, pr :+ 0)
@@ -397,15 +447,16 @@ object Cep {
               val pr = if (ranked) Vector(r) else Vector.empty[Int]
               val entries0 = Vector((j, e))
               val jPos = posOf(j)
-              // one event consumed at j: final only if j's minimum is 1
-              val isFinal = allOptFrom(jPos + 1) && steps(j).minReps <= 1
+              // one event consumed at j: final only if a single event
+              // is a whole legal repetition (minReps 1)
+              val isFinal = allOptFrom(jPos + 1) && runsDone(steps(j), 1)
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
                 // same loop-vs-complete quantifier arbitration as the
                 // transition path (a start event can both complete a
                 // final looping step and keep looping)
                 val canLoopOn = extendable && steps(j).oneOrMore &&
-                  (steps(j).maxReps < 0 || steps(j).maxReps > 1)
+                  canTakeAnother(steps(j), 1)
                 val (prPend, prLive) =
                   if (canLoopOn && steps(j).quant == Greedy)
                     (pr :+ 1, pr :+ 0)

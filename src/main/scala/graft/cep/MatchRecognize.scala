@@ -184,13 +184,12 @@ object MatchRecognize {
         val as = alts.result()
         val (gMin, gMax, gRel) = parseQuant(p)
         // B{n,m} as a branch compiles to a repetition-counted
-        // self-loop (Cep.Step minReps/maxReps); counts are per step,
-        // so a QUANTIFIED group would re-enter the branch across
-        // group repetitions and mis-accumulate — reject that combo
-        if (as.exists(v => v.min > 1 || (v.max != -1 && v.max > 1)) &&
-          !(gMin == 1 && gMax == 1))
-          sys.error("MATCH_RECOGNIZE: {n,m} quantifiers on a BRANCH " +
-            "inside a QUANTIFIED group are not supported")
+        // self-loop (Cep.Step minReps/maxReps); the NFA gates the
+        // counts on the TRAILING consecutive run at the step, so the
+        // combo with a QUANTIFIED group ((B{n,m}|C)+, where group
+        // repetitions may re-enter the branch back to back) is
+        // handled too — a run of k Bs is legal iff it splits into
+        // whole repetitions each in [n, m]
         pat += PatElem(as, gMin, gMax, gRel)
       } else {
         val name = p.next()
@@ -429,9 +428,10 @@ object MatchRecognize {
     // Per-branch quantifiers compose: (B+|C) self-loops B only, and
     // a BOUNDED branch (B{n,m}|C) — which can't use the copy rewrite
     // because the other branches share its position — rides the
-    // NFA's repetition-counted self-loop (minReps/maxReps); the
-    // parser guarantees bounded branches only occur in unquantified
-    // groups, so loop copies never carry counts.
+    // NFA's repetition-counted self-loop (minReps/maxReps). Loop
+    // copies keep their counts too ((B{n,m}|C)+): the NFA gates on
+    // the trailing consecutive run, which group re-entry extends —
+    // a run of k Bs must split into whole repetitions in [n, m].
     val positions: Vector[Vector[(String, Boolean, Boolean, Boolean, Boolean, Int, Int)]] =
       clause.pattern.iterator.flatMap { el =>
         def pos(loop: Boolean, opt: Boolean)
@@ -447,7 +447,7 @@ object MatchRecognize {
               // maxReps >= 0 switches the NFA onto its per-event
               // repetition-count walk, which plain variables (max = 1,
               // no loop possible) must not pay on the hot path
-              if (loop || v.max <= 1) -1 else v.max)
+              if (v.max <= 1) -1 else v.max)
           }
         if (el.max == -1) {
           if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))

@@ -133,10 +133,23 @@ case class PqDistances(child: Expression, cents: Array[Array[Double]],
        """.stripMargin
     })
 
-  // the weight matrix compares by reference under case-class
-  // equality; per-(subspace, round) instances are distinct anyway, so
-  // default equality/canonicalization costs at most a missed
-  // subexpression-elimination, never wrong results
+  // case-class equality over Array fields is reference equality,
+  // which would make semanticEquals/canonicalization miss two
+  // structurally identical nodes (and with it subexpression
+  // elimination if a caller builds the same node twice) — compare
+  // the weight matrix by content instead
+  override def equals(o: Any): Boolean = o match {
+    case that: PqDistances =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(cents.asInstanceOf[Array[AnyRef]],
+          that.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(norms)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -216,6 +229,20 @@ case class CosineToConstants(child: Expression, cents: Array[Array[Double]],
        """.stripMargin
     })
 
+  // content-based equality over the Array fields (see [[PqDistances]])
+  override def equals(o: Any): Boolean = o match {
+    case that: CosineToConstants =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(cents.asInstanceOf[Array[AnyRef]],
+          that.cents.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cNrms, that.cNrms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])) +
+      java.util.Arrays.hashCode(cNrms)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -277,6 +304,18 @@ case class LongSqDistances(child: Expression, cents: Array[Array[Long]])
          |  .UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
+
+  // content-based equality over the Array field (see [[PqDistances]])
+  override def equals(o: Any): Boolean = o match {
+    case that: LongSqDistances =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(cents.asInstanceOf[Array[AnyRef]],
+          that.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

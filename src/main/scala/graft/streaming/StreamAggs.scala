@@ -248,12 +248,16 @@ object StreamAggs {
     * exactly — distinct word n-grams, shared count vs the index,
     * integer cross-multiplied threshold (shared·1000 ≥ permille·total)
     * — so running the gate over the batch corpus reproduces q125's
-    * survivor set row for row (spec-asserted on the fixture; exact
-    * only modulo 60-bit gram-hash collisions: the gate dedups grams
-    * by hash60 while the batch op dedups the gram STRINGS before
-    * hashing, so a colliding in-doc gram pair shrinks the stream's
-    * denominator by one — the jaccardProfile caveat, ~2⁻⁶⁰ per gram
-    * pair). Documents with fewer
+    * survivor set row for row, PROVIDED the caller filters the
+    * benchmark-source rows out upstream (as the parity spec does):
+    * the batch op drops every benchmark row by construction, but the
+    * gate scores whatever arrives, and a benchmark doc with fewer
+    * than n words would sail through the always-admit short-circuit
+    * below. Parity is then exact modulo 60-bit gram-hash collisions:
+    * the gate dedups grams by hash60 while the batch op dedups the
+    * gram STRINGS before hashing, so a colliding in-doc gram pair
+    * shrinks the stream's denominator by one — the jaccardProfile
+    * caveat, ~2⁻⁶⁰ per gram pair. Documents with fewer
     * than n words have no grams and are always admitted, matching the
     * batch inner-join semantics.
     *

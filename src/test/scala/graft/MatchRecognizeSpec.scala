@@ -112,18 +112,6 @@ class MatchRecognizeSpec extends SparkSpec {
       """)
     }
     assert(err3.getMessage.contains("expected )"))
-    // {n,m} on a branch is fine in a plain group, but a QUANTIFIED
-    // group would re-enter the branch and mis-count — rejected loudly
-    val err4 = intercept[RuntimeException] {
-      MatchRecognize.run(rows, """
-        PARTITION BY sym
-        ORDER BY seq
-        MEASURES A.price AS p
-        PATTERN (A (B{2}|C)+)
-        DEFINE A AS price > 0
-      """)
-    }
-    assert(err4.getMessage.contains("BRANCH"))
   }
 
   private def tape(events: (Long, String)*): org.apache.spark.sql.DataFrame =
@@ -306,6 +294,84 @@ class MatchRecognizeSpec extends SparkSpec {
     // {1,2} backtracks: one row then D also matches
     assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "d"),
       "A (B|C){1,2} D", ms, defs) == Seq(Seq(null, 2L, 3L)))
+  }
+
+  test("bounded branch inside a quantified group: (B{2,3}|C)+ re-enters B") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1, " +
+      "LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    def q(t: (Long, String)*) = mr(tape(t: _*), "A (B{2,3}|C)+ D", ms, defs)
+    // one iteration, minimum run
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d") ==
+      Seq(Seq(2L, 3L, null, 4L)))
+    // one iteration at the cap
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "d") ==
+      Seq(Seq(2L, 4L, null, 5L)))
+    // FOUR consecutive bs: illegal as one run ({2,3}), legal as two
+    // back-to-back B iterations (2+2) — the case the trailing-run
+    // decomposition exists for
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "d") == Seq(Seq(2L, 5L, null, 6L)))
+    // five bs = 2+3; seven bs = 2+2+3
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "b", 7L -> "d") == Seq(Seq(2L, 6L, null, 7L)))
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "b", 7L -> "b", 8L -> "b", 9L -> "d") ==
+      Seq(Seq(2L, 8L, null, 9L)))
+    // one b is below every decomposition
+    assert(q(1L -> "a", 2L -> "b", 3L -> "d").isEmpty)
+    // iterations may switch branches, but only on a repetition
+    // boundary: b b c b b b works, b c does not (the lone b is not a
+    // whole B{2,3} repetition, and C's predicate rejects b)
+    assert(q(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c", 5L -> "b",
+      6L -> "b", 7L -> "b", 8L -> "d") == Seq(Seq(2L, 7L, 4L, 8L)))
+    assert(q(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d").isEmpty)
+    // a C iteration before the B runs
+    assert(q(1L -> "a", 2L -> "c", 3L -> "b", 4L -> "b", 5L -> "d") ==
+      Seq(Seq(3L, 4L, 2L, 5L)))
+    // {3,4}: five bs have NO decomposition (3+3 > 5 > 4), six do
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "b", 7L -> "d"), "A (B{3,4}|C)+ D", ms, defs).isEmpty)
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "b", 7L -> "b", 8L -> "d"), "A (B{3,4}|C)+ D", ms, defs) ==
+      Seq(Seq(2L, 7L, null, 8L)))
+  }
+
+  test("greedy/reluctant ties across group iterations of a bounded branch") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1"
+    // pattern ENDS in the quantified group: every legal prefix length
+    // completes, the quantifier arbitrates. Greedy takes the longest
+    // completing run (4 = 2+2), not one match per length
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b"),
+      "A (B{2,3}|C)+", ms, defs) == Seq(Seq(2L, 5L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b"),
+      "A (B{2,3}|C)+", ms, defs) == Seq(Seq(2L, 4L)))
+    // reluctant group: the shortest completing run (one B{2} iteration)
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b"),
+      "A (B{2,3}|C)+?", ms, defs) == Seq(Seq(2L, 3L)))
+  }
+
+  test("bounded branch in optional and counted groups: (B{2}|C)? and (B{2}|C){2}") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "FIRST(B.seq) AS b0, LAST(B.seq) AS b1, " +
+      "LAST(C.seq) AS c_seq, D.seq AS d_seq"
+    // optional group (can't repeat — the once-rejected safe combo)
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d"),
+      "A (B{2}|C)? D", ms, defs) == Seq(Seq(2L, 3L, null, 4L)))
+    assert(mr(tape(1L -> "a", 2L -> "d"), "A (B{2}|C)? D", ms, defs) ==
+      Seq(Seq(null, null, null, 2L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "d"), "A (B{2}|C)? D",
+      ms, defs).isEmpty)
+    // counted group: each of the two iterations takes a whole branch
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "c", 5L -> "d"),
+      "A (B{2}|C){2} D", ms, defs) == Seq(Seq(2L, 3L, 4L, 5L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b", 5L -> "b",
+      6L -> "d"), "A (B{2}|C){2} D", ms, defs) == Seq(Seq(2L, 5L, null, 6L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d"),
+      "A (B{2}|C){2} D", ms, defs).isEmpty)
   }
 
   test("AFTER MATCH SKIP variants: overlapping vs non-overlapping match sets") {
