@@ -241,6 +241,102 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // ---- codegen-path pins for the fused scoring nodes (round 8) ------
+  // the properties above pin the INTERPRETED eval; queries run the
+  // hand-written Java templates. These compile the actual generated
+  // code (GenerateUnsafeProjection over a BoundReference input) ONCE
+  // per centroid matrix and assert bit-equality of codegen vs
+  // interpreted vs plain-Scala fold on the same vectors — closing the
+  // seam where a template typo could survive until a data shape the
+  // oracle sweep doesn't exercise. Centroid lengths 4/8/12 and input
+  // lengths 0..12 run the Math.min truncation branch both ways
+  // (x shorter AND longer than a centroid).
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val dvecAny = Gen.chooseNum(0, 12)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-4.0, 4.0)))
+  // deterministic ragged centroid matrix (fixed seed: the projection
+  // compiles once per matrix, variety comes from the input vectors)
+  private val raggedCents: Array[Array[Double]] = {
+    val r = new scala.util.Random(8)
+    Array(4, 8, 12, 8, 4).map(n => Array.fill(n)(r.nextDouble() * 8 - 4))
+  }
+  private def foldDot(x: Seq[Double], y: Seq[Double]): Double =
+    x.zip(y).foldLeft(0.0)((a, p) => a + p._1 * p._2) // zip truncates = Math.min
+
+  property("PqDistances CODEGEN == interpreted == fold, incl. truncation") = {
+    val norms = raggedCents.map(c => sqSum(c.toSeq))
+    val expr = graft.functions.PqDistances(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      raggedCents, norms)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    forAll(dvecAny) { x =>
+      val row = InternalRow(new GenericArrayData(x.toArray))
+      val gen = proj(row).getArray(0).toDoubleArray().toSeq
+      val interp = expr.eval(row).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val want = raggedCents.toSeq.zip(norms).map { case (c, n2) =>
+        sqSum(x) - 2.0 * foldDot(x, c.toSeq) + n2 }
+      canonD(gen) == canonD(interp) && canonD(gen) == canonD(want)
+    }
+  }
+
+  property("CosineToConstants CODEGEN == interpreted == fold, incl. truncation") = {
+    val nrms = raggedCents.map(c => math.sqrt(sqSum(c.toSeq)))
+    val expr = graft.functions.CosineToConstants(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      raggedCents, nrms)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    forAll(dvecAny) { x =>
+      val row = InternalRow(new GenericArrayData(x.toArray))
+      val gen = proj(row).getArray(0).toDoubleArray().toSeq
+      val interp = expr.eval(row).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      // empty x: 0/0 per centroid — must be THE SAME NaN on all paths
+      val want = raggedCents.toSeq.zip(nrms).map { case (c, nc) =>
+        foldDot(x, c.toSeq) / (math.sqrt(sqSum(x)) * nc) }
+      canonD(gen) == canonD(interp) && canonD(gen) == canonD(want)
+    }
+  }
+
+  property("LongSqDistances CODEGEN == interpreted == fold, incl. truncation") = {
+    val r = new scala.util.Random(9)
+    val lCents: Array[Array[Long]] =
+      Array(4, 8, 12, 8, 4).map(n => Array.fill(n)(r.nextLong() % 1000L))
+    val expr = graft.functions.LongSqDistances(
+      BoundReference(0, ArrayType(LongType), nullable = true), lCents)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val lvecAny = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    forAll(lvecAny) { x =>
+      val row = InternalRow(new GenericArrayData(x.toArray))
+      val gen = proj(row).getArray(0).toLongArray().toSeq
+      val interp = expr.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = lCents.toSeq.map(c =>
+        x.zip(c).foldLeft(0L)((a, p) =>
+          a + (p._1 - p._2) * (p._1 - p._2)))
+      gen == interp && gen == want
+    }
+  }
+
+  property("DotProduct CODEGEN == interpreted == fold, incl. truncation") = {
+    val expr = graft.functions.DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, ArrayType(DoubleType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    forAll(dvecAny, dvecAny) { (x, y) =>
+      val row = InternalRow(new GenericArrayData(x.toArray),
+        new GenericArrayData(y.toArray))
+      val gen = proj(row).getDouble(0)
+      val interp = expr.eval(row).asInstanceOf[Double]
+      val want = foldDot(x, y)
+      canonD(Seq(gen)) == canonD(Seq(interp)) &&
+        canonD(Seq(gen)) == canonD(Seq(want))
+    }
+  }
+
   // doubles compared by BITS (0/0 NaN cases must match too, not be
   // unequal-by-NaN)
   private def canonD(xs: Seq[Double]): Seq[Long] =
