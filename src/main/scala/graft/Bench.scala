@@ -1,7 +1,85 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** `Bench compare old.json new.json` — the operational form of the
+    * round-7 drift finding (BENCHDRIFT.md): this box's effective
+    * throughput moves ≥1.24× across hours on identical code+data, so
+    * raw cross-round seconds are dead as a signal. Each artifact
+    * carries a data-independent codegen-only anchor timed under the
+    * bench discipline; the cross-round-comparable number is
+    * (query_sec / anchor_sec)_new / (query_sec / anchor_sec)_old.
+    * Prints one line per shared query plus a summary, and flags
+    * anything >1.3× anchor-normalized as a REAL regression candidate
+    * (machine weather cancels in the ratio; 1.3 leaves room for
+    * per-query scheduler jitter on sub-second queries). Artifacts
+    * from rounds before the anchor existed (r1-r6) fall back to raw
+    * ratios, loudly labeled. */
+  private def compare(oldPath: String, newPath: String): Unit = {
+    def parse(p: String): (Option[Double], Seq[(String, Double)]) = {
+      val s = scala.io.Source.fromFile(p)
+      // the driver's BENCH_r{N}.json wraps Bench's JSON line escaped
+      // inside a "tail" field — unescape so one set of regexes reads
+      // both the raw line and the driver artifact
+      val txt = (try s.mkString finally s.close()).replace("\\\"", "\"")
+      val anchor = "\"anchor\":([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+      val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+      val pairs = "\"(q[0-9]+)\":([0-9.]+)".r.findAllMatchIn(qs)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      (anchor, pairs)
+    }
+    val (aOld, qOld) = parse(oldPath)
+    val (aNew, qNew) = parse(newPath)
+    val anchored = aOld.isDefined && aNew.isDefined
+    if (!anchored)
+      println("WARN: anchor missing in " +
+        Seq(oldPath -> aOld, newPath -> aNew).collect {
+          case (p, None) => p }.mkString(", ") +
+        " - falling back to RAW ratios (machine weather NOT cancelled)")
+    def norm(sec: Double, a: Option[Double]): Double =
+      if (anchored) sec / a.get else sec
+    val oldMap = qOld.toMap
+    val shared = qNew.filter { case (k, _) => oldMap.contains(k) }
+    val unit = if (anchored) "sec/anchor" else "sec RAW"
+    println(f"${"query"}%-6s ${"old"}%9s ${"new"}%9s  ratio   ($unit)")
+    var flagged = List.empty[(String, Double)]
+    shared.sortBy(_._1).foreach { case (k, vNew) =>
+      val o = norm(oldMap(k), aOld)
+      val n = norm(vNew, aNew)
+      // sub-0.05s on both sides is scheduler noise at any ratio
+      val ratio = if (o == 0.0) Double.NaN else n / o
+      val flag =
+        if (ratio > 1.3 && math.max(oldMap(k), vNew) >= 0.05) " <== REGRESSION?"
+        else ""
+      if (flag.nonEmpty) flagged ::= (k, ratio)
+      println(f"$k%-6s $o%9.3f $n%9.3f  $ratio%5.2f$flag")
+    }
+    val tOld = shared.map(p => oldMap(p._1)).sum
+    val tNew = shared.map(_._2).sum
+    val rTot = norm(tNew, aNew) / norm(tOld, aOld)
+    val totLabel = if (anchored) "anchor-normalized" else "RAW"
+    println(f"TOTAL shared ${shared.size}%d queries: raw ${tOld}%.2f -> " +
+      f"${tNew}%.2f s; anchors old=${aOld.getOrElse(Double.NaN)}%.2f " +
+      f"new=${aNew.getOrElse(Double.NaN)}%.2f; " +
+      f"$totLabel%s total ratio ${rTot}%.3f")
+    val dropped = qOld.filterNot(p => qNew.toMap.contains(p._1)).map(_._1)
+    val added = qNew.filterNot(p => oldMap.contains(p._1)).map(_._1)
+    if (dropped.nonEmpty) println("only in old: " + dropped.sorted.mkString(" "))
+    if (added.nonEmpty) println("only in new: " + added.sorted.mkString(" "))
+    if (flagged.isEmpty)
+      println("no anchor-normalized regression above 1.3x")
+    else
+      println(s"${flagged.size} flagged above 1.3x: " +
+        flagged.sortBy(-_._2).map { case (k, r) =>
+          f"$k ($r%.2fx)" }.mkString(", "))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "compare") {
+      compare(args(1), args(2)); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
