@@ -1098,6 +1098,34 @@ object Dedup extends graft.QueryModule {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Train half of the streaming leakage-scrub gate
+    * ([[graft.streaming.StreamAggs.scrubGate]]): [[leakageScrub]]'s
+    * drop set — every train doc id that near-dups a val/test doc
+    * under the frozen split-pair audit ([[splitLeakage]]'s q127
+    * machinery) — as a SORTED id array: binary-searchable, compact
+    * to broadcast, order-deterministic. Collecting is safe by
+    * construction: the set is bounded by the bucket-capped LSH pair
+    * count (the same bound that lets [[leakageScrub]] broadcast it
+    * under the stats gate), not corpus-sized. Because the ids come
+    * from the identical pair subtree and split expression, gating a
+    * stream of the corpus on this index reproduces q131's batch
+    * survivor set row for row (spec-asserted). */
+  def fitScrubIndex(documents: DataFrame, trainPct: Int = 90): Array[Long] = {
+    require(trainPct > 0 && trainPct <= 100, s"bad trainPct=$trainPct")
+    def bucket(id: Column): Column = TextOps.splitBucket(id)
+    minhashPairs(documents)
+      .select(col("a"), col("b"),
+        bucket(col("a")).as("ba"), bucket(col("b")).as("bb"))
+      .filter((col("ba") >= trainPct && col("bb") < trainPct) ||
+        (col("bb") >= trainPct && col("ba") < trainPct))
+      .select(when(col("ba") < trainPct, col("a")).otherwise(col("b"))
+        .as("doc_id"))
+      .distinct()
+      .orderBy(col("doc_id"))
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+  }
+
   /** Near-dup THRESHOLD profile: where should τ be set before running
     * [[ngramJaccardPairs]]/[[dedupApply]] over the full corpus? For
     * every candidate pair the frequency-capped inverted index

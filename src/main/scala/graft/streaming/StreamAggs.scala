@@ -313,6 +313,58 @@ object StreamAggs {
     decontamGate(docs, textCol,
       docs.sparkSession.sparkContext.broadcast(index), n, maxSharePermille)
 
+  /** Streaming leakage-scrub gate — the serve half of q131's
+    * report→apply closure ([[graft.operators.Dedup.leakageScrub]]),
+    * completing the apply family's streaming parity set (admission
+    * [[bloomAdmitStream]], dedup `dedupWithinWatermark`,
+    * decontamination [[decontamGate]], and now split scrub). The drop
+    * set is FROZEN at fit time ([[graft.operators.Dedup.fitScrubIndex]]
+    * — every train doc id that near-dups a val/test doc under the
+    * frozen split-pair audit, as a sorted id array) and every arriving
+    * document is admitted unless its id binary-searches into it.
+    * Because membership is on exact 64-bit ids (no hashing), gating
+    * the corpus reproduces q131's batch survivor set row for row with
+    * NO collision caveat — unlike [[decontamGate]], whose parity is
+    * modulo 60-bit gram hashes. Eval-side docs are never in the index
+    * (the batch op keeps the eval side intact by construction), so
+    * they always pass.
+    *
+    * Scale shape: STATELESS per row, like [[decontamGate]] — the
+    * index ships once per executor as a broadcast and is bounded by
+    * the bucket-capped LSH pair count (the same bound that lets the
+    * batch op broadcast its anti-join side under the stats gate), not
+    * corpus-sized; the stream never joins, shuffles, or keeps state,
+    * and no watermark is needed. Binary search per row is
+    * allocation-free. Reference anchor for the keyed-gate-over-frozen-
+    * index shape: `connect/DoubleStreamMatch.java:132-231`.
+    */
+  def scrubGate(docs: DataFrame, idCol: Column,
+                index: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      : DataFrame = {
+    val bc = index
+    val keep = udf { id: Long =>
+      java.util.Arrays.binarySearch(bc.value, id) < 0
+    }
+    docs.filter(keep(idCol))
+  }
+
+  /** Convenience overload that broadcasts the drop index itself; the
+    * broadcast-lifecycle caveat on the [[decontamGate]] overload
+    * applies verbatim. The index must be SORTED ([[graft.operators
+    * .Dedup.fitScrubIndex]] emits it sorted) — binary search on an
+    * unsorted array admits leaked docs silently, so this overload
+    * verifies order once, driver-side, before shipping. */
+  def scrubGate(docs: DataFrame, idCol: Column, index: Array[Long])
+      : DataFrame = {
+    var i = 1
+    while (i < index.length) {
+      require(index(i - 1) <= index(i),
+        s"scrub index not sorted at $i: ${index(i - 1)} > ${index(i)}")
+      i += 1
+    }
+    scrubGate(docs, idCol, docs.sparkSession.sparkContext.broadcast(index))
+  }
+
   /** W12: idle-source tolerance — the Spark counterpart of Flink's
     * `withIdleness` (`windowing/Flink Window.md` §2.4). Flink marks a
     * stalled source idle per-source; Spark's switch is per-query:

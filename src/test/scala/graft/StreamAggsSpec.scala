@@ -422,6 +422,52 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming leakage-scrub gate reproduces q131's batch survivors") {
+    import graft.core.Tables
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch reference: q131's survivor set on the same fixture
+    val want = Dedup.leakageScrub(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(want.size < all.size,
+      "fixture must actually scrub leaked train docs for parity to bite")
+    val index = Dedup.fitScrubIndex(docs)
+    assert(index.nonEmpty)
+    assert(index.toSet == all -- want,
+      "the frozen drop index must be exactly the batch op's drop set")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamAggs.scrubGate(
+        in.toDF().toDF("doc_id", "source"), col("doc_id"), index)
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "source")
+        .as[(Long, String)].collect()
+      // two batches: the frozen index must gate later arrivals
+      // identically to earlier ones
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("scrub_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        s"stream kept ${got.size} docs, batch kept ${want.size}; " +
+          s"diff ${(got -- want) ++ (want -- got)}")
+    } finally q.stop()
+  }
+
+  test("scrub gate rejects an unsorted drop index loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "source")
+    val err = intercept[IllegalArgumentException] {
+      StreamAggs.scrubGate(docs, col("doc_id"), Array(5L, 3L))
+    }
+    assert(err.getMessage.contains("not sorted"))
+  }
+
   test("streaming probe scoring reproduces the batch scores exactly") {
     import graft.core.Tables
     import graft.operators.TextOps
