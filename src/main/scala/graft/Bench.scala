@@ -89,6 +89,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" WARN for this bench
+    // process only: every unpartitioned window in the library is a
+    // documented MODEL-SIZED frame (Corpus bucket/shard cumulative
+    // sums :147/:178/:278/:349, Analysis score histogram :68,
+    // Similarity RRF/calibration ranks :581/:631, Skew profile :60 —
+    // each with a SCALE.md row), and two screenfuls of the same known
+    // warning per sweep buried any NEW warning, which is the signal
+    // this level exists to surface. Library code does NOT mute it —
+    // a user pointing these ops at corpus-scale input should see it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // session warmup (outside the timed region, standard bench
     // hygiene): the first job pays executor/codegen/scheduler init,
     // and each table's first touch pays footer reads + page-cache
