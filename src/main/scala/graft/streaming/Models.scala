@@ -54,6 +54,14 @@ object Models {
   case class OrderMatch(orderId: String, kind: String,
                         bigTime: Option[Long], smallTime: Option[Long])
 
+  /** Streaming variant of the J3 input: carries the event-time column
+    * the watermark is declared on (EventTimeTimeout requires the
+    * watermarked attribute to survive into the stateful operator's
+    * input encoder — the [[TimedItemViewCount]] pattern; a bare
+    * `(String, Order)` has no timestamp attribute to watermark). */
+  case class TimedTaggedOrder(side: String, order: Order,
+                              eventTime: java.sql.Timestamp)
+
   /** `state/pojo/Action.java:8-9`. */
   case class Action(userId: Long, action: String, seq: Long)
 

@@ -211,6 +211,32 @@ object Stateful extends Serializable {
   def matchOrders(tagged: Dataset[(String, Order)],
                   timeoutMs: Long = 60 * 1000): Dataset[OrderMatch] = {
     import tagged.sparkSession.implicits._
+    tagged.groupByKey(_._2.orderId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(matchFn(timeoutMs))
+  }
+
+  /** Streaming-usable J3: identical group logic to [[matchOrders]]
+    * (the SAME function runs both), over [[TimedTaggedOrder]] so the
+    * caller can declare `withWatermark("eventTime", ...)` and the
+    * event-time timeout actually fires — a bare `(String, Order)` has
+    * no timestamp attribute that survives into the operator's input
+    * encoder (the [[topNPerWindowStreaming]] seam). */
+  def matchOrdersStreaming(tagged: Dataset[TimedTaggedOrder],
+                           timeoutMs: Long = 60 * 1000): Dataset[OrderMatch] = {
+    import tagged.sparkSession.implicits._
+    val fn = matchFn(timeoutMs)
+    tagged.groupByKey(_.order.orderId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[TimedTaggedOrder],
+         s: GroupState[(String, Long)]) =>
+          fn(k, it.map(t => (t.side, t.order)), s))
+  }
+
+  private def matchFn(timeoutMs: Long)
+      : (String, Iterator[(String, Order)], GroupState[(String, Long)])
+        => Iterator[OrderMatch] = {
     def fn(orderId: String, it: Iterator[(String, Order)],
            state: GroupState[(String, Long)]): Iterator[OrderMatch] = {
       if (state.hasTimedOut) {
@@ -253,9 +279,7 @@ object Stateful extends Serializable {
       }
       out.result().iterator
     }
-    tagged.groupByKey(_._2.orderId)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(fn)
+    fn
   }
 
   // ---- W4: delta trigger + time evictor (`windowing/CustomizeEvictorAndTrigger.java:49-61`)

@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Stateful, Models}
+import graft.streaming.Models._
+
+/** Streaming throughput micro-bench for the stateful operators (the
+  * batch bench covers only the relational surface; these ops have
+  * correctness parity specs but need recorded rows/s). Discipline
+  * mirrors `graft.Bench`: per-op WARM full run first (Janino+JIT out
+  * of the timing), then timed runs with a FRESH MemoryStream + query
+  * + state store each (state never leaks across runs), reported as
+  * min-of-2; the same data-independent codegen anchor is printed so
+  * future rounds compare rows_per_sec × anchor_sec, not raw numbers.
+  *
+  * Each run drives `batches` micro-batches of `rows/batches` records
+  * through `processAllAvailable`, so per-batch state-store commit cost
+  * is IN the measure — that is the cost that exists at scale (one
+  * commit per partition per trigger), and hiding it by feeding one
+  * giant batch would flatter every op.
+  *
+  * `runMain graft.tools.ProfileStream [op ...] [--rocksdb]` with ops
+  * `fraud` (T1), `dfa` (T2), `topn` (T3/A6), `match` (J3),
+  * `countwin` (A5/W5); default all, default HDFS-backed state store.
+  */
+object ProfileStream {
+  private val Rows =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "1000000").toInt
+  private val Batches =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+  private val Keys = 10000
+
+  def main(args: Array[String]): Unit = {
+    val rocksdb = args.contains("--rocksdb")
+    val only = args.filterNot(_ == "--rocksdb").toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    if (rocksdb) b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // the Bench calibration anchor: fixed, data-independent,
+    // codegen-only; rows_per_sec × anchor_sec is the cross-round unit
+    val anchor = {
+      def run(): Unit = spark.range(512L << 20)
+        .selectExpr("sum(id % 1000007)").collect()
+      run()
+      (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    println(f"anchor $anchor%.2f s  (state store: ${
+      if (rocksdb) "rocksdb" else "hdfs-backed"}, $Rows rows x " +
+      s"$Batches batches, $cpus cores)")
+
+    /** One timed run: fresh stream + query, `Batches` micro-batches. */
+    def drive[T](mk: SparkSession => (Seq[T] => Unit,
+                                      org.apache.spark.sql.DataFrame),
+                 gen: Int => T): Double = {
+      val (add, out) = mk(spark)
+      val q = out.writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        val per = Rows / Batches
+        val t0 = System.nanoTime()
+        var bi = 0
+        while (bi < Batches) {
+          add((bi * per until (bi + 1) * per).map(gen))
+          q.processAllAvailable()
+          bi += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+    }
+
+    def bench[T](name: String)(mk: SparkSession => (Seq[T] => Unit,
+                                                    org.apache.spark.sql.DataFrame),
+                 gen: Int => T): Unit = {
+      if (only.nonEmpty && !only(name)) return
+      drive(mk, gen) // warm: codegen + JIT, thrown away
+      val secs = (1 to 2).map { _ => System.gc(); drive(mk, gen) }
+      val best = secs.min
+      println(f"$name%-9s ${Rows / best / 1000}%8.0f krows/s  $best%6.2f s" +
+        f"  ${Rows / best * anchor / 1e6}%6.2f Mrow*anchor  (runs: ${
+          secs.map(s => f"$s%.2f").mkString(", ")})")
+    }
+
+    // stateless pass-through floor: MemoryStream encode + scan + noop
+    // sink, NO groupByKey/state — the part of every number below that
+    // is harness+source cost, not the operator's
+    bench("baseline")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[Transaction]
+      ((rows: Seq[Transaction]) => { in.addData(rows); () },
+        in.toDS().toDF())
+    }, i => Transaction(i % Keys,
+      if (i % 3 == 0) 0.5 else if (i % 3 == 1) 600.0 else 50.0, i))
+
+    // T1: flag-then-large across 10k accounts; TTL off (NoTimeout) so
+    // the measure is the data path, not empty timer batches
+    bench("fraud")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[Transaction]
+      ((rows: Seq[Transaction]) => { in.addData(rows); () },
+        Stateful.fraudDetector(in.toDS(), flagTtlMs = None).toDF())
+    }, i => Transaction(i % Keys,
+      if (i % 3 == 0) 0.5 else if (i % 3 == 1) 600.0 else 50.0, i))
+
+    // T2: per-key legal cycle a,b,e,g (Initial->W->Y->Z->Terminal)
+    bench("dfa")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[DfaEvent]
+      ((rows: Seq[DfaEvent]) => { in.addData(rows); () },
+        Stateful.stateMachine(in.toDS()).toDF())
+    }, i => DfaEvent(i % Keys, Seq("a", "b", "e", "g")((i / Keys) % 4), i))
+
+    // T3/A6: 1000-row windows over 1000 items; 0 ms watermark closes
+    // each batch's windows in the next batch, so state stays bounded
+    bench("topn")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[TimedItemViewCount]
+      val ds = in.toDS().withWatermark("eventTime", "0 milliseconds")
+        .as[TimedItemViewCount](org.apache.spark.sql.Encoders.product)
+      ((rows: Seq[TimedItemViewCount]) => { in.addData(rows); () },
+        Stateful.topNPerWindowStreaming(ds, 3).toDF())
+    }, i => TimedItemViewCount(i % 1000, (i / 1000 + 1) * 1000L, i % 97,
+      new java.sql.Timestamp((i / 1000 + 1) * 1000L)))
+
+    // J3: every order matched by its in-batch partner (state written
+    // then removed per key — 500k distinct keys/run); long timeout so
+    // the timer path stays out of the data-path measure
+    bench("match")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[TimedTaggedOrder]
+      val ds = in.toDS().withWatermark("eventTime", "0 milliseconds")
+        .as[TimedTaggedOrder](org.apache.spark.sql.Encoders.product)
+      ((rows: Seq[TimedTaggedOrder]) => { in.addData(rows); () },
+        Stateful.matchOrdersStreaming(ds, timeoutMs = 3600L * 1000).toDF())
+    }, i => TimedTaggedOrder(if (i % 2 == 0) "big" else "small",
+      Order(i, "o" + (i / 2), "u", 1, 10, 1), new java.sql.Timestamp(i)))
+
+    // A5/W5: sliding count window, ring buffer state per key
+    bench("countwin")({ s =>
+      implicit val sq = s.sqlContext
+      val in = MemoryStream[KeyedValue]
+      ((rows: Seq[KeyedValue]) => { in.addData(rows); () },
+        Stateful.countWindowSum(in.toDS(), 16, 8).toDF())
+    }, i => KeyedValue("k" + (i % Keys), i, i))
+
+    spark.stop()
+  }
+}

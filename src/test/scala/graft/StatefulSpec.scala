@@ -163,6 +163,41 @@ class StatefulSpec extends SparkSpec {
       OrderMatch("o2", "timeout", Some(2000), None)))
   }
 
+  test("two-stream match streams: partner emits, timeout fires on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def tto(side: String, time: Long, id: String) =
+      TimedTaggedOrder(side, Order(time, id, "u", 1, 10, 1),
+        new java.sql.Timestamp(time))
+    val in = MemoryStream[TimedTaggedOrder]
+    // a real delay: with 0 ms the watermark advances to 2000 after
+    // batch 1 and o1's partner (event time 1500) is dropped as late
+    val ds = in.toDS()
+      .withWatermark("eventTime", "10 seconds")
+      .as[TimedTaggedOrder]
+    val q = Stateful.matchOrdersStreaming(ds, timeoutMs = 1000)
+      .writeStream.format("memory").queryName("match_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // o1's sides arrive in DIFFERENT micro-batches (the buffered
+      // side must survive in state); o2 never gets a partner
+      in.addData(tto("big", 1000, "o1"), tto("big", 2000, "o2"))
+      q.processAllAvailable()
+      assert(spark.table("match_out").count() == 0) // both buffered
+      in.addData(tto("small", 1500, "o1"))
+      q.processAllAvailable()
+      // advance the watermark past o2's timeout (2000 + 1000)
+      in.addData(tto("big", 60000, "o9"))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra batch lets the timer fire
+      val got = spark.table("match_out").as[OrderMatch].collect()
+        .filter(_.orderId != "o9").sortBy(_.orderId)
+      assert(got.toSeq == Seq(
+        OrderMatch("o1", "match", Some(1000), Some(1500)),
+        OrderMatch("o2", "timeout", Some(2000), None)),
+        s"got ${got.toSeq}") // batch fixture's expected pair + timeout
+    } finally q.stop()
+  }
+
   test("broadcast pattern match finds user 1002 (reference fixture)") {
     // FIXTURES.md §9 / BroadcastStreamConnect.java:62-71
     val actions = Seq(
