@@ -418,6 +418,12 @@ object ProfileScale {
       "q127_split_leak"   -> (d => Dedup.splitLeakage(d)),
       "q128_jac_profile"  -> (d => Dedup.jaccardProfile(d)),
       "q131_leak_scrub"   -> (d => Dedup.leakageScrub(d)),
+      // round-8: the recall eval at 100× — the full-outer join over
+      // the q26 and q29 pair sets. PlanAudit proved it adds no
+      // exchange at sf0.1 stats; this point measures that the join
+      // input stays the two bounded (bucket-capped) pair sets, i.e.
+      // growth tracks the heavier subtree (q29), never a cross
+      "q87_recall_eval"   -> (d => Dedup.minhashRecallEval(d)),
       // round-7: the admission hot path a production pipeline runs
       // CONTINUOUSLY — 80/20 reference/batch split per replica (ids
       // shift by multiples of 10, so the split lands identically in
