@@ -102,7 +102,31 @@ object Cep {
     * may not advance (or complete) before consuming `minReps` events
     * and may not loop beyond `maxReps` (−1 = unbounded). Defaults
     * (1, −1) reproduce the unbounded `B`/`B+` behavior exactly.
-    * Counts gate on the TRAILING consecutive run of events at the
+    * `emptyBranch` distinguishes WHY an optional step is skippable
+    * for preference ordering: true = the BRANCH itself can match
+    * empty (`B?`/`B*` — v.min 0; the skip choice ranks at the
+    * branch's own alternation position, before its consuming way
+    * when reluctant), false + optional = only the POSITION is
+    * skippable (an optional quantifier copy; the skip ranks after
+    * every alternative, or before all of them when `elemReluctant`
+    * marks the ELEMENT quantifier reluctant — `(B|C)*?` prefers
+    * zero iterations; a branch's own `+?` / `*?` flag must NOT trigger
+    * this, it only orders that branch's run lengths).
+    *
+    * `posSkip` = the ELEMENT's own quantifier admits zero
+    * occurrences of the position (an optional copy / a min-0 loop) —
+    * the element-level skip choice exists regardless of any branch's
+    * own emptiness, and `elemReluctant` orders it first.
+    *
+    * `branchLoop`/`branchReluctant` carry the BRANCH quantifier's raw
+    * facts for preference ordering where `quant` (the self-loop's
+    * governing flag) and `elemReluctant` do not suffice: branchLoop =
+    * the branch repeats by itself (v.max > 1 or unbounded), so a
+    * self-target extends the current ITERATION (ordered by
+    * branchReluctant) rather than opening a new one (ordered by
+    * elemReluctant, in alternation order). Counts gate
+    * on the TRAILING
+    * consecutive run of events at the
     * step, which makes them compose with `groupLoop` (`(B{n,m}|C)+`):
     * a quantified group may re-enter the branch back to back, so a
     * trailing run of k events is legal-complete iff it splits into
@@ -120,7 +144,12 @@ object Cep {
                      altWithPrev: Boolean = false,
                      groupLoop: Boolean = false,
                      minReps: Int = 1,
-                     maxReps: Int = -1) {
+                     maxReps: Int = -1,
+                     emptyBranch: Boolean = false,
+                     elemReluctant: Boolean = false,
+                     branchLoop: Boolean = false,
+                     branchReluctant: Boolean = false,
+                     posSkip: Boolean = false) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -179,11 +208,19 @@ object Cep {
     * `origin` identifies the match attempt (the step-0 event that
     * started it); `prio` is the branch-priority vector appended at
     * each Greedy/Reluctant tie (lexicographically smaller = preferred).
+    * `curRep` is the length of the OPEN repetition at the current
+    * step (meaningful for bounded branches): two decompositions of
+    * the same event run (2+2 vs 3+1 of `E{2,3}`) are DIFFERENT
+    * partials with different priorities and futures, so the
+    * repetition boundary is explicit state, never inferred from the
+    * trailing run (inference merges paths whose SQL preference
+    * differs).
     */
   case class Partial[T](entries: Vector[(Int, T)], startTs: Long,
                         matched: Boolean = false,
                         origin: Long = -1L,
-                        prio: Vector[Int] = Vector.empty) {
+                        prio: Vector[Int] = Vector.empty,
+                        curRep: Int = 1) {
     def stepIdx: Int = entries.last._1
     def events: Seq[T] = entries.map(_._2)
   }
@@ -250,44 +287,164 @@ object Cep {
         steps.exists(_.optional) || posSteps.exists(_.length > 1)
 
     // ---- bounded-branch repetition gates (B{n,m} as an alternation
-    // branch, Step.minReps/maxReps) — all pure functions of the
-    // TRAILING consecutive run length at the step, so the NFA state
-    // needs no extra bookkeeping (see the Step scaladoc for why the
-    // trailing run suffices even when a quantified group re-enters
-    // the branch) -------------------------------------------------
+    // branch, Step.minReps/maxReps) — exact per-partial repetition
+    // state (Partial.curRep): the open repetition's length gates
+    // extension and leaving; a quantified group re-entering the
+    // branch (a NEW repetition) resets it to 1 as a SEPARATE branch
+    // with its own priority ------------------------------------------
 
     private def isBounded(s: Step[T]): Boolean =
       s.minReps > 1 || s.maxReps >= 0
 
-    /** Trailing consecutive entries at step `s` — the current run. */
-    private def trailingRun(entries: Vector[(Int, T)], s: Int): Int = {
-      var i = entries.length - 1; var k = 0
-      while (i >= 0 && entries(i)._1 == s) { k += 1; i -= 1 }
-      k
-    }
+    /** The open repetition at `s` is whole — the partial may advance,
+      * switch branch, open a new repetition, or finish the match. */
+    private def repDone(s: Step[T], rep: Int): Boolean =
+      !isBounded(s) || rep >= s.minReps
 
-    /** Is a trailing run of k a legal COMPLETED repetition sequence —
-      * may the partial leave the step (advance, switch branch, or
-      * finish the match)? groupLoop: ∃r ≥ 1 with r·n ≤ k ≤ r·m;
-      * single-run: n ≤ k ≤ m (k ≤ m is a loop-gate invariant). */
-    private def runsDone(s: Step[T], k: Int): Boolean =
-      if (!isBounded(s)) true
-      else if (s.maxReps < 0) k >= s.minReps
-      else if (!s.groupLoop) s.minReps <= k && k <= s.maxReps
-      else k >= 1 && ((k + s.maxReps - 1) / s.maxReps) * s.minReps <= k
+    /** The open repetition may absorb one more event. */
+    private def canExtend(s: Step[T], rep: Int): Boolean =
+      s.maxReps < 0 || rep < s.maxReps
 
-    /** May a trailing run of k absorb one more event at the same
-      * step? groupLoop: k+1 must split into whole repetitions plus an
-      * open run in [1, m]; single-run: k < m. */
-    private def canTakeAnother(s: Step[T], k: Int): Boolean =
-      if (!isBounded(s) || s.maxReps < 0) true
-      else if (!s.groupLoop) k < s.maxReps
-      else if (k + 1 <= s.maxReps) true
-      else {
-        var c = 1; var ok = false
-        while (c <= s.maxReps && !ok) { ok = runsDone(s, k + 1 - c); c += 1 }
-        ok
+    /** Advance-walk sequences: advWalkSeq(q0) lists, in SQL
+      * backtracking preference order, every step enterable from
+      * position q0 onward through optional alternatives, with -1
+      * marking the "all remaining positions matched empty" terminal.
+      * At each position, alternatives go left to right. The skip
+      * choice ("continue at the next position without consuming")
+      * splices the rest of the walk at the rank SQL backtracking
+      * gives it, exactly once per position:
+      *   - an emptyBranch alternative (`B?`/`B*` — the branch itself
+      *     matches empty) contributes the skip at its OWN alternation
+      *     rank: after its consuming way when greedy, before it when
+      *     reluctant (`B*?` prefers empty);
+      *   - a position skippable only at ELEMENT level (an optional
+      *     quantifier copy — optional but not emptyBranch) ranks the
+      *     skip after every alternative (greedy element), or before
+      *     all of them when the element quantifier is reluctant
+      *     (`(B|C)*?` prefers zero iterations).
+      * Flattening the skip to the END unconditionally mis-orders
+      * `(D | B* | A)` on a non-b row (SQL prefers B*-empty → next
+      * position over consuming A); hoisting it by any alternative's
+      * reluctance mis-orders `(E+? | C+ | A?)?` (the skip belongs to
+      * A?'s empty way and the greedy element, not to E+?). */
+    private val advWalkSeq: Array[Vector[Int]] =
+      Array.tabulate(nPos + 1) { q0 =>
+        val out = Vector.newBuilder[Int]
+        def scanPos(q: Int): Unit =
+          if (q >= nPos) out += -1
+          else {
+            var restDone = false
+            def rest(): Unit =
+              if (!restDone) { restDone = true; scanPos(q + 1) }
+            // reluctant ELEMENT skip ((B|C)*?, (E?|A?)*? loop
+            // copies): ZERO iterations preferred over any
+            // alternative — keyed on the ELEMENT quantifier
+            // admitting zero occurrences (posSkip) AND being
+            // reluctant. A reluctant element with min 1
+            // ((C|D*|A)+?) has no element-level skip; it skips only
+            // via D*'s empty way at D's alternation rank
+            if (posSteps(q).exists { j =>
+              val s = steps(j)
+              s.posSkip && s.elemReluctant
+            }) rest()
+            for (j <- posSteps(q)) {
+              val s = steps(j)
+              // a single-branch loop ((B*)?-style) folds element and
+              // branch reluctance into one flag pair
+              val emptyFirst = s.branchReluctant ||
+                (s.elemReluctant && !s.groupLoop)
+              if (s.emptyBranch && emptyFirst) {
+                rest(); out += j
+              } else {
+                out += j
+                if (s.emptyBranch) rest()
+              }
+            }
+            // greedy ELEMENT skip (optional copies): after every
+            // alternative
+            if (posOptional(q)) rest()
+          }
+        scanPos(q0)
+        out.result()
       }
+
+    /** Entry targets from position `q0` that fire on the current
+      * event, in the advance-walk preference order. */
+    private def rankedTargets(q0: Int, hit: Int => Boolean): Vector[Int] =
+      advWalkSeq(q0).filter(j => j >= 0 && hit(j))
+
+    /** Decision slots for a partial standing at step s: `target`
+      * ranks every loop/advance target in SQL backtracking
+      * preference order, `complete` ranks "finish the match here"
+      * (the all-empty-suffix terminal; -1 when no such suffix
+      * exists), and `ext` ranks EXTENDING the open repetition of a
+      * self-repeating branch (its own flag places it: greedy
+      * extension before everything, reluctant last). For a
+      * group-loop position every alternative appears in alternation
+      * order (a NEW repetition may pick any branch, including the
+      * current one), with the leave walk spliced at the first
+      * empty-capable alternative or at the element flag's end.
+      * Priorities built from these STATIC ranks stay comparable
+      * across events, which lets a held-back completion be ordered
+      * against continuations that only materialize at future
+      * events: in `A B E (E+? | C+ | A?)?` the completion at E
+      * ranks exactly at A?'s empty way — BELOW the E+? continuation
+      * — so E+? wins the tie even though the group's leftmost
+      * alternative is reluctant. An UNBOUNDED self-repeating branch
+      * collapses extension and re-entry into one edge and takes the
+      * better of its two ranks ((E+?|A|C)* re-enters E at its
+      * alternation rank 0 even though E's own extension is
+      * reluctant); a BOUNDED branch keeps them as separate branches
+      * ((C|E{2}|A)+ standing on a whole E pair prefers C over a new
+      * E pair, while below the cap extension wins). */
+    private case class Slots(target: Map[Int, Int], complete: Int,
+                             ext: Int)
+
+    private val slotTables: Array[Slots] =
+      Array.tabulate(steps.length) { s =>
+        val cur = steps(s)
+        val curPos = posOf(s)
+        val advC = advWalkSeq(curPos + 1)
+        val seq = Vector.newBuilder[Int] // step idx; -1 complete; -2 ext
+        if (!cur.oneOrMore) seq ++= advC
+        else if (!cur.groupLoop) {
+          // pure self-loop (B+, a bounded branch, single-branch
+          // loops): the step's governing flag orders extension vs
+          // leave
+          if (cur.quant == Reluctant) { seq ++= advC; seq += s }
+          else { seq += s; seq ++= advC }
+        } else {
+          var leaveDone = false
+          def leave(): Unit = if (!leaveDone) { leaveDone = true; seq ++= advC }
+          if (cur.branchLoop && !cur.branchReluctant) seq += -2
+          if (cur.elemReluctant) leave()
+          for (j <- posSteps(curPos) if steps(j).groupLoop) {
+            val st = steps(j)
+            if (st.emptyBranch && st.branchReluctant) { leave(); seq += j }
+            else { seq += j; if (st.emptyBranch) leave() }
+          }
+          leave()
+          if (cur.branchLoop && cur.branchReluctant) seq += -2
+        }
+        val v = seq.result()
+        val m = scala.collection.mutable.HashMap.empty[Int, Int]
+        for ((j, i) <- v.zipWithIndex if j >= 0 && !m.contains(j)) m(j) = i
+        Slots(m.toMap, v.indexOf(-1), v.indexOf(-2))
+      }
+
+    /** Start-decision slots: the advance walk from position 0. */
+    private val startSlots: Map[Int, Int] =
+      advWalkSeq(0).zipWithIndex.collect {
+        case (j, i) if j >= 0 => j -> i
+      }.toMap
+
+    /** SQL-quantifier NFAs rank EVERY choice with its static slot
+      * (one digit per consumed event, plus a completion digit), so
+      * completions and future continuations compare coherently.
+      * Pure-AllMatches NFAs (the FlinkCEP DSL default) keep the
+      * legacy per-tie consecutive ranking and emit every loop
+      * length immediately. */
+    private val slotRanked = steps.exists(_.quant != AllMatches)
 
     /** Lexicographic order on priority vectors; a proper prefix sorts
       * before its extensions (the un-branched ancestor could still
@@ -319,99 +476,98 @@ object Cep {
           val s = p.stepIdx
           val cur = steps(s)
           val curPos = posOf(s)
-          // trailing-run length at the current step — gates bounded
-          // branches (B{n,m} inside an alternation); entries are
-          // match-length vectors, so the run walk is cheap
-          val curCnt =
-            if (isBounded(cur)) trailingRun(p.entries, s) else 1
-          // loop targets: a group-quantified alternation position
-          // ((B|C)+) loops via EVERY groupLoop alternative of the
-          // position (repetitions may switch branches) — a bounded
-          // branch continues only while its run stays decomposable
-          // and is left (branch switch) only on a whole repetition
-          // boundary; a plain B+ self-loops only, a bounded B{n,m}
-          // only below its cap
-          val loopTs: Vector[Int] =
-            if (!cur.oneOrMore) Vector.empty
-            else if (cur.groupLoop)
-              posSteps(curPos).iterator
-                .filter { j =>
-                  steps(j).groupLoop && steps(j).hit(e, p.entries) &&
-                    (if (j == s) canTakeAnother(cur, curCnt)
-                     else runsDone(cur, curCnt))
-                }.toVector
-            else if (canTakeAnother(cur, curCnt) &&
-              cur.hit(e, p.entries)) Vector(s)
-            else Vector.empty
-          // advance targets: every alternative of the next position,
-          // plus — while positions are optional — of the ones after
-          // it; a bounded branch holds the partial until its trailing
-          // run is a whole number of legal repetitions
-          val advT = Vector.newBuilder[Int]
-          if (runsDone(cur, curCnt)) {
-            var q = curPos + 1
-            var scan = true
-            while (q < nPos && scan) {
-              for (j <- posSteps(q)) if (steps(j).hit(e, p.entries)) advT += j
-              scan = posOptional(q); q += 1
-            }
+          val tab = slotTables(s)
+          val done = repDone(cur, p.curRep)
+          // loop choices (target, resulting open-rep length, slot):
+          // EXTEND the open repetition, or — once it is whole — open
+          // a NEW repetition on any groupLoop alternative (branch
+          // switch or same-branch re-entry). For a bounded branch
+          // these are distinct backtracking choices with different
+          // priorities and futures (2+2 vs 3+1 of E{2,3}); an
+          // unbounded branch's two roles collapse into one edge at
+          // the better rank
+          val loopCh = Vector.newBuilder[(Int, Int, Int)]
+          if (cur.oneOrMore) {
+            val hitSelf = cur.hit(e, p.entries)
+            if (cur.groupLoop) {
+              if (cur.branchLoop && hitSelf && canExtend(cur, p.curRep))
+                loopCh += ((s, p.curRep + 1,
+                  if (isBounded(cur)) tab.ext
+                  else math.min(tab.ext, tab.target(s))))
+              if (done)
+                for (j <- posSteps(curPos)
+                     if steps(j).groupLoop &&
+                       (j != s || !cur.branchLoop || isBounded(cur)) &&
+                       steps(j).hit(e, p.entries))
+                  loopCh += ((j, 1, tab.target(j)))
+            } else if (hitSelf && canExtend(cur, p.curRep))
+              loopCh += ((s, p.curRep + 1, tab.target(s)))
           }
-          val adv = advT.result()
-          val anyFired = loopTs.nonEmpty || adv.nonEmpty
-          // preference order: loop before advance (greedy) or after
-          // (reluctant); loop targets and advance targets each in
-          // leftmost-alternative order (SQL alternation preference)
-          val ordered: Vector[(Int, Boolean)] =
-            if (loopTs.isEmpty) adv.map((_, false))
-            else if (cur.quant == Reluctant)
-              adv.map((_, false)) ++ loopTs.map((_, true))
-            else loopTs.map((_, true)) ++ adv.map((_, false))
-          // branch arbitration via priorities — except the classic
-          // AllMatches loop/advance tie, which branches unranked and
+          val loops = loopCh.result()
+          // advance targets: every alternative of the next position,
+          // plus — through optional alternatives — of the ones after
+          // it, in SQL preference order (rankedTargets); a bounded
+          // branch holds the partial until its open repetition is
+          // whole
+          val advCh =
+            if (done)
+              rankedTargets(curPos + 1, j => steps(j).hit(e, p.entries))
+                .map(j => (j, 1, tab.target(j)))
+            else Vector.empty[(Int, Int, Int)]
+          val anyFired = loops.nonEmpty || advCh.nonEmpty
+          // iteration order (only read by the legacy consecutive
+          // ranking): loop before advance (greedy) or after
+          // (reluctant); slot-ranked NFAs read the static slots
+          val ordered: Vector[(Int, Int, Int)] =
+            if (loops.isEmpty) advCh
+            else if (cur.quant == Reluctant) advCh ++ loops
+            else loops ++ advCh
+          // branch arbitration via priorities: SQL NFAs append the
+          // choice's STATIC slot on every transition; pure-AllMatches
+          // NFAs keep the legacy consecutive ranking, skipping the
+          // classic loop/advance tie which branches unranked and
           // reports every loop length (FlinkCEP-style)
-          val ranked = ordered.size > 1 &&
-            !(loopTs.size == 1 && adv.size == 1 && cur.quant == AllMatches)
+          val ranked = !slotRanked && ordered.size > 1 &&
+            !(loops.size == 1 && advCh.size == 1 && cur.quant == AllMatches)
           var r = 0
-          for ((j, _) <- ordered) {
-            val pr = if (ranked) p.prio :+ r else p.prio
+          for ((j, newRep, digit) <- ordered) {
+            val pr =
+              if (slotRanked) p.prio :+ digit
+              else if (ranked) p.prio :+ r
+              else p.prio
             val newEntries = p.entries :+ (j, e)
             val jPos = posOf(j)
-            // trailing run at j after consuming e: extends the current
-            // run when looping on the same step, else starts a new one
-            val jTrail = if (j == s) curCnt + 1 else 1
-            // a bounded branch is not a match boundary until its
-            // trailing run is a whole number of legal repetitions
-            val isFinal = allOptFrom(jPos + 1) && runsDone(steps(j), jTrail)
+            // a bounded branch is not a match boundary until its open
+            // repetition is whole
+            val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), newRep)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
-              // a completion on a still-extendable LOOPING final step
-              // is a length tie the quantifier must arbitrate: greedy
-              // holds the shorter match (the continuation threatens
-              // it; if a longer completion lands it wins), reluctant
-              // releases it immediately; AllMatches stays unranked
-              // and reports every length (FlinkCEP-style). Without
-              // this, a pattern ENDING in a greedy loop ((B{2,3}),
-              // A B+) emitted one match per length.
-              val canLoopOn = extendable && steps(j).oneOrMore &&
-                canTakeAnother(steps(j), jTrail)
+              // the completion's rank is the all-empty-suffix slot in
+              // the decision space FROM j — the live continuation (at
+              // prio pr, a threatening prefix) appends its own slots
+              // at future events, so greedy/reluctant/alternation
+              // stop-vs-continue ties resolve by slot order; an
+              // AllMatches completion stays unranked and emits
+              // immediately
               val (prPend, prLive) =
-                if (canLoopOn && steps(j).quant == Greedy)
-                  (pr :+ 1, pr :+ 0)
-                else if (canLoopOn && steps(j).quant == Reluctant)
-                  (pr :+ 0, pr :+ 1)
+                if (slotRanked) (pr :+ slotTables(j).complete, pr)
                 else (pr, pr)
               completed += Pending(p.origin, prPend, newEntries)
               if (extendable) // a B+/B* tail (or optional suffix) extends
                 live += Partial(newEntries, p.startTs, matched = true,
-                  p.origin, prLive)
+                  p.origin, prLive, newRep)
             } else live += Partial(newEntries, p.startTs, p.matched,
-              p.origin, pr)
+              p.origin, pr, newRep)
             r += 1
           }
-          // does the un-extended partial survive this event?
+          // does the un-extended partial survive this event? At the
+          // last position the partial's own loop contiguity governs
+          // (a strict final loop may not resume across a gap — the
+          // SQL front-end sets Next everywhere; the DSL's relaxed
+          // followedBy keeps FlinkCEP's resume-after-gap oneOrMore)
           val survives =
             (if (curPos + 1 < nPos) steps(posSteps(curPos + 1)(0)).contiguity
-             else FollowedBy) match {
+             else cur.contiguity) match {
               case Next          => false              // strict: no skipping
               case FollowedBy    => !anyFired          // greedy consumption
               case FollowedByAny => true               // branch on every match
@@ -423,45 +579,41 @@ object Cep {
       // position, plus later positions while the leading ones are
       // optional) opens a new attempt
       locally {
-        val startT = Vector.newBuilder[Int]
-        var q = 0
-        var scan = true
-        while (q < nPos && scan) {
-          for (j <- posSteps(q)) if (steps(j).hit(e, Vector.empty)) startT += j
-          scan = posOptional(q); q += 1
-        }
-        val starts = startT.result()
+        val starts = rankedTargets(0, j => steps(j).hit(e, Vector.empty))
         if (starts.nonEmpty) {
           // single-step fast path: complete-per-event only applies to
           // an unbounded, non-counting step — a bounded B{n,m}
           // (minReps > 1 OR maxReps >= 0) must build a partial, loop,
-          // and count, or the cap would be silently ignored
+          // and count, or the cap would be silently ignored — and to
+          // a non-looping or AllMatches step: a single-step greedy/
+          // reluctant loop (SQL PATTERN (B+)) is a length tie the
+          // quantifier must arbitrate through the partial machinery,
+          // or every event would release its own 1-row match
           if (steps.length == 1 && steps(0).minReps <= 1 &&
-            steps(0).maxReps < 0) {
+            steps(0).maxReps < 0 &&
+            (!steps(0).oneOrMore || steps(0).quant == AllMatches)) {
             completed += Pending(nextOrigin, Vector.empty, Vector((0, e)))
             nextOrigin += 1
           } else {
-            val ranked = starts.size > 1
+            val ranked = !slotRanked && starts.size > 1
             var r = 0
             for (j <- starts) {
-              val pr = if (ranked) Vector(r) else Vector.empty[Int]
+              val pr =
+                if (slotRanked) Vector(startSlots(j))
+                else if (ranked) Vector(r)
+                else Vector.empty[Int]
               val entries0 = Vector((j, e))
               val jPos = posOf(j)
               // one event consumed at j: final only if a single event
               // is a whole legal repetition (minReps 1)
-              val isFinal = allOptFrom(jPos + 1) && runsDone(steps(j), 1)
+              val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), 1)
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
-                // same loop-vs-complete quantifier arbitration as the
-                // transition path (a start event can both complete a
-                // final looping step and keep looping)
-                val canLoopOn = extendable && steps(j).oneOrMore &&
-                  canTakeAnother(steps(j), 1)
+                // same continuation-vs-complete slot arbitration as
+                // the transition path (a start event can complete a
+                // final step and keep looping or extend the suffix)
                 val (prPend, prLive) =
-                  if (canLoopOn && steps(j).quant == Greedy)
-                    (pr :+ 1, pr :+ 0)
-                  else if (canLoopOn && steps(j).quant == Reluctant)
-                    (pr :+ 0, pr :+ 1)
+                  if (slotRanked) (pr :+ slotTables(j).complete, pr)
                   else (pr, pr)
                 completed += Pending(nextOrigin, prPend, entries0)
                 if (extendable)

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.StructType
   *   PARTITION BY col / ORDER BY col / MEASURES expr AS alias, ... /
   *   ONE ROW PER MATCH /
   *   AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW |
-  *                     TO LAST var | TO FIRST var} /
+  *                     TO LAST var | TO FIRST var}
+  *   (defaulting to SKIP PAST LAST ROW when absent, per SQL:2016 —
+  *   the Flink and Trino default too) /
   *   PATTERN (...) [WITHIN INTERVAL 'n' unit] /
   *   DEFINE var AS predicate, ...
   *
@@ -22,11 +24,12 @@ import org.apache.spark.sql.types.StructType
   * per-branch quantifiers inside a group — `+`/`?`/`*` and bounded
   * `{n,m}` (`(B+|C?)`, `(B{2,3}|C)`; a `B+` branch self-loops B
   * only — repetitions do NOT switch branches, unlike `(B|C)+`).
-  * Not supported: multi-variable sequence groups (`(A B)+`),
-  * `{n,m}` on a branch inside a QUANTIFIED group (`(B{2}|C)+` —
-  * repetition counts are per branch and group loops would re-enter
-  * them), and empty matches (a pattern whose every position is
-  * optional matching zero rows).
+  * Bounded branches compose with a quantified group (`(B{2,3}|C)+`):
+  * the group may re-enter the branch back to back, and a run of k Bs
+  * is legal iff it splits into whole repetitions each in [n, m]
+  * (Cep.Step minReps/maxReps trailing-run gates). Not supported:
+  * multi-variable sequence groups (`(A B)+`) and empty matches (a
+  * pattern whose every position is optional matching zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -86,6 +89,15 @@ object MatchRecognize {
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
       pattern: Seq[PatElem], withinMs: Option[Long],
       defines: Map[String, Pred])
+
+  /** One alternative of one expanded pattern POSITION — the flags a
+    * [[Cep.Step]] needs, computed from the (branch, element)
+    * quantifier pair by the position expansion in [[compile]]. */
+  private case class PosAlt(name: String, oneOrMore: Boolean,
+      optional: Boolean, reluctant: Boolean, groupLoop: Boolean,
+      minReps: Int, maxReps: Int, emptyBranch: Boolean,
+      elemReluctant: Boolean, branchLoop: Boolean,
+      branchReluctant: Boolean, posSkip: Boolean)
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -158,7 +170,11 @@ object MatchRecognize {
 
     p.kw("ONE") && { p.expect("ROW"); p.expect("PER"); p.expect("MATCH"); true }
 
-    var skip: Cep.AfterMatchSkip = Cep.NoSkip
+    // SQL:2016 default (also Flink's and Trino's): AFTER MATCH SKIP
+    // PAST LAST ROW — matches are disjoint unless the clause says
+    // otherwise. NoSkip (FlinkCEP's every-start all-matches mode) has
+    // no SQL spelling and stays DSL-only (PatternSpec.afterMatchSkip).
+    var skip: Cep.AfterMatchSkip = Cep.SkipPastLastEvent
     if (p.kw("AFTER")) {
       p.expect("MATCH"); p.expect("SKIP")
       if (p.kw("TO")) {
@@ -410,11 +426,17 @@ object MatchRecognize {
 
   // ---- runner --------------------------------------------------------
 
-  /** Run the clause over a DataFrame, returning one row per match:
-    * the partition column followed by the measures. */
-  def run(df: DataFrame, sql: String): DataFrame = {
+  /** A parsed + NFA-compiled clause, decoupled from the Spark plan so
+    * the per-key walk is unit/fuzz-testable without an executor
+    * (MatchRecognizeFuzzSpec drives [[matchKey]] on in-memory rows
+    * against a brute-force oracle). */
+  private[cep] case class Compiled(clause: Clause,
+      spec: Cep.PatternSpec[Row], varIdx: Map[String, Set[Int]],
+      outSchema: StructType, ordKey: Row => Double)
+
+  /** Parse the clause and compile it onto the [[Cep]] NFA. */
+  private[cep] def compile(schema: StructType, sql: String): Compiled = {
     val clause = parse(sql)
-    val schema = df.schema
 
     // expand quantifiers into linear pattern POSITIONS, each a vector
     // of (name, oneOrMore, optional, reluctant, groupLoop, minReps,
@@ -432,22 +454,42 @@ object MatchRecognize {
     // copies keep their counts too ((B{n,m}|C)+): the NFA gates on
     // the trailing consecutive run, which group re-entry extends —
     // a run of k Bs must split into whole repetitions in [n, m].
-    val positions: Vector[Vector[(String, Boolean, Boolean, Boolean, Boolean, Int, Int)]] =
+    val positions: Vector[Vector[PosAlt]] =
       clause.pattern.iterator.flatMap { el =>
-        def pos(loop: Boolean, opt: Boolean)
-            : Vector[(String, Boolean, Boolean, Boolean, Boolean, Int, Int)] =
+        def pos(loop: Boolean, opt: Boolean): Vector[PosAlt] =
           el.alts.map { v =>
-            (v.name,
-              v.max == -1 || v.max > 1 || loop,
-              v.min == 0 || opt,
-              if (loop) el.reluctant || v.reluctant else v.reluctant,
-              loop && el.alts.size > 1,
-              math.max(1, v.min),
+            PosAlt(v.name,
+              oneOrMore = v.max == -1 || v.max > 1 || loop,
+              optional = v.min == 0 || opt,
+              // the SELF-LOOP's governing flag: for a plain (max-1)
+              // branch in a loop copy the self-loop IS a new group
+              // iteration (element flag governs; single-branch loops
+              // B+? fold both), while a self-repeating branch extends
+              // its own run (branch flag governs — (C|D*|A)+? still
+              // extends a d-run greedily)
+              reluctant =
+                if (loop && (v.max == 1 || el.alts.size == 1))
+                  el.reluctant || v.reluctant
+                else v.reluctant,
+              groupLoop = loop && el.alts.size > 1,
+              minReps = math.max(1, v.min),
               // only genuinely bounded branches (max > 1) carry a cap:
               // maxReps >= 0 switches the NFA onto its per-event
               // repetition-count walk, which plain variables (max = 1,
               // no loop possible) must not pay on the hot path
-              if (v.max <= 1) -1 else v.max)
+              maxReps = if (v.max <= 1) -1 else v.max,
+              // the BRANCH itself matches empty (B?/B*) — preference
+              // ordering of the skip choice, Cep.Step.emptyBranch
+              emptyBranch = v.min == 0,
+              // element-level reluctance reaches the loop/skip
+              // ordering only through a LOOP copy ((B|C)*?, (B|C)+?);
+              // ? and {n,m} have no reluctant spelling
+              elemReluctant = loop && el.reluctant,
+              branchLoop = v.max == -1 || v.max > 1,
+              branchReluctant = v.reluctant,
+              // the ELEMENT quantifier admits zero occurrences of
+              // this position (optional copy / min-0 loop)
+              posSkip = opt)
           }
         if (el.max == -1) {
           if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))
@@ -459,7 +501,7 @@ object MatchRecognize {
              pos(loop = false, opt = true))).toVector
         }
       }.toVector
-    val varIdx: Map[String, Set[Int]] = positions.flatten.map(_._1)
+    val varIdx: Map[String, Set[Int]] = positions.flatten.map(_.name)
       .zipWithIndex.groupBy(_._1)
       .map { case (n, xs) => n -> xs.map(_._2).toSet }
 
@@ -487,22 +529,30 @@ object MatchRecognize {
           org.apache.spark.sql.types.StructField(alias, colType(v), true) })
 
     val steps = positions.zipWithIndex.flatMap { case (alts, posIdx) =>
-      alts.zipWithIndex.map {
-        case ((v, oneOrMore, optional, reluctant, groupLoop, mnR, mxR), a) =>
-          val pred = clause.defines.get(v)
-          Cep.Step[Row](v,
-            contiguity = if (posIdx == 0) Cep.FollowedBy else Cep.Next,
-            oneOrMore = oneOrMore,
-            pred = (_, _) => true,
-            // SQL default: greedy quantifiers (B+? / B*? flip it)
-            quant = if (reluctant) Cep.Reluctant else Cep.Greedy,
-            entryPred = Some((e, entries) => pred.forall(
-              eval(_, Some(e), v, varIdx, entries))),
-            optional = optional,
-            altWithPrev = a > 0,
-            groupLoop = groupLoop,
-            minReps = mnR,
-            maxReps = mxR)
+      alts.zipWithIndex.map { case (pa, a) =>
+        val pred = clause.defines.get(pa.name)
+        Cep.Step[Row](pa.name,
+          // strict everywhere: match starts are handled by per-event
+          // attempt spawning, not by a relaxed first step, and a
+          // PARTIAL standing at the last position must die on a gap
+          // (rows of a match are consecutive per SQL)
+          contiguity = Cep.Next,
+          oneOrMore = pa.oneOrMore,
+          pred = (_, _) => true,
+          // SQL default: greedy quantifiers (B+? / B*? flip it)
+          quant = if (pa.reluctant) Cep.Reluctant else Cep.Greedy,
+          entryPred = Some((e, entries) => pred.forall(
+            eval(_, Some(e), pa.name, varIdx, entries))),
+          optional = pa.optional,
+          altWithPrev = a > 0,
+          groupLoop = pa.groupLoop,
+          minReps = pa.minReps,
+          maxReps = pa.maxReps,
+          emptyBranch = pa.emptyBranch,
+          elemReluctant = pa.elemReluctant,
+          branchLoop = pa.branchLoop,
+          branchReluctant = pa.branchReluctant,
+          posSkip = pa.posSkip)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)
@@ -515,8 +565,28 @@ object MatchRecognize {
       case s: String => sys.error(s"ORDER BY string column unsupported: $s")
     }
 
-    val partitionBy = clause.partitionBy
-    val measures = clause.measures
+    Compiled(clause, spec, varIdx, outSchema, ordKey)
+  }
+
+  /** Pure per-key NFA walk over one partition's ORDER BY-sorted rows —
+    * the body [[run]] maps over each key run, shared verbatim with the
+    * fuzz harness. */
+  private[cep] def matchKey(c: Compiled, key: Any,
+                            ordered: Seq[Row]): Seq[Row] = {
+    val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
+    val (matches, _) = nfa.run(ordered)
+    matches.map { m =>
+      val vals = c.clause.measures.map { case (v, _) =>
+        resolve(v, None, curVar = "", c.varIdx, m.entries).orNull }
+      Row.fromSeq(key +: vals)
+    }
+  }
+
+  /** Run the clause over a DataFrame, returning one row per match:
+    * the partition column followed by the measures. */
+  def run(df: DataFrame, sql: String): DataFrame = {
+    val c = compile(df.schema, sql)
+    val partitionBy = c.clause.partitionBy
     // Stay in Tungsten: hash-repartition on the partition key and let
     // Spark's radix sort order each partition by (key, ORDER BY), then
     // walk consecutive key runs in mapPartitions — no RDD shuffle of
@@ -524,7 +594,7 @@ object MatchRecognize {
     // beyond the single run the NFA needs (the DSL path,
     // Cep.matchBatch, uses the same encoder-based plan shape).
     df.repartition(col(partitionBy))
-      .sortWithinPartitions(col(partitionBy), col(orderCol))
+      .sortWithinPartitions(col(partitionBy), col(c.clause.orderBy))
       .mapPartitions { it =>
         val buf = it.buffered
         val runs = new Iterator[(Any, Seq[Row])] {
@@ -537,16 +607,8 @@ object MatchRecognize {
             (k, b.toSeq)
           }
         }
-        runs.flatMap { case (key, ordered) =>
-          val nfa = new Cep.Nfa[Row](spec, r => ordKey(r).toLong)
-          val (matches, _) = nfa.run(ordered)
-          matches.map { m =>
-            val vals = measures.map { case (v, _) =>
-              resolve(v, None, curVar = "", varIdx, m.entries).orNull }
-            Row.fromSeq(key +: vals)
-          }
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+        runs.flatMap { case (key, ordered) => matchKey(c, key, ordered) }
+      }(org.apache.spark.sql.Encoders.row(c.outSchema))
       .toDF()
   }
 }
