@@ -655,6 +655,79 @@ case class MaxStringMultiplicity(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row count of gram strings whose 60-bit md5 hash
+  * ([[Portable.hash60]]/[[Portable.h60Scala]], bit-identical) is a
+  * member of a SORTED constant hash set — the decontamination
+  * membership probe fused into one generated call per row: no gram
+  * explode, no join probe, no per-doc re-aggregation
+  * (TextOps.contamination's gated fast path; the same probe the
+  * streaming gate runs per document). The set rides the expression
+  * as a constant reference — benchmark-gram-sized by the bounded
+  * eval-set argument, never corpus-sized. The digest folds straight
+  * from the UTF-8 bytes to the 15-hex-char value (big-endian first
+  * 8 bytes >>> 4) without the hex-string round trip.
+  */
+case class GramSetSharedCount(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    GramSetSharedCount.count(v.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // the md5 loop stays in one static helper (JIT-inlined, one
+      // call per ROW); only the set reference is generated, so the
+      // node keeps the enclosing whole-stage codegen span intact
+      val ref = ctx.addReferenceObj("gramSet", set, "long[]")
+      s"${ev.value} = graft.functions.GramSetSharedCount.count($v, $ref);"
+    })
+
+  // arrays compare by reference by default, which would make
+  // semanticEquals/canonicalization (and subexpression elimination)
+  // miss two structurally identical nodes — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case that: GramSetSharedCount =>
+      child == that.child && java.util.Arrays.equals(set, that.set)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(set)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramSetSharedCount {
+  private val mdPool =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** h60 membership count; called from both evaluation paths. */
+  def count(arr: ArrayData, set: Array[Long]): Long = {
+    val md = mdPool.get()
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // parseLong(hex(d).take(15), 16) == big-endian u64 >>> 4
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        if (java.util.Arrays.binarySearch(set, h >>> 4) >= 0) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -708,4 +781,9 @@ object VectorExpressions {
   /** Highest multiplicity of any value in an array<string>. */
   def maxStringMultiplicity(xs: Column): Column =
     ColumnBridge.column(MaxStringMultiplicity(ColumnBridge.expression(xs)))
+
+  /** Count of gram strings whose h60 is in a sorted constant set. */
+  def gramSetSharedCount(grams: Column, set: Array[Long]): Column =
+    ColumnBridge.column(
+      GramSetSharedCount(ColumnBridge.expression(grams), set))
 }

@@ -467,43 +467,89 @@ object TextOps extends graft.QueryModule {
     * of the held-out benchmark source — the standard eval-leakage
     * check run before training. The benchmark n-gram index is tiny
     * relative to the corpus (eval suites are small by construction),
-    * so it broadcasts under the same source-stats gate as the jaccard
-    * lookup and the training side never shuffles before its final
-    * per-doc count; grams travel as 60-bit hashes, never strings.
-    * Docs appear in the output iff they share at least one n-gram
-    * (inner join), with the doc's total gram count for a ratio.
+    * so it broadcasts under the same source-stats gate as the
+    * jaccard lookup and the training side never shuffles before its
+    * final per-doc count (only SHARED gram rows reach that
+    * aggregation); grams travel as 60-bit hashes, never strings.
+    * Docs appear in the output iff they share at least one n-gram,
+    * with the doc's total gram count for a ratio.
+    *
+    * `fusedProbe = Some(true)` switches to a frozen-index MAP-ONLY
+    * variant (one [[graft.functions.GramSetSharedCount]] call per
+    * doc against the fitContamIndex array — zero exchanges, zero
+    * joins, the exact shape the streaming gate serves from), with
+    * identical rows (parity-spec'd). It is NOT the default: the
+    * round-8 A/B (ProfileOps q125ab, sf0.1 + 10x replicas) measured
+    * it 0.5-0.6 s SLOWER per run — the separate driver job that
+    * freezes the index costs more than the gram explode + broadcast
+    * probe it eliminates, at every locally testable scale — and
+    * past broadcast scale the index cannot freeze on the driver
+    * either, so the join path is also the scale fallback. Kept for
+    * the serving-shape parity and for pipelines that already hold a
+    * frozen index.
     */
   def contamination(documents: DataFrame, benchSource: String = "src0",
                     n: Int = 5,
-                    broadcastIndex: Option[Boolean] = None): DataFrame = {
-    // Token array materialized in its OWN projection before the
-    // shingle lambda references it n times — inlined, every
-    // element_at re-runs the regex split (measured 15× slower). The
-    // explode is the OUTER variant + an explicit post-generate null
-    // filter: a plain explode makes the optimizer infer
-    // `size(gs) > 0` and push it below the projection as an
-    // INTERPRETED filter with the whole shingle pipeline inlined
-    // twice per row (measured 25 s of a 29 s query at sf0.1).
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), n)).as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("n_grams"), hash60(col("g")).as("gh"))
+                    broadcastIndex: Option[Boolean] = None,
+                    fusedProbe: Option[Boolean] = None): DataFrame = {
     val benchDocs = documents.filter(col("source") === benchSource)
-    val bcast = broadcastIndex.getOrElse(
+    val small =
       benchDocs.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        Dedup.MaxBroadcastSourceBytes)
-    val idx = grams(benchDocs).select(col("gh")).distinct()
-    grams(documents.filter(col("source") =!= benchSource))
-      .join(if (bcast) broadcast(idx) else idx, "gh")
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count(lit(1)).as("n_shared"))
-      .select(col("doc_id"), col("n_grams"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_grams"))
-          .as("contam_ratio"))
+        Dedup.MaxBroadcastSourceBytes
+    if (fusedProbe.getOrElse(false)) {
+      // FUSED probe (opt-in; see the scaladoc's measured trade-off):
+      // freeze the benchmark grams as a sorted h60 array
+      // (fitContamIndex — the exact structure the streaming gate
+      // serves from) and count per-doc membership in ONE generated
+      // call per row. The corpus gram pipeline stays identical
+      // (words → n-shingles → distinct), but nothing explodes,
+      // probes a join, or re-aggregates per doc — a single map-only
+      // scan. Results are bit-identical to the join formulation:
+      // both count distinct gram STRINGS whose h60 matches a
+      // benchmark gram (membership by the same hash on both paths),
+      // and the parity spec pins the two paths row for row.
+      val idx = fitContamIndex(documents, benchSource, n)
+      documents.filter(col("source") =!= benchSource)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          array_distinct(shingles(col("ws"), n)).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          graft.functions.VectorExpressions
+            .gramSetSharedCount(col("gs"), idx).as("n_shared"))
+        .filter(col("n_shared") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams"))
+            .as("contam_ratio"))
+    } else {
+      // join path — the scale fallback when the benchmark side is
+      // too large to freeze on the driver. Token array materialized
+      // in its OWN projection before the shingle lambda references
+      // it n times — inlined, every element_at re-runs the regex
+      // split (measured 15× slower). The explode is the OUTER
+      // variant + an explicit post-generate null filter: a plain
+      // explode makes the optimizer infer `size(gs) > 0` and push
+      // it below the projection as an INTERPRETED filter with the
+      // whole shingle pipeline inlined twice per row (measured 25 s
+      // of a 29 s query at sf0.1).
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"), array_distinct(shingles(col("ws"), n)).as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          explode_outer(col("gs")).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("n_grams"), hash60(col("g")).as("gh"))
+      val bcast = broadcastIndex.getOrElse(small)
+      val idx = grams(benchDocs).select(col("gh")).distinct()
+      grams(documents.filter(col("source") =!= benchSource))
+        .join(if (bcast) broadcast(idx) else idx, "gh")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams"))
+            .as("contam_ratio"))
+    }
   }
 
   /** Decontamination APPLY — the surviving corpus after dropping every
@@ -519,25 +565,51 @@ object TextOps extends graft.QueryModule {
     * SCALE SHAPE: rides [[contamination]]'s gated gram-index shape
     * unchanged (60-bit gram hashes, distinct bench index, stats-gated
     * broadcast), then ONE bare-id drop set anti-joins the corpus
-    * under the same gate — payloads move zero times.
+    * under the same gate — payloads move zero times. With
+    * `fusedProbe = Some(true)` the keep/drop decision instead fuses
+    * into the corpus scan itself — ONE map-only pass, zero
+    * exchanges, zero joins; the exact per-document decision
+    * [[graft.streaming.StreamAggs.decontamGate]] makes in-stream —
+    * measured SLOWER locally (the contamination scaladoc's A/B), so
+    * opt-in, not the default.
     */
   def decontaminate(documents: DataFrame, benchSource: String = "src0",
                     n: Int = 5, maxSharePermille: Long = 100,
-                    broadcastIndex: Option[Boolean] = None): DataFrame = {
+                    broadcastIndex: Option[Boolean] = None,
+                    fusedProbe: Option[Boolean] = None): DataFrame = {
     require(maxSharePermille >= 1,
       s"maxSharePermille must be >= 1, got $maxSharePermille")
-    val bcast = broadcastIndex.getOrElse(
-      documents.filter(col("source") === benchSource)
-        .queryExecution.optimizedPlan.stats.sizeInBytes <=
-        Dedup.MaxBroadcastSourceBytes)
-    def g(df: DataFrame) = if (bcast) broadcast(df) else df
-    val drops = contamination(documents, benchSource, n, Some(bcast))
-      .filter(col("n_shared") * 1000L >=
-        lit(maxSharePermille) * col("n_grams"))
-      .select(col("doc_id"))
-    documents.filter(col("source") =!= benchSource)
-      .join(g(drops), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val small = documents.filter(col("source") === benchSource)
+      .queryExecution.optimizedPlan.stats.sizeInBytes <=
+      Dedup.MaxBroadcastSourceBytes
+    if (fusedProbe.getOrElse(false)) {
+      val idx = fitContamIndex(documents, benchSource, n)
+      val out = Seq(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+      // token array and gram array each materialized in their OWN
+      // projection (the contamination inline-rerun lesson); docs
+      // below n tokens have no grams (null) and are always kept —
+      // the join path's inner-join semantics
+      documents.filter(col("source") =!= benchSource)
+        .select(out :+ words(col("text")).as("__ws"): _*)
+        .select(out :+ when(size(col("__ws")) >= n,
+          array_distinct(shingles(col("__ws"), n))).as("__gs"): _*)
+        .filter(col("__gs").isNull ||
+          graft.functions.VectorExpressions
+            .gramSetSharedCount(col("__gs"), idx) * lit(1000L) <
+            lit(maxSharePermille) * size(col("__gs")))
+        .select(out: _*)
+    } else {
+      def g(df: DataFrame) = if (broadcastIndex.getOrElse(small)) broadcast(df) else df
+      val drops = contamination(documents, benchSource, n,
+        broadcastIndex, fusedProbe = Some(false))
+        .filter(col("n_shared") * 1000L >=
+          lit(maxSharePermille) * col("n_grams"))
+        .select(col("doc_id"))
+      documents.filter(col("source") =!= benchSource)
+        .join(g(drops), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }
   }
 
   /** Train half of the streaming decontamination gate

@@ -406,6 +406,51 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(3L, 4L, 5L), s"got $got")
   }
 
+  test("contamination/decontaminate fused probe == join path, row for row") {
+    import spark.implicits._
+    val bench1 = "one two three four five six seven eight nine ten"
+    val bench2 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = (Seq(
+      (1L, bench1, "en", "src0", 50L), (2L, bench2, "en", "src0", 40L),
+      (3L, "one two three four five aa bb cc dd ee", "en", "srcA", 40L),
+      (4L, ("alpha beta gamma delta epsilon " +
+        (1 to 15).map(i => s"w$i").mkString(" ")), "en", "srcA", 80L),
+      (5L, "clean text with no overlap at all here", "en", "srcB", 40L),
+      (6L, "too short", "en", "srcB", 9L),
+      // duplicated shared grams inside one doc exercise the
+      // distinct-before-count semantics on both paths
+      (7L, "one two three four five one two three four five", "en",
+        "srcB", 49L)
+    ) ++ (8L to 40L).map(i =>
+      (i, s"filler doc $i with words w$i x$i y$i z$i q$i", "en", "srcC",
+        30L))).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    val cFused = rows(graft.operators.TextOps.contamination(d,
+      fusedProbe = Some(true)))
+    val cJoinB = rows(graft.operators.TextOps.contamination(d,
+      fusedProbe = Some(false), broadcastIndex = Some(true)))
+    val cJoinS = rows(graft.operators.TextOps.contamination(d,
+      fusedProbe = Some(false), broadcastIndex = Some(false)))
+    assert(cFused == cJoinB && cFused == cJoinS,
+      s"contamination paths diverge:\n$cFused\n$cJoinB\n$cJoinS")
+    assert(cFused.nonEmpty, "fixture should have contaminated docs")
+
+    val dFused = rows(graft.operators.TextOps.decontaminate(d,
+      fusedProbe = Some(true)))
+    val dJoin = rows(graft.operators.TextOps.decontaminate(d,
+      fusedProbe = Some(false)))
+    assert(dFused == dJoin,
+      s"decontaminate paths diverge:\n$dFused\n$dJoin")
+    // the fused plan is the point: no join, no shuffle, map-only
+    val plan = graft.operators.TextOps.decontaminate(d,
+      fusedProbe = Some(true)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"fused decontaminate should be map-only:\n$plan")
+  }
+
   test("unigram-LM tokenizer equals an all-segmentations brute force") {
     import spark.implicits._
     // "abab" floods the corpus so pieces "ab"/"abab" clear minCount;

@@ -337,6 +337,35 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("GramSetSharedCount CODEGEN == interpreted == h60Scala fold") = {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = (0 until 40).map(i => s"tok$i gram g$i plus $i more") ++
+      Seq("héllo wörld ünïcode gram x", "日本 語 の グラム です ね", "")
+    val set = vocab.take(20)
+      .map(graft.functions.Portable.h60Scala).sorted.toArray
+    val expr = graft.functions.GramSetSharedCount(
+      BoundReference(0, ArrayType(StringType), nullable = true), set)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val gramsGen = Gen.chooseNum(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.oneOf(vocab), Gen.alphaNumStr))
+        .map(_.map(identity)))
+    forAll(gramsGen) { gs =>
+      val arr = new GenericArrayData(
+        gs.map(g => UTF8String.fromString(g): Any).toArray)
+      val row = InternalRow(arr)
+      val gen = proj(row).getLong(0)
+      val interp = expr.eval(row).asInstanceOf[Long]
+      // per-element semantics (production feeds array_distinct, but
+      // the node itself counts every element) against the Scala-twin
+      // hash — pins the direct-from-bytes digest fold to
+      // parseLong(hex.take(15), 16)
+      val want = gs.count(g => java.util.Arrays.binarySearch(
+        set, graft.functions.Portable.h60Scala(g)) >= 0).toLong
+      gen == interp && gen == want
+    }
+  }
+
   // doubles compared by BITS (0/0 NaN cases must match too, not be
   // unequal-by-NaN)
   private def canonD(xs: Seq[Double]): Seq[Long] =
