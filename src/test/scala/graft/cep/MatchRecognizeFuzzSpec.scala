@@ -66,12 +66,22 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   // ---- brute-force oracle ------------------------------------------
 
+  // row i carries ORDER BY value (i+1)*TsStep, so a WITHIN window of
+  // k seconds spans roughly k*1000/TsStep rows
+  private val TsStep = 700L
+
   private type Bind = Vector[(String, Int)] // (var, row idx) in order
 
-  /** Preferred match whose first consumed row is `start`, or None. */
+  /** Preferred match whose first consumed row is `start`, or None.
+    * `withinMs` bounds every consumed row's ORDER BY distance from
+    * the start row (SQL WITHIN; the engine expires a partial before
+    * it can consume past the window, so the constraints coincide). */
   private def matchFrom(elems: Vector[FElem], tape: String,
-                        start: Int): Option[Bind] = {
-    val n = tape.length
+                        start: Int, withinMs: Long): Option[Bind] = {
+    val n0 = tape.length
+    val n =
+      if (withinMs <= 0) n0
+      else math.min(n0, start + (withinMs / TsStep).toInt + 1)
     def sat(v: String, row: Int): Boolean =
       v == "E" || tape(row) == v.head.toLower
 
@@ -139,11 +149,11 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   /** Sequential scan per the AFTER MATCH SKIP strategy. */
   private def scan(elems: Vector[FElem], tape: String,
-                   skip: OSkip): Vector[Bind] = {
+                   skip: OSkip, withinMs: Long = 0L): Vector[Bind] = {
     val out = Vector.newBuilder[Bind]
     var i = 0
     while (i < tape.length) {
-      matchFrom(elems, tape, i) match {
+      matchFrom(elems, tape, i, withinMs) match {
         case None => i += 1
         case Some(m) =>
           out += m
@@ -176,25 +186,32 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   private def rows(tape: String): Seq[Row] =
     tape.zipWithIndex.map { case (ch, i) =>
       new GenericRowWithSchema(
-        Array[Any]("S", (i + 1).toLong, ch.toString), schema): Row
+        Array[Any]("S", (i + 1) * TsStep, ch.toString), schema): Row
     }
 
   /** (pattern var → (first, last, count)) per engine match row. */
-  private def runEngine(elems: Vector[FElem], tape: String,
-      skipClause: String, vars: Seq[String]): Seq[Map[String, (Any, Any, Long)]] = {
+  private def clauseSql(elems: Vector[FElem], skipClause: String,
+      withinSec: Int, vars: Seq[String]): String = {
     val measures = vars.flatMap(v => Seq(
       s"FIRST($v.seq) AS ${v.toLowerCase}_f",
       s"LAST($v.seq) AS ${v.toLowerCase}_l",
       s"COUNT($v.* ) AS ${v.toLowerCase}_c")).mkString(", ")
     val defines = vars.filter(_ != "E")
       .map(v => s"$v AS name = '${v.head.toLower}'").mkString(", ")
-    val sql =
-      s"""PARTITION BY sym ORDER BY seq
-          MEASURES $measures
-          $skipClause
-          PATTERN (${patternStr(elems)})
-          DEFINE $defines"""
-    val c = MatchRecognize.compile(schema, sql)
+    val within =
+      if (withinSec <= 0) "" else s"WITHIN INTERVAL '$withinSec' SECOND"
+    s"""PARTITION BY sym ORDER BY seq
+        MEASURES $measures
+        $skipClause
+        PATTERN (${patternStr(elems)}) $within
+        DEFINE $defines"""
+  }
+
+  private def runEngine(elems: Vector[FElem], tape: String,
+      skipClause: String, withinSec: Int,
+      vars: Seq[String]): Seq[Map[String, (Any, Any, Long)]] = {
+    val c = MatchRecognize.compile(schema,
+      clauseSql(elems, skipClause, withinSec, vars))
     MatchRecognize.matchKey(c, "S", rows(tape)).map { r =>
       vars.zipWithIndex.map { case (v, i) =>
         v -> (r.get(1 + 3 * i), r.get(2 + 3 * i),
@@ -208,7 +225,8 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     vars.map { v =>
       val vr = m.collect { case (`v`, row) => row }
       v -> (if (vr.isEmpty) (null, null, 0L)
-            else ((vr.min + 1).toLong, (vr.max + 1).toLong, vr.size.toLong))
+            else ((vr.min + 1) * TsStep, (vr.max + 1) * TsStep,
+              vr.size.toLong))
     }.toMap
 
   // ---- generator ----------------------------------------------------
@@ -303,7 +321,7 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
-  test(s"$Cases random (pattern, tape, skip) cases match the oracle") {
+  test(s"$Cases random (pattern, tape, skip, within) cases match the oracle") {
     val rnd = new Random(0xC3D2E1F0L)
     var cases = 0
     while (cases < Cases) {
@@ -311,18 +329,81 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
       val tape = genTape(rnd)
       val vars = elems.flatMap(_.alts.map(_.name)).distinct.sorted
       val (skipClause, oSkip) = skipPair(rnd, vars)
-      val expected = scan(elems, tape, oSkip).map(oracleFingerprint(_, vars))
+      // ~1/3 of cases carry WITHIN INTERVAL 'k' SECOND; with rows
+      // TsStep=0.7 s apart, k in 1..5 windows span 2..8 rows
+      val withinSec = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(5) else 0
+      val expected = scan(elems, tape, oSkip, withinSec * 1000L)
+        .map(oracleFingerprint(_, vars))
       val got =
-        try runEngine(elems, tape, skipClause, vars)
+        try runEngine(elems, tape, skipClause, withinSec, vars)
         catch {
           case e: Throwable =>
             fail(s"engine threw on PATTERN (${patternStr(elems)}) " +
-              s"tape='$tape' skip='$skipClause': $e")
+              s"tape='$tape' skip='$skipClause' within=$withinSec: $e")
         }
       assert(got == expected,
         s"\nPATTERN (${patternStr(elems)}) tape='$tape' " +
           s"skip='${if (skipClause.isEmpty) "<default>" else skipClause}'" +
+          s" within=${withinSec}s" +
           s"\n engine: $got\n oracle: $expected")
+      cases += 1
+    }
+  }
+
+  /** Streaming-cadence differential: the SAME compiled NFA driven the
+    * way the streaming operators drive it — events split across
+    * micro-batch chunks with `expire(watermark)` between chunks (the
+    * matchPatternEventTime cadence: in-order events, zero-delay
+    * watermark = max event time seen) and a final `flush` — must
+    * release the SAME match sequence as the one-shot batch `run`.
+    * Only WITHIN patterns exercise anything new (expire is a no-op
+    * otherwise), and that is exactly the machinery worth pinning:
+    * expiry-triggered pending releases, timeout suppression for
+    * matched attempts, and the per-partial repetition state surviving
+    * chunk boundaries. */
+  test(s"${Cases / 2} chunked-replay (within) cases match one-shot run") {
+    val rnd = new Random(0x5EED5EEDL)
+    var cases = 0
+    while (cases < Cases / 2) {
+      val elems = genPattern(rnd)
+      val tape = genTape(rnd)
+      if (tape.nonEmpty) {
+        val vars = elems.flatMap(_.alts.map(_.name)).distinct.sorted
+        val (skipClause, _) = skipPair(rnd, vars)
+        val withinSec = 1 + rnd.nextInt(5)
+        val c = MatchRecognize.compile(schema,
+          clauseSql(elems, skipClause, withinSec, vars))
+        val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
+        val evs = rows(tape)
+
+        val oneShot = nfa.run(evs)._1.map(_.entries)
+
+        var st = Cep.NfaState.empty[Row]
+        val got = Vector.newBuilder[Vector[(Int, Row)]]
+        var i = 0
+        while (i < evs.length) {
+          val sz = 1 + rnd.nextInt(3) // 1-3 events per micro-batch
+          val chunk = evs.slice(i, i + sz)
+          for (e <- chunk) {
+            val (s2, done, _) = nfa.onEvent(st, e)
+            st = s2
+            got ++= done.map(_.entries)
+          }
+          i += sz
+          // zero-delay watermark after the batch commits
+          val wm = (math.min(i, evs.length)) * TsStep
+          val (s3, released, _) = nfa.expire(st, wm)
+          st = s3
+          got ++= released.map(_.entries)
+        }
+        got ++= nfa.flush(st)._2.map(_.entries)
+
+        assert(got.result() == oneShot.toVector,
+          s"\nPATTERN (${patternStr(elems)}) tape='$tape' " +
+            s"skip='${if (skipClause.isEmpty) "<default>" else skipClause}'" +
+            s" within=${withinSec}s: chunked != one-shot" +
+            s"\n chunked: ${got.result()}\n one-shot: $oneShot")
+      }
       cases += 1
     }
   }
