@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -326,6 +326,161 @@ object Multimodal extends graft.QueryModule {
       it.map(decodeImage)
     }
   }
+
+  // ---- image near-dup dedup: dHash + Hamming band bucketing -----------
+
+  /** Deterministic near-dup image corpus: ids in the same group of 4
+    * (`grp = id / 4`) share geometry and a quadratic pixel gradient
+    * derived from `grp`; the member index (`id % 4`) adds a small
+    * uniform brightness offset to every channel, so members of a group
+    * decode to ALMOST the same raster (identical except where a
+    * channel wraps mod 256) — the planted near-duplicates a dedup op
+    * must find. Encoded for real (PNG even ids / BMP odd ids, both
+    * lossless), so the hash below comes from an actual codec decode.
+    * Reference behavior anchor: the binary media columns of
+    * `flink-stream-processing/.../GlobalWindowExample.java`-style
+    * pipelines carry opaque payloads; the dedup semantics here are the
+    * LAION-style pHash dedup pass, expressed Spark-first. */
+  def nearDupImageBytes(w: Int, h: Int, grp: Long, member: Int,
+                        format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (qa, qb) = ((grp % 5 + 1).toInt, (grp % 3 + 1).toInt)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.floorMod(x * x * qa + y * 3 + grp * 11 + member, 256).toInt
+        val g = math.floorMod(x * 5 + y * y * qb + grp * 23 + member, 256).toInt
+        val b = math.floorMod(x * 13 + y * 17 + grp * 29 + member, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  def nearDupImageTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val grp = id / 4
+        val w = (grp % 7 + 16).toInt
+        val h = (grp % 5 + 12).toInt
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        MediaRecord(id, fmt, w, h,
+          nearDupImageBytes(w, h, grp, (id % 4).toInt, fmt))
+      }
+    }
+  }
+
+  /** 64-bit difference hash of a decoded raster: nearest-neighbor
+    * sample a 9×8 luminance grid (`sx = gx·w/9`, `sy = gy·h/8` —
+    * integer division, so the hash is resolution-normalizing and
+    * exactly reproducible in SQL), set bit `gy·8+gx` iff the right
+    * neighbor is strictly brighter. Returned as two non-negative
+    * 32-bit halves (lo = bits 0–31, hi = 32–63) so the DuckDB oracle
+    * can pack each half in BIGINT arithmetic without sign traps.
+    * Luminance is the exact integer channel sum r+g+b — no float
+    * rounding anywhere. */
+  def dHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val p = img.getRGB(gx * w / 9, gy * h / 8)
+        lum(gy)(gx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var lo = 0L; var hi = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gy)(gx + 1) > lum(gy)(gx)) {
+          val j = gy * 8 + gx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (lo, hi)
+  }
+
+  /** Per-partition REAL decode → dHash. Map-only: at 100 TB this is
+    * the only pass that touches payload bytes; everything downstream
+    * moves (id, 8 bytes of hash). */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload is not a decodable image")
+        val (lo, hi) = dHash64(img)
+        (r.media_id, lo, hi)
+      }
+    }.toDF("media_id", "hash_lo", "hash_hi")
+  }
+
+  /** Image near-dup pairs: dHash → 8 byte-bands (4 per half) →
+    * in-bucket pairs (bucket size capped — a hot band byte is a
+    * stop-band, same recall-loss mode as the text SimHash op, mirrored
+    * in the oracle) → exact Hamming ≤ `maxDist` via popcount of the
+    * two xor halves. Each qualifying pair is emitted exactly once by
+    * the first-matching-band filter, so no distinct shuffle over the
+    * candidate multiset exists. 8 bands of 8 bits guarantee full
+    * recall for Hamming ≤ 7 ≥ `maxDist` (pigeonhole), modulo the cap.
+    * Scale shape: one map-only decode pass, then exchanges carry only
+    * (band, id, hash) and rank-bounded buckets — payload bytes never
+    * shuffle. */
+  def imageDHashPairs(media: Dataset[MediaRecord], maxDist: Int = 6,
+                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val banded = imageDHash(media)
+      .select(col("media_id"), col("hash_lo"), col("hash_hi"),
+        posexplode(expr("""concat(
+          transform(sequence(0, 3), b -> shiftright(hash_lo, b * 8) & 255),
+          transform(sequence(0, 3), b -> shiftright(hash_hi, b * 8) & 255))""")))
+      .toDF("media_id", "hash_lo", "hash_hi", "band_idx", "band_val")
+    def xorByteZero(j: Int): Column =
+      if (j < 4) shiftright(col("xlo"), j * 8).bitwiseAND(lit(255L)) === 0
+      else shiftright(col("xhi"), (j - 4) * 8).bitwiseAND(lit(255L)) === 0
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(
+        struct(col("media_id"), col("hash_lo"), col("hash_hi")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("band_idx"),
+        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("band_idx"),
+        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        col("p.a.hash_lo").bitwiseXOR(col("p.b.hash_lo")).as("xlo"),
+        col("p.a.hash_hi").bitwiseXOR(col("p.b.hash_hi")).as("xhi"))
+      // first-matching-band: keep the pair only in its LOWEST matching
+      // band (band j matches iff xor byte j is zero)
+      .filter((0 until 8).map { k =>
+        (0 until k).map(j => !xorByteZero(j))
+          .foldLeft(col("band_idx") === k)(_ && _)
+      }.reduce(_ || _))
+      .select(col("a"), col("b"),
+        (bit_count(col("xlo")) + bit_count(col("xhi"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  def imageDHashPairsQuery(s: SparkSession, d: String): DataFrame =
+    imageDHashPairs(nearDupImageTable(Tables.documents(s, d)))
 
   // ---- real video codec path: AVI (RIFF) demux + DIB/MJPEG decode ------
 
@@ -680,7 +835,8 @@ object Multimodal extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_features" -> ((s, d) => featureQuery(s, d)),
     "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d)),
-    "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d))
+    "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d)),
+    "q133_image_dhash_pairs" -> ((s, d) => imageDHashPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -803,6 +959,77 @@ object Multimodal extends graft.QueryModule {
              list_max(list_transform(smp, x -> abs(x))) AS peak,
              len(list_filter(range(1, n),
                i -> (smp[i] >= 0) != (smp[i+1] >= 0))) AS zero_cross
-      FROM s"""
+      FROM s""",
+
+    /* q133: the Spark side encodes REAL PNG/BMP rasters, decodes them
+     * back through ImageIO, and dHashes the decoded pixels; both
+     * codecs are lossless, so the oracle recomputes the 9×8 sampled
+     * luminance grid straight from the pixel formulas (exact integer
+     * arithmetic end to end), packs the same two 32-bit halves, and
+     * mirrors the banding/bucket-cap/first-matching-band semantics of
+     * the Spark op (the q28 SimHash discipline). */
+    "q133_image_dhash_pairs" -> s"""
+      WITH img AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS m,
+               (doc_id // 4) % 7 + 16 AS w, (doc_id // 4) % 5 + 12 AS h
+        FROM documents),
+      g1 AS (
+        SELECT media_id, grp, m, w, h,
+               CAST(unnest(range(0, 9)) AS BIGINT) AS gx
+        FROM img),
+      g2 AS (
+        SELECT media_id, grp, m, w, h, gx,
+               CAST(unnest(range(0, 8)) AS BIGINT) AS gy
+        FROM g1),
+      lum AS (
+        SELECT media_id, gx, gy,
+               (sx*sx*(grp % 5 + 1) + sy*3 + grp*11 + m) % 256
+             + (sx*5 + sy*sy*(grp % 3 + 1) + grp*23 + m) % 256
+             + (sx*13 + sy*17 + grp*29 + m) % 256 AS lv
+        FROM (SELECT media_id, grp, m, gx, gy,
+                     gx*w//9 AS sx, gy*h//8 AS sy FROM g2) t),
+      bits AS (
+        SELECT media_id, gx, gy,
+               CASE WHEN lead(lv) OVER (PARTITION BY media_id, gy
+                                        ORDER BY gx) > lv
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM lum),
+      hashes AS (
+        SELECT media_id,
+               SUM(CASE WHEN gy < 4
+                        THEN bit * (1::BIGINT << (gy*8 + gx))
+                        ELSE 0 END)::BIGINT AS hash_lo,
+               SUM(CASE WHEN gy >= 4
+                        THEN bit * (1::BIGINT << ((gy-4)*8 + gx))
+                        ELSE 0 END)::BIGINT AS hash_hi
+        FROM bits WHERE gx < 8 GROUP BY media_id),
+      banded AS (
+        SELECT media_id, hash_lo, hash_hi, k AS band_idx,
+               CASE WHEN k < 4 THEN (hash_lo >> (k*8)) & 255
+                    ELSE (hash_hi >> ((k-4)*8)) & 255 END AS band_val
+        FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)),
+      sizes AS (
+        SELECT band_idx, band_val, count(*) AS n
+        FROM banded GROUP BY 1, 2),
+      pairs AS (
+        SELECT x.media_id AS a, y.media_id AS b,
+               xor(x.hash_lo, y.hash_lo) AS xlo,
+               xor(x.hash_hi, y.hash_hi) AS xhi,
+               x.band_idx AS j, z.n AS n
+        FROM banded x JOIN banded y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.media_id < y.media_id
+        JOIN sizes z
+          ON z.band_idx = x.band_idx AND z.band_val = x.band_val),
+      -- a pair is emitted iff its LOWEST matching band's bucket
+      -- survived the cap (first-matching-band ∘ bucket-size filter)
+      first AS (
+        SELECT a, b, xlo, xhi, n,
+               row_number() OVER (PARTITION BY a, b ORDER BY j) AS rn
+        FROM pairs)
+      SELECT a, b, bit_count(xlo) + bit_count(xhi) AS hamming
+      FROM first
+      WHERE rn = 1 AND n <= ${Dedup.DefaultMaxBucket}
+        AND bit_count(xlo) + bit_count(xhi) <= 6"""
   )
 }

@@ -1806,4 +1806,67 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum("n_pairs")).as[Long].collect().head
     assert(top == q29, s"deciles>=8 $top pairs vs q29 $q29")
   }
+
+  test("image dHash of the decoded raster equals the pixel-formula " +
+    "recomputation (encode -> ImageIO decode -> hash round trip)") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val got = Multimodal.imageDHash(Multimodal.nearDupImageTable(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size == 40)
+    for ((id, (lo, hi)) <- got) {
+      val grp = id / 4; val m = id % 4
+      val (w, h) = ((grp % 7 + 16).toInt, (grp % 5 + 12).toInt)
+      val (qa, qb) = (grp % 5 + 1, grp % 3 + 1)
+      def lum(gx: Int, gy: Int): Long = {
+        val sx = gx * w / 9; val sy = gy * h / 8
+        (sx * sx * qa + sy * 3 + grp * 11 + m) % 256 +
+          (sx * 5 + sy * sy * qb + grp * 23 + m) % 256 +
+          (sx * 13 + sy * 17 + grp * 29 + m) % 256
+      }
+      var (elo, ehi) = (0L, 0L)
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (lum(gx + 1, gy) > lum(gx, gy)) {
+          val j = gy * 8 + gx
+          if (j < 32) elo |= 1L << j else ehi |= 1L << (j - 32)
+        }
+      assert((lo, hi) == (elo, ehi),
+        s"media $id: decoded hash ($lo,$hi) != formula ($elo,$ehi)")
+    }
+  }
+
+  test("image dHash pairs equal a brute-force mirror of the " +
+    "band/bucket-cap/first-matching-band semantics and find the " +
+    "planted near-dup groups") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.nearDupImageTable(docs)
+    val hs = Multimodal.imageDHash(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def bands(lo: Long, hi: Long): Seq[Long] =
+      (0 until 4).map(k => (lo >> (k * 8)) & 255) ++
+        (0 until 4).map(k => (hi >> (k * 8)) & 255)
+    val sizes = hs.flatMap { case (_, lo, hi) =>
+      bands(lo, hi).zipWithIndex.map { case (v, k) => (k, v) }
+    }.groupBy(identity).map { case (kv, g) => kv -> g.length }
+    val expected = scala.collection.mutable.Set[(Long, Long, Int)]()
+    for (i <- hs.indices; j <- i + 1 until hs.length) {
+      val (a, alo, ahi) = hs(i); val (b, blo, bhi) = hs(j)
+      val ba = bands(alo, ahi); val bb = bands(blo, bhi)
+      val matching = (0 until 8).filter(k => ba(k) == bb(k))
+      if (matching.nonEmpty &&
+        sizes((matching.min, ba(matching.min))) <= 100) {
+        val ham = java.lang.Long.bitCount(alo ^ blo) +
+          java.lang.Long.bitCount(ahi ^ bhi)
+        if (ham <= 6) expected += ((a, b, ham))
+      }
+    }
+    val got = Multimodal.imageDHashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    // the generator really plants discoverable near-dups: a healthy
+    // share of found pairs are intra-group (same id/4 group)
+    val intra = got.count(p => p._1 / 4 == p._2 / 4)
+    assert(intra >= 300, s"only $intra intra-group near-dup pairs found")
+  }
 }
