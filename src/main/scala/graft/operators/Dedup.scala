@@ -516,10 +516,22 @@ object Dedup extends graft.QueryModule {
     */
   def dedupGroups(documents: DataFrame, maxRounds: Int = 20,
                   maxDriverEdges: Long = 3000000L,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    val spark = documents.sparkSession
+                  checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(
+      minhashPairs(documents).select(col("a"), col("b")),
+      maxRounds, maxDriverEdges, checkpointDir)
+
+  /** Connected components over an undirected (a, b) pair graph —
+    * the size-gated driver union-find / pointer-jumping loop
+    * documented on [[dedupGroups]], reusable by any pair family
+    * (text MinHash q47, image dHash q134). Returns
+    * (doc_id, group_id = min id of the component). */
+  private[graft] def connectedComponents(pairsDf: DataFrame,
+      maxRounds: Int = 20, maxDriverEdges: Long = 3000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairsDf.sparkSession
     import spark.implicits._
-    val edges = minhashPairs(documents).select(col("a"), col("b")).persist()
+    val edges = pairsDf.select(col("a"), col("b")).persist()
     val nEdges = edges.count()
     if (nEdges <= maxDriverEdges) {
       val pairs = edges.as[(Long, Long)].collect()

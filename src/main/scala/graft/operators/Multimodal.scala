@@ -482,6 +482,20 @@ object Multimodal extends graft.QueryModule {
   def imageDHashPairsQuery(s: SparkSession, d: String): DataFrame =
     imageDHashPairs(nearDupImageTable(Tables.documents(s, d)))
 
+  /** Image dedup groups: connected components over the q133 near-dup
+    * pair graph — the grouping step that turns pairwise pHash matches
+    * into keepable/droppable duplicate sets, reusing the size-gated
+    * driver union-find / pointer-jumping machinery of the text dedup
+    * family (q47). Returns (media_id, group_id = min media_id of the
+    * component); singletons don't appear (they are their own keeper),
+    * exactly as q47 treats pairless docs. */
+  def imageDedupGroups(media: Dataset[MediaRecord]): DataFrame =
+    Dedup.connectedComponents(imageDHashPairs(media))
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+
+  def imageDedupGroupsQuery(s: SparkSession, d: String): DataFrame =
+    imageDedupGroups(nearDupImageTable(Tables.documents(s, d)))
+
   // ---- real video codec path: AVI (RIFF) demux + DIB/MJPEG decode ------
 
   /** One decoded video frame's channel statistics. */
@@ -836,7 +850,8 @@ object Multimodal extends graft.QueryModule {
     "q40_media_features" -> ((s, d) => featureQuery(s, d)),
     "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d)),
     "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d)),
-    "q133_image_dhash_pairs" -> ((s, d) => imageDHashPairsQuery(s, d))
+    "q133_image_dhash_pairs" -> ((s, d) => imageDHashPairsQuery(s, d)),
+    "q134_image_dedup_groups" -> ((s, d) => imageDedupGroupsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -961,14 +976,31 @@ object Multimodal extends graft.QueryModule {
                i -> (smp[i] >= 0) != (smp[i+1] >= 0))) AS zero_cross
       FROM s""",
 
-    /* q133: the Spark side encodes REAL PNG/BMP rasters, decodes them
-     * back through ImageIO, and dHashes the decoded pixels; both
-     * codecs are lossless, so the oracle recomputes the 9×8 sampled
-     * luminance grid straight from the pixel formulas (exact integer
-     * arithmetic end to end), packs the same two 32-bit halves, and
-     * mirrors the banding/bucket-cap/first-matching-band semantics of
-     * the Spark op (the q28 SimHash discipline). */
-    "q133_image_dhash_pairs" -> s"""
+    "q133_image_dhash_pairs" -> q133Sql,
+
+    /* q134: transitive closure of the q133 pair graph (the q47
+     * recursive-CTE discipline); min reachable id = the label both
+     * the driver union-find and the pointer-jumping loop converge
+     * to. */
+    "q134_image_dedup_groups" -> s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q133Sql) q133),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      )
+      SELECT node AS media_id, min(r) AS group_id FROM reach GROUP BY node"""
+  )
+
+  /* The Spark side of q133 encodes REAL PNG/BMP rasters, decodes them
+   * back through ImageIO, and dHashes the decoded pixels; both codecs
+   * are lossless, so the oracle recomputes the 9×8 sampled luminance
+   * grid straight from the pixel formulas (exact integer arithmetic
+   * end to end), packs the same two 32-bit halves, and mirrors the
+   * banding/bucket-cap/first-matching-band semantics of the Spark op
+   * (the q28 SimHash discipline). */
+  private lazy val q133Sql: String = s"""
       WITH img AS (
         SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS m,
                (doc_id // 4) % 7 + 16 AS w, (doc_id // 4) % 5 + 12 AS h
@@ -1031,5 +1063,4 @@ object Multimodal extends graft.QueryModule {
       FROM first
       WHERE rn = 1 AND n <= ${Dedup.DefaultMaxBucket}
         AND bit_count(xlo) + bit_count(xhi) <= 6"""
-  )
 }

@@ -1869,4 +1869,38 @@ class OperatorsSpec extends SparkSpec {
     val intra = got.count(p => p._1 / 4 == p._2 / 4)
     assert(intra >= 300, s"only $intra intra-group near-dup pairs found")
   }
+
+  test("image dedup groups are the transitive closure of the dHash " +
+    "pair graph with min-id labels, down both union-find paths") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.nearDupImageTable(docs)
+    val pairs = Multimodal.imageDHashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force closure: repeatedly relabel to min neighbour label
+    val label = scala.collection.mutable.Map[Long, Long]()
+    for ((a, b) <- pairs) { label(a) = a; label(b) = b }
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b) <- pairs) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+      }
+    }
+    val expected = label.toMap
+    val gotDriver = Multimodal.imageDedupGroups(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == expected,
+      s"driver path: ${gotDriver.size} labelled vs ${expected.size}")
+    // force the distributed pointer-jumping loop (gate at 0 edges)
+    val gotLoop = Dedup.connectedComponents(
+        Multimodal.imageDHashPairs(media).select("a", "b"),
+        maxDriverEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == expected, "pointer-jumping path diverges")
+    // planted groups really merge: some components span >2 images
+    val big = expected.groupBy(_._2).count(_._2.size > 2)
+    assert(big >= 20, s"only $big components larger than 2")
+  }
 }
