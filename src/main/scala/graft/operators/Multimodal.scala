@@ -844,6 +844,150 @@ object Multimodal extends graft.QueryModule {
   def audioFeatureQuery(s: SparkSession, d: String): DataFrame =
     extractAudioFeatures(audioTable(Tables.documents(s, d))).toDF()
 
+  // ---- audio fingerprint near-dup family (q135/q136) -------------------
+
+  /** Fingerprint frame geometry: 33 contiguous 4-sample bands per
+    * 132-sample window, hop = half a window. 32 band-pair time deltas
+    * → one 32-bit sub-fingerprint per frame transition. */
+  val FpWindow = 132
+  val FpHop = 66
+  private val FpBands = 33
+
+  /** Sub-fingerprints of a decoded PCM16 signal, Haitsma–Kalker
+    * style ("A Highly Robust Audio Fingerprint System", ISMIR 2002):
+    * band energy E(f,b) = Σ s² over band b of frame f (exact integer),
+    * bit b of frame f (f ≥ 1) = [(E(f,b)−E(f,b+1)) −
+    * (E(f−1,b)−E(f−1,b+1)) > 0]. Sign bits of energy-delta
+    * differences are invariant under uniform gain (energies scale by
+    * c², differences keep their sign — exactly, in integer math),
+    * which is what makes this a near-dup signature rather than a
+    * checksum. Returns one (frame_idx, subfp) per transition; signals
+    * shorter than window+hop have no transition and fingerprint to
+    * empty (mirroring the < 3-word documents of the MinHash family). */
+  def subFingerprints(samples: Array[Short]): Array[(Int, Long)] = {
+    val nf = if (samples.length < FpWindow) 0
+             else (samples.length - FpWindow) / FpHop + 1
+    if (nf < 2) return Array.empty
+    val e = Array.ofDim[Long](nf, FpBands)
+    var f = 0
+    while (f < nf) {
+      var b = 0
+      while (b < FpBands) {
+        var acc = 0L
+        var u = 0
+        while (u < 4) {
+          val s = samples(f * FpHop + b * 4 + u).toLong
+          acc += s * s; u += 1
+        }
+        e(f)(b) = acc; b += 1
+      }
+      f += 1
+    }
+    Array.tabulate(nf - 1) { i =>
+      val f = i + 1
+      var fp = 0L
+      var b = 0
+      while (b < FpBands - 1) {
+        val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+        if (d > 0) fp |= 1L << b
+        b += 1
+      }
+      (f, fp)
+    }
+  }
+
+  /** Near-dup audio fixture (the q133 group discipline, audio form):
+    * 4 variants per base waveform — member m is the base scaled by
+    * gain (m+2) plus sparse ±4 sample noise on every 37th-ish sample.
+    * The gain leaves every fingerprint bit untouched by construction;
+    * the noise flips an occasional bit so the pair threshold is
+    * actually exercised. All payloads are REAL RIFF/WAVE files. */
+  def nearDupAudioTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4; val m = (id % 4).toInt
+        val n = (g % 300 + 264).toInt
+        val rate = (8000 + (g % 3) * 4000).toInt
+        val samples = Array.tabulate(n) { t =>
+          val base = math.floorMod(
+            t.toLong * t * (g % 5 + 2) + t * (g % 7 + 3) + g * 13, 1024) - 512
+          val noise = if ((t + g + m) % 37 == 0)
+            math.floorMod(g + t.toLong * m, 9) - 4 else 0L
+          (base * (m + 2) + noise).toShort
+        }
+        MediaRecord(id, "audio", 0, 0, wavBytes(samples, rate))
+      }
+    }
+  }
+
+  /** Per-partition REAL WAV decode → sub-fingerprint rows
+    * (media_id, frame_idx, subfp). Map-only — the only pass that
+    * touches payload bytes; at 100 TB everything downstream of this
+    * moves 12-byte rows. */
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        subFingerprints(parseWav(r.payload).samples).map {
+          case (f, fp) => (r.media_id, f, fp)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "subfp")
+  }
+
+  def audioFingerprintQuery(s: SparkSession, d: String): DataFrame =
+    audioFingerprint(nearDupAudioTable(Tables.documents(s, d)))
+
+  /** Audio near-dup pairs: distinct sub-fingerprint sets (built in
+    * the SAME map-only decode pass — no per-media aggregation
+    * exchange exists) → inverted index on the exact 32-bit subfp
+    * (bucket-capped; a hot sub-fingerprint is a stop-band, the
+    * q26/q28/q133 recall-loss mode, mirrored in the oracle) →
+    * in-bucket pairs, each emitted exactly once at its SMALLEST
+    * shared subfp (the first-matching-band discipline) and only if
+    * that bucket survived the cap → exact set-Jaccard ≥
+    * `threshold10`/10 via integer cross-multiplication over the
+    * ride-along fps arrays. Scale shape: one exchange, carrying
+    * (subfp, id, a ≤ handful-of-frames array); payload bytes never
+    * shuffle; no joins. */
+  def audioFpPairs(media: Dataset[MediaRecord], threshold10: Int = 5,
+                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sets = media.mapPartitions { it =>
+      it.flatMap { r =>
+        val fps = subFingerprints(parseWav(r.payload).samples)
+          .map(_._2).distinct.sorted
+        if (fps.isEmpty) None else Some((r.media_id, fps))
+      }
+    }.toDF("media_id", "fps")
+    sets.select(col("media_id"), col("fps"), explode(col("fps")).as("subfp"))
+      .groupBy(col("subfp"))
+      .agg(array_sort(collect_list(
+        struct(col("media_id"), col("fps")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("subfp"),
+        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("subfp"),
+        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        array_intersect(col("p.a.fps"), col("p.b.fps")).as("shared"),
+        size(col("p.a.fps")).cast("long").as("n_a"),
+        size(col("p.b.fps")).cast("long").as("n_b"))
+      .filter(col("subfp") === array_min(col("shared")))
+      .select(col("a"), col("b"),
+        size(col("shared")).cast("long").as("n_shared"),
+        col("n_a"), col("n_b"))
+      .filter(col("n_shared") * 10 >=
+        lit(threshold10) * (col("n_a") + col("n_b") - col("n_shared")))
+  }
+
+  def audioFpPairsQuery(s: SparkSession, d: String): DataFrame =
+    audioFpPairs(nearDupAudioTable(Tables.documents(s, d)))
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -851,7 +995,9 @@ object Multimodal extends graft.QueryModule {
     "q71_video_frames" -> ((s, d) => videoFrameQuery(s, d)),
     "q72_audio_features" -> ((s, d) => audioFeatureQuery(s, d)),
     "q133_image_dhash_pairs" -> ((s, d) => imageDHashPairsQuery(s, d)),
-    "q134_image_dedup_groups" -> ((s, d) => imageDedupGroupsQuery(s, d))
+    "q134_image_dedup_groups" -> ((s, d) => imageDedupGroupsQuery(s, d)),
+    "q135_audio_fingerprint" -> ((s, d) => audioFingerprintQuery(s, d)),
+    "q136_audio_dup_pairs" -> ((s, d) => audioFpPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -978,6 +1124,43 @@ object Multimodal extends graft.QueryModule {
 
     "q133_image_dhash_pairs" -> q133Sql,
 
+    /* q135: the Spark side encodes REAL WAV containers, demuxes +
+     * decodes the PCM16 back, and fingerprints the decoded samples;
+     * PCM16 is lossless, so the oracle recomputes the band energies
+     * and delta-sign bits straight from the waveform formulas —
+     * exact integer arithmetic end to end. */
+    "q135_audio_fingerprint" -> q135Sql,
+
+    /* q136: inverted index on the exact sub-fingerprint, bucket cap,
+     * first-matching (= smallest shared) subfp emission, integer
+     * cross-multiplied Jaccard — the q133 pair discipline with subfp
+     * values in place of hash bands. */
+    "q136_audio_dup_pairs" -> s"""
+      WITH fp AS ($q135Sql),
+      sets AS (
+        SELECT media_id, list_sort(list_distinct(list(subfp))) AS fps
+        FROM fp GROUP BY media_id),
+      inv AS (
+        SELECT media_id, fps, unnest(fps) AS subfp FROM sets),
+      sz AS (SELECT subfp, count(*) AS cnt FROM inv GROUP BY subfp),
+      cand AS (
+        SELECT x.subfp, x.media_id AS a, y.media_id AS b,
+               x.fps AS fa, y.fps AS fb
+        FROM inv x JOIN inv y
+          ON x.subfp = y.subfp AND x.media_id < y.media_id
+        JOIN sz ON sz.subfp = x.subfp
+         AND sz.cnt BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
+      scored AS (
+        SELECT subfp, a, b,
+               len(list_intersect(fa, fb))::BIGINT AS n_shared,
+               len(fa)::BIGINT AS n_a, len(fb)::BIGINT AS n_b,
+               list_min(list_intersect(fa, fb)) AS mn
+        FROM cand)
+      SELECT a, b, n_shared, n_a, n_b
+      FROM scored
+      WHERE subfp = mn
+        AND n_shared * 10 >= 5 * (n_a + n_b - n_shared)""",
+
     /* q134: transitive closure of the q133 pair graph (the q47
      * recursive-CTE discipline); min reachable id = the label both
      * the driver union-find and the pointer-jumping loop converge
@@ -1000,6 +1183,56 @@ object Multimodal extends graft.QueryModule {
    * end to end), packs the same two 32-bit halves, and mirrors the
    * banding/bucket-cap/first-matching-band semantics of the Spark op
    * (the q28 SimHash discipline). */
+  /* The q135 fingerprint recomputation: the near-dup waveform
+   * formulas (base sawtooth × gain (m+2) + sparse ±4 noise), 4-sample
+   * band energies as exact BIGINT sums of squares, Haitsma–Kalker
+   * delta-sign bits, packed into one BIGINT per frame transition.
+   * All operands stay non-negative before each %, so DuckDB's % and
+   * Scala's floorMod agree. */
+  private lazy val q135Sql: String = s"""
+      WITH aud AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m
+        FROM documents),
+      dims AS (
+        SELECT media_id, g, m, g % 300 + 264 AS n,
+               (g % 300 + 264 - 132) // 66 + 1 AS nf
+        FROM aud),
+      smp AS (
+        SELECT media_id, nf,
+               list_transform(range(0, n), t ->
+                 ((t*t*(g%5+2) + t*(g%7+3) + g*13) % 1024 - 512) * (m+2)
+                 + CASE WHEN (t + g + m) % 37 = 0
+                        THEN (g + t*m) % 9 - 4 ELSE 0 END) AS s
+        FROM dims),
+      frames AS (
+        SELECT media_id, s, CAST(unnest(range(0, nf)) AS BIGINT) AS f
+        FROM smp),
+      fbands AS (
+        SELECT media_id, f, CAST(unnest(range(0, 33)) AS BIGINT) AS b, s
+        FROM frames),
+      e AS (
+        SELECT media_id, f, b,
+               s[f*66 + b*4 + 1]::BIGINT * s[f*66 + b*4 + 1]
+             + s[f*66 + b*4 + 2]::BIGINT * s[f*66 + b*4 + 2]
+             + s[f*66 + b*4 + 3]::BIGINT * s[f*66 + b*4 + 3]
+             + s[f*66 + b*4 + 4]::BIGINT * s[f*66 + b*4 + 4] AS e
+        FROM fbands),
+      d AS (
+        SELECT media_id, f, b,
+               e - lead(e) OVER (PARTITION BY media_id, f ORDER BY b) AS d
+        FROM e),
+      bits AS (
+        SELECT cur.media_id, cur.f AS frame_idx, cur.b AS b,
+               CASE WHEN cur.d - prev.d > 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM d cur JOIN d prev
+          ON prev.media_id = cur.media_id AND prev.f = cur.f - 1
+         AND prev.b = cur.b
+        WHERE cur.b < 32 AND cur.f >= 1)
+      SELECT media_id, frame_idx,
+             SUM(bit * (1::BIGINT << b))::BIGINT AS subfp
+      FROM bits GROUP BY media_id, frame_idx"""
+
   private lazy val q133Sql: String = s"""
       WITH img AS (
         SELECT doc_id AS media_id, doc_id // 4 AS grp, doc_id % 4 AS m,

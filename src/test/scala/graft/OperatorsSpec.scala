@@ -1903,4 +1903,60 @@ class OperatorsSpec extends SparkSpec {
     val big = expected.groupBy(_._2).count(_._2.size > 2)
     assert(big >= 20, s"only $big components larger than 2")
   }
+
+  test("audio sub-fingerprints are exactly invariant under uniform " +
+    "gain and survive the WAV encode/decode round trip") {
+    val rnd = new scala.util.Random(135)
+    for (_ <- 1 to 25) {
+      val n = 132 + 66 * (1 + rnd.nextInt(5)) + rnd.nextInt(66)
+      val base = Array.fill(n)((rnd.nextInt(1024) - 512).toShort)
+      val fp = Multimodal.subFingerprints(base)
+      assert(fp.nonEmpty && fp.map(_._1).toSeq == (1 until
+        ((n - Multimodal.FpWindow) / Multimodal.FpHop + 1)))
+      for (c <- Seq(2, 3, 5)) {
+        val scaled = base.map(s => (s * c).toShort)
+        assert(Multimodal.subFingerprints(scaled).toSeq == fp.toSeq,
+          s"gain $c changed the fingerprint")
+      }
+      // WAV is lossless PCM16: container round trip changes nothing
+      val wav = Multimodal.parseWav(Multimodal.wavBytes(base, 8000))
+      assert(Multimodal.subFingerprints(wav.samples).toSeq == fp.toSeq)
+    }
+    // too short for two frames -> empty, not a crash
+    assert(Multimodal.subFingerprints(Array.fill(150)(7: Short)).isEmpty)
+  }
+
+  test("audio dup pairs equal a brute-force mirror of the " +
+    "bucket-cap/first-matching-subfp/integer-Jaccard semantics and " +
+    "find the planted near-dup groups") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.nearDupAudioTable(docs)
+    val sets = Multimodal.audioFingerprint(media).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (id, g) =>
+        id -> g.map(_._2).distinct.sorted.toSeq }
+    val bucket = sets.toSeq.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, g) => fp -> g.length }
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    val ids = sets.keys.toSeq.sorted
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val shared = sets(a).toSet.intersect(sets(b).toSet)
+      if (shared.nonEmpty && bucket(shared.min) <= 100 &&
+        shared.size * 10 >= 5 * (sets(a).size + sets(b).size - shared.size))
+        expected += ((a, b, shared.size.toLong,
+          sets(a).size.toLong, sets(b).size.toLong))
+    }
+    val got = Multimodal.audioFpPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    // the gain-scaled variants really match; the sparse noise really
+    // costs a few pairs (threshold exercised, not vacuous)
+    val intra = got.count(p => p._1 / 4 == p._2 / 4)
+    assert(intra >= 700, s"only $intra intra-group pairs found")
+    assert(got.exists(p => p._3 < p._4 || p._3 < p._5),
+      "noise never flipped a sub-fingerprint: threshold untested")
+  }
 }
