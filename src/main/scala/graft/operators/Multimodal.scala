@@ -726,6 +726,153 @@ object Multimodal extends graft.QueryModule {
   def videoFrameQuery(s: SparkSession, d: String): DataFrame =
     sampleVideoFrames(videoTable(Tables.documents(s, d)), everyN = 2).toDF()
 
+  // ---- video near-dup pairs (q137) --------------------------------------
+
+  /** Near-dup video fixture (the q133 group discipline, video form):
+    * 4 variants per base clip — member m shifts every channel of
+    * every frame by +m pre-mod, so most luminance comparisons (and
+    * hence most per-frame dHash bits) survive while mod-256 wraps
+    * flip an occasional bit. Geometry and frame count are shared
+    * within a group; all payloads are REAL RIFF/AVI raw-DIB
+    * containers. */
+  def nearDupVideoTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4; val m = (id % 4).toInt
+        val w = (g % 7 + 9).toInt
+        val h = (g % 5 + 8).toInt
+        val nf = (g % 3 + 3).toInt
+        val frames = (0 until nf).map { f =>
+          val stride = (w * 3 + 3) & ~3
+          val out = new Array[Byte](stride * h)
+          var y = 0
+          while (y < h) {
+            val row = (h - 1 - y) * stride // bottom-up storage
+            var x = 0
+            while (x < w) {
+              val r = math.floorMod(
+                x * x * (g % 5 + 1) + y * 3 + f * 19 + g * 11 + m, 256)
+              val gc = math.floorMod(
+                x * 5 + y.toLong * y * (g % 3 + 1) + f * 23 + g * 23 + m, 256)
+              val b = math.floorMod(
+                x * 13 + y * 17 + f * 29 + g * 29 + m, 256)
+              out(row + x * 3) = b.toByte
+              out(row + x * 3 + 1) = gc.toByte
+              out(row + x * 3 + 2) = r.toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        MediaRecord(id, "video", w, h,
+          aviBytes(frames, w, h, fps = 25, mjpeg = false))
+      }
+    }
+  }
+
+  /** [[dHash64]] computed straight off a decoded bottom-up BGR24 DIB
+    * raster — same 9×8 sampled-luminance grid, exact integer math. */
+  def dibDHash64(frame: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    val stride = (w * 3 + 3) & ~3
+    def lum(gx: Int, gy: Int): Int = {
+      val o = (h - 1 - gy * h / 8) * stride + (gx * w / 9) * 3
+      (frame(o) & 0xff) + (frame(o + 1) & 0xff) + (frame(o + 2) & 0xff)
+    }
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gx + 1, gy) > lum(gx, gy)) {
+          val j = gy * 8 + gx
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (lo, hi)
+  }
+
+  /** Per-partition REAL demux + decode → per-clip dHash signature:
+    * (media_id, nf, sig) with sig = [lo₀, hi₀, lo₁, hi₁, …] over the
+    * frames in container order. Map-only; at 100 TB everything
+    * downstream moves 16 bytes per frame. */
+  def videoDHashSignature(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val s = parseAvi(r.payload)
+        require(s.compression == 0,
+          s"media ${r.media_id}: signature path reads raw-DIB AVI only")
+        val sig = s.frames.flatMap { f =>
+          val (lo, hi) = dibDHash64(f, s.width, s.height)
+          Seq(lo, hi)
+        }
+        (r.media_id, s.frames.length, sig)
+      }
+    }.toDF("media_id", "nf", "sig")
+  }
+
+  /** byte j of the flattened per-frame-banded signature `arr`
+    * (band j = band j%8 of frame j/8, q133's byte banding per frame),
+    * as a SQL fragment reused by the banding explode and the
+    * first-matching-band filter. */
+  private def sigByte(arr: String, j: String): String = s"""
+    CASE WHEN $j % 8 < 4
+         THEN shiftright($arr[cast(2 * ($j div 8) as int)],
+                         ($j % 8) * 8) & 255
+         ELSE shiftright($arr[cast(2 * ($j div 8) + 1 as int)],
+                         (($j % 8) - 4) * 8) & 255 END"""
+
+  /** Video near-dup pairs: per-frame dHash signatures → nf·8 byte
+    * bands (frame-aligned, q133's banding per frame with the frame
+    * count riding in the bucket key so only equal-length clips ever
+    * meet) → capped buckets → in-bucket pairs, emitted exactly once
+    * at their lowest matching band → exact TOTAL Hamming over the
+    * aligned frame hashes ≤ `maxDist`. Pigeonhole recall: nf ≥ 3
+    * gives ≥ 24 bands, so any pair within `maxDist` ≤ 23 shares a
+    * zero band — full recall modulo the bucket cap. Scale shape: one
+    * map-only decode pass, ONE exchange carrying (band, id,
+    * 16·nf-byte signature); payload bytes never shuffle; no joins. */
+  def videoDHashPairs(media: Dataset[MediaRecord], maxDist: Int = 12,
+                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxDist <= 23, "pigeonhole recall bound needs maxDist <= 23")
+    val banded = videoDHashSignature(media)
+      .select(col("media_id"), col("nf"), col("sig"),
+        posexplode(expr(s"""transform(sequence(0, nf * 8 - 1),
+          j -> ${sigByte("sig", "j")})""")))
+      .toDF("media_id", "nf", "sig", "band_idx", "band_val")
+    banded
+      .groupBy(col("nf"), col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(
+        struct(col("media_id"), col("sig")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("nf"), col("band_idx"),
+        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("nf"), col("band_idx"),
+        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        zip_with(col("p.a.sig"), col("p.b.sig"),
+          (x, y) => x.bitwiseXOR(y)).as("xs"))
+      // first-matching band: keep the pair only at its LOWEST matching
+      // band (byte j of the xor'd signature is zero)
+      .filter(col("band_idx") === expr(s"""element_at(
+        filter(sequence(0, nf * 8 - 1),
+               j -> (${sigByte("xs", "j")}) = 0), 1)"""))
+      .select(col("a"), col("b"),
+        expr("aggregate(xs, 0, (acc, x) -> acc + bit_count(x))")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  def videoDHashPairsQuery(s: SparkSession, d: String): DataFrame =
+    videoDHashPairs(nearDupVideoTable(Tables.documents(s, d)))
+
   // ---- real audio codec path: WAV (RIFF) PCM16 -------------------------
 
   /** Decoded-audio statistics: exact integer aggregates over the PCM
@@ -997,7 +1144,8 @@ object Multimodal extends graft.QueryModule {
     "q133_image_dhash_pairs" -> ((s, d) => imageDHashPairsQuery(s, d)),
     "q134_image_dedup_groups" -> ((s, d) => imageDedupGroupsQuery(s, d)),
     "q135_audio_fingerprint" -> ((s, d) => audioFingerprintQuery(s, d)),
-    "q136_audio_dup_pairs" -> ((s, d) => audioFpPairsQuery(s, d))
+    "q136_audio_dup_pairs" -> ((s, d) => audioFpPairsQuery(s, d)),
+    "q137_video_dup_pairs" -> ((s, d) => videoDHashPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1160,6 +1308,86 @@ object Multimodal extends graft.QueryModule {
       FROM scored
       WHERE subfp = mn
         AND n_shared * 10 >= 5 * (n_a + n_b - n_shared)""",
+
+    /* q137: the Spark side encodes REAL raw-DIB AVI clips, demuxes +
+     * decodes them back, and dHashes every decoded frame; DIB is
+     * lossless, so the oracle recomputes each frame's 9×8 sampled
+     * luminance grid from the pixel formulas, packs the same per-frame
+     * halves, and mirrors the frame-aligned banding / bucket-cap /
+     * first-matching-band / total-Hamming semantics of the Spark op
+     * (the q133 discipline lifted over the frame dimension; equal
+     * frame counts ride in the bucket key). */
+    "q137_video_dup_pairs" -> s"""
+      WITH vid AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
+               (doc_id // 4) % 7 + 9 AS w, (doc_id // 4) % 5 + 8 AS h,
+               (doc_id // 4) % 3 + 3 AS nf
+        FROM documents),
+      gf AS (
+        SELECT *, CAST(unnest(range(0, nf)) AS BIGINT) AS f FROM vid),
+      g1 AS (
+        SELECT *, CAST(unnest(range(0, 9)) AS BIGINT) AS gx FROM gf),
+      g2 AS (
+        SELECT *, CAST(unnest(range(0, 8)) AS BIGINT) AS gy FROM g1),
+      lum AS (
+        SELECT media_id, nf, f, gx, gy,
+               (sx*sx*(g % 5 + 1) + sy*3 + f*19 + g*11 + m) % 256
+             + (sx*5 + sy*sy*(g % 3 + 1) + f*23 + g*23 + m) % 256
+             + (sx*13 + sy*17 + f*29 + g*29 + m) % 256 AS lv
+        FROM (SELECT media_id, g, m, nf, f, gx, gy,
+                     gx*w//9 AS sx, gy*h//8 AS sy FROM g2) t),
+      bits AS (
+        SELECT media_id, nf, f, gx, gy,
+               CASE WHEN lead(lv) OVER (PARTITION BY media_id, f, gy
+                                        ORDER BY gx) > lv
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM lum),
+      hashes AS (
+        SELECT media_id, nf, f,
+               SUM(CASE WHEN gy < 4
+                        THEN bit * (1::BIGINT << (gy*8 + gx))
+                        ELSE 0 END)::BIGINT AS lo,
+               SUM(CASE WHEN gy >= 4
+                        THEN bit * (1::BIGINT << ((gy-4)*8 + gx))
+                        ELSE 0 END)::BIGINT AS hi
+        FROM bits WHERE gx < 8 GROUP BY media_id, nf, f),
+      sig AS (
+        SELECT media_id, nf, list(lo ORDER BY f) AS los,
+               list(hi ORDER BY f) AS his
+        FROM hashes GROUP BY media_id, nf),
+      banded0 AS (
+        SELECT media_id, nf, los, his,
+               CAST(unnest(range(0, nf*8)) AS BIGINT) AS j
+        FROM sig),
+      banded AS (
+        SELECT media_id, nf, los, his, j,
+               CASE WHEN j % 8 < 4
+                    THEN (los[(j // 8) + 1] >> ((j % 8) * 8)) & 255
+                    ELSE (his[(j // 8) + 1] >> ((j % 8 - 4) * 8)) & 255
+               END AS bv
+        FROM banded0),
+      sizes AS (
+        SELECT nf, j, bv, count(*) AS n FROM banded GROUP BY 1, 2, 3),
+      pairs AS (
+        SELECT x.media_id AS a, y.media_id AS b, x.nf AS nf,
+               x.los AS alos, x.his AS ahis,
+               y.los AS blos, y.his AS bhis, x.j AS j, z.n AS n
+        FROM banded x JOIN banded y
+          ON x.nf = y.nf AND x.j = y.j AND x.bv = y.bv
+         AND x.media_id < y.media_id
+        JOIN sizes z ON z.nf = x.nf AND z.j = x.j AND z.bv = x.bv),
+      first AS (
+        SELECT a, b, nf, alos, ahis, blos, bhis, n,
+               row_number() OVER (PARTITION BY a, b ORDER BY j) AS rn
+        FROM pairs),
+      scored AS (
+        SELECT a, b, n, rn,
+               list_sum(list_transform(range(0, nf), i ->
+                 bit_count(xor(alos[i+1], blos[i+1]))
+               + bit_count(xor(ahis[i+1], bhis[i+1]))))::BIGINT AS hamming
+        FROM first)
+      SELECT a, b, hamming FROM scored
+      WHERE rn = 1 AND n <= ${Dedup.DefaultMaxBucket} AND hamming <= 12""",
 
     /* q134: transitive closure of the q133 pair graph (the q47
      * recursive-CTE discipline); min reachable id = the label both

@@ -1959,4 +1959,73 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(p => p._3 < p._4 || p._3 < p._5),
       "noise never flipped a sub-fingerprint: threshold untested")
   }
+
+  test("video dHash signature of the demuxed+decoded frames equals " +
+    "the pixel-formula recomputation (AVI round trip)") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val got = Multimodal.videoDHashSignature(
+        Multimodal.nearDupVideoTable(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2)))
+      .toMap
+    assert(got.size == 40)
+    for ((id, (nf, sig)) <- got) {
+      val g = id / 4; val m = id % 4
+      val (w, h) = ((g % 7 + 9).toInt, (g % 5 + 8).toInt)
+      assert(nf == (g % 3 + 3).toInt && sig.length == 2 * nf)
+      for (f <- 0 until nf) {
+        def lum(gx: Int, gy: Int): Long = {
+          val sx = gx * w / 9; val sy = gy * h / 8
+          math.floorMod(sx * sx * (g % 5 + 1) + sy * 3 + f * 19 + g * 11 + m, 256) +
+            math.floorMod(sx * 5 + sy * sy * (g % 3 + 1) + f * 23 + g * 23 + m, 256) +
+            math.floorMod(sx * 13 + sy * 17 + f * 29 + g * 29 + m, 256)
+        }
+        var (elo, ehi) = (0L, 0L)
+        for (gy <- 0 until 8; gx <- 0 until 8)
+          if (lum(gx + 1, gy) > lum(gx, gy)) {
+            val j = gy * 8 + gx
+            if (j < 32) elo |= 1L << j else ehi |= 1L << (j - 32)
+          }
+        assert((sig(2 * f), sig(2 * f + 1)) == (elo, ehi),
+          s"media $id frame $f: decoded hash != formula")
+      }
+    }
+  }
+
+  test("video dup pairs equal a brute-force mirror of the " +
+    "frame-aligned band/bucket-cap/first-matching-band/total-Hamming " +
+    "semantics and find the planted near-dup groups") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.nearDupVideoTable(docs)
+    val sigs = Multimodal.videoDHashSignature(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    def bands(nf: Int, sig: Seq[Long]): Seq[Long] =
+      (0 until nf * 8).map { j =>
+        val (half, k) = (sig(2 * (j / 8) + (if (j % 8 < 4) 0 else 1)), j % 8)
+        (half >> ((k % 4) * 8)) & 255
+      }
+    val sizes = sigs.flatMap { case (_, nf, sig) =>
+      bands(nf, sig).zipWithIndex.map { case (v, j) => (nf, j, v) }
+    }.groupBy(identity).map { case (k, g) => k -> g.length }
+    val expected = scala.collection.mutable.Set[(Long, Long, Int)]()
+    for (i <- sigs.indices; j <- i + 1 until sigs.length) {
+      val (a, nfa, sa) = sigs(i); val (b, nfb, sb) = sigs(j)
+      if (nfa == nfb) {
+        val (ba, bb) = (bands(nfa, sa), bands(nfb, sb))
+        val matching = (0 until nfa * 8).filter(k => ba(k) == bb(k))
+        if (matching.nonEmpty &&
+          sizes((nfa, matching.min, ba(matching.min))) <= 100) {
+          val ham = sa.zip(sb).map { case (x, y) =>
+            java.lang.Long.bitCount(x ^ y) }.sum
+          if (ham <= 12) expected += ((a, b, ham))
+        }
+      }
+    }
+    val got = Multimodal.videoDHashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    val intra = got.count(p => p._1 / 4 == p._2 / 4)
+    assert(intra >= 300, s"only $intra intra-group near-dup pairs found")
+  }
 }
