@@ -1135,6 +1135,105 @@ object Multimodal extends graft.QueryModule {
   def audioFpPairsQuery(s: SparkSession, d: String): DataFrame =
     audioFpPairs(nearDupAudioTable(Tables.documents(s, d)))
 
+  // ---- streaming media admission: image near-dup gate -------------------
+
+  /** Frozen image near-dup index — the fit half of the media family's
+    * fit/serve split, completing the streaming-twin parity set for
+    * multimodal dedup (text admission `StreamAggs.bloomAdmitStream`,
+    * decontamination `StreamAggs.decontamGate`, scrub
+    * `StreamAggs.scrubGate`). Reference dHashes are keyed by the SAME
+    * 8 byte-bands as [[imageDHashPairs]]; buckets over the cap are
+    * dropped entirely (stop-bands — the q26/q28/q133 recall-loss
+    * mode). The bucket key space is 8 bands × 256 values, so the
+    * frozen index holds ≤ 2048·cap hashes REGARDLESS of reference
+    * corpus size — the cap discipline is what makes the broadcast
+    * bounded; a larger deployment widens the band width (more, finer
+    * bands) with the corpus, the standard LSH banding trade. */
+  case class ImageDupIndex(maxDist: Int, maxBucket: Int,
+                           buckets: Array[Array[Long]]) {
+    /** true iff `hash` near-dups some reference image: a band-matching
+      * uncapped bucket holds a hash within total Hamming ≤ maxDist. */
+    def hits(lo: Long, hi: Long): Boolean = {
+      var k = 0
+      while (k < 8) {
+        val bv = (if (k < 4) (lo >> (k * 8)) else (hi >> ((k - 4) * 8))) & 255
+        val b = buckets((k << 8) + bv.toInt)
+        var i = 0
+        while (i < b.length) {
+          if (java.lang.Long.bitCount(b(i) ^ lo) +
+              java.lang.Long.bitCount(b(i + 1) ^ hi) <= maxDist)
+            return true
+          i += 2
+        }
+        k += 1
+      }
+      false
+    }
+  }
+
+  /** Fit the frozen index: one map-only decode+hash pass over the
+    * reference, one exchange on the 2048-key band space, a bounded
+    * driver collect (≤ 2048·cap hashes by construction). Singleton
+    * buckets stay — unlike the pair op, admission matches a stream
+    * image against ONE reference image. */
+  def fitImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
+                       maxBucket: Int = Dedup.DefaultMaxBucket)
+      : ImageDupIndex = {
+    val rows = imageDHash(reference)
+      .select(col("media_id"), col("hash_lo"), col("hash_hi"),
+        posexplode(expr("""concat(
+          transform(sequence(0, 3), b -> shiftright(hash_lo, b * 8) & 255),
+          transform(sequence(0, 3), b -> shiftright(hash_hi, b * 8) & 255))""")))
+      .toDF("media_id", "hash_lo", "hash_hi", "band_idx", "band_val")
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(array(col("hash_lo"), col("hash_hi"))).as("hs"))
+      .filter(size(col("hs")) <= maxBucket)
+      .collect()
+    val buckets = Array.fill(2048)(Array.emptyLongArray)
+    rows.foreach { r =>
+      val slot = (r.getInt(0) << 8) + r.getLong(1).toInt
+      buckets(slot) = r.getSeq[scala.collection.Seq[Long]](2)
+        .flatMap(p => Seq(p(0), p(1))).toArray
+    }
+    ImageDupIndex(maxDist, maxBucket, buckets)
+  }
+
+  /** Streaming image admission against the frozen index: decode each
+    * arriving payload (REAL ImageIO path), dHash it, admit unless the
+    * index reports a near-dup. STATELESS per row — the index ships
+    * once per executor via the broadcast, the stream never joins,
+    * shuffles, or keeps state, and no watermark is needed; works
+    * identically on a batch Dataset (parity spec-asserted against a
+    * brute-force mirror of the band/cap/Hamming semantics). Arriving
+    * near-dups of EACH OTHER both admit (the index is frozen);
+    * compose with `StreamAggs.dedupWithinWatermark` on a content key
+    * for in-stream dedup, the bloomAdmitStream layering. */
+  def imageAdmitStream(media: Dataset[MediaRecord],
+                       index: org.apache.spark.broadcast.Broadcast[ImageDupIndex])
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bc = index
+    media.mapPartitions { it =>
+      it.filter { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload is not a decodable image")
+        val (lo, hi) = dHash64(img)
+        !bc.value.hits(lo, hi)
+      }
+    }
+  }
+
+  /** Convenience overload that broadcasts the fitted index itself;
+    * the broadcast-lifecycle caveat on `StreamAggs.decontamGate`
+    * applies verbatim. */
+  def imageAdmitStream(media: Dataset[MediaRecord], index: ImageDupIndex)
+      : Dataset[MediaRecord] =
+    imageAdmitStream(media,
+      media.sparkSession.sparkContext.broadcast(index))
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -649,4 +649,57 @@ class StreamAggsSpec extends SparkSpec {
       assert(stream == batch, s"stream $stream vs batch $batch")
     } finally sq.stop()
   }
+
+  test("streaming image admission gate: verdicts equal a brute-force " +
+    "mirror of the frozen band/cap/Hamming index, batch == stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupImageTable(docs.limit(200))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val index = Multimodal.fitImageDupIndex(reference)
+    // brute-force mirror of the frozen index semantics
+    val refHs = Multimodal.imageDHash(reference).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    def bands(lo: Long, hi: Long): Seq[(Int, Long)] =
+      (0 until 8).map(k => k ->
+        ((if (k < 4) lo >> (k * 8) else hi >> ((k - 4) * 8)) & 255))
+    val buckets = refHs.flatMap { case (lo, hi) =>
+      bands(lo, hi).map { case (k, v) => ((k, v), (lo, hi)) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      .filter(_._2.size <= 100).toMap
+    val streamHs = Multimodal.imageDHash(arriving).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectedAdmit = streamHs.collect {
+      case (id, lo, hi) if !bands(lo, hi).exists { case (k, v) =>
+        buckets.getOrElse((k, v), Nil).exists { case (rl, rh) =>
+          java.lang.Long.bitCount(rl ^ lo) +
+            java.lang.Long.bitCount(rh ^ hi) <= 6 } } => id
+    }.toSet
+    // planted groups actually gate: most arriving members near-dup
+    // their group's reference members
+    assert(expectedAdmit.size < streamHs.length / 2,
+      s"gate vacuous: ${expectedAdmit.size}/${streamHs.length} admitted")
+    assert(expectedAdmit.nonEmpty, "gate degenerate: everything dropped")
+    // batch parity: the gate is stateless, so batch == mirror
+    val batchAdmit = Multimodal.imageAdmitStream(arriving, index)
+      .select("media_id").as[Long].collect().toSet
+    assert(batchAdmit == expectedAdmit)
+    // streaming: same records through a MemoryStream, two batches
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val sq = Multimodal.imageAdmitStream(in.toDS(), index)
+      .select("media_id")
+      .writeStream.format("memory").queryName("img_admit_out")
+      .outputMode("append").start()
+    try {
+      val rows = arriving.collect()
+      in.addData(rows.take(40).toSeq)
+      sq.processAllAvailable()
+      in.addData(rows.drop(40).toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("img_admit_out").as[Long].collect().toSet
+      assert(stream == expectedAdmit, "stream verdicts diverge from batch")
+    } finally sq.stop()
+  }
 }
