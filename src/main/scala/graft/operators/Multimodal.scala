@@ -1135,6 +1135,24 @@ object Multimodal extends graft.QueryModule {
   def audioFpPairsQuery(s: SparkSession, d: String): DataFrame =
     audioFpPairs(nearDupAudioTable(Tables.documents(s, d)))
 
+  /** Audio / video dedup groups: the q134 closure applied to the
+    * other two modalities — connected components over the q136 / q137
+    * pair graphs via the shared size-gated machinery
+    * ([[graft.operators.Dedup.connectedComponents]]). */
+  def audioDedupGroups(media: Dataset[MediaRecord]): DataFrame =
+    Dedup.connectedComponents(audioFpPairs(media).select("a", "b"))
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+
+  def audioDedupGroupsQuery(s: SparkSession, d: String): DataFrame =
+    audioDedupGroups(nearDupAudioTable(Tables.documents(s, d)))
+
+  def videoDedupGroups(media: Dataset[MediaRecord]): DataFrame =
+    Dedup.connectedComponents(videoDHashPairs(media).select("a", "b"))
+      .withColumnsRenamed(Map("doc_id" -> "media_id"))
+
+  def videoDedupGroupsQuery(s: SparkSession, d: String): DataFrame =
+    videoDedupGroups(nearDupVideoTable(Tables.documents(s, d)))
+
   // ---- streaming media admission: image near-dup gate -------------------
 
   /** Frozen image near-dup index — the fit half of the media family's
@@ -1244,7 +1262,9 @@ object Multimodal extends graft.QueryModule {
     "q134_image_dedup_groups" -> ((s, d) => imageDedupGroupsQuery(s, d)),
     "q135_audio_fingerprint" -> ((s, d) => audioFingerprintQuery(s, d)),
     "q136_audio_dup_pairs" -> ((s, d) => audioFpPairsQuery(s, d)),
-    "q137_video_dup_pairs" -> ((s, d) => videoDHashPairsQuery(s, d))
+    "q137_video_dup_pairs" -> ((s, d) => videoDHashPairsQuery(s, d)),
+    "q138_audio_dedup_groups" -> ((s, d) => audioDedupGroupsQuery(s, d)),
+    "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1382,7 +1402,52 @@ object Multimodal extends graft.QueryModule {
      * first-matching (= smallest shared) subfp emission, integer
      * cross-multiplied Jaccard — the q133 pair discipline with subfp
      * values in place of hash bands. */
-    "q136_audio_dup_pairs" -> s"""
+    "q136_audio_dup_pairs" -> q136Sql,
+
+    /* q137: the Spark side encodes REAL raw-DIB AVI clips, demuxes +
+     * decodes them back, and dHashes every decoded frame; DIB is
+     * lossless, so the oracle recomputes each frame's 9×8 sampled
+     * luminance grid from the pixel formulas, packs the same per-frame
+     * halves, and mirrors the frame-aligned banding / bucket-cap /
+     * first-matching-band / total-Hamming semantics of the Spark op
+     * (the q133 discipline lifted over the frame dimension; equal
+     * frame counts ride in the bucket key). */
+    "q137_video_dup_pairs" -> q137Sql,
+
+    /* q134: transitive closure of the q133 pair graph (the q47
+     * recursive-CTE discipline); min reachable id = the label both
+     * the driver union-find and the pointer-jumping loop converge
+     * to. */
+    "q134_image_dedup_groups" -> closureSql(q133Sql),
+
+    /* q138/q139: same transitive closure over the audio / video pair
+     * graphs — the modality-symmetric completion of q134. */
+    "q138_audio_dedup_groups" -> closureSql(q136Sql),
+    "q139_video_dedup_groups" -> closureSql(q137Sql)
+  )
+
+  /** Transitive closure of an (a, b) pair-query result into
+    * (media_id, group_id = min reachable id) — the q47 recursive-CTE
+    * discipline; the label both the driver union-find and the
+    * pointer-jumping loop converge to. */
+  private def closureSql(pairSql: String): String = s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($pairSql) t),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      )
+      SELECT node AS media_id, min(r) AS group_id FROM reach GROUP BY node"""
+
+  /* The Spark side of q133 encodes REAL PNG/BMP rasters, decodes them
+   * back through ImageIO, and dHashes the decoded pixels; both codecs
+   * are lossless, so the oracle recomputes the 9×8 sampled luminance
+   * grid straight from the pixel formulas (exact integer arithmetic
+   * end to end), packs the same two 32-bit halves, and mirrors the
+   * banding/bucket-cap/first-matching-band semantics of the Spark op
+   * (the q28 SimHash discipline). */
+  private lazy val q136Sql: String = s"""
       WITH fp AS ($q135Sql),
       sets AS (
         SELECT media_id, list_sort(list_distinct(list(subfp))) AS fps
@@ -1406,17 +1471,9 @@ object Multimodal extends graft.QueryModule {
       SELECT a, b, n_shared, n_a, n_b
       FROM scored
       WHERE subfp = mn
-        AND n_shared * 10 >= 5 * (n_a + n_b - n_shared)""",
+        AND n_shared * 10 >= 5 * (n_a + n_b - n_shared)"""
 
-    /* q137: the Spark side encodes REAL raw-DIB AVI clips, demuxes +
-     * decodes them back, and dHashes every decoded frame; DIB is
-     * lossless, so the oracle recomputes each frame's 9×8 sampled
-     * luminance grid from the pixel formulas, packs the same per-frame
-     * halves, and mirrors the frame-aligned banding / bucket-cap /
-     * first-matching-band / total-Hamming semantics of the Spark op
-     * (the q133 discipline lifted over the frame dimension; equal
-     * frame counts ride in the bucket key). */
-    "q137_video_dup_pairs" -> s"""
+  private lazy val q137Sql: String = s"""
       WITH vid AS (
         SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m,
                (doc_id // 4) % 7 + 9 AS w, (doc_id // 4) % 5 + 8 AS h,
@@ -1486,30 +1543,8 @@ object Multimodal extends graft.QueryModule {
                + bit_count(xor(ahis[i+1], bhis[i+1]))))::BIGINT AS hamming
         FROM first)
       SELECT a, b, hamming FROM scored
-      WHERE rn = 1 AND n <= ${Dedup.DefaultMaxBucket} AND hamming <= 12""",
+      WHERE rn = 1 AND n <= ${Dedup.DefaultMaxBucket} AND hamming <= 12"""
 
-    /* q134: transitive closure of the q133 pair graph (the q47
-     * recursive-CTE discipline); min reachable id = the label both
-     * the driver union-find and the pointer-jumping loop converge
-     * to. */
-    "q134_image_dedup_groups" -> s"""
-      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q133Sql) q133),
-      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-      reach(node, r) AS (
-        SELECT DISTINCT a AS node, a AS r FROM und
-        UNION
-        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
-      )
-      SELECT node AS media_id, min(r) AS group_id FROM reach GROUP BY node"""
-  )
-
-  /* The Spark side of q133 encodes REAL PNG/BMP rasters, decodes them
-   * back through ImageIO, and dHashes the decoded pixels; both codecs
-   * are lossless, so the oracle recomputes the 9×8 sampled luminance
-   * grid straight from the pixel formulas (exact integer arithmetic
-   * end to end), packs the same two 32-bit halves, and mirrors the
-   * banding/bucket-cap/first-matching-band semantics of the Spark op
-   * (the q28 SimHash discipline). */
   /* The q135 fingerprint recomputation: the near-dup waveform
    * formulas (base sawtooth × gain (m+2) + sparse ±4 noise), 4-sample
    * band energies as exact BIGINT sums of squares, Haitsma–Kalker

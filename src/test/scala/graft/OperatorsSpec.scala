@@ -2028,4 +2028,37 @@ class OperatorsSpec extends SparkSpec {
     val intra = got.count(p => p._1 / 4 == p._2 / 4)
     assert(intra >= 300, s"only $intra intra-group near-dup pairs found")
   }
+
+  test("audio and video dedup groups are the transitive closures of " +
+    "their pair graphs (the shared q47/q134 machinery per modality)") {
+    def closure(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val label = scala.collection.mutable.Map[Long, Long]()
+      for ((a, b) <- pairs) { label(a) = a; label(b) = b }
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- pairs) {
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label(a) = m; changed = true }
+          if (label(b) != m) { label(b) = m; changed = true }
+        }
+      }
+      label.toMap
+    }
+    val docs = Tables.documents(spark, sf)
+    def check(pairsDf: org.apache.spark.sql.DataFrame,
+              groupsDf: org.apache.spark.sql.DataFrame): Unit = {
+      val expected = closure(pairsDf.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val got = groupsDf.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"${got.size} labelled vs ${expected.size}")
+      assert(expected.groupBy(_._2).count(_._2.size > 2) >= 20)
+    }
+    val audio = Multimodal.nearDupAudioTable(docs)
+    check(Multimodal.audioFpPairs(audio), Multimodal.audioDedupGroups(audio))
+    val video = Multimodal.nearDupVideoTable(docs)
+    check(Multimodal.videoDHashPairs(video),
+      Multimodal.videoDedupGroups(video))
+  }
 }
