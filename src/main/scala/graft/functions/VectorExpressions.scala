@@ -728,6 +728,67 @@ object GramSetSharedCount {
   }
 }
 
+/** First-matching-band index AND total Hamming distance of two
+  * interleaved per-frame dHash signatures ([lo₀, hi₀, lo₁, hi₁, …],
+  * array<long>) in ONE fused pass, packed as
+  * `firstBand << 32 | hamming` (band j = byte j%8 of frame j/8's
+  * 64-bit hash; `frames·8 << 32 | hamming` when no band matches, so
+  * the packed value never collides with a real band). Replaces a
+  * `filter(sequence(0, nf·8−1), j -> …)` HOF whose lambda re-read
+  * the arrays per band iteration and allocated the sequence + result
+  * arrays per CANDIDATE PAIR — at 2.2 M capped-bucket candidates
+  * (sf0.1 video fixture) the HOF spelling cost ~8 s of the q137 pass;
+  * this node is one allocation-free loop per pair. Integer math —
+  * bit-exact against the plain-Scala mirror on both evaluation paths
+  * (PropertySpec). */
+case class SigBandScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigBandScore.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      // one static helper call per row keeps the whole-stage span
+      // intact (the GramSetSharedCount discipline)
+      s"${ev.value} = graft.functions.SigBandScore.score($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigBandScore {
+  /** Shared by both evaluation paths; ascending-band first match. */
+  def score(xa: ArrayData, xb: ArrayData): Long = {
+    val n = math.min(xa.numElements(), xb.numElements()) & ~1
+    var ham = 0L
+    var first = -1L
+    var i = 0
+    while (i < n) {
+      val x = xa.getLong(i) ^ xb.getLong(i)
+      ham += java.lang.Long.bitCount(x)
+      if (first < 0) {
+        // i even -> bytes 0-3 of this frame's bands, odd -> bytes 4-7
+        var k = 0
+        while (k < 4 && first < 0) {
+          if (((x >>> (k * 8)) & 255L) == 0L)
+            first = (i / 2) * 8 + (i % 2) * 4 + k
+          k += 1
+        }
+      }
+      i += 1
+    }
+    // element order IS ascending global band order (lo half of frame
+    // f = bands f·8..f·8+3, hi half = f·8+4..f·8+7), so the first
+    // zero byte found is the lowest matching band
+    if (first < 0) first = (n / 2) * 8
+    (first << 32) | ham
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -786,4 +847,10 @@ object VectorExpressions {
   def gramSetSharedCount(grams: Column, set: Array[Long]): Column =
     ColumnBridge.column(
       GramSetSharedCount(ColumnBridge.expression(grams), set))
+
+  /** firstMatchingBand << 32 | totalHamming of two interleaved
+    * per-frame dHash signatures (see [[SigBandScore]]). */
+  def sigBandScore(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SigBandScore(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -855,18 +855,22 @@ object Multimodal extends graft.QueryModule {
       .select(col("nf"), col("band_idx"),
         explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("nf"), col("band_idx"),
+      // first-matching band + total Hamming in ONE fused codegen pass
+      // per candidate (SigBandScore) — the HOF spelling
+      // (filter(sequence(0, nf·8−1), j -> …) + aggregate(zip_with))
+      // re-read the signature arrays per band iteration and allocated
+      // per candidate, costing ~8 s of the sf0.1 pass at 2.2 M
+      // capped-bucket candidates (ProfileOps q137); the fused node is
+      // an allocation-free loop and the many-literal-loops cliff does
+      // not apply (one loop, data-dependent bounds).
+      .select(col("band_idx"),
         col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
-        zip_with(col("p.a.sig"), col("p.b.sig"),
-          (x, y) => x.bitwiseXOR(y)).as("xs"))
-      // first-matching band: keep the pair only at its LOWEST matching
-      // band (byte j of the xor'd signature is zero)
-      .filter(col("band_idx") === expr(s"""element_at(
-        filter(sequence(0, nf * 8 - 1),
-               j -> (${sigByte("xs", "j")}) = 0), 1)"""))
+        graft.functions.VectorExpressions
+          .sigBandScore(col("p.a.sig"), col("p.b.sig")).as("score"))
+      // keep the pair only at its LOWEST matching band
+      .filter(col("band_idx").cast("long") === shiftright(col("score"), 32))
       .select(col("a"), col("b"),
-        expr("aggregate(xs, 0, (acc, x) -> acc + bit_count(x))")
-          .as("hamming"))
+        col("score").bitwiseAND(lit(0xffffffffL)).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

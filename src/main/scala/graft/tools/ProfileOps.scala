@@ -26,7 +26,7 @@ object ProfileOps {
     val sections: Map[String, SparkSession => Unit] = Map(
       "ops" -> scratch, "q20" -> q20, "q29" -> q29, "q34" -> q34,
       "q55" -> q55, "q58" -> q58, "q83" -> q83, "q83b" -> q83b,
-      "q83c" -> q83c, "q125ab" -> q125ab)
+      "q83c" -> q83c, "q125ab" -> q125ab, "q137" -> q137)
     val run = if (args.isEmpty) Seq("ops") else args.toSeq
     run.foreach { s =>
       println(s"== section $s")
@@ -372,5 +372,35 @@ object ProfileOps {
       time(s"$nm q125 join")(
         TextOps.decontaminate(dd, fusedProbe = Some(false)))
     }
+  }
+
+  /** q137 stage decomposition: where does the video pair pass spend
+    * its time — decode+hash, banding, bucket pair fan-out, or the
+    * first-match/Hamming verify? Prints candidate-pair volume and
+    * bucket census alongside stage timings. */
+  private def q137(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    val media = Multimodal.nearDupVideoTable(Tables.documents(spark, d))
+    time("q137 decode+hash only")(Multimodal.videoDHashSignature(media))
+    val sigs = Multimodal.videoDHashSignature(media).cache()
+    sigs.count()
+    val banded = sigs.select(col("media_id"), col("nf"),
+        posexplode(expr("""transform(sequence(0, nf * 8 - 1),
+          j -> CASE WHEN j % 8 < 4
+                 THEN shiftright(sig[cast(2 * (j div 8) as int)],
+                                 (j % 8) * 8) & 255
+                 ELSE shiftright(sig[cast(2 * (j div 8) + 1 as int)],
+                                 ((j % 8) - 4) * 8) & 255 END)""")))
+      .toDF("media_id", "nf", "band_idx", "band_val")
+    println(s"banded rows ${banded.count()}")
+    banded.groupBy("nf", "band_idx", "band_val").count()
+      .selectExpr(
+        "sum(case when count between 2 and 100 then count*(count-1)/2 " +
+          "else 0 end) as cand_pairs",
+        "sum(case when count > 100 then 1 else 0 end) as capped_buckets",
+        "count(*) as n_buckets", "max(count) as max_bucket")
+      .show()
+    time("q137 full (cold sigs)")(Multimodal.videoDHashPairs(media))
+    sigs.unpersist()
   }
 }

@@ -366,6 +366,36 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("SigBandScore CODEGEN == interpreted == plain-Scala mirror") = {
+    val expr = graft.functions.SigBandScore(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // signatures biased toward shared bytes so first-match bands and
+    // ties actually occur; odd lengths run the `& ~1` trim branch
+    val sigGen = Gen.chooseNum(0, 11).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.const(0L), Gen.const(0x00ff00ff00ff00ffL),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue))))
+    forAll(sigGen, sigGen) { (x, y) =>
+      val row = InternalRow(new GenericArrayData(x.toArray),
+        new GenericArrayData(y.toArray))
+      val gen = proj(row).getLong(0)
+      val interp = expr.eval(row).asInstanceOf[Long]
+      val n = math.min(x.length, y.length) & ~1
+      val xs = x.take(n).zip(y.take(n)).map { case (a, b) => a ^ b }
+      val ham = xs.map(java.lang.Long.bitCount(_).toLong).sum
+      val first = (0 until n * 4).find { j =>
+        ((xs(j / 4) >>> ((j % 4) * 8)) & 255L) == 0L
+      }.map { j =>
+        // element j/4 holds global bands (j/4/2)*8 + (j/4%2)*4 + j%4
+        val e = j / 4; (e / 2) * 8 + (e % 2) * 4 + j % 4
+      }.getOrElse((n / 2) * 8).toLong
+      val want = (first << 32) | ham
+      gen == interp && gen == want
+    }
+  }
+
   // doubles compared by BITS (0/0 NaN cases must match too, not be
   // unequal-by-NaN)
   private def canonD(xs: Seq[Double]): Seq[Long] =
