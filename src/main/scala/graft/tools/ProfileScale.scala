@@ -217,7 +217,24 @@ object ProfileScale {
                                // thunk and pollute the measurement
                                centroidMod = if (d.inputFiles.exists(
                                    _.contains("graft_sf1"))) 1270
-                                 else 127)))
+                                 else 127)),
+      // media family (round-8): payloads derive from doc_id, so the
+      // id-shifted replicas are independent media corpora — planted
+      // groups stay intra-replica, cross-replica collisions bounded
+      // by the bucket caps (mirrored in the oracles); growth is the
+      // decode scan + capped candidate fan-out
+      "q133_img_pairs"    -> (d => graft.operators.Multimodal
+                               .imageDHashPairs(graft.operators.Multimodal
+                                 .nearDupImageTable(d))),
+      "q134_img_groups"   -> (d => graft.operators.Multimodal
+                               .imageDedupGroups(graft.operators.Multimodal
+                                 .nearDupImageTable(d))),
+      "q136_aud_pairs"    -> (d => graft.operators.Multimodal
+                               .audioFpPairs(graft.operators.Multimodal
+                                 .nearDupAudioTable(d))),
+      "q137_vid_pairs"    -> (d => graft.operators.Multimodal
+                               .videoDHashPairs(graft.operators.Multimodal
+                                 .nearDupVideoTable(d))))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
@@ -388,6 +405,19 @@ object ProfileScale {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q29_jaccard_pairs" -> (d => Dedup.ngramJaccardPairs(d, 0.8)),
       "q66_containment"   -> (d => Dedup.containmentPairs(d)),
+      // media pair family at 100×: 500k REAL codec round trips; the
+      // id-shifted replicas are independent media corpora (payload
+      // formulas key on doc_id), so planted groups stay intra-replica
+      // and candidate fan-out is bounded by the capped buckets
+      "q133_img_pairs"    -> (d => graft.operators.Multimodal
+                               .imageDHashPairs(graft.operators.Multimodal
+                                 .nearDupImageTable(d))),
+      "q136_aud_pairs"    -> (d => graft.operators.Multimodal
+                               .audioFpPairs(graft.operators.Multimodal
+                                 .nearDupAudioTable(d))),
+      "q137_vid_pairs"    -> (d => graft.operators.Multimodal
+                               .videoDHashPairs(graft.operators.Multimodal
+                                 .nearDupVideoTable(d))),
       // the heaviest non-pair op: one token-scale doc_id repartition
       // (~50M bigrams here) feeding a 4096-key model
       "q83_dsir_select"   -> (d => graft.operators.TextOps.dsirSelect(d)),
