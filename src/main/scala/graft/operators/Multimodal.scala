@@ -877,6 +877,109 @@ object Multimodal extends graft.QueryModule {
   def videoDHashPairsQuery(s: SparkSession, d: String): DataFrame =
     videoDHashPairs(nearDupVideoTable(Tables.documents(s, d)))
 
+  // ---- video containment pairs (q140): subclip detection -----------------
+
+  /** Subclip fixture: each group g has ONE base 6-frame sequence
+    * (pixel formula keyed on (g, f) only — no member term) and the 4
+    * members are frame RANGES of it: m0 = f0..5, m1 = f1..4,
+    * m2 = f3..5, m3 = f2..3. Within a group every member's frame set
+    * is a subset of m0's and overlaps the others partially, so the
+    * containment threshold separates true subclips from mere
+    * overlaps; groups are independent. REAL AVI raw-DIB payloads. */
+  def subClipVideoTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranges = Array((0, 6), (1, 4), (3, 3), (2, 2))
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4; val m = (id % 4).toInt
+        val w = (g % 7 + 9).toInt
+        val h = (g % 5 + 8).toInt
+        val (start, len) = ranges(m)
+        val frames = (start until start + len).map { f =>
+          val stride = (w * 3 + 3) & ~3
+          val out = new Array[Byte](stride * h)
+          var y = 0
+          while (y < h) {
+            val row = (h - 1 - y) * stride
+            var x = 0
+            while (x < w) {
+              val r = math.floorMod(
+                x * x * (g % 5 + 1) + y * 3 + f * 19 + g * 11, 256)
+              val gc = math.floorMod(
+                x * 5 + y.toLong * y * (g % 3 + 1) + f * 23 + g * 23, 256)
+              val b = math.floorMod(
+                x * 13 + y * 17 + f * 29 + g * 29, 256)
+              out(row + x * 3) = b.toByte
+              out(row + x * 3 + 1) = gc.toByte
+              out(row + x * 3 + 2) = r.toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        MediaRecord(id, "video", w, h,
+          aviBytes(frames, w, h, fps = 25, mjpeg = false))
+      }
+    }
+  }
+
+  /** Video containment pairs — subclip detection across DIFFERENT
+    * clip lengths, which the frame-aligned q137 deliberately cannot
+    * express (its equal-nf bucket key is what makes exact aligned
+    * Hamming well-defined). Here a clip is its SET of distinct
+    * per-frame dHashes (built in the same map-only decode pass, lo
+    * and hi packed into one 64-bit value); the inverted index keys on
+    * the exact frame hash (capped stop-band buckets), each pair is
+    * emitted once at its smallest shared hash, and the verify is
+    * integer cross-multiplied CONTAINMENT — shared·10 ≥ τ·min(|A|,|B|)
+    * — so a short clip fully inside a long one scores 1.0 regardless
+    * of the length ratio (the q66 text-containment semantics, lifted
+    * to frames). One exchange carrying (hash, id, frames-sized
+    * array); payload bytes never shuffle; no joins. */
+  def videoContainmentPairs(media: Dataset[MediaRecord],
+                            threshold10: Int = 8,
+                            maxBucket: Int = Dedup.DefaultMaxBucket)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sets = media.mapPartitions { it =>
+      it.map { r =>
+        val s = parseAvi(r.payload)
+        require(s.compression == 0,
+          s"media ${r.media_id}: containment path reads raw-DIB AVI only")
+        val hs = s.frames.map { f =>
+          val (lo, hi) = dibDHash64(f, s.width, s.height)
+          lo | (hi << 32)
+        }.distinct.sorted
+        (r.media_id, hs)
+      }
+    }.toDF("media_id", "hs")
+    sets.select(col("media_id"), col("hs"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(array_sort(collect_list(
+        struct(col("media_id"), col("hs")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("h"),
+        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("h"),
+        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        array_intersect(col("p.a.hs"), col("p.b.hs")).as("shared"),
+        size(col("p.a.hs")).cast("long").as("n_a"),
+        size(col("p.b.hs")).cast("long").as("n_b"))
+      .filter(col("h") === array_min(col("shared")))
+      .select(col("a"), col("b"),
+        size(col("shared")).cast("long").as("n_shared"),
+        col("n_a"), col("n_b"))
+      .filter(col("n_shared") * 10 >=
+        lit(threshold10) * least(col("n_a"), col("n_b")))
+  }
+
+  def videoContainmentPairsQuery(s: SparkSession, d: String): DataFrame =
+    videoContainmentPairs(subClipVideoTable(Tables.documents(s, d)))
+
   // ---- real audio codec path: WAV (RIFF) PCM16 -------------------------
 
   /** Decoded-audio statistics: exact integer aggregates over the PCM
@@ -1268,7 +1371,8 @@ object Multimodal extends graft.QueryModule {
     "q136_audio_dup_pairs" -> ((s, d) => audioFpPairsQuery(s, d)),
     "q137_video_dup_pairs" -> ((s, d) => videoDHashPairsQuery(s, d)),
     "q138_audio_dedup_groups" -> ((s, d) => audioDedupGroupsQuery(s, d)),
-    "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d))
+    "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d)),
+    "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1427,7 +1531,73 @@ object Multimodal extends graft.QueryModule {
     /* q138/q139: same transitive closure over the audio / video pair
      * graphs — the modality-symmetric completion of q134. */
     "q138_audio_dedup_groups" -> closureSql(q136Sql),
-    "q139_video_dedup_groups" -> closureSql(q137Sql)
+    "q139_video_dedup_groups" -> closureSql(q137Sql),
+
+    /* q140: the subclip fixture's frame hashes recomputed from the
+     * (g, f)-keyed pixel formulas (DIB is lossless), each frame's two
+     * halves packed into the SAME signed 64-bit value as the Spark
+     * side (two's-complement reconstruction — hi << 32 would
+     * overflow BIGINT), then the q136 pair discipline with
+     * CONTAINMENT (min-set) in place of Jaccard. */
+    "q140_video_containment" -> s"""
+      WITH vid AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS g,
+               (doc_id // 4) % 7 + 9 AS w, (doc_id // 4) % 5 + 8 AS h,
+               CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                               WHEN 2 THEN 3 ELSE 2 END AS fstart,
+               CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 4
+                               WHEN 2 THEN 3 ELSE 2 END AS flen
+        FROM documents),
+      gf AS (
+        SELECT *, fstart + CAST(unnest(range(0, flen)) AS BIGINT) AS f
+        FROM vid),
+      g1 AS (
+        SELECT *, CAST(unnest(range(0, 9)) AS BIGINT) AS gx FROM gf),
+      g2 AS (
+        SELECT *, CAST(unnest(range(0, 8)) AS BIGINT) AS gy FROM g1),
+      lum AS (
+        SELECT media_id, f, gx, gy,
+               (sx*sx*(g % 5 + 1) + sy*3 + f*19 + g*11) % 256
+             + (sx*5 + sy*sy*(g % 3 + 1) + f*23 + g*23) % 256
+             + (sx*13 + sy*17 + f*29 + g*29) % 256 AS lv
+        FROM (SELECT media_id, g, f, gx, gy,
+                     gx*w//9 AS sx, gy*h//8 AS sy FROM g2) t),
+      bits AS (
+        SELECT media_id, f, gx, gy,
+               CASE WHEN lead(lv) OVER (PARTITION BY media_id, f, gy
+                                        ORDER BY gx) > lv
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM lum),
+      hashes AS (
+        SELECT media_id, f,
+               SUM(CASE WHEN gy < 4
+                        THEN bit * (1::BIGINT << (gy*8 + gx))
+                        ELSE 0 END)::BIGINT AS lo,
+               SUM(CASE WHEN gy >= 4
+                        THEN bit * (1::BIGINT << ((gy-4)*8 + gx))
+                        ELSE 0 END)::BIGINT AS hi
+        FROM bits WHERE gx < 8 GROUP BY media_id, f),
+      hset AS (
+        SELECT media_id, list_sort(list_distinct(list(
+                 lo + (CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                            ELSE hi END) * 4294967296))) AS hs
+        FROM hashes GROUP BY media_id),
+      inv AS (SELECT media_id, hs, unnest(hs) AS h FROM hset),
+      sz AS (SELECT h, count(*) AS cnt FROM inv GROUP BY h),
+      cand AS (
+        SELECT x.h, x.media_id AS a, y.media_id AS b,
+               x.hs AS ha, y.hs AS hb
+        FROM inv x JOIN inv y ON x.h = y.h AND x.media_id < y.media_id
+        JOIN sz ON sz.h = x.h
+         AND sz.cnt BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
+      scored AS (
+        SELECT h, a, b,
+               len(list_intersect(ha, hb))::BIGINT AS n_shared,
+               len(ha)::BIGINT AS n_a, len(hb)::BIGINT AS n_b,
+               list_min(list_intersect(ha, hb)) AS mn
+        FROM cand)
+      SELECT a, b, n_shared, n_a, n_b FROM scored
+      WHERE h = mn AND n_shared * 10 >= 8 * least(n_a, n_b)"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

@@ -2061,4 +2061,47 @@ class OperatorsSpec extends SparkSpec {
     check(Multimodal.videoDHashPairs(video),
       Multimodal.videoDedupGroups(video))
   }
+
+  test("video containment pairs detect subclips across clip lengths: " +
+    "brute-force mirror + the planted range structure") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.subClipVideoTable(docs)
+    // frame-hash sets straight off the decode path
+    val sets = Multimodal.videoDHashSignature(media).collect()
+      .map { r =>
+        val sig = r.getSeq[Long](2)
+        r.getLong(0) -> sig.grouped(2).map(p => p(0) | (p(1) << 32))
+          .toSeq.distinct
+      }.toMap
+    val bucket = sets.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).map { case (h, g) => h -> g.length }
+    val ids = sets.keys.toSeq.sorted
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val shared = sets(a).toSet.intersect(sets(b).toSet)
+      if (shared.nonEmpty && bucket(shared.min) <= 100 &&
+        shared.size * 10 >= 8 * math.min(sets(a).size, sets(b).size))
+        expected += ((a, b, shared.size.toLong,
+          sets(a).size.toLong, sets(b).size.toLong))
+    }
+    val got = Multimodal.videoContainmentPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    // the planted range structure: within a group, ranges f0-5/f1-4/
+    // f3-5/f2-3 make (m0,m1) (m0,m2) (m0,m3) (m1,m3) full
+    // containments while (m1,m2)=2/3 and (m2,m3)=1/2 miss tau=0.8 —
+    // asserted on the groups whose pairs are all intra-group clean
+    val intra = got.filter(p => p._1 / 4 == p._2 / 4)
+    assert(intra.size >= 400, s"only ${intra.size} intra-group pairs")
+    val byGroup = intra.groupBy(_._1 / 4)
+    val cleanStructure = byGroup.values.count { ps =>
+      ps.map(p => (p._1 % 4, p._2 % 4)) == Set((0L, 1L), (0L, 2L),
+        (0L, 3L), (1L, 3L))
+    }
+    assert(cleanStructure >= 100,
+      s"only $cleanStructure groups show the planted containment set")
+  }
 }

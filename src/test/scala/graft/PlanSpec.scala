@@ -544,6 +544,20 @@ class PlanSpec extends SparkSpec {
       s"scan reads more than doc_id:\n$schema")
   }
 
+  test("video containment pairs: one exchange of (hash, id, " +
+    "frame-set array), doc_id-only scan, no joins") {
+    val df = Multimodal.videoContainmentPairs(
+      Multimodal.subClipVideoTable(Tables.documents(spark, sf)))
+    df.collect() // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges (want 1):\n$plan")
+    assert(!plan.contains("Join"), s"pair gen joins:\n$plan")
+    val schema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("struct<doc_id:bigint>"),
+      s"scan reads more than doc_id:\n$schema")
+  }
+
   test("video dup pairs: payload bytes never shuffle — one exchange " +
     "of (nf, band, id, 16·nf-byte signature), doc_id-only scan, " +
     "no joins") {
