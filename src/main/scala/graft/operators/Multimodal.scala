@@ -726,6 +726,87 @@ object Multimodal extends graft.QueryModule {
   def videoFrameQuery(s: SparkSession, d: String): DataFrame =
     sampleVideoFrames(videoTable(Tables.documents(s, d)), everyN = 2).toDF()
 
+  // ---- audio containment pairs (q141): snippet / sample detection -------
+
+  /** Snippet fixture: each group g has ONE base waveform (the q135
+    * formula WITHOUT gain or noise) and the 4 members are hop-aligned
+    * SAMPLE RANGES of it — m0 the full n samples, m1 drops the first
+    * hop, m2 a middle slice, m3 the last four hops. Hop alignment
+    * makes a snippet's frame energies coincide with the base's
+    * (window starts land on the same absolute samples), so interior
+    * sub-fingerprints are exactly shared — the "did this track sample
+    * that one" fixture. */
+  def snippetAudioTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4; val m = (id % 4).toInt
+        val n = (g % 300 + 396).toInt
+        val rate = (8000 + (g % 3) * 4000).toInt
+        // hop-aligned (start, length) per member; all within [0, n)
+        val nh = n / FpHop
+        val (s0, len) = m match {
+          case 0 => (0, n)
+          case 1 => (FpHop, n - FpHop)
+          case 2 => (2 * FpHop, (nh - 3) * FpHop)
+          case _ => ((nh - 4) * FpHop, 4 * FpHop)
+        }
+        val samples = Array.tabulate(len) { i =>
+          val t = s0 + i
+          (math.floorMod(
+            t.toLong * t * (g % 5 + 2) + t * (g % 7 + 3) + g * 13,
+            1024) - 512).toShort
+        }
+        MediaRecord(id, "audio", 0, 0, wavBytes(samples, rate))
+      }
+    }
+  }
+
+  /** Audio containment pairs — snippet detection across track
+    * lengths: the q140 semantics with sub-fingerprints as the set
+    * elements. A short clip whose sub-fingerprints are all inside a
+    * longer track's scores containment 1.0 regardless of the length
+    * ratio, where q136's Jaccard would dilute it by the union. Same
+    * single-exchange shape as q136 (the sets are built in the
+    * map-only decode pass); verify is shared·10 ≥ τ·min(|A|,|B|). */
+  def audioContainmentPairs(media: Dataset[MediaRecord],
+                            threshold10: Int = 8,
+                            maxBucket: Int = Dedup.DefaultMaxBucket)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sets = media.mapPartitions { it =>
+      it.flatMap { r =>
+        val fps = subFingerprints(parseWav(r.payload).samples)
+          .map(_._2).distinct.sorted
+        if (fps.isEmpty) None else Some((r.media_id, fps))
+      }
+    }.toDF("media_id", "fps")
+    sets.select(col("media_id"), col("fps"), explode(col("fps")).as("subfp"))
+      .groupBy(col("subfp"))
+      .agg(array_sort(collect_list(
+        struct(col("media_id"), col("fps")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("subfp"),
+        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("subfp"),
+        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
+        array_intersect(col("p.a.fps"), col("p.b.fps")).as("shared"),
+        size(col("p.a.fps")).cast("long").as("n_a"),
+        size(col("p.b.fps")).cast("long").as("n_b"))
+      .filter(col("subfp") === array_min(col("shared")))
+      .select(col("a"), col("b"),
+        size(col("shared")).cast("long").as("n_shared"),
+        col("n_a"), col("n_b"))
+      .filter(col("n_shared") * 10 >=
+        lit(threshold10) * least(col("n_a"), col("n_b")))
+  }
+
+  def audioContainmentPairsQuery(s: SparkSession, d: String): DataFrame =
+    audioContainmentPairs(snippetAudioTable(Tables.documents(s, d)))
+
   // ---- video near-dup pairs (q137) --------------------------------------
 
   /** Near-dup video fixture (the q133 group discipline, video form):
@@ -1372,7 +1453,8 @@ object Multimodal extends graft.QueryModule {
     "q137_video_dup_pairs" -> ((s, d) => videoDHashPairsQuery(s, d)),
     "q138_audio_dedup_groups" -> ((s, d) => audioDedupGroupsQuery(s, d)),
     "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d)),
-    "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d))
+    "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d)),
+    "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1597,7 +1679,86 @@ object Multimodal extends graft.QueryModule {
                list_min(list_intersect(ha, hb)) AS mn
         FROM cand)
       SELECT a, b, n_shared, n_a, n_b FROM scored
-      WHERE h = mn AND n_shared * 10 >= 8 * least(n_a, n_b)"""
+      WHERE h = mn AND n_shared * 10 >= 8 * least(n_a, n_b)""",
+
+    /* q141: the snippet fixture's sub-fingerprints recomputed from
+     * the base waveform formula over ABSOLUTE sample indices (hop
+     * alignment is what makes snippet frames coincide with base
+     * frames), then the q140 containment discipline over subfp
+     * sets. */
+    "q141_audio_containment" -> s"""
+      WITH aud AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m
+        FROM documents),
+      dims0 AS (
+        SELECT media_id, g, m, g % 300 + 396 AS n,
+               (g % 300 + 396) // 66 AS nh
+        FROM aud),
+      dims AS (
+        SELECT media_id, g,
+               CASE m WHEN 0 THEN 0 WHEN 1 THEN 66
+                      WHEN 2 THEN 132 ELSE (nh - 4) * 66 END AS s0,
+               CASE m WHEN 0 THEN n WHEN 1 THEN n - 66
+                      WHEN 2 THEN (nh - 3) * 66 ELSE 264 END AS len
+        FROM dims0),
+      smp AS (
+        SELECT media_id,
+               (len - 132) // 66 + 1 AS nf,
+               list_transform(range(s0, s0 + len), t ->
+                 (t*t*(g%5+2) + t*(g%7+3) + g*13) % 1024 - 512) AS s
+        FROM dims),
+      frames AS (
+        SELECT media_id, s, CAST(unnest(range(0, nf)) AS BIGINT) AS f
+        FROM smp),
+      fbands AS (
+        SELECT media_id, f, CAST(unnest(range(0, 33)) AS BIGINT) AS b, s
+        FROM frames),
+      e AS (
+        SELECT media_id, f, b,
+               s[f*66 + b*4 + 1]::BIGINT * s[f*66 + b*4 + 1]
+             + s[f*66 + b*4 + 2]::BIGINT * s[f*66 + b*4 + 2]
+             + s[f*66 + b*4 + 3]::BIGINT * s[f*66 + b*4 + 3]
+             + s[f*66 + b*4 + 4]::BIGINT * s[f*66 + b*4 + 4] AS e
+        FROM fbands),
+      d AS (
+        SELECT media_id, f, b,
+               e - lead(e) OVER (PARTITION BY media_id, f ORDER BY b) AS d
+        FROM e),
+      fp AS (
+        SELECT media_id, frame_idx,
+               SUM(bit * (1::BIGINT << b))::BIGINT AS subfp
+        FROM (
+          SELECT cur.media_id, cur.f AS frame_idx, cur.b AS b,
+                 CASE WHEN cur.d - prev.d > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM d cur JOIN d prev
+            ON prev.media_id = cur.media_id AND prev.f = cur.f - 1
+           AND prev.b = cur.b
+          WHERE cur.b < 32 AND cur.f >= 1) bits
+        GROUP BY media_id, frame_idx),
+      sets AS (
+        SELECT media_id, list_sort(list_distinct(list(subfp))) AS fps
+        FROM fp GROUP BY media_id),
+      inv AS (
+        SELECT media_id, fps, unnest(fps) AS subfp FROM sets),
+      sz AS (SELECT subfp, count(*) AS cnt FROM inv GROUP BY subfp),
+      cand AS (
+        SELECT x.subfp, x.media_id AS a, y.media_id AS b,
+               x.fps AS fa, y.fps AS fb
+        FROM inv x JOIN inv y
+          ON x.subfp = y.subfp AND x.media_id < y.media_id
+        JOIN sz ON sz.subfp = x.subfp
+         AND sz.cnt BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
+      scored AS (
+        SELECT subfp, a, b,
+               len(list_intersect(fa, fb))::BIGINT AS n_shared,
+               len(fa)::BIGINT AS n_a, len(fb)::BIGINT AS n_b,
+               list_min(list_intersect(fa, fb)) AS mn
+        FROM cand)
+      SELECT a, b, n_shared, n_a, n_b
+      FROM scored
+      WHERE subfp = mn
+        AND n_shared * 10 >= 8 * least(n_a, n_b)"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

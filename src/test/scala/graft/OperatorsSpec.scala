@@ -2104,4 +2104,39 @@ class OperatorsSpec extends SparkSpec {
     assert(cleanStructure >= 100,
       s"only $cleanStructure groups show the planted containment set")
   }
+
+  test("audio containment pairs detect hop-aligned snippets: " +
+    "brute-force mirror + the planted range structure") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.snippetAudioTable(docs)
+    val sets = Multimodal.audioFingerprint(media).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (id, g) =>
+        id -> g.map(_._2).distinct.sorted.toSeq }
+    val bucket = sets.toSeq.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, g) => fp -> g.length }
+    val ids = sets.keys.toSeq.sorted
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val shared = sets(a).toSet.intersect(sets(b).toSet)
+      if (shared.nonEmpty && bucket(shared.min) <= 100 &&
+        shared.size * 10 >= 8 * math.min(sets(a).size, sets(b).size))
+        expected += ((a, b, shared.size.toLong,
+          sets(a).size.toLong, sets(b).size.toLong))
+    }
+    val got = Multimodal.audioContainmentPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    // hop alignment really shares fingerprints: snippets m1/m2/m3 are
+    // strict sub-ranges of m0, so (m0,*) containments dominate; full
+    // containment means n_shared == min set size on those pairs
+    val intra = got.filter(p => p._1 / 4 == p._2 / 4)
+    assert(intra.size >= 500, s"only ${intra.size} intra-group pairs")
+    val m0full = intra.filter(p => p._1 % 4 == 0)
+    assert(m0full.count(p => p._3 == math.min(p._4, p._5)) >=
+      m0full.size * 9 / 10, "snippets not fully contained in the base")
+  }
 }
