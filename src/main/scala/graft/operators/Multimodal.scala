@@ -1341,6 +1341,31 @@ object Multimodal extends graft.QueryModule {
   def videoDedupGroupsQuery(s: SparkSession, d: String): DataFrame =
     videoDedupGroups(nearDupVideoTable(Tables.documents(s, d)))
 
+  /** Media dedup APPLY — the media half of the report→apply closure
+    * (text analog: `Dedup.dedupApply`, q43): drop every member of a
+    * duplicate component except its keeper. The media keeper policy
+    * is deterministic earliest-ingest (min media_id) — exactly the
+    * component label the closure already computes, so unlike the
+    * text op NO keeper aggregation pass exists: the label IS the
+    * keeper and the drop set falls out of one filter. Works for any
+    * modality's groups table (q134/q138/q139). Scale shape: the drop
+    * side is the paired-docs set (bounded by the bucket-capped pair
+    * mass upstream) anti-joined against the corpus; no broadcast
+    * hint — on a dup-heavy corpus the drop side is NOT small and the
+    * per-run optimizer/AQE must pick, the q43 gate argument. */
+  def mediaDedupApply(media: Dataset[MediaRecord],
+                      groups: DataFrame): DataFrame = {
+    val drops = groups.filter(col("media_id") =!= col("group_id"))
+      .select(col("media_id"))
+    media.toDF().join(drops, Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("kind"), col("width"), col("height"))
+  }
+
+  def imageDedupApplyQuery(s: SparkSession, d: String): DataFrame = {
+    val media = nearDupImageTable(Tables.documents(s, d))
+    mediaDedupApply(media, imageDedupGroups(media))
+  }
+
   // ---- streaming media admission: image near-dup gate -------------------
 
   /** Frozen image near-dup index — the fit half of the media family's
@@ -1454,7 +1479,8 @@ object Multimodal extends graft.QueryModule {
     "q138_audio_dedup_groups" -> ((s, d) => audioDedupGroupsQuery(s, d)),
     "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d)),
     "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d)),
-    "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d))
+    "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d)),
+    "q142_image_dedup_apply" -> ((s, d) => imageDedupApplyQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1758,7 +1784,29 @@ object Multimodal extends graft.QueryModule {
       SELECT a, b, n_shared, n_a, n_b
       FROM scored
       WHERE subfp = mn
-        AND n_shared * 10 >= 8 * least(n_a, n_b)"""
+        AND n_shared * 10 >= 8 * least(n_a, n_b)""",
+
+    /* q142: q134's closure, applied — survivors are every image that
+     * is not a non-label member of a duplicate component (the min-id
+     * label IS the keeper); metadata recomputed from the fixture
+     * formulas. */
+    "q142_image_dedup_apply" -> s"""
+      WITH RECURSIVE pairs AS (SELECT a, b FROM ($q133Sql) t),
+      und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM und
+        UNION
+        SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+      ),
+      labels AS (
+        SELECT node AS media_id, min(r) AS group_id FROM reach GROUP BY node)
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+             CAST((doc_id // 4) % 7 + 16 AS INT) AS width,
+             CAST((doc_id // 4) % 5 + 12 AS INT) AS height
+      FROM documents
+      WHERE doc_id NOT IN (
+        SELECT media_id FROM labels WHERE media_id != group_id)"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

@@ -2139,4 +2139,28 @@ class OperatorsSpec extends SparkSpec {
     assert(m0full.count(p => p._3 == math.min(p._4, p._5)) >=
       m0full.size * 9 / 10, "snippets not fully contained in the base")
   }
+
+  test("media dedup apply keeps exactly the component labels plus " +
+    "every unpaired image, with the fixture's true metadata") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.nearDupImageTable(docs)
+    val labels = Multimodal.imageDedupGroups(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    val expected = all -- labels.collect {
+      case (id, g) if id != g => id }
+    val got = Multimodal.mediaDedupApply(
+        media, Multimodal.imageDedupGroups(media)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got.map(_._1).toSet == expected,
+      s"${got.length} survivors vs ${expected.size} expected")
+    // dedup really shrinks the corpus, and survivors keep their real
+    // decoded metadata
+    assert(got.length < all.size / 2, s"only ${all.size - got.length} dropped")
+    got.foreach { case (id, kind, w, h) =>
+      val g = id / 4
+      assert(kind == (if (id % 2 == 0) "png" else "bmp"))
+      assert(w == (g % 7 + 16).toInt && h == (g % 5 + 12).toInt)
+    }
+  }
 }
