@@ -239,6 +239,38 @@ object ProfileStream {
     } else if (only.exists(Set("twsfraud", "twscountwin", "twstopn")))
       println("tws ops need --rocksdb (transformWithState requires it)")
 
+    // streaming image-admission gate: STATELESS, so the number is
+    // pure ImageIO-decode + dHash + 8 index probes per row. A 1000-
+    // image payload pool cycles through the stream (driver-side
+    // encode cost stays out of the measure; the EXECUTOR decodes
+    // every row for real); the frozen index is fit on the pool's
+    // first 500 ids, so ~half the arriving images near-dup the
+    // reference and exercise the drop path.
+    locally {
+      import graft.operators.Multimodal
+      lazy val imgPool: IndexedSeq[Array[Byte]] =
+        (0 until 1000).map { id =>
+          val grp = id / 4
+          Multimodal.nearDupImageBytes((grp % 7 + 16).toInt,
+            (grp % 5 + 12).toInt, grp, (id % 4).toInt,
+            if (id % 2 == 0) "png" else "bmp")
+        }
+      lazy val gateIdx = Multimodal.fitImageDupIndex(
+        Multimodal.nearDupImageTable(
+          spark.range(500).select($"id".as("doc_id"))))
+      bench[Multimodal.MediaRecord]("imggate")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[Multimodal.MediaRecord]
+        ((rows: Seq[Multimodal.MediaRecord]) => { in.addData(rows); () },
+          Multimodal.imageAdmitStream(in.toDS(), gateIdx).toDF())
+      }, { i =>
+        val id = i % 1000
+        val grp = id / 4
+        Multimodal.MediaRecord(i, if (id % 2 == 0) "png" else "bmp",
+          (grp % 7 + 16).toInt, (grp % 5 + 12).toInt, imgPool(id))
+      })
+    }
+
     spark.stop()
   }
 }
