@@ -234,7 +234,20 @@ object ProfileScale {
                                  .nearDupAudioTable(d))),
       "q137_vid_pairs"    -> (d => graft.operators.Multimodal
                                .videoDHashPairs(graft.operators.Multimodal
-                                 .nearDupVideoTable(d))))
+                                 .nearDupVideoTable(d))),
+      "q140_vid_contain"  -> (d => graft.operators.Multimodal
+                               .videoContainmentPairs(graft.operators
+                                 .Multimodal.subClipVideoTable(d))),
+      "q141_aud_contain"  -> (d => graft.operators.Multimodal
+                               .audioContainmentPairs(graft.operators
+                                 .Multimodal.snippetAudioTable(d))),
+      "q142_dedup_apply"  -> (d => {
+                               val m = graft.operators.Multimodal
+                                 .nearDupImageTable(d)
+                               graft.operators.Multimodal.mediaDedupApply(m,
+                                 graft.operators.Multimodal
+                                   .imageDedupGroups(m))
+                             }))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
