@@ -1465,6 +1465,32 @@ object Multimodal extends graft.QueryModule {
     imageAdmitStream(media,
       media.sparkSession.sparkContext.broadcast(index))
 
+  /** In-stream image dedup — the composition [[imageAdmitStream]]'s
+    * scaladoc points at for arriving dups of EACH OTHER (the frozen
+    * index can't see them): key the watermark-bounded dedup on the
+    * image's 64-bit dHash, so re-encodes and pixel-identical copies
+    * collapse to the first arrival while the payload bytes never
+    * become the key. This is FINGERPRINT-EXACT collapse — the media
+    * analog of the text layer's `StreamAggs.nearDupDropWithinWatermark`
+    * (SimHash-keyed): a near-dup whose hash differs by even one bit
+    * survives, by design — catching those in-stream needs the frozen
+    * gate (reference set) or the batch pair op (full tie-break).
+    * State is delay × rate keys of 8 bytes each; decode runs once per
+    * row, map-side. */
+  def imageDedupStream(media: DataFrame, payload: Column, ts: Column,
+                       watermarkDelay: String): DataFrame = {
+    val hash = udf { bytes: Array[Byte] =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val (lo, hi) = dHash64(img)
+      lo | (hi << 32)
+    }
+    graft.streaming.StreamAggs.dedupWithinWatermark(
+        media.withColumn("__dh", hash(payload)), ts, watermarkDelay, "__dh")
+      .drop("__dh")
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -702,4 +702,44 @@ class StreamAggsSpec extends SparkSpec {
       assert(stream == expectedAdmit, "stream verdicts diverge from batch")
     } finally sq.stop()
   }
+
+  test("in-stream image dedup collapses hash-exact copies across " +
+    "batches and keeps near-dup variants (the gate composition)") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def img(grp: Long, member: Int, fmt: String): Array[Byte] =
+      Multimodal.nearDupImageBytes((grp % 7 + 16).toInt,
+        (grp % 5 + 12).toInt, grp, member, fmt)
+    def hashOf(bytes: Array[Byte]): (Long, Long) =
+      Multimodal.dHash64(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+    // pick a variant whose dHash genuinely differs from the base —
+    // the ±member luminance nudge flips no comparison in some groups
+    val (grp, variant) = (for {
+      g <- 0L until 40L; m <- 1 to 3
+      if hashOf(img(g, m, "png")) != hashOf(img(g, 0, "png"))
+    } yield (g, m)).head
+    val in = MemoryStream[(Long, Long, Array[Byte])]
+    val df = in.toDF().toDF("ts_ms", "media_id", "payload")
+    val q = Multimodal.imageDedupStream(df, col("payload"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .select("media_id")
+      .writeStream.format("memory").queryName("img_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1000L, 1L, img(grp, 0, "png")),
+        (2000L, 2L, img(grp, 0, "bmp")), // same pixels re-encoded → dup
+        (3000L, 3L, img(grp, variant, "png"))) // hash differs → survives
+      q.processAllAvailable()
+      in.addData(
+        (4000L, 4L, img(grp, 0, "png")), // cross-batch copy → dup
+        (5000L, 5L, img(grp + 101, 2, "png")))
+      q.processAllAvailable()
+      val got = spark.table("img_dedup_out").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L),
+        s"got $got: lossless re-encode/copy must collapse, variant must " +
+          "survive (fingerprint-exact semantics)")
+    } finally q.stop()
+  }
 }
