@@ -1465,6 +1465,34 @@ object Multimodal extends graft.QueryModule {
     imageAdmitStream(media,
       media.sparkSession.sparkContext.broadcast(index))
 
+  /** Cross-modality curation funnel — the media composed-pipeline
+    * report (text analog: q100's curation funnel): per modality, how
+    * much does near-dup dedup shrink the corpus? One row per kind
+    * with total / dup-member / kept counts and an integer per-mille
+    * kept ratio (no doubles — the q92 funnel discipline). Composition
+    * adds no exchange beyond the three constituent closures: each
+    * modality's groups table reduces to TWO counts driver-side and
+    * the 3-row union is literal. */
+  def mediaCurationFunnel(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val total = documents.count()
+    def row(kind: String, groups: DataFrame): (String, Long, Long, Long) = {
+      val dropped = groups
+        .filter(col("media_id") =!= col("group_id")).count()
+      (kind, total, dropped, total - dropped)
+    }
+    Seq(
+      row("image", imageDedupGroups(nearDupImageTable(documents))),
+      row("audio", audioDedupGroups(nearDupAudioTable(documents))),
+      row("video", videoDedupGroups(nearDupVideoTable(documents)))
+    ).toDF("kind", "n_total", "n_dropped", "n_kept")
+      .withColumn("permille_kept", expr("n_kept * 1000 div n_total"))
+  }
+
+  def mediaCurationFunnelQuery(s: SparkSession, d: String): DataFrame =
+    mediaCurationFunnel(Tables.documents(s, d))
+
   /** In-stream image dedup — the composition [[imageAdmitStream]]'s
     * scaladoc points at for arriving dups of EACH OTHER (the frozen
     * index can't see them): key the watermark-bounded dedup on the
@@ -1506,7 +1534,8 @@ object Multimodal extends graft.QueryModule {
     "q139_video_dedup_groups" -> ((s, d) => videoDedupGroupsQuery(s, d)),
     "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d)),
     "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d)),
-    "q142_image_dedup_apply" -> ((s, d) => imageDedupApplyQuery(s, d))
+    "q142_image_dedup_apply" -> ((s, d) => imageDedupApplyQuery(s, d)),
+    "q143_media_funnel" -> ((s, d) => mediaCurationFunnelQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1832,7 +1861,33 @@ object Multimodal extends graft.QueryModule {
              CAST((doc_id // 4) % 5 + 12 AS INT) AS height
       FROM documents
       WHERE doc_id NOT IN (
-        SELECT media_id FROM labels WHERE media_id != group_id)"""
+        SELECT media_id FROM labels WHERE media_id != group_id)""",
+
+    /* q143: the three modality closures' drop counts assembled into
+     * one per-kind funnel row — integer per-mille, no doubles. */
+    "q143_media_funnel" -> s"""
+      WITH tot AS (SELECT count(*) AS n FROM documents),
+      ${Seq("image" -> q133Sql, "audio" -> q136Sql, "video" -> q137Sql)
+        .map { case (kind, sql) => s"""
+      ${kind}_drop AS (
+        WITH RECURSIVE pairs AS (SELECT a, b FROM ($sql) t),
+        und AS (SELECT a, b FROM pairs
+                UNION SELECT b AS a, a AS b FROM pairs),
+        reach(node, r) AS (
+          SELECT DISTINCT a AS node, a AS r FROM und
+          UNION
+          SELECT u.a AS node, reach.r FROM und u
+          JOIN reach ON u.b = reach.node)
+        SELECT count(*) AS d FROM (
+          SELECT node FROM reach GROUP BY node
+          HAVING node != min(r)) x)"""
+        }.mkString(",")}
+      SELECT kind, n AS n_total, d AS n_dropped, n - d AS n_kept,
+             (n - d) * 1000 // n AS permille_kept
+      FROM tot, (
+        SELECT 'image' AS kind, d FROM image_drop
+        UNION ALL SELECT 'audio', d FROM audio_drop
+        UNION ALL SELECT 'video', d FROM video_drop) f"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

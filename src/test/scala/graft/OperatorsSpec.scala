@@ -2163,4 +2163,30 @@ class OperatorsSpec extends SparkSpec {
       assert(w == (g % 7 + 16).toInt && h == (g % 5 + 12).toInt)
     }
   }
+
+  test("media curation funnel rows equal each modality's own closure " +
+    "counts, integer per-mille") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    def dropped(groups: org.apache.spark.sql.DataFrame): Long =
+      groups.filter(col("media_id") =!= col("group_id")).count()
+    val want = Map(
+      "image" -> dropped(Multimodal.imageDedupGroups(
+        Multimodal.nearDupImageTable(docs))),
+      "audio" -> dropped(Multimodal.audioDedupGroups(
+        Multimodal.nearDupAudioTable(docs))),
+      "video" -> dropped(Multimodal.videoDedupGroups(
+        Multimodal.nearDupVideoTable(docs))))
+    val got = Multimodal.mediaCurationFunnel(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("image", "audio", "video"))
+    for ((kind, d) <- want) {
+      val (n, nd, nk, pm) = got(kind)
+      assert(n == total && nd == d && nk == total - d &&
+        pm == (total - d) * 1000 / total,
+        s"$kind: got ${got(kind)}, want dropped=$d of $total")
+      assert(d > 0, s"$kind dedup dropped nothing — funnel vacuous")
+    }
+  }
 }
