@@ -880,24 +880,40 @@ object Multimodal extends graft.QueryModule {
 
   /** Per-partition REAL demux + decode → per-clip dHash signature:
     * (media_id, nf, sig) with sig = [lo₀, hi₀, lo₁, hi₁, …] over the
-    * frames in container order. Map-only; at 100 TB everything
-    * downstream moves 16 bytes per frame. */
+    * frames in container order. Raw-DIB frames hash straight off the
+    * raster bytes ([[dibDHash64]], exact); MJPEG frames decode
+    * through the JDK's own JPEG codec and hash via [[dHash64]] — the
+    * same 9×8 grid, so a clip's signature is codec-consistent, but
+    * JPEG loss means an MJPEG re-encode is a NEAR-dup of its raw
+    * twin, not an exact one (spec-asserted both ways). Map-only; at
+    * 100 TB everything downstream moves 16 bytes per frame. */
   def videoDHashSignature(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
         val s = parseAvi(r.payload)
-        require(s.compression == 0,
-          s"media ${r.media_id}: signature path reads raw-DIB AVI only")
         val sig = s.frames.flatMap { f =>
-          val (lo, hi) = dibDHash64(f, s.width, s.height)
+          val (lo, hi) = frameDHash(s, f, r.media_id)
           Seq(lo, hi)
         }
         (r.media_id, s.frames.length, sig)
       }
     }.toDF("media_id", "nf", "sig")
   }
+
+  /** One frame's dHash, by codec (shared by the signature and
+    * containment paths). */
+  private def frameDHash(s: AviStream, frame: Array[Byte],
+                         mediaId: Long): (Long, Long) =
+    if (s.compression == 0) dibDHash64(frame, s.width, s.height)
+    else if (s.compression == fourccLE("MJPG")) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frame))
+      require(img != null, s"media $mediaId: MJPG frame did not decode")
+      dHash64(img)
+    } else sys.error(f"media $mediaId: unsupported AVI codec fourcc " +
+      f"0x${s.compression}%08x on the signature path")
 
   /** byte j of the flattened per-frame-banded signature `arr`
     * (band j = band j%8 of frame j/8, q133's byte banding per frame),
@@ -1028,10 +1044,8 @@ object Multimodal extends graft.QueryModule {
     val sets = media.mapPartitions { it =>
       it.map { r =>
         val s = parseAvi(r.payload)
-        require(s.compression == 0,
-          s"media ${r.media_id}: containment path reads raw-DIB AVI only")
         val hs = s.frames.map { f =>
-          val (lo, hi) = dibDHash64(f, s.width, s.height)
+          val (lo, hi) = frameDHash(s, f, r.media_id)
           lo | (hi << 32)
         }.distinct.sorted
         (r.media_id, hs)

@@ -2164,6 +2164,62 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG clips ride the video signature path: codec-consistent " +
+    "hashes, and the pair op finds the raw-DIB twin as a near-dup") {
+    val (w, h) = (32, 24)
+    // smooth non-monotone raster (a parabola in x): JPEG-friendly —
+    // no mod-256 wrap edges whose ringing would shred the comparison
+    // bits — while still giving each row a 1→0→1 bit pattern
+    def raster(f: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 20 + ((x - 16) * (x - 16) * 180) / 256 + y / 2 + f * 3
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def jpegBytes(f: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(raster(f), "jpg", bos)
+      bos.toByteArray
+    }
+    def dibBytes(f: Int): Array[Byte] = {
+      val stride = (w * 3 + 3) & ~3
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = raster(f).getRGB(x, y)
+        val row = (h - 1 - y) * stride
+        out(row + x * 3) = (p & 0xff).toByte
+        out(row + x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        out(row + x * 3 + 2) = ((p >> 16) & 0xff).toByte
+      }
+      out
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "video", w, h, Multimodal.aviBytes(
+        (0 until 4).map(dibBytes), w, h, fps = 25, mjpeg = false)),
+      Multimodal.MediaRecord(1L, "video", w, h, Multimodal.aviBytes(
+        (0 until 4).map(jpegBytes), w, h, fps = 25, mjpeg = true))).toDS()
+    val sigs = Multimodal.videoDHashSignature(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2))).toMap
+    assert(sigs(0L)._1 == 4 && sigs(1L)._1 == 4)
+    // MJPEG internal consistency: signature == dHash64 of the JDK's
+    // own decode of each JPEG chunk
+    for (f <- 0 until 4) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpegBytes(f)))
+      val (lo, hi) = Multimodal.dHash64(img)
+      assert((sigs(1L)._2(2 * f), sigs(1L)._2(2 * f + 1)) == (lo, hi))
+    }
+    // cross-codec: JPEG loss must not break the near-dup tie on a
+    // smooth raster — the pair op finds the DIB twin
+    val pairs = Multimodal.videoDHashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 <= 12),
+      s"MJPEG twin not paired: ${pairs.toSeq}")
+  }
+
   test("media curation funnel rows equal each modality's own closure " +
     "counts, integer per-mille") {
     val docs = Tables.documents(spark, sf)
