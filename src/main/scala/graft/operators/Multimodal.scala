@@ -1479,6 +1479,60 @@ object Multimodal extends graft.QueryModule {
     imageAdmitStream(media,
       media.sparkSession.sparkContext.broadcast(index))
 
+  // ---- corrupt-payload tolerance (q144) ----------------------------------
+
+  /** The mixed-modality table with DETERMINISTIC corruption planted:
+    * every 13th payload is truncated to its first 20 bytes — enough
+    * to keep the container magic, not enough to decode — which fails
+    * every codec path (RIFF chunk walks run off the end, ImageIO
+    * returns null). The fixture for the decode-robustness ops: at
+    * 100 TB corrupt payloads are a certainty, not an edge case. */
+  def corruptedMediaTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mixedMediaTable(documents).map { r =>
+      if (r.media_id % 13 == 0) r.copy(payload = r.payload.take(20)) else r
+    }
+  }
+
+  /** Decode health audit — run it BEFORE the heavy media ops: one
+    * map-only pass that attempts the full per-kind decode
+    * ([[decodeSignal]] — the same dispatch the real ops use) and
+    * reports (media_id, kind, ok). The error policy question at
+    * 100 TB ("does one corrupt file kill a 6-hour scan?") becomes a
+    * COUNT on this table; quarantine = anti-join on ok = false. */
+  def decodeAudit(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ok =
+          try { decodeSignal(r); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        (r.media_id, r.kind, ok)
+      }
+    }.toDF("media_id", "kind", "ok")
+  }
+
+  /** [[extractSignals]] with skip-corrupt semantics: undecodable
+    * payloads drop instead of failing the job (count them via
+    * [[decodeAudit]] — silent-drop-without-audit is the anti-pattern
+    * this pairing exists to avoid). Parity on the decodable subset is
+    * spec-asserted against the failing variant. */
+  def extractSignalsRobust(media: Dataset[MediaRecord]): Dataset[MediaSignal] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try Some(decodeSignal(r))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  def decodeAuditQuery(s: SparkSession, d: String): DataFrame =
+    decodeAudit(corruptedMediaTable(Tables.documents(s, d)))
+
   /** Cross-modality curation funnel — the media composed-pipeline
     * report (text analog: q100's curation funnel): per modality, how
     * much does near-dup dedup shrink the corpus? One row per kind
@@ -1549,7 +1603,8 @@ object Multimodal extends graft.QueryModule {
     "q140_video_containment" -> ((s, d) => videoContainmentPairsQuery(s, d)),
     "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d)),
     "q142_image_dedup_apply" -> ((s, d) => imageDedupApplyQuery(s, d)),
-    "q143_media_funnel" -> ((s, d) => mediaCurationFunnelQuery(s, d))
+    "q143_media_funnel" -> ((s, d) => mediaCurationFunnelQuery(s, d)),
+    "q144_decode_audit" -> ((s, d) => decodeAuditQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1901,7 +1956,19 @@ object Multimodal extends graft.QueryModule {
       FROM tot, (
         SELECT 'image' AS kind, d FROM image_drop
         UNION ALL SELECT 'audio', d FROM audio_drop
-        UNION ALL SELECT 'video', d FROM video_drop) f"""
+        UNION ALL SELECT 'video', d FROM video_drop) f""",
+
+    /* q144: the corruption plant is deterministic (every 13th payload
+     * truncated), so the decode verdict is a pure id predicate; kind
+     * follows mixedMediaTable's doc_id%3 dispatch. A decoder that
+     * silently accepted a truncated container (or failed on a valid
+     * one) breaks the hash. */
+    "q144_decode_audit" -> """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             doc_id % 13 != 0 AS ok
+      FROM documents"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

@@ -2220,6 +2220,33 @@ class OperatorsSpec extends SparkSpec {
       s"MJPEG twin not paired: ${pairs.toSeq}")
   }
 
+  test("corrupt payloads: the audit verdicts match the plant, the " +
+    "robust decode drops exactly the corrupt rows, the strict one dies") {
+    val docs = Tables.documents(spark, sf).limit(120)
+    val media = Multimodal.corruptedMediaTable(docs)
+    val audit = Multimodal.decodeAudit(media).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(audit.length == 120)
+    audit.foreach { case (id, kind, ok) =>
+      assert(ok == (id % 13 != 0), s"media $id audit verdict wrong")
+      assert(kind == Seq("image", "audio", "video")((id % 3).toInt))
+    }
+    // robust decode: survivors are exactly the decodable subset, with
+    // the SAME signals the strict path extracts from clean payloads
+    val robust = Multimodal.extractSignalsRobust(media).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(robust.keySet == audit.filter(_._3).map(_._1).toSet)
+    val strictClean = Multimodal.extractSignals(
+        media.filter(col("media_id") % 13 =!= 0)).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(robust == strictClean)
+    // and the strict path on the corrupted table is the failure mode
+    // the robust variant exists to remove
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractSignals(media).collect()
+    }
+  }
+
   test("media curation funnel rows equal each modality's own closure " +
     "counts, integer per-mille") {
     val docs = Tables.documents(spark, sf)
