@@ -782,26 +782,8 @@ object Multimodal extends graft.QueryModule {
           .map(_._2).distinct.sorted
         if (fps.isEmpty) None else Some((r.media_id, fps))
       }
-    }.toDF("media_id", "fps")
-    sets.select(col("media_id"), col("fps"), explode(col("fps")).as("subfp"))
-      .groupBy(col("subfp"))
-      .agg(array_sort(collect_list(
-        struct(col("media_id"), col("fps")))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(col("subfp"),
-        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("subfp"),
-        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
-        array_intersect(col("p.a.fps"), col("p.b.fps")).as("shared"),
-        size(col("p.a.fps")).cast("long").as("n_a"),
-        size(col("p.b.fps")).cast("long").as("n_b"))
-      .filter(col("subfp") === array_min(col("shared")))
-      .select(col("a"), col("b"),
-        size(col("shared")).cast("long").as("n_shared"),
-        col("n_a"), col("n_b"))
-      .filter(col("n_shared") * 10 >=
-        lit(threshold10) * least(col("n_a"), col("n_b")))
+    }.toDF("media_id", "es")
+    elementSetPairs(sets, maxBucket)(containmentKeep(threshold10))
   }
 
   def audioContainmentPairsQuery(s: SparkSession, d: String): DataFrame =
@@ -1050,27 +1032,141 @@ object Multimodal extends graft.QueryModule {
         }.distinct.sorted
         (r.media_id, hs)
       }
-    }.toDF("media_id", "hs")
-    sets.select(col("media_id"), col("hs"), explode(col("hs")).as("h"))
-      .groupBy(col("h"))
+    }.toDF("media_id", "es")
+    elementSetPairs(sets, maxBucket)(containmentKeep(threshold10))
+  }
+
+  /** Shared bucket-capped inverted-index pair machinery over per-media
+    * SORTED DISTINCT 64-bit element sets ((media_id, es array<long>)):
+    * exact-element buckets (a hot element is a stop-band — the
+    * q26/q28/q133 cap discipline), each pair emitted once at its
+    * SMALLEST shared element and only if that bucket survived the
+    * cap, then the caller's verify predicate over
+    * (n_shared, n_a, n_b). One exchange carrying (element, id, the
+    * set); no joins; payload bytes never reach it. Backs the audio
+    * Jaccard pairs (q136) and every containment op (q140/q141/q145).
+    */
+  private def elementSetPairs(sets: DataFrame, maxBucket: Int)
+      (keep: (Column, Column, Column) => Column): DataFrame =
+    sets.select(col("media_id"), col("es"), explode(col("es")).as("e"))
+      .groupBy(col("e"))
       .agg(array_sort(collect_list(
-        struct(col("media_id"), col("hs")))).as("ids"))
+        struct(col("media_id"), col("es")))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(col("h"),
+      .select(col("e"),
         explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("h"),
+      .select(col("e"),
         col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
-        array_intersect(col("p.a.hs"), col("p.b.hs")).as("shared"),
-        size(col("p.a.hs")).cast("long").as("n_a"),
-        size(col("p.b.hs")).cast("long").as("n_b"))
-      .filter(col("h") === array_min(col("shared")))
+        array_intersect(col("p.a.es"), col("p.b.es")).as("shared"),
+        size(col("p.a.es")).cast("long").as("n_a"),
+        size(col("p.b.es")).cast("long").as("n_b"))
+      .filter(col("e") === array_min(col("shared")))
       .select(col("a"), col("b"),
         size(col("shared")).cast("long").as("n_shared"),
         col("n_a"), col("n_b"))
-      .filter(col("n_shared") * 10 >=
-        lit(threshold10) * least(col("n_a"), col("n_b")))
+      .filter(keep(col("n_shared"), col("n_a"), col("n_b")))
+
+  /** shared·10 ≥ τ·min(|A|,|B|) — the containment verify. */
+  private def containmentKeep(threshold10: Int)
+      : (Column, Column, Column) => Column =
+    (nShared, nA, nB) => nShared * 10 >= lit(threshold10) * least(nA, nB)
+
+  /** shared·10 ≥ τ·|A ∪ B| — the Jaccard verify. */
+  private def jaccardKeep(threshold10: Int)
+      : (Column, Column, Column) => Column =
+    (nShared, nA, nB) => nShared * 10 >= lit(threshold10) * (nA + nB - nShared)
+
+  // ---- image crop containment (q145) -------------------------------------
+
+  /** Tile geometry for the crop-containment op: an 18×16 tile makes
+    * the 9×8 dHash grid sample EVERY SECOND pixel exactly
+    * (sx = gx·18/9 = 2gx, sy = gy·16/8 = 2gy), so a tile's hash is
+    * reproducible in integer SQL with no division residue. */
+  val TileW = 18
+  val TileH = 16
+
+  /** Crop fixture: each group g has one base 4×3-tile image (72×48)
+    * whose pixel content is keyed by (g, tile, local-x, local-y) —
+    * tile-local content is what makes a TILE-ALIGNED crop share its
+    * tiles' hashes exactly (the image analog of q140's frame ranges
+    * and q141's hop alignment). Members are tile-rect crops: m0 the
+    * full 4×3, m1 = 3×3 at (0,0), m2 = 2×2 at (2,1), m3 = 2×1 at
+    * (1,2). REAL PNG/BMP payloads. */
+  def cropImageTable(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rects = Array((0, 0, 4, 3), (0, 0, 3, 3), (2, 1, 2, 2), (1, 2, 2, 1))
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val g = id / 4; val m = (id % 4).toInt
+        val (tx0, ty0, ntx, nty) = rects(m)
+        val (w, h) = (ntx * TileW, nty * TileH)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val ty = ty0 + y / TileH; val ly = y % TileH
+          var x = 0
+          while (x < w) {
+            val tx = tx0 + x / TileW; val lx = x % TileW
+            val r = math.floorMod(
+              lx * lx * (g % 5 + 1) + ly * 3 + tx * 31 + ty * 37 + g * 11, 256)
+            val gc = math.floorMod(
+              lx * 5 + ly.toLong * ly * (g % 3 + 1) + tx * 41 + ty * 43 + g * 23, 256)
+            val b = math.floorMod(
+              lx * 13 + ly * 17 + tx * 47 + ty * 53 + g * 29, 256)
+            img.setRGB(x, y, (r.toInt << 16) | (gc.toInt << 8) | b.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        MediaRecord(id, fmt, w, h, bos.toByteArray)
+      }
+    }
   }
+
+  /** Image crop containment — "is this image a crop of that one":
+    * the containment discipline's image member (frames → q140, hops
+    * → q141, TILES here). Each decoded image reduces to the set of
+    * its tiles' 64-bit dHashes (content-keyed, position-free — a
+    * tile hashes the same wherever the crop put it); the verify is
+    * integer min-set containment, so a tile-aligned crop scores 1.0
+    * against its source at any crop ratio. Non-aligned crops are the
+    * documented recall loss (shingle the tiles at several offsets to
+    * buy it back — the q26 banding trade). Map-only decode, then the
+    * shared one-exchange pair machinery. */
+  def imageCropContainmentPairs(media: Dataset[MediaRecord],
+                                threshold10: Int = 8,
+                                maxBucket: Int = Dedup.DefaultMaxBucket)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sets = media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload is not a decodable image")
+        val hs = (for {
+          ty <- 0 until img.getHeight / TileH
+          tx <- 0 until img.getWidth / TileW
+        } yield {
+          val (lo, hi) = dHash64(img.getSubimage(
+            tx * TileW, ty * TileH, TileW, TileH))
+          lo | (hi << 32)
+        }).distinct.sorted
+        (r.media_id, hs)
+      }
+    }.toDF("media_id", "es")
+    elementSetPairs(sets, maxBucket)(containmentKeep(threshold10))
+  }
+
+  def imageCropContainmentPairsQuery(s: SparkSession, d: String): DataFrame =
+    imageCropContainmentPairs(cropImageTable(Tables.documents(s, d)))
 
   def videoContainmentPairsQuery(s: SparkSession, d: String): DataFrame =
     videoContainmentPairs(subClipVideoTable(Tables.documents(s, d)))
@@ -1312,26 +1408,8 @@ object Multimodal extends graft.QueryModule {
           .map(_._2).distinct.sorted
         if (fps.isEmpty) None else Some((r.media_id, fps))
       }
-    }.toDF("media_id", "fps")
-    sets.select(col("media_id"), col("fps"), explode(col("fps")).as("subfp"))
-      .groupBy(col("subfp"))
-      .agg(array_sort(collect_list(
-        struct(col("media_id"), col("fps")))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(col("subfp"),
-        explode_outer(Dedup.sortedPairs(col("ids"))).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("subfp"),
-        col("p.a.media_id").as("a"), col("p.b.media_id").as("b"),
-        array_intersect(col("p.a.fps"), col("p.b.fps")).as("shared"),
-        size(col("p.a.fps")).cast("long").as("n_a"),
-        size(col("p.b.fps")).cast("long").as("n_b"))
-      .filter(col("subfp") === array_min(col("shared")))
-      .select(col("a"), col("b"),
-        size(col("shared")).cast("long").as("n_shared"),
-        col("n_a"), col("n_b"))
-      .filter(col("n_shared") * 10 >=
-        lit(threshold10) * (col("n_a") + col("n_b") - col("n_shared")))
+    }.toDF("media_id", "es")
+    elementSetPairs(sets, maxBucket)(jaccardKeep(threshold10))
   }
 
   def audioFpPairsQuery(s: SparkSession, d: String): DataFrame =
@@ -1604,7 +1682,9 @@ object Multimodal extends graft.QueryModule {
     "q141_audio_containment" -> ((s, d) => audioContainmentPairsQuery(s, d)),
     "q142_image_dedup_apply" -> ((s, d) => imageDedupApplyQuery(s, d)),
     "q143_media_funnel" -> ((s, d) => mediaCurationFunnelQuery(s, d)),
-    "q144_decode_audit" -> ((s, d) => decodeAuditQuery(s, d))
+    "q144_decode_audit" -> ((s, d) => decodeAuditQuery(s, d)),
+    "q145_image_crop_containment" ->
+      ((s, d) => imageCropContainmentPairsQuery(s, d))
   )
 
   /** Every payload q40 reports on is a REAL encoded container and
@@ -1968,7 +2048,83 @@ object Multimodal extends graft.QueryModule {
              CASE doc_id % 3 WHEN 0 THEN 'image'
                              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              doc_id % 13 != 0 AS ok
-      FROM documents"""
+      FROM documents""",
+
+    /* q145: the crop fixture's tile hashes recomputed from the
+     * (g, tile, local)-keyed pixel formulas — the 18x16 tile makes
+     * the 9x8 grid sample exactly every second local pixel, so the
+     * luminance recomputation is residue-free integer math — then
+     * the q140 containment discipline over tile-hash sets. */
+    "q145_image_crop_containment" -> s"""
+      WITH img AS (
+        SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS m
+        FROM documents),
+      crop AS (
+        SELECT media_id, g,
+               CASE m WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 2 ELSE 1
+               END AS tx0,
+               CASE m WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2
+               END AS ty0,
+               CASE m WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 2
+               END AS ntx,
+               CASE m WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1
+               END AS nty
+        FROM img),
+      t1 AS (
+        SELECT media_id, g, ty0, nty,
+               tx0 + CAST(unnest(range(0, ntx)) AS BIGINT) AS tx
+        FROM crop),
+      t2 AS (
+        SELECT media_id, g, tx,
+               ty0 + CAST(unnest(range(0, nty)) AS BIGINT) AS ty
+        FROM t1),
+      g1 AS (
+        SELECT *, CAST(unnest(range(0, 9)) AS BIGINT) AS gx FROM t2),
+      g2 AS (
+        SELECT *, CAST(unnest(range(0, 8)) AS BIGINT) AS gy FROM g1),
+      lum AS (
+        SELECT media_id, tx, ty, gx, gy,
+               (lx*lx*(g % 5 + 1) + ly*3 + tx*31 + ty*37 + g*11) % 256
+             + (lx*5 + ly*ly*(g % 3 + 1) + tx*41 + ty*43 + g*23) % 256
+             + (lx*13 + ly*17 + tx*47 + ty*53 + g*29) % 256 AS lv
+        FROM (SELECT media_id, g, tx, ty, gx, gy,
+                     gx*2 AS lx, gy*2 AS ly FROM g2) t),
+      bits AS (
+        SELECT media_id, tx, ty, gx, gy,
+               CASE WHEN lead(lv) OVER (PARTITION BY media_id, tx, ty, gy
+                                        ORDER BY gx) > lv
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM lum),
+      hashes AS (
+        SELECT media_id, tx, ty,
+               SUM(CASE WHEN gy < 4
+                        THEN bit * (1::BIGINT << (gy*8 + gx))
+                        ELSE 0 END)::BIGINT AS lo,
+               SUM(CASE WHEN gy >= 4
+                        THEN bit * (1::BIGINT << ((gy-4)*8 + gx))
+                        ELSE 0 END)::BIGINT AS hi
+        FROM bits WHERE gx < 8 GROUP BY media_id, tx, ty),
+      hset AS (
+        SELECT media_id, list_sort(list_distinct(list(
+                 lo + (CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                            ELSE hi END) * 4294967296))) AS hs
+        FROM hashes GROUP BY media_id),
+      inv AS (SELECT media_id, hs, unnest(hs) AS h FROM hset),
+      sz AS (SELECT h, count(*) AS cnt FROM inv GROUP BY h),
+      cand AS (
+        SELECT x.h, x.media_id AS a, y.media_id AS b,
+               x.hs AS ha, y.hs AS hb
+        FROM inv x JOIN inv y ON x.h = y.h AND x.media_id < y.media_id
+        JOIN sz ON sz.h = x.h
+         AND sz.cnt BETWEEN 2 AND ${Dedup.DefaultMaxBucket}),
+      scored AS (
+        SELECT h, a, b,
+               len(list_intersect(ha, hb))::BIGINT AS n_shared,
+               len(ha)::BIGINT AS n_a, len(hb)::BIGINT AS n_b,
+               list_min(list_intersect(ha, hb)) AS mn
+        FROM cand)
+      SELECT a, b, n_shared, n_a, n_b FROM scored
+      WHERE h = mn AND n_shared * 10 >= 8 * least(n_a, n_b)"""
   )
 
   /** Transitive closure of an (a, b) pair-query result into

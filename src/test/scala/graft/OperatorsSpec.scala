@@ -2220,6 +2220,52 @@ class OperatorsSpec extends SparkSpec {
       s"MJPEG twin not paired: ${pairs.toSeq}")
   }
 
+  test("image crop containment detects tile-aligned crops: " +
+    "brute-force mirror + the planted rect structure") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.cropImageTable(docs)
+    // tile-hash sets straight off the decode path
+    val sets = media.collect().map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      r.media_id -> (for {
+        ty <- 0 until img.getHeight / Multimodal.TileH
+        tx <- 0 until img.getWidth / Multimodal.TileW
+      } yield {
+        val (lo, hi) = Multimodal.dHash64(img.getSubimage(
+          tx * Multimodal.TileW, ty * Multimodal.TileH,
+          Multimodal.TileW, Multimodal.TileH))
+        lo | (hi << 32)
+      }).distinct
+    }.toMap
+    val bucket = sets.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).map { case (h, g) => h -> g.length }
+    val ids = sets.keys.toSeq.sorted
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val shared = sets(a).toSet.intersect(sets(b).toSet)
+      if (shared.nonEmpty && bucket(shared.min) <= 100 &&
+        shared.size * 10 >= 8 * math.min(sets(a).size, sets(b).size))
+        expected += ((a, b, shared.size.toLong,
+          sets(a).size.toLong, sets(b).size.toLong))
+    }
+    val got = Multimodal.imageCropContainmentPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected.toSet,
+      s"op ${got.size} pairs, mirror ${expected.size}")
+    // planted rects: full 4×3 / 3×3@(0,0) / 2×2@(2,1) / 2×1@(1,2) —
+    // (m0,m1) (m0,m2) (m0,m3) (m1,m3) contain, the two partial
+    // overlaps (2/4 and 1/2 of the smaller set) miss τ=0.8
+    val byGroup = got.filter(p => p._1 / 4 == p._2 / 4).groupBy(_._1 / 4)
+    val clean = byGroup.values.count { ps =>
+      ps.map(p => (p._1 % 4, p._2 % 4)) == Set((0L, 1L), (0L, 2L),
+        (0L, 3L), (1L, 3L))
+    }
+    assert(clean >= 110, s"only $clean groups show the planted rect set")
+  }
+
   test("corrupt payloads: the audit verdicts match the plant, the " +
     "robust decode drops exactly the corrupt rows, the strict one dies") {
     val docs = Tables.documents(spark, sf).limit(120)
