@@ -247,7 +247,10 @@ object ProfileScale {
                                graft.operators.Multimodal.mediaDedupApply(m,
                                  graft.operators.Multimodal
                                    .imageDedupGroups(m))
-                             }))
+                             }),
+      "q145_crop_contain" -> (d => graft.operators.Multimodal
+                               .imageCropContainmentPairs(graft.operators
+                                 .Multimodal.cropImageTable(d))))
 
     // optional positional args narrow the docs-family sweep (the
     // replica build still runs — it is the input)
