@@ -742,4 +742,29 @@ class StreamAggsSpec extends SparkSpec {
           "survive (fingerprint-exact semantics)")
     } finally q.stop()
   }
+
+  test("decode audit is stateless: streaming verdicts equal the batch " +
+    "ones on the corrupted fixture") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.corruptedMediaTable(docs.limit(60))
+    val batch = Multimodal.decodeAudit(media).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.decodeAudit(in.toDS())
+      .writeStream.format("memory").queryName("audit_out")
+      .outputMode("append").start()
+    try {
+      val rows = media.collect()
+      in.addData(rows.take(25).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(25).toSeq)
+      q.processAllAvailable()
+      val stream = spark.table("audit_out")
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(stream == batch, "streaming audit diverges from batch")
+      assert(batch.exists(!_._3) && batch.exists(_._3))
+    } finally q.stop()
+  }
 }
