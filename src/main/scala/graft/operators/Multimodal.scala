@@ -39,6 +39,25 @@ import graft.core.Tables
   *     shape, per-partition resource lifecycle — is real and tested;
   *     swapping `decodeStub` for a JNI/FFI codec is a one-function
   *     change.
+  *
+  * On top of the codec paths sits the media DEDUP SUITE (q133–q145),
+  * every stage running over payloads decoded through those real
+  * codecs:
+  *   - perceptual fingerprints: image dHash (q133), gain-invariant
+  *     Haitsma–Kalker audio sub-fingerprints (q135), per-frame video
+  *     signatures with a fused codegen verify (q137);
+  *   - near-dup pairs per modality (q133/q136/q137), connected-
+  *     component groups through the shared q47 machinery
+  *     (q134/q138/q139), and the apply step (q142);
+  *   - CONTAINMENT — "is A inside B" at any length ratio — across
+  *     all three modalities: video subclips (q140), hop-aligned
+  *     audio snippets (q141), tile-aligned image crops (q145), all
+  *     on one shared `elementSetPairs` pipeline;
+  *   - serving: a frozen-index streaming admission gate
+  *     (`imageAdmitStream`), in-stream fingerprint-exact dedup
+  *     (`imageDedupStream`), the cross-modality curation funnel
+  *     (q143), and corrupt-payload tolerance (q144 audit + robust
+  *     decode) for the 100 TB operational reality.
   */
 object Multimodal extends graft.QueryModule {
 
