@@ -617,11 +617,20 @@ object Multimodal extends graft.QueryModule {
       "payload is not a RIFF AVI")
     var (w, h, comp) = (0, 0, 0)
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth cap: legit AVIs nest hdrl/strl/movi/rec ≤ 4 deep; a
+      // crafted LIST-of-LIST chain would otherwise StackOverflowError
+      // (a VirtualMachineError, which the robust decode path's
+      // NonFatal catch deliberately does NOT swallow)
+      require(depth <= 32, "AVI LIST nesting exceeds any legitimate file")
       var p = start
       while (p + 8 <= end) {
         val id = tag(p); val sz = u32(p + 4); val body = p + 8
-        if (id == "LIST") walk(body + 4, body + sz)
+        // negative or overrunning sizes would walk backward (infinite
+        // loop) or allocate past the payload — malformed, reject
+        require(sz >= 0 && body + sz <= payload.length,
+          s"AVI chunk $id at $p overruns the payload")
+        if (id == "LIST") walk(body + 4, body + sz, depth + 1)
         else if (id == "strf" && sz >= 40) {
           w = u32(body + 4); h = u32(body + 8); comp = u32(body + 16)
         } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc")))
@@ -629,7 +638,7 @@ object Multimodal extends graft.QueryModule {
         p = body + sz + (sz & 1)
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, 0)
     AviStream(w, h, comp, frames.result())
   }
 
@@ -1233,6 +1242,10 @@ object Multimodal extends graft.QueryModule {
     var p = 12
     while (p + 8 <= payload.length) {
       val id = tag(p); val sz = buf.getInt(p + 4); val body = p + 8
+      // negative sizes would walk BACKWARD (infinite loop), oversizes
+      // would allocate a sample array far past the payload — reject
+      require(sz >= 0 && body + sz <= payload.length,
+        s"WAV chunk $id at $p overruns the payload")
       if (id == "fmt " && sz >= 16) {
         fmtCode = buf.getShort(body) & 0xffff
         channels = buf.getShort(body + 2) & 0xffff

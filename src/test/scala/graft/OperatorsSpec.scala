@@ -2293,6 +2293,60 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("demuxers reject adversarial containers: negative chunk sizes " +
+    "terminate, oversizes don't allocate, LIST bombs don't blow the stack") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // run each parse on a watchdog thread: the failure mode under test
+    // for negative sizes is an INFINITE LOOP (p walks backward), which
+    // no exception assertion would catch
+    def bounded(f: => Unit): String = {
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var out = "returned"
+      val t = new Thread(() => {
+        try f catch { case e: Throwable => out = e.getClass.getSimpleName }
+        done.countDown()
+      })
+      t.setDaemon(true)
+      t.start()
+      if (!done.await(10, java.util.concurrent.TimeUnit.SECONDS)) "HANG"
+      else out
+    }
+    // WAV: negative-size junk chunk, then a huge data size claim
+    val negWav = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(20).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(-16).putLong(0L).array()
+    assert(bounded(Multimodal.parseWav(negWav)) ==
+      "IllegalArgumentException", "negative WAV chunk size must reject")
+    val hugeWav = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes).putInt(0x7ff00000).array()
+    assert(bounded(Multimodal.parseWav(hugeWav)) ==
+      "IllegalArgumentException",
+      "oversized WAV data claim must reject before allocating")
+    // AVI: negative chunk size, and a self-referential LIST bomb
+    val negAvi = ByteBuffer.allocate(28).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(20).put("AVI ".getBytes)
+      .put("junk".getBytes).putInt(-16).putLong(0L).array()
+    assert(bounded(Multimodal.parseAvi(negAvi)) ==
+      "IllegalArgumentException", "negative AVI chunk size must reject")
+    // nested LISTs, each claiming the rest of the payload: without a
+    // depth cap this recurses once per 12 bytes of payload
+    val depth = 4000
+    val bomb = ByteBuffer.allocate(12 + depth * 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bomb.put("RIFF".getBytes).putInt(4 + depth * 12).put("AVI ".getBytes)
+    (0 until depth).foreach { i =>
+      bomb.put("LIST".getBytes).putInt((depth - i) * 12 - 8)
+        .put("xxxx".getBytes)
+    }
+    assert(bounded(Multimodal.parseAvi(bomb.array())) ==
+      "IllegalArgumentException",
+      "LIST nesting bomb must reject, not StackOverflowError")
+  }
+
   test("media curation funnel rows equal each modality's own closure " +
     "counts, integer per-mille") {
     val docs = Tables.documents(spark, sf)

@@ -396,6 +396,67 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // ---- demuxer mutation fuzz (round 8) ------------------------------
+  // q144 asserts truncated containers FAIL; these properties widen
+  // that to arbitrary corruption: on random garbage and on valid
+  // containers with random byte flips / truncations, parseWav /
+  // parseAvi must either throw (any exception — the robust decode
+  // path catches NonFatal) or return a WELL-FORMED result, never
+  // hang, loop, or tear down the JVM. A demuxer that walked chunk
+  // sizes unchecked would OOM or spin here.
+
+  import graft.operators.Multimodal
+
+  private val garbage: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+
+  private def mutated(base: Array[Byte], seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val out = java.util.Arrays.copyOf(base,
+      if (r.nextBoolean()) base.length else r.nextInt(base.length + 1))
+    val flips = r.nextInt(8) + 1
+    (0 until flips).foreach { _ =>
+      if (out.nonEmpty) out(r.nextInt(out.length)) = r.nextInt(256).toByte
+    }
+    out
+  }
+
+  private def survives(f: => Unit): Boolean =
+    try { f; true }
+    catch { case scala.util.control.NonFatal(_) => true }
+
+  property("parseWav survives garbage and mutated containers") = {
+    val valid = Multimodal.wavBytes(
+      Array.tabulate(400)(t => ((t * 37) % 2048 - 1024).toShort), 8000)
+    forAll(garbage, Gen.chooseNum(0L, Long.MaxValue)) { (junk, seed) =>
+      survives {
+        val w = Multimodal.parseWav(junk)
+        assert(w.samples != null)
+      } && survives {
+        val w = Multimodal.parseWav(mutated(valid, seed))
+        assert(w.samples != null) // parsed => well-formed
+      }
+    }
+  }
+
+  property("parseAvi survives garbage and mutated containers") = {
+    val frames = (0 until 3).map(f =>
+      Multimodal.syntheticDibFrame(7L, f, 12, 8))
+    val valid = Multimodal.aviBytes(frames, 12, 8, fps = 25, mjpeg = false)
+    forAll(garbage, Gen.chooseNum(0L, Long.MaxValue)) { (junk, seed) =>
+      survives {
+        val s = Multimodal.parseAvi(junk)
+        assert(s.frames != null)
+      } && survives {
+        val s = Multimodal.parseAvi(mutated(valid, seed))
+        // parsed => well-formed: every frame buffer actually exists
+        assert(s.frames.forall(_ != null))
+      }
+    }
+  }
+
   // doubles compared by BITS (0/0 NaN cases must match too, not be
   // unequal-by-NaN)
   private def canonD(xs: Seq[Double]): Seq[Long] =
