@@ -26,7 +26,7 @@ object ProfileOps {
     val sections: Map[String, SparkSession => Unit] = Map(
       "ops" -> scratch, "q20" -> q20, "q29" -> q29, "q34" -> q34,
       "q55" -> q55, "q58" -> q58, "q83" -> q83, "q83b" -> q83b,
-      "q83c" -> q83c, "q125ab" -> q125ab, "q137" -> q137)
+      "q83c" -> q83c, "q125ab" -> q125ab, "q137" -> q137, "q133" -> q133)
     val run = if (args.isEmpty) Seq("ops") else args.toSeq
     run.foreach { s =>
       println(s"== section $s")
@@ -402,5 +402,38 @@ object ProfileOps {
       .show()
     time("q137 full (cold sigs)")(Multimodal.videoDHashPairs(media))
     sigs.unpersist()
+  }
+
+  /** Isolate the image decode-scan cost per path: the fixture
+    * generator's ENCODE dominates the sf10 sweep, so A/B the HASH
+    * pass alone over cached payloads — ImageIO for all vs the BMP
+    * direct-raster fast path where it applies. */
+  private def q133(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val media = Multimodal.nearDupImageTable(Tables.documents(spark, d))
+      .persist()
+    println(s"media cached: ${media.count()} payloads")
+    def viaImageIO = media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (lo, hi) = Multimodal.dHash64(img)
+        (r.media_id, lo, hi)
+      }
+    }.toDF("media_id", "lo", "hi")
+    def viaFast = media.mapPartitions { it =>
+      it.map { r =>
+        val (lo, hi) = Multimodal.bmpDHashFast(r.payload).getOrElse {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          Multimodal.dHash64(img)
+        }
+        (r.media_id, lo, hi)
+      }
+    }.toDF("media_id", "lo", "hi")
+    time("hash pass, ImageIO both formats")(viaImageIO)
+    time("hash pass, BMP fast path      ")(viaFast)
+    media.unpersist()
   }
 }

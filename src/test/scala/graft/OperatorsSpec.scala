@@ -1835,6 +1835,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BMP fast-path dHash equals the ImageIO decode pixel-exactly " +
+    "and declines anything that is not the writer's exact shape") {
+    val docs = Tables.documents(spark, sf).limit(80)
+    val media = Multimodal.nearDupImageTable(docs).collect()
+    var bmp = 0
+    media.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      val slow = Multimodal.dHash64(img)
+      val fast = Multimodal.bmpDHashFast(r.payload)
+      if (r.kind == "bmp") {
+        assert(fast.contains(slow),
+          s"media ${r.media_id}: fast $fast != ImageIO $slow")
+        bmp += 1
+      } else assert(fast.isEmpty, s"fast path accepted a ${r.kind}")
+    }
+    assert(bmp >= 30, s"only $bmp BMPs exercised the fast path")
+    // truncated raster: the bounds check declines, no read past end
+    val cut = media.find(_.kind == "bmp").get.payload.take(60)
+    assert(Multimodal.bmpDHashFast(cut).isEmpty)
+  }
+
   test("image dHash pairs equal a brute-force mirror of the " +
     "band/bucket-cap/first-matching-band semantics and find the " +
     "planted near-dup groups") {
