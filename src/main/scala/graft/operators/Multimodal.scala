@@ -1620,11 +1620,13 @@ object Multimodal extends graft.QueryModule {
     val bc = index
     media.mapPartitions { it =>
       it.filter { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        require(img != null,
-          s"media ${r.media_id}: payload is not a decodable image")
-        val (lo, hi) = dHash64(img)
+        val (lo, hi) = bmpDHashFast(r.payload).getOrElse {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null,
+            s"media ${r.media_id}: payload is not a decodable image")
+          dHash64(img)
+        }
         !bc.value.hits(lo, hi)
       }
     }
@@ -1735,10 +1737,12 @@ object Multimodal extends graft.QueryModule {
   def imageDedupStream(media: DataFrame, payload: Column, ts: Column,
                        watermarkDelay: String): DataFrame = {
     val hash = udf { bytes: Array[Byte] =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "payload is not a decodable image")
-      val (lo, hi) = dHash64(img)
+      val (lo, hi) = bmpDHashFast(bytes).getOrElse {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image")
+        dHash64(img)
+      }
       lo | (hi << 32)
     }
     graft.streaming.StreamAggs.dedupWithinWatermark(
