@@ -480,23 +480,140 @@ object Multimodal extends graft.QueryModule {
     Some((lo, hi))
   }
 
+  /** From-scratch PNG decode of the shape ImageIO's writer emits —
+    * 8-bit truecolor (color type 2), non-interlaced, any chunking of
+    * IDAT — straight to a packed RGB byte raster: zlib inflate via
+    * `java.util.zip.Inflater`, then per-scanline un-filtering of all
+    * five PNG filter types (None/Sub/Up/Average/Paeth, RFC 2083).
+    * CRCs are not checked (the q144 audit philosophy: a corrupt
+    * stream fails the inflate or the length checks loudly). Returns
+    * None for any other shape (palettes, alpha, 16-bit, interlace)
+    * — the caller falls back to ImageIO. Pixel-exact equality with
+    * ImageIO's decode is property-pinned on random rasters. */
+  private[graft] def pngDecodeFast(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 8 ||
+      (p(0) & 0xff) != 0x89 || p(1) != 'P' || p(2) != 'N' || p(3) != 'G' ||
+      p(4) != 0x0d || p(5) != 0x0a || p(6) != 0x1a || p(7) != 0x0a)
+      return None
+    def be32(o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    var (w, h) = (0, 0)
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var sawIhdr = false
+    while (o + 8 <= p.length) {
+      val len = be32(o)
+      if (len < 0 || o + 12L + len > p.length) return None
+      val typ = new String(p, o + 4, 4, "US-ASCII")
+      val body = o + 8
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(body); h = be32(body + 4)
+          val (depth, color, comp, filt, ilace) =
+            (p(body + 8), p(body + 9), p(body + 10), p(body + 11), p(body + 12))
+          if (w <= 0 || h <= 0 || depth != 8 || color != 2 ||
+            comp != 0 || filt != 0 || ilace != 0) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(p, body, len)
+        case _ => ()
+      }
+      o = body + len + 4 // skip CRC
+    }
+    if (!sawIhdr || idat.size() == 0) return None
+    val rowBytes = w * 3
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got < raw.length) return None
+    // un-filter in place into the output raster (RFC 2083 §6)
+    val out = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rowBytes + 1)) & 0xff
+      val src = y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= 3) out(dst + i - 3) & 0xff else 0 // left
+        val b = if (y > 0) out(dst - rowBytes + i) & 0xff else 0 // up
+        val c = if (i >= 3 && y > 0) out(dst - rowBytes + i - 3) & 0xff
+                else 0 // up-left
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** dHash64 over a [[pngDecodeFast]] raster (packed RGB rows). */
+  private def pngDHashFast(payload: Array[Byte]): Option[(Long, Long)] =
+    pngDecodeFast(payload).map { case (w, h, px) =>
+      def lum(gx: Int, gy: Int): Int = {
+        val o = (gy * h / 8) * w * 3 + (gx * w / 9) * 3
+        (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+      }
+      var lo = 0L; var hi = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (lum(gx + 1, gy) > lum(gx, gy)) {
+            val j = gy * 8 + gx
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      (lo, hi)
+    }
+
+  /** BMP or PNG → dHash via the direct paths, ImageIO fallback. */
+  private[graft] def dHashAny(payload: Array[Byte], who: => String): (Long, Long) =
+    bmpDHashFast(payload).orElse(pngDHashFast(payload)).getOrElse {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"$who: payload is not a decodable image")
+      dHash64(img)
+    }
+
   /** Per-partition REAL decode → dHash. Map-only: at 100 TB this is
     * the only pass that touches payload bytes; everything downstream
-    * moves (id, 8 bytes of hash). Writer-shape BMPs take the
-    * direct-raster fast path ([[bmpDHashFast]], spec-pinned equal);
+    * moves (id, 8 bytes of hash). Writer-shape BMPs and truecolor
+    * PNGs take the direct-raster fast paths ([[bmpDHashFast]] /
+    * [[pngDecodeFast]], both pinned pixel-exact against ImageIO);
     * everything else decodes through ImageIO. */
   def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (lo, hi) = bmpDHashFast(r.payload).getOrElse {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          require(img != null,
-            s"media ${r.media_id}: payload is not a decodable image")
-          dHash64(img)
-        }
+        val (lo, hi) = dHashAny(r.payload, s"media ${r.media_id}")
         (r.media_id, lo, hi)
       }
     }.toDF("media_id", "hash_lo", "hash_hi")
@@ -1620,13 +1737,7 @@ object Multimodal extends graft.QueryModule {
     val bc = index
     media.mapPartitions { it =>
       it.filter { r =>
-        val (lo, hi) = bmpDHashFast(r.payload).getOrElse {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          require(img != null,
-            s"media ${r.media_id}: payload is not a decodable image")
-          dHash64(img)
-        }
+        val (lo, hi) = dHashAny(r.payload, s"media ${r.media_id}")
         !bc.value.hits(lo, hi)
       }
     }
@@ -1737,12 +1848,7 @@ object Multimodal extends graft.QueryModule {
   def imageDedupStream(media: DataFrame, payload: Column, ts: Column,
                        watermarkDelay: String): DataFrame = {
     val hash = udf { bytes: Array[Byte] =>
-      val (lo, hi) = bmpDHashFast(bytes).getOrElse {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        require(img != null, "payload is not a decodable image")
-        dHash64(img)
-      }
+      val (lo, hi) = dHashAny(bytes, "stream payload")
       lo | (hi << 32)
     }
     graft.streaming.StreamAggs.dedupWithinWatermark(

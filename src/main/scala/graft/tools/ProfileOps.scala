@@ -424,16 +424,12 @@ object ProfileOps {
     }.toDF("media_id", "lo", "hi")
     def viaFast = media.mapPartitions { it =>
       it.map { r =>
-        val (lo, hi) = Multimodal.bmpDHashFast(r.payload).getOrElse {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          Multimodal.dHash64(img)
-        }
+        val (lo, hi) = Multimodal.dHashAny(r.payload, "probe")
         (r.media_id, lo, hi)
       }
     }.toDF("media_id", "lo", "hi")
     time("hash pass, ImageIO both formats")(viaImageIO)
-    time("hash pass, BMP fast path      ")(viaFast)
+    time("hash pass, direct BMP+PNG paths")(viaFast)
     media.unpersist()
   }
 }

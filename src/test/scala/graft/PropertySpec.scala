@@ -427,6 +427,43 @@ object GraftProperties extends Properties("graft") {
     try { f; true }
     catch { case scala.util.control.NonFatal(_) => true }
 
+  property("pngDecodeFast == ImageIO pixel-exactly on random rasters") = {
+    // random size + content exercises every scanline filter the JDK
+    // encoder chooses (None/Sub/Up/Average/Paeth are content-driven)
+    val imgGen = for {
+      w <- Gen.chooseNum(9, 40)
+      h <- Gen.chooseNum(8, 32)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(imgGen) { case (w, h, seed) =>
+      val r = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // mix smooth gradients (favors Sub/Up/Paeth) with noise
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (r.nextBoolean()) r.nextInt(1 << 24)
+                else ((x * 3 + y) % 256 << 16) | ((x + y * 2) % 256 << 8) |
+                  ((x ^ y) % 256)
+        img.setRGB(x, y, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val png = bos.toByteArray
+      Multimodal.pngDecodeFast(png) match {
+        case None => false // the writer's own PNG must take the path
+        case Some((dw, dh, px)) =>
+          dw == w && dh == h && (0 until h).forall(y =>
+            (0 until w).forall { x =>
+              val p = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              (px(o) & 0xff) == ((p >> 16) & 0xff) &&
+                (px(o + 1) & 0xff) == ((p >> 8) & 0xff) &&
+                (px(o + 2) & 0xff) == (p & 0xff)
+            })
+      }
+    }
+  }
+
   property("parseWav survives garbage and mutated containers") = {
     val valid = Multimodal.wavBytes(
       Array.tabulate(400)(t => ((t * 37) % 2048 - 1024).toShort), 8000)
