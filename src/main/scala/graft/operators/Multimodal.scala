@@ -602,6 +602,68 @@ object Multimodal extends graft.QueryModule {
       dHash64(img)
     }
 
+  /** Writer-shape BMP → packed top-down RGB raster (the
+    * [[pngDecodeFast]] output convention), for ops that need pixel
+    * access beyond one whole-image hash. Same strict shape checks as
+    * [[bmpDHashFast]]. */
+  private[graft] def bmpDecodeFast(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bits = buf.getShort(28) & 0xffff
+    val comp = buf.getInt(30)
+    if (hdrSize < 40 || w <= 0 || h <= 0 || bits != 24 || comp != 0)
+      return None
+    val stride = (w * 3 + 3) & ~3
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > p.length)
+      return None
+    val out = new Array[Byte](w * 3 * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = y * w * 3 + x * 3
+        out(o) = p(src + x * 3 + 2)     // BGR -> RGB
+        out(o + 1) = p(src + x * 3 + 1)
+        out(o + 2) = p(src + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Any image payload → packed top-down RGB raster: direct PNG/BMP
+    * paths, ImageIO fallback. */
+  private[graft] def decodeRasterAny(payload: Array[Byte], who: => String)
+      : (Int, Int, Array[Byte]) =
+    pngDecodeFast(payload).orElse(bmpDecodeFast(payload)).getOrElse {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"$who: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * 3 * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val o = y * w * 3 + x * 3
+          out(o) = ((p >> 16) & 0xff).toByte
+          out(o + 1) = ((p >> 8) & 0xff).toByte
+          out(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
   /** Per-partition REAL decode → dHash. Map-only: at 100 TB this is
     * the only pass that touches payload bytes; everything downstream
     * moves (id, 8 bytes of hash). Writer-shape BMPs and truecolor
@@ -1341,17 +1403,33 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val sets = media.mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        require(img != null,
-          s"media ${r.media_id}: payload is not a decodable image")
+        val (w, h, px) = decodeRasterAny(r.payload, s"media ${r.media_id}")
+        def lum(x: Int, y: Int): Int = {
+          val o = y * w * 3 + x * 3
+          (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+        }
         val hs = (for {
-          ty <- 0 until img.getHeight / TileH
-          tx <- 0 until img.getWidth / TileW
+          ty <- 0 until h / TileH
+          tx <- 0 until w / TileW
         } yield {
-          val (lo, hi) = dHash64(img.getSubimage(
-            tx * TileW, ty * TileH, TileW, TileH))
-          lo | (hi << 32)
+          // dHash64 over the tile region, straight off the raster
+          // (TileW=18/TileH=16 make the 9×8 grid sample every second
+          // local pixel: lx = 2·gx, ly = 2·gy)
+          var lo = 0L; var hiB = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (lum(tx * TileW + 2 * (gx + 1), ty * TileH + 2 * gy) >
+                  lum(tx * TileW + 2 * gx, ty * TileH + 2 * gy)) {
+                val j = gy * 8 + gx
+                if (j < 32) lo |= 1L << j else hiB |= 1L << (j - 32)
+              }
+              gx += 1
+            }
+            gy += 1
+          }
+          lo | (hiB << 32)
         }).distinct.sorted
         (r.media_id, hs)
       }
