@@ -307,24 +307,18 @@ object Multimodal extends graft.QueryModule {
     }
   }
 
-  /** REAL image decode: ImageIO sniffs the container from the bytes
-    * (no trust in the metadata columns) and the features come from the
-    * decoded pixel raster. */
+  /** REAL image decode: the container is sniffed from the BYTES (no
+    * trust in the metadata columns — the direct PNG/BMP raster paths
+    * check their own magic+shape, ImageIO sniffs the fallback) and
+    * the features come from the decoded pixel raster. */
   def decodeImage(r: MediaRecord): ImageFeatures = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(r.payload))
-    require(img != null, s"media ${r.media_id}: payload is not a decodable image")
-    val (w, h) = (img.getWidth, img.getHeight)
+    val (w, h, px) = decodeRasterAny(r.payload, s"media ${r.media_id}")
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        x += 1
-      }
-      y += 1
+    var o = 0
+    val end = w * 3 * h
+    while (o < end) {
+      sr += px(o) & 0xff; sg += px(o + 1) & 0xff; sb += px(o + 2) & 0xff
+      o += 3
     }
     val n = w.toLong * h
     ImageFeatures(r.media_id, r.kind, w, h, sr.toDouble / n, sg.toDouble / n,
