@@ -34,6 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a 124-query sweep compiles ~400 whole-stage-codegen classes; the
   // 240m default code cache starts evicting near the (alphabetical)
   // tail, deoptimizing late queries' hot loops (q30-q70 measured
-  // 1.3-1.7x slower in a full sweep than in isolation)
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1.3-1.7x slower in a full sweep than in isolation). Round 8: at
+  // 145 queries the SAME cliff reappeared past 512m (q41 0.96 s
+  // isolated vs 4.63 s in-sweep; 1g restores 0.59 s and takes the
+  // sweep 119 -> 94 s) — the cache must scale with the query count,
+  // so keep headroom when adding query families.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
