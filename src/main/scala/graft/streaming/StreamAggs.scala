@@ -248,12 +248,16 @@ object StreamAggs {
     * exactly — distinct word n-grams, shared count vs the index,
     * integer cross-multiplied threshold (shared·1000 ≥ permille·total)
     * — so running the gate over the batch corpus reproduces q125's
-    * survivor set row for row, PROVIDED the caller filters the
-    * benchmark-source rows out upstream (as the parity spec does):
-    * the batch op drops every benchmark row by construction, but the
-    * gate scores whatever arrives, and a benchmark doc with fewer
-    * than n words would sail through the always-admit short-circuit
-    * below. Parity is then exact modulo 60-bit gram-hash collisions:
+    * survivor set row for row, PROVIDED benchmark-source rows never
+    * reach the scorer: the batch op drops every benchmark row by
+    * construction, but the gate scores whatever arrives, and a
+    * benchmark doc with fewer than n words would sail through the
+    * always-admit short-circuit below. Express that precondition
+    * either by filtering upstream or by passing `isBenchSource` — a
+    * predicate marking eval-data rows, dropped unconditionally before
+    * scoring, the in-gate form of the batch op's
+    * `source =!= benchSource` filter (the parity spec uses it).
+    * Parity is then exact modulo 60-bit gram-hash collisions:
     * the gate dedups grams by hash60 while the batch op dedups the
     * gram STRINGS before hashing, so a colliding in-doc gram pair
     * shrinks the stream's denominator by one — the jaccardProfile
@@ -271,7 +275,8 @@ object StreamAggs {
     */
   def decontamGate(docs: DataFrame, textCol: Column,
                    index: org.apache.spark.broadcast.Broadcast[Array[Long]],
-                   n: Int = 5, maxSharePermille: Long = 100): DataFrame = {
+                   n: Int = 5, maxSharePermille: Long = 100,
+                   isBenchSource: Option[Column] = None): DataFrame = {
     import graft.functions.Portable.{h60Scala, wordsScala}
     require(maxSharePermille >= 1,
       s"maxSharePermille must be >= 1, got $maxSharePermille")
@@ -299,7 +304,11 @@ object StreamAggs {
         shared * 1000L < permille * grams.size
       }
     }
-    docs.filter(keep(textCol))
+    val scored = isBenchSource match {
+      case Some(p) => docs.filter(!coalesce(p, lit(false)))
+      case None    => docs
+    }
+    scored.filter(keep(textCol))
   }
 
   /** Convenience overload that broadcasts the index itself. Long-lived
@@ -309,9 +318,15 @@ object StreamAggs {
     * discipline) — this overload creates a new broadcast per call and
     * never destroys it. */
   def decontamGate(docs: DataFrame, textCol: Column, index: Array[Long],
-                   n: Int, maxSharePermille: Long): DataFrame =
+                   n: Int, maxSharePermille: Long,
+                   isBenchSource: Option[Column]): DataFrame =
     decontamGate(docs, textCol,
-      docs.sparkSession.sparkContext.broadcast(index), n, maxSharePermille)
+      docs.sparkSession.sparkContext.broadcast(index), n, maxSharePermille,
+      isBenchSource)
+
+  def decontamGate(docs: DataFrame, textCol: Column, index: Array[Long],
+                   n: Int, maxSharePermille: Long): DataFrame =
+    decontamGate(docs, textCol, index, n, maxSharePermille, None)
 
   /** Streaming leakage-scrub gate — the serve half of q131's
     * report→apply closure ([[graft.operators.Dedup.leakageScrub]]),

@@ -397,11 +397,12 @@ class StreamAggsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
     // the gate scores whatever arrives; the bench source itself is
-    // eval data and is filtered upstream, as the batch apply does
+    // eval data — express the batch apply's source filter through the
+    // gate's own isBenchSource predicate (the documented contract)
     val q = StreamAggs.decontamGate(
-        in.toDF().toDF("doc_id", "text", "source")
-          .filter(col("source") =!= "src0"),
-        col("text"), index, 5, permille)
+        in.toDF().toDF("doc_id", "text", "source"),
+        col("text"), index, 5, permille,
+        isBenchSource = Some(col("source") === "src0"))
       .writeStream.format("memory").queryName("decontam_out")
       .outputMode("append").start()
     try {
@@ -412,14 +413,37 @@ class StreamAggsSpec extends SparkSpec {
       val (b1, b2) = rows.splitAt(rows.length / 2)
       in.addData(b1.toSeq)
       q.processAllAvailable()
+      // the hazard the predicate exists for: a benchmark doc below
+      // the gram length always-admits on score, so without the
+      // predicate it would leak eval data into the survivor set
+      in.addData((990001L, "short bench doc", "src0"))
       in.addData(b2.toSeq)
       q.processAllAvailable()
       val got = spark.table("decontam_out")
         .select("doc_id").as[Long].collect().toSet
+      assert(!got.contains(990001L),
+        "isBenchSource must drop benchmark rows before scoring")
       assert(got == want,
         s"stream kept ${got.size} docs, batch kept ${want.size}; " +
           s"diff ${(got -- want) ++ (want -- got)}")
     } finally q.stop()
+  }
+
+  test("decontam gate without isBenchSource admits a short benchmark doc") {
+    // the documented precondition, pinned: a < n-word benchmark doc
+    // sails through the always-admit short-circuit unless the caller
+    // filters upstream or passes isBenchSource
+    val docs = Seq((1L, "short bench doc", "src0"))
+      .toDF("doc_id", "text", "source")
+    val kept = StreamAggs.decontamGate(
+        docs, col("text"), Array(42L), 5, 1L)
+      .select("doc_id").as[Long].collect()
+    assert(kept.sameElements(Array(1L)))
+    val gated = StreamAggs.decontamGate(
+        docs, col("text"), Array(42L), 5, 1L,
+        isBenchSource = Some(col("source") === "src0"))
+      .count()
+    assert(gated == 0L)
   }
 
   test("streaming leakage-scrub gate reproduces q131's batch survivors") {
