@@ -572,4 +572,57 @@ class PlanSpec extends SparkSpec {
     assert(schema.contains("struct<doc_id:bigint>"),
       s"scan reads more than doc_id:\n$schema")
   }
+
+  test("fused nodes with Array fields are semanticEqual by content, " +
+    "and whole-stage CSE collapses a duplicated scoring column") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, EquivalentExpressions, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    import graft.functions._
+    val dIn = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val lIn = BoundReference(0, ArrayType(LongType), nullable = true)
+    // each pair built from SEPARATE array instances: case-class
+    // equality over Array fields is reference equality, so these only
+    // match through the content-based overrides
+    def cents() = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    def lcents() = Array(Array(1L, 2L), Array(3L, 4L))
+    val pairs: Seq[(String, Expression, Expression, Expression)] = Seq(
+      ("PqDistances",
+        PqDistances(dIn, cents(), Array(5.0, 25.0)),
+        PqDistances(dIn, cents(), Array(5.0, 25.0)),
+        PqDistances(dIn, cents(), Array(5.0, 26.0))),
+      ("CosineToConstants",
+        CosineToConstants(dIn, cents(), Array(1.0, 2.0)),
+        CosineToConstants(dIn, cents(), Array(1.0, 2.0)),
+        CosineToConstants(dIn, Array(Array(1.0, 9.0)), Array(1.0))),
+      ("LongSqDistances",
+        LongSqDistances(lIn, lcents()),
+        LongSqDistances(lIn, lcents()),
+        LongSqDistances(lIn, Array(Array(9L)))),
+      ("GramSetSharedCount",
+        GramSetSharedCount(
+          BoundReference(0, ArrayType(org.apache.spark.sql.types.StringType),
+            nullable = true), Array(1L, 2L)),
+        GramSetSharedCount(
+          BoundReference(0, ArrayType(org.apache.spark.sql.types.StringType),
+            nullable = true), Array(1L, 2L)),
+        GramSetSharedCount(
+          BoundReference(0, ArrayType(org.apache.spark.sql.types.StringType),
+            nullable = true), Array(1L, 3L))))
+    pairs.foreach { case (name, a, b, other) =>
+      assert(a.semanticEquals(b),
+        s"$name: structurally equal nodes not semanticEqual")
+      assert(a.hashCode == b.hashCode, s"$name: hashCode disagrees")
+      assert(!a.semanticEquals(other),
+        s"$name: different constants compare equal")
+      // the exact machinery whole-stage codegen's subexpression
+      // elimination runs: two columns scoring with the same node must
+      // collapse to ONE common subexpression
+      val equiv = new EquivalentExpressions
+      equiv.addExprTree(a)
+      equiv.addExprTree(b)
+      val common = equiv.getCommonSubexpressions
+      assert(common.exists(_.semanticEquals(a)),
+        s"$name: CSE does not collapse the duplicated node: $common")
+    }
+  }
 }
