@@ -787,6 +787,31 @@ object SigBandScore {
     if (first < 0) first = (n / 2) * 8
     (first << 32) | ham
   }
+
+  /** Same walk over plain long arrays — the frozen video-gate index
+    * probes signatures off-plan (no InternalRow exists there).
+    * Property-pinned bit-equal to the ArrayData overload. */
+  def score(xa: Array[Long], xb: Array[Long]): Long = {
+    val n = math.min(xa.length, xb.length) & ~1
+    var ham = 0L
+    var first = -1L
+    var i = 0
+    while (i < n) {
+      val x = xa(i) ^ xb(i)
+      ham += java.lang.Long.bitCount(x)
+      if (first < 0) {
+        var k = 0
+        while (k < 4 && first < 0) {
+          if (((x >>> (k * 8)) & 255L) == 0L)
+            first = (i / 2) * 8 + (i % 2) * 4 + k
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (first < 0) first = (n / 2) * 8
+    (first << 32) | ham
+  }
 }
 
 object VectorExpressions {

@@ -1823,6 +1823,260 @@ object Multimodal extends graft.QueryModule {
     imageAdmitStream(media,
       media.sparkSession.sparkContext.broadcast(index))
 
+  // ---- streaming media admission: audio near-dup gate --------------------
+
+  /** Frozen audio near-dup index — the audio member of the admission
+    * set ([[ImageDupIndex]], [[VideoDupIndex]]): the reference
+    * tracks' SORTED DISTINCT sub-fingerprint sets plus the exact
+    * inverted index q136 builds, with buckets over the cap dropped
+    * entirely (stop-bands, mirrored from the batch op). A probe
+    * reproduces the batch pair semantics verbatim: candidates are
+    * discovered through surviving buckets, the verify is the full-set
+    * integer Jaccard (shared·10 ≥ τ·(|S|+|R|−shared) over the exact
+    * intersection), and — the batch op's one-emission discipline —
+    * the pair only counts if the bucket of its SMALLEST shared
+    * element survived the cap (a hot smallest element kills the pair
+    * in batch too; parity spec-asserted against a brute-force
+    * mirror).
+    *
+    * Scale bound: unlike the image index (whose 2048-key band space
+    * bounds it structurally), this index carries the full reference
+    * sets — ~one 8-byte sub-fingerprint per reference audio FRAME —
+    * because the batch verify needs exact intersections. That is the
+    * [[graft.streaming.StreamAggs.scrubGate]] class of bound: an
+    * ADMISSION reference is a curated, bounded set (a block-list, an
+    * eval suite), not the corpus. A corpus-sized reference doesn't
+    * broadcast — shard the stream by sub-fingerprint band and give
+    * each shard its slice of the index, or run the batch pair op. */
+  case class AudioDupIndex(threshold10: Int, maxBucket: Int,
+                           refSets: Array[Array[Long]],
+                           buckets: java.util.HashMap[Long, Array[Int]]) {
+    /** true iff the arriving track's distinct sorted sub-fingerprint
+      * set `fps` near-dups some reference track under the exact q136
+      * bucket/cap/Jaccard semantics. Empty sets never hit (signals
+      * too short to fingerprint pair with nothing in batch). */
+    def hits(fps: Array[Long]): Boolean = {
+      val seen = new java.util.HashSet[Int]
+      var i = 0
+      while (i < fps.length) {
+        val b = buckets.get(fps(i))
+        if (b != null) {
+          var k = 0
+          while (k < b.length) {
+            if (seen.add(b(k)) && verify(fps, refSets(b(k)))) return true
+            k += 1
+          }
+        }
+        i += 1
+      }
+      false
+    }
+    /** One candidate's verify: sorted-merge intersection (exact, like
+      * the batch op's array_intersect), smallest-shared-element bucket
+      * survival, integer cross-multiplied Jaccard. */
+    private def verify(s: Array[Long], r: Array[Long]): Boolean = {
+      var i = 0; var j = 0; var shared = 0L; var minShared = 0L
+      while (i < s.length && j < r.length) {
+        if (s(i) == r(j)) {
+          if (shared == 0L) minShared = s(i)
+          shared += 1; i += 1; j += 1
+        } else if (s(i) < r(j)) i += 1
+        else j += 1
+      }
+      // min(shared) ∈ R, so its bucket exists unless the cap dropped
+      // it — in which case batch never emits this pair (it is only
+      // ever emitted at its smallest shared element)
+      shared > 0 && buckets.containsKey(minShared) &&
+        shared * 10 >= threshold10 * (s.length + r.length - shared)
+    }
+  }
+
+  /** Fit the frozen audio index: ONE map-only decode+fingerprint pass
+    * over the reference (the full sets must come to the driver anyway
+    * for the exact verify, so the bucket build and cap run driver-side
+    * on the collected sets — no second decode pass). */
+  def fitAudioDupIndex(reference: Dataset[MediaRecord], threshold10: Int = 5,
+                       maxBucket: Int = Dedup.DefaultMaxBucket)
+      : AudioDupIndex = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val sets: Array[Array[Long]] = reference.mapPartitions { it =>
+      it.flatMap { r =>
+        val fps = subFingerprints(parseWav(r.payload).samples)
+          .map(_._2).distinct.sorted
+        if (fps.isEmpty) None else Some(fps)
+      }
+    }.collect()
+    val byFp = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
+    sets.zipWithIndex.foreach { case (fps, idx) =>
+      fps.foreach { fp =>
+        byFp.computeIfAbsent(fp, _ => new java.util.ArrayList[Integer])
+          .add(idx)
+      }
+    }
+    val buckets = new java.util.HashMap[Long, Array[Int]]
+    byFp.forEach { (fp, ids) =>
+      // singletons stay — admission matches a stream track against
+      // ONE reference track (the fitImageDupIndex argument)
+      if (ids.size <= maxBucket)
+        buckets.put(fp, Array.tabulate(ids.size)(ids.get(_).intValue()))
+    }
+    AudioDupIndex(threshold10, maxBucket, sets, buckets)
+  }
+
+  /** Streaming audio admission against the frozen index: decode each
+    * arriving payload (REAL RIFF/WAVE path), sub-fingerprint it,
+    * admit unless the index reports a near-dup. STATELESS per row —
+    * the [[imageAdmitStream]] shape verbatim: index ships once per
+    * executor, no joins/shuffles/state/watermark; works identically
+    * on a batch Dataset. Arriving near-dups of EACH OTHER both admit
+    * (frozen index); compose with `StreamAggs.dedupWithinWatermark`
+    * on a fingerprint key for in-stream collapse. */
+  def audioAdmitStream(media: Dataset[MediaRecord],
+                       index: org.apache.spark.broadcast.Broadcast[AudioDupIndex])
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bc = index
+    media.mapPartitions { it =>
+      it.filter { r =>
+        val fps = subFingerprints(parseWav(r.payload).samples)
+          .map(_._2).distinct.sorted
+        !bc.value.hits(fps)
+      }
+    }
+  }
+
+  def audioAdmitStream(media: Dataset[MediaRecord], index: AudioDupIndex)
+      : Dataset[MediaRecord] =
+    audioAdmitStream(media,
+      media.sparkSession.sparkContext.broadcast(index))
+
+  // ---- streaming media admission: video near-dup gate --------------------
+
+  /** Frozen video near-dup index: reference per-frame dHash
+    * signatures (16 bytes per reference frame — compact by
+    * construction, no full-set caveat) plus q137's frame-aligned
+    * (nf, band, value) bucket space with over-cap buckets dropped.
+    * A probe reproduces the batch semantics verbatim: equal frame
+    * count by key construction, candidates through surviving
+    * buckets, exact total Hamming ≤ maxDist via the SAME fused walk
+    * the batch verify runs ([[graft.functions.SigBandScore]].score,
+    * plain-array overload, property-pinned bit-equal), and the pair
+    * counts only if its LOWEST matching band's bucket survived the
+    * cap — the batch one-emission discipline. */
+  case class VideoDupIndex(maxDist: Int, maxBucket: Int,
+                           refSigs: Array[Array[Long]],
+                           buckets: java.util.HashMap[Long, Array[Int]]) {
+    /** true iff a clip with `nf` frames and interleaved signature
+      * `sig` near-dups some reference clip. */
+    def hits(nf: Int, sig: Array[Long]): Boolean = {
+      if (nf < 1) return false
+      val seen = new java.util.HashSet[Int]
+      var j = 0
+      while (j < nf * 8) {
+        val b = buckets.get(VideoDupIndex.key(nf, j, sigByteOf(sig, j)))
+        if (b != null) {
+          var k = 0
+          while (k < b.length) {
+            if (seen.add(b(k)) && verify(nf, sig, refSigs(b(k)))) return true
+            k += 1
+          }
+        }
+        j += 1
+      }
+      false
+    }
+    private def verify(nf: Int, sig: Array[Long], ref: Array[Long]): Boolean = {
+      val score = graft.functions.SigBandScore.score(sig, ref)
+      val first = (score >>> 32).toInt
+      val ham = score & 0xffffffffL
+      // no matching band ⇒ batch never buckets the pair together
+      first < nf * 8 && ham <= maxDist &&
+        // both share the byte at `first`, so the bucket key exists
+        // unless the cap dropped it — then batch loses the pair too
+        buckets.containsKey(VideoDupIndex.key(nf, first, sigByteOf(sig, first)))
+    }
+  }
+
+  object VideoDupIndex {
+    /** Bucket key: frame count rides in the key (only equal-length
+      * clips meet, q137's frame alignment), then global band index
+      * and band value. */
+    def key(nf: Int, bandIdx: Int, bandVal: Int): Long =
+      (nf.toLong << 32) | (bandIdx.toLong << 8) | bandVal
+  }
+
+  /** byte `j` of an interleaved per-frame signature — the plain-Scala
+    * twin of the [[sigByte]] SQL fragment (band j = byte j%8 of frame
+    * j/8; lo element carries bytes 0-3, hi carries 4-7). */
+  private def sigByteOf(sig: Array[Long], j: Int): Int = {
+    val el = sig(2 * (j / 8) + (if (j % 8 < 4) 0 else 1))
+    ((el >>> ((j % 4) * 8)) & 255L).toInt
+  }
+
+  /** Fit the frozen video index: ONE map-only demux+decode+hash pass
+    * (signatures must come to the driver anyway for the exact
+    * Hamming verify; bucket build and cap run driver-side). */
+  def fitVideoDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 12,
+                       maxBucket: Int = Dedup.DefaultMaxBucket)
+      : VideoDupIndex = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val sigs: Array[(Int, Array[Long])] = reference.mapPartitions { it =>
+      it.flatMap { r =>
+        val s = parseAvi(r.payload)
+        if (s.frames.isEmpty) None
+        else Some((s.frames.length, s.frames.toArray.flatMap { f =>
+          val (lo, hi) = frameDHash(s, f, r.media_id)
+          Array(lo, hi)
+        }))
+      }
+    }.collect()
+    val byBand = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
+    sigs.zipWithIndex.foreach { case ((nf, sig), idx) =>
+      var j = 0
+      while (j < nf * 8) {
+        byBand.computeIfAbsent(VideoDupIndex.key(nf, j, sigByteOf(sig, j)),
+          _ => new java.util.ArrayList[Integer]).add(idx)
+        j += 1
+      }
+    }
+    val buckets = new java.util.HashMap[Long, Array[Int]]
+    byBand.forEach { (k, ids) =>
+      if (ids.size <= maxBucket)
+        buckets.put(k, Array.tabulate(ids.size)(ids.get(_).intValue()))
+    }
+    VideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
+  }
+
+  /** Streaming video admission against the frozen index: demux +
+    * decode each arriving payload (REAL RIFF/AVI path, raw-DIB or
+    * MJPEG), signature it, admit unless the index reports a near-dup.
+    * Same stateless shape as [[imageAdmitStream]]/[[audioAdmitStream]]. */
+  def videoAdmitStream(media: Dataset[MediaRecord],
+                       index: org.apache.spark.broadcast.Broadcast[VideoDupIndex])
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bc = index
+    media.mapPartitions { it =>
+      it.filter { r =>
+        val s = parseAvi(r.payload)
+        val sig = s.frames.toArray.flatMap { f =>
+          val (lo, hi) = frameDHash(s, f, r.media_id)
+          Array(lo, hi)
+        }
+        !bc.value.hits(s.frames.length, sig)
+      }
+    }
+  }
+
+  def videoAdmitStream(media: Dataset[MediaRecord], index: VideoDupIndex)
+      : Dataset[MediaRecord] =
+    videoAdmitStream(media,
+      media.sparkSession.sparkContext.broadcast(index))
+
   // ---- corrupt-payload tolerance (q144) ----------------------------------
 
   /** The mixed-modality table with DETERMINISTIC corruption planted:

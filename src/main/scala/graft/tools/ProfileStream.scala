@@ -271,6 +271,44 @@ object ProfileStream {
       })
     }
 
+    // streaming audio-admission gate: stateless like imggate — the
+    // number is WAV parse + sub-fingerprint + index probes per row.
+    // Same pool discipline: 1000 payloads cycling, index fit on the
+    // first 500 ids so ~half the arrivals exercise the drop path.
+    locally {
+      import graft.operators.Multimodal
+      lazy val audPool: IndexedSeq[Multimodal.MediaRecord] =
+        Multimodal.nearDupAudioTable(
+          spark.range(1000).select($"id".as("doc_id"))).collect().toIndexedSeq
+      lazy val gateIdx = Multimodal.fitAudioDupIndex(
+        Multimodal.nearDupAudioTable(
+          spark.range(500).select($"id".as("doc_id"))))
+      bench[Multimodal.MediaRecord]("audgate")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[Multimodal.MediaRecord]
+        ((rows: Seq[Multimodal.MediaRecord]) => { in.addData(rows); () },
+          Multimodal.audioAdmitStream(in.toDS(), gateIdx).toDF())
+      }, i => audPool(i % 1000).copy(media_id = i))
+    }
+
+    // streaming video-admission gate: demux + per-frame dHash off the
+    // raw DIB rasters + banded index probes per row.
+    locally {
+      import graft.operators.Multimodal
+      lazy val vidPool: IndexedSeq[Multimodal.MediaRecord] =
+        Multimodal.nearDupVideoTable(
+          spark.range(1000).select($"id".as("doc_id"))).collect().toIndexedSeq
+      lazy val gateIdx = Multimodal.fitVideoDupIndex(
+        Multimodal.nearDupVideoTable(
+          spark.range(500).select($"id".as("doc_id"))))
+      bench[Multimodal.MediaRecord]("vidgate")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[Multimodal.MediaRecord]
+        ((rows: Seq[Multimodal.MediaRecord]) => { in.addData(rows); () },
+          Multimodal.videoAdmitStream(in.toDS(), gateIdx).toDF())
+      }, i => vidPool(i % 1000).copy(media_id = i))
+    }
+
     spark.stop()
   }
 }

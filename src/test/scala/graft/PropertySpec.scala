@@ -392,7 +392,10 @@ object GraftProperties extends Properties("graft") {
         val e = j / 4; (e / 2) * 8 + (e % 2) * 4 + j % 4
       }.getOrElse((n / 2) * 8).toLong
       val want = (first << 32) | ham
-      gen == interp && gen == want
+      // the plain-array overload the frozen video-gate index probes
+      // with must walk bit-identically to the expression paths
+      val plain = graft.functions.SigBandScore.score(x.toArray, y.toArray)
+      gen == interp && gen == want && plain == want
     }
   }
 

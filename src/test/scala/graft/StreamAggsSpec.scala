@@ -727,6 +727,118 @@ class StreamAggsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming audio admission gate: verdicts equal a brute-force " +
+    "mirror of the frozen bucket/cap/Jaccard index, batch == stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupAudioTable(docs.limit(200))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val index = Multimodal.fitAudioDupIndex(reference)
+    // brute-force mirror of the frozen index semantics, from the
+    // public fingerprint API — no index code reused
+    def setOf(r: Multimodal.MediaRecord): Array[Long] =
+      Multimodal.subFingerprints(Multimodal.parseWav(r.payload).samples)
+        .map(_._2).distinct.sorted
+    val refSets = reference.collect().map(setOf).filter(_.nonEmpty)
+    val surviving: Map[Long, Seq[Array[Long]]] = refSets
+      .flatMap(s => s.map(fp => fp -> s)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).filter(_._2.size <= 100).toMap
+    val arrivingSets = arriving.collect().map(r => r.media_id -> setOf(r))
+    val expectedAdmit = arrivingSets.collect { case (id, s)
+      if !s.flatMap(fp => surviving.getOrElse(fp, Nil)).distinct.exists { r =>
+        val shared = s.intersect(r)
+        shared.nonEmpty && surviving.contains(shared.min) &&
+          shared.length.toLong * 10 >=
+            5L * (s.length + r.length - shared.length)
+      } => id
+    }.toSet
+    assert(expectedAdmit.size < arrivingSets.length / 2,
+      s"gate vacuous: ${expectedAdmit.size}/${arrivingSets.length} admitted")
+    assert(expectedAdmit.nonEmpty, "gate degenerate: everything dropped")
+    // batch parity: the gate is stateless, so batch == mirror
+    val batchAdmit = Multimodal.audioAdmitStream(arriving, index)
+      .select("media_id").as[Long].collect().toSet
+    assert(batchAdmit == expectedAdmit)
+    // streaming: same records through a MemoryStream, two batches
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val sq = Multimodal.audioAdmitStream(in.toDS(), index)
+      .select("media_id")
+      .writeStream.format("memory").queryName("aud_admit_out")
+      .outputMode("append").start()
+    try {
+      val rows = arriving.collect()
+      in.addData(rows.take(40).toSeq)
+      sq.processAllAvailable()
+      in.addData(rows.drop(40).toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("aud_admit_out").as[Long].collect().toSet
+      assert(stream == expectedAdmit, "stream verdicts diverge from batch")
+    } finally sq.stop()
+  }
+
+  test("streaming video admission gate: verdicts equal a brute-force " +
+    "mirror of the frozen band/cap/Hamming index, batch == stream") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupVideoTable(docs.limit(200))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val index = Multimodal.fitVideoDupIndex(reference)
+    // brute-force mirror from the batch signature op — independent
+    // band/first-match/Hamming spelling, no index code reused
+    def sigs(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord]) =
+      Multimodal.videoDHashSignature(ds).collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Long](2).toArray))
+    def bandByte(sig: Array[Long], j: Int): Long = {
+      val el = sig(2 * (j / 8) + (if (j % 8 < 4) 0 else 1))
+      (el >>> ((if (j % 8 < 4) j % 8 else j % 8 - 4) * 8)) & 255L
+    }
+    val refSigs = sigs(reference)
+    val surviving: Map[(Int, Int, Long), Seq[Array[Long]]] = refSigs
+      .flatMap { case (_, nf, sig) =>
+        (0 until nf * 8).map(j => (nf, j, bandByte(sig, j)) -> sig) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      .filter(_._2.size <= 100).toMap
+    val arrivingSigs = sigs(arriving)
+    def hamming(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map(p => java.lang.Long.bitCount(p._1 ^ p._2).toLong).sum
+    val expectedAdmit = arrivingSigs.collect { case (id, nf, sig)
+      if !(0 until nf * 8).flatMap(j =>
+        surviving.getOrElse((nf, j, bandByte(sig, j)), Nil)).distinct
+        .exists { r =>
+          val first = (0 until nf * 8)
+            .find(j => bandByte(sig, j) == bandByte(r, j))
+          first.exists(j0 =>
+            surviving.contains((nf, j0, bandByte(sig, j0))) &&
+              hamming(sig, r) <= 12)
+        } => id
+    }.toSet
+    assert(expectedAdmit.size < arrivingSigs.length / 2,
+      s"gate vacuous: ${expectedAdmit.size}/${arrivingSigs.length} admitted")
+    assert(expectedAdmit.nonEmpty, "gate degenerate: everything dropped")
+    val batchAdmit = Multimodal.videoAdmitStream(arriving, index)
+      .select("media_id").as[Long].collect().toSet
+    assert(batchAdmit == expectedAdmit)
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val sq = Multimodal.videoAdmitStream(in.toDS(), index)
+      .select("media_id")
+      .writeStream.format("memory").queryName("vid_admit_out")
+      .outputMode("append").start()
+    try {
+      val rows = arriving.collect()
+      in.addData(rows.take(40).toSeq)
+      sq.processAllAvailable()
+      in.addData(rows.drop(40).toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("vid_admit_out").as[Long].collect().toSet
+      assert(stream == expectedAdmit, "stream verdicts diverge from batch")
+    } finally sq.stop()
+  }
+
   test("in-stream image dedup collapses hash-exact copies across " +
     "batches and keeps near-dup variants (the gate composition)") {
     import graft.operators.Multimodal
