@@ -1,0 +1,278 @@
+package graft.cep
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Differential fuzz of the PROGRAMMATIC CEP surface (the Pattern-API
+  * path real FlinkCEP users drive: `Cep.begin.followedBy/next/
+  * followedByAny(...).times(n).within(ms)` onto `Cep.Nfa.run`),
+  * against a brute-force enumeration oracle — the DSL twin of
+  * [[MatchRecognizeFuzzSpec]], which fuzzes the SQL front-end. The
+  * round-8 fuzz found five NFA bugs in machinery both paths share,
+  * but drove it only through parsed clauses (strict contiguity
+  * everywhere, no AllMatches quantifier); this arm closes the seam
+  * the SQL path cannot reach:
+  *
+  *   - contiguity per step: strict `next` vs relaxed `followedBy`
+  *     (greedy consumption: the un-extended partial dies the moment
+  *     any transition fires) vs branching `followedByAny` (a branch
+  *     per future match);
+  *   - the `AllMatches` quantifier (FlinkCEP's default — every loop
+  *     length reported immediately) alongside Greedy/Reluctant;
+  *   - `times(n)` expansion through the public builder;
+  *   - per-event attempt spawning + `within` expiry on the DSL path.
+  *
+  * Oracle semantics, from the documented contract (Cep.scala scaladoc
+  * on Contiguity/Quant/Step — independent of the slot/pending/priority
+  * machinery under test): per start row, a DFS enumerates EVERY
+  * completion with a static preference digit per consumed event
+  * (extend-before-advance unless Reluctant; completion ranks opposite
+  * the extension). When any step carries a non-AllMatches quantifier
+  * the engine arbitrates whole attempts by lexicographic priority and
+  * releases only the preferred completion(s); with pure AllMatches it
+  * releases everything. The oracle applies exactly that reduction to
+  * its enumeration. Matches compare as multisets of full
+  * (stepIdx, rowIdx) bindings — order-free, because release order
+  * interleaves attempts by resolution time.
+  *
+  * Deliberately out of scope (documented, not silently skipped):
+  * single-step patterns (the engine's complete-per-event fast path is
+  * a different, simpler machine — covered by CepSpec hand cases),
+  * `optional` steps on this path (optional + contiguity preference is
+  * exercised through the SQL fuzz's quantifier copies), skip
+  * strategies other than NoSkip (sequential-release semantics are
+  * driven by the SQL fuzz across all three SQL strategies), and the
+  * timeout side channel (hand-pinned in CepSpec).
+  */
+class CepApiFuzzSpec extends AnyFunSuite {
+
+  private case class Ev(sym: Char, row: Int, ts: Long)
+
+  // model of one builder call; times >= 1 expands to that many copies
+  // (mirroring PatternSpec.times, which requires a non-loop step)
+  private case class MStep(sym: Char, contig: Cep.Contiguity,
+                           loop: Boolean, quant: Cep.Quant, times: Int)
+
+  private val TsStep = 700L
+  private def tsOf(row: Int): Long = (row + 1) * TsStep
+
+  private def hit(sym: Char, e: Char): Boolean = sym == '*' || sym == e
+
+  /** Build the spec through the PUBLIC builder API — the exact call
+    * sequence a user writes. */
+  private def build(steps: Vector[MStep],
+                    withinMs: Option[Long]): Cep.PatternSpec[Ev] = {
+    def pred(sym: Char): (Ev, Seq[Ev]) => Boolean =
+      (e, _) => hit(sym, e.sym)
+    var spec = Cep.begin[Ev]("S0", steps.head.loop)(pred(steps.head.sym))
+    if (steps.head.times > 1) spec = spec.times(steps.head.times)
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val name = s"S$i"
+      spec = st.contig match {
+        case Cep.Next => spec.next(name, st.loop, st.quant)(pred(st.sym))
+        case Cep.FollowedBy =>
+          spec.followedBy(name, st.loop, st.quant)(pred(st.sym))
+        case Cep.FollowedByAny =>
+          spec.followedByAny(name, st.loop, st.quant)(pred(st.sym))
+      }
+      if (st.times > 1) spec = spec.times(st.times)
+    }
+    withinMs.fold(spec)(spec.within)
+  }
+
+  // the flat step list the engine actually runs (times expanded),
+  // mirrored for the oracle
+  private case class OStep(sym: Char, contig: Cep.Contiguity,
+                           loop: Boolean, quant: Cep.Quant)
+  private def expand(steps: Vector[MStep]): Vector[OStep] =
+    steps.flatMap(st =>
+      Vector.fill(st.times)(OStep(st.sym, st.contig, st.loop, st.quant)))
+
+  /** All completions of the attempt starting at `start`, each with
+    * its preference-digit vector (one digit per consumed event after
+    * the start, plus the completion digit). */
+  private def enumerate(steps: Vector[OStep], tape: String, start: Int,
+                        withinMs: Long)
+      : Vector[(Vector[(Int, Int)], Vector[Int])] = {
+    val n = steps.length
+    val last = n - 1
+    val maxRow =
+      if (withinMs <= 0) tape.length - 1
+      else tape.indices.lastIndexWhere(r => tsOf(r) - tsOf(start) <= withinMs)
+    // static slot of each choice at step j (no optional steps in
+    // scope, so the engine's advance walk is a single target and the
+    // digit space is {0, 1}): extension ranks before leaving unless
+    // the step's own quantifier is Reluctant
+    def extendDigit(j: Int): Int = if (steps(j).quant == Cep.Reluctant) 1 else 0
+    def leaveDigit(j: Int): Int = 1 - extendDigit(j)
+    val out = Vector.newBuilder[(Vector[(Int, Int)], Vector[Int])]
+    def explore(j: Int, i: Int, binding: Vector[(Int, Int)],
+                digits: Vector[Int]): Unit = {
+      if (j == last)
+        out += ((binding,
+          digits :+ (if (steps(j).loop) leaveDigit(j) else 0)))
+      if (j == last && !steps(j).loop) return
+      // which contiguity governs the gap scan from this step: the
+      // NEXT step's (positions advance toward it), or the step's own
+      // at the final position (Cep.onEvent's `survives` rule)
+      val gov = if (j < last) steps(j + 1).contig else steps(j).contig
+      var r = i + 1
+      var scanning = true
+      while (scanning && r <= maxRow) {
+        val choices = Vector.newBuilder[(Int, Int)] // (target, digit)
+        if (steps(j).loop && hit(steps(j).sym, tape(r)))
+          choices += ((j, extendDigit(j)))
+        if (j < last && hit(steps(j + 1).sym, tape(r)))
+          choices += ((j + 1,
+            if (steps(j).loop) leaveDigit(j) else 0))
+        val cs = choices.result()
+        cs.foreach { case (t, d) =>
+          explore(t, r, binding :+ ((t, r)), digits :+ d)
+        }
+        gov match {
+          case Cep.Next          => scanning = false // strict: row i+1 only
+          case Cep.FollowedBy    => if (cs.nonEmpty) scanning = false
+          case Cep.FollowedByAny => () // branch on every future match
+        }
+        r += 1
+      }
+    }
+    if (hit(steps.head.sym, tape(start)))
+      explore(0, start, Vector((0, start)), Vector.empty)
+    out.result()
+  }
+
+  /** The released matches: every completion under pure AllMatches;
+    * only each attempt's lexicographically-preferred completion(s)
+    * once any step carries a real SQL quantifier. */
+  private def oracle(steps: Vector[OStep], tape: String,
+                     withinMs: Long): Seq[Vector[(Int, Int)]] = {
+    val slotRanked = steps.exists(_.quant != Cep.AllMatches)
+    def lexLt(a: Vector[Int], b: Vector[Int]): Boolean = {
+      val k = math.min(a.length, b.length)
+      var i = 0
+      while (i < k) {
+        if (a(i) != b(i)) return a(i) < b(i)
+        i += 1
+      }
+      a.length < b.length
+    }
+    tape.indices.flatMap { start =>
+      val all = enumerate(steps, tape, start, withinMs)
+      if (all.isEmpty) Vector.empty
+      else if (!slotRanked) all.map(_._1)
+      else {
+        val best = all.map(_._2).reduceLeft((a, b) => if (lexLt(b, a)) b else a)
+        all.collect { case (bind, d) if d == best => bind }
+      }
+    }
+  }
+
+  private def runEngine(steps: Vector[MStep], tape: String,
+                        withinMs: Option[Long]): Seq[Vector[(Int, Int)]] = {
+    val spec = build(steps, withinMs)
+    val nfa = new Cep.Nfa[Ev](spec, _.ts)
+    val events = tape.zipWithIndex.map { case (c, r) => Ev(c, r, tsOf(r)) }
+    val (done, _) = nfa.run(events)
+    done.map(_.entries.map { case (si, e) => (si, e.row) }.toVector)
+  }
+
+  private def canon(ms: Seq[Vector[(Int, Int)]]): Seq[String] =
+    ms.map(_.map { case (s, r) => s"$s@$r" }.mkString(",")).sorted
+
+  // ---- generator ----------------------------------------------------
+
+  private def genStep(rnd: Random, first: Boolean): MStep = {
+    val sym = "abcd*" (rnd.nextInt(5))
+    // begin() hardcodes FollowedBy (and times-copies inherit it), so
+    // the first step's model contiguity must be FollowedBy too — it
+    // is read whenever the step is not alone at the last position
+    val contig =
+      if (first) Cep.FollowedBy
+      else rnd.nextInt(3) match {
+        case 0 => Cep.Next
+        case 1 => Cep.FollowedBy
+        case _ => Cep.FollowedByAny
+      }
+    val loop = rnd.nextInt(10) < 4
+    // begin() exposes no quantifier parameter, so a looping FIRST
+    // step is always AllMatches — the API's own shape
+    val quant =
+      if (!loop || first) Cep.AllMatches
+      else rnd.nextInt(3) match {
+        case 0 => Cep.AllMatches
+        case 1 => Cep.Greedy
+        case _ => Cep.Reluctant
+      }
+    val times = if (!loop && rnd.nextInt(10) == 0) 2 + rnd.nextInt(2) else 1
+    MStep(sym, contig, loop, quant, times)
+  }
+
+  private def genPattern(rnd: Random): Vector[MStep] = {
+    val k = 2 + rnd.nextInt(3)
+    val cand = Vector.tabulate(k)(i => genStep(rnd, first = i == 0))
+    // exclude the single-step fast path (engine: a different machine)
+    if (expand(cand).length >= 2) cand else genPattern(rnd)
+  }
+
+  private def genTape(rnd: Random): String = {
+    val letters = "abcdx"
+    (0 until 1 + rnd.nextInt(8))
+      .map(_ => letters(rnd.nextInt(letters.length))).mkString
+  }
+
+  private val Cases =
+    sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
+
+  test(s"$Cases random (pattern, tape, within) Pattern-API cases " +
+    "match the enumeration oracle") {
+    val rnd = new Random(0xAB12CD34L)
+    var cases = 0
+    while (cases < Cases) {
+      val steps = genPattern(rnd)
+      val tape = genTape(rnd)
+      val withinMs: Option[Long] =
+        if (rnd.nextInt(4) == 0) Some((1 + rnd.nextInt(5)) * TsStep) else None
+      val got = canon(runEngine(steps, tape, withinMs))
+      val want = canon(oracle(expand(steps), tape, withinMs.getOrElse(0L)))
+      assert(got == want,
+        s"""pattern: $steps
+           |tape   : $tape  within: $withinMs
+           |engine : $got
+           |oracle : $want""".stripMargin)
+      cases += 1
+    }
+  }
+
+  // a few hand-pinned anchors so a generator regression can't
+  // silently gut the fuzz (the MatchRecognizeFuzzSpec discipline)
+  test("hand anchors: followedBy greedy consumption vs followedByAny branching") {
+    // A followedBy B on "abb": B consumes the FIRST b only
+    val fb = Vector(
+      MStep('a', Cep.FollowedBy, loop = false, Cep.AllMatches, 1),
+      MStep('b', Cep.FollowedBy, loop = false, Cep.AllMatches, 1))
+    assert(canon(runEngine(fb, "abb", None)) == Seq("0@0,1@1"))
+    // A followedByAny B on "abb": every future b branches
+    val fba = fb.updated(1, fb(1).copy(contig = Cep.FollowedByAny))
+    assert(canon(runEngine(fba, "abb", None)) ==
+      Seq("0@0,1@1", "0@0,1@2"))
+    // A next B on "axb": strict gap kills the attempt
+    val nx = fb.updated(1, fb(1).copy(contig = Cep.Next))
+    assert(canon(runEngine(nx, "axb", None)).isEmpty)
+    assert(canon(runEngine(nx, "ab", None)) == Seq("0@0,1@1"))
+  }
+
+  test("hand anchors: AllMatches loop reports every length; Greedy only the longest") {
+    // A B+(AllMatches) with strict contiguity on "abb"
+    val all = Vector(
+      MStep('a', Cep.FollowedBy, loop = false, Cep.AllMatches, 1),
+      MStep('b', Cep.Next, loop = true, Cep.AllMatches, 1))
+    assert(canon(runEngine(all, "abb", None)) ==
+      Seq("0@0,1@1", "0@0,1@1,1@2"))
+    val greedy = all.updated(1, all(1).copy(quant = Cep.Greedy))
+    assert(canon(runEngine(greedy, "abb", None)) == Seq("0@0,1@1,1@2"))
+    val rel = all.updated(1, all(1).copy(quant = Cep.Reluctant))
+    assert(canon(runEngine(rel, "abb", None)) == Seq("0@0,1@1"))
+  }
+}
