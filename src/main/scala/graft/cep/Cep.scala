@@ -135,7 +135,22 @@ object Cep {
     * into whole repetitions plus an OPEN run in [1, m]. Without
     * `groupLoop` only a single run can exist (positions advance
     * monotonically), so the same gates reduce to n ≤ k ≤ m — the
-    * unquantified-group semantics. */
+    * unquantified-group semantics.
+    *
+    * `seqIdx`/`seqLen` (seqLen > 1) mark a MULTI-VARIABLE SEQUENCE
+    * GROUP (`(A B){n,m}` — session-shaped MATCH_RECOGNIZE patterns):
+    * the group's k variables share one pattern POSITION (vars 1..k−1
+    * carry `altWithPrev`), but instead of the alternation walk the
+    * position runs a CYCLE — entry lands on variable 0 only, each
+    * consumed event moves to variable (seqIdx+1) mod k, a wrap from
+    * the last variable back to 0 opens a new group iteration, and
+    * the position may only be LEFT (or complete the match) standing
+    * on the last variable. `Partial.curRep` counts events consumed
+    * at the position, so the iteration count is curRep / seqLen;
+    * `minReps`/`maxReps` bound it ((A B)? = 1/1 + optional,
+    * (A B)+ = 1/−1, (A B){n,m} = n/m — no position copies, the
+    * counter does the bounding). `quant` orders iterate-vs-leave at
+    * the last variable (greedy prefers another iteration). */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
@@ -149,7 +164,9 @@ object Cep {
                      elemReluctant: Boolean = false,
                      branchLoop: Boolean = false,
                      branchReluctant: Boolean = false,
-                     posSkip: Boolean = false) {
+                     posSkip: Boolean = false,
+                     seqIdx: Int = -1,
+                     seqLen: Int = 0) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -296,14 +313,33 @@ object Cep {
     private def isBounded(s: Step[T]): Boolean =
       s.minReps > 1 || s.maxReps >= 0
 
+    private def isSeq(s: Step[T]): Boolean = s.seqLen > 1
+
+    /** The step the sequence-group cycle moves to from `s` (next
+      * variable, wrapping to variable 0 for a new iteration). */
+    private def seqNext(si: Int): Int = {
+      val s = steps(si)
+      posSteps(posOf(si))((s.seqIdx + 1) % s.seqLen)
+    }
+
     /** The open repetition at `s` is whole — the partial may advance,
-      * switch branch, open a new repetition, or finish the match. */
+      * switch branch, open a new repetition, or finish the match. For
+      * a sequence-group step: standing on the LAST variable with at
+      * least minReps whole iterations (curRep counts events at the
+      * position; the cycle makes curRep / seqLen exact there). */
     private def repDone(s: Step[T], rep: Int): Boolean =
-      !isBounded(s) || rep >= s.minReps
+      if (isSeq(s)) s.seqIdx == s.seqLen - 1 && rep / s.seqLen >= s.minReps
+      else !isBounded(s) || rep >= s.minReps
 
     /** The open repetition may absorb one more event. */
     private def canExtend(s: Step[T], rep: Int): Boolean =
       s.maxReps < 0 || rep < s.maxReps
+
+    /** The sequence-group cycle at `s` may consume one more event:
+      * mid-iteration moves always may; a wrap into a new iteration
+      * needs headroom under the iteration cap. */
+    private def seqCanMove(s: Step[T], rep: Int): Boolean =
+      s.seqIdx < s.seqLen - 1 || s.maxReps < 0 || rep / s.seqLen < s.maxReps
 
     /** Advance-walk sequences: advWalkSeq(q0) lists, in SQL
       * backtracking preference order, every step enterable from
@@ -347,7 +383,10 @@ object Cep {
               val s = steps(j)
               s.posSkip && s.elemReluctant
             }) rest()
-            for (j <- posSteps(q)) {
+            // a sequence-group position is entered at variable 0 only
+            // (the cycle reaches the others); later variables are
+            // never entry targets
+            for (j <- posSteps(q) if steps(j).seqIdx <= 0) {
               val s = steps(j)
               // a single-branch loop ((B*)?-style) folds element and
               // branch reluctance into one flag pair
@@ -406,7 +445,16 @@ object Cep {
         val curPos = posOf(s)
         val advC = advWalkSeq(curPos + 1)
         val seq = Vector.newBuilder[Int] // step idx; -1 complete; -2 ext
-        if (!cur.oneOrMore) seq ++= advC
+        if (isSeq(cur)) {
+          // sequence-group cycle: the only move target is the next
+          // variable; at the last variable the wrap (a new iteration)
+          // vs leave tie is ordered by the group quantifier
+          val nxt = seqNext(s)
+          if (cur.seqIdx < cur.seqLen - 1) { seq += nxt; seq ++= advC }
+          else if (cur.quant == Reluctant) { seq ++= advC; seq += nxt }
+          else { seq += nxt; seq ++= advC }
+        }
+        else if (!cur.oneOrMore) seq ++= advC
         else if (!cur.groupLoop) {
           // pure self-loop (B+, a bounded branch, single-branch
           // loops): the step's governing flag orders extension vs
@@ -487,7 +535,15 @@ object Cep {
           // unbounded branch's two roles collapse into one edge at
           // the better rank
           val loopCh = Vector.newBuilder[(Int, Int, Int)]
-          if (cur.oneOrMore) {
+          if (isSeq(cur)) {
+            // sequence-group cycle: one deterministic move target —
+            // the next variable (wrapping into a new iteration only
+            // under the cap); the event binds to THAT variable's
+            // predicate, never the current one's
+            val nxt = seqNext(s)
+            if (seqCanMove(cur, p.curRep) && steps(nxt).hit(e, p.entries))
+              loopCh += ((nxt, p.curRep + 1, tab.target(nxt)))
+          } else if (cur.oneOrMore) {
             val hitSelf = cur.hit(e, p.entries)
             if (cur.groupLoop) {
               if (cur.branchLoop && hitSelf && canExtend(cur, p.curRep))

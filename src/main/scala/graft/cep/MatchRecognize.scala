@@ -27,9 +27,14 @@ import org.apache.spark.sql.types.StructType
   * Bounded branches compose with a quantified group (`(B{2,3}|C)+`):
   * the group may re-enter the branch back to back, and a run of k Bs
   * is legal iff it splits into whole repetitions each in [n, m]
-  * (Cep.Step minReps/maxReps trailing-run gates). Not supported:
-  * multi-variable sequence groups (`(A B)+`) and empty matches (a
-  * pattern whose every position is optional matching zero rows).
+  * (Cep.Step minReps/maxReps trailing-run gates). Multi-variable
+  * SEQUENCE groups (`(A B)+`, `(A B){n,m}` — session-shaped
+  * patterns) compile to one cycling NFA position (Cep.Step
+  * seqIdx/seqLen) whose iteration counter does the bounding.
+  * Not supported: alternation of sequences (`(A B | C)`),
+  * per-variable quantifiers inside a sequence group (`(A B+)`), and
+  * empty matches (a pattern whose every position is optional
+  * matching zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -77,13 +82,17 @@ object MatchRecognize {
   private[cep] case class PatVar(name: String, min: Int, max: Int,
                                  reluctant: Boolean)
 
-  /** One pattern ELEMENT: a single variable or an alternation group,
-    * with the element-level quantifier. `B{2,3}` is
-    * PatElem([B(1,1)], 2, 3); `(B|C)+` is PatElem([B(1,1), C(1,1)],
-    * 1, -1) — branches keep their own per-branch quantifiers
-    * (`(B+|C?)`), the element quantifier repeats the whole group. */
+  /** One pattern ELEMENT: a single variable, an alternation group, or
+    * — with `isSeq` — a multi-variable SEQUENCE group, with the
+    * element-level quantifier. `B{2,3}` is PatElem([B(1,1)], 2, 3);
+    * `(B|C)+` is PatElem([B(1,1), C(1,1)], 1, -1) — branches keep
+    * their own per-branch quantifiers (`(B+|C?)`), the element
+    * quantifier repeats the whole group. `(A B)+` is
+    * PatElem([A, B], 1, -1, isSeq = true): `alts` is then the ORDERED
+    * variable sequence of one iteration, not alternation branches. */
   private[cep] case class PatElem(alts: Vector[PatVar], min: Int,
-                                  max: Int, reluctant: Boolean)
+                                  max: Int, reluctant: Boolean,
+                                  isSeq: Boolean = false)
 
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
@@ -97,7 +106,8 @@ object MatchRecognize {
       optional: Boolean, reluctant: Boolean, groupLoop: Boolean,
       minReps: Int, maxReps: Int, emptyBranch: Boolean,
       elemReluctant: Boolean, branchLoop: Boolean,
-      branchReluctant: Boolean, posSkip: Boolean)
+      branchReluctant: Boolean, posSkip: Boolean,
+      seqIdx: Int = -1, seqLen: Int = 0)
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -190,23 +200,48 @@ object MatchRecognize {
     val pat = Seq.newBuilder[PatElem]
     while (!p.kw(")")) {
       if (p.kw("(")) {
-        // alternation group: (B | C+ | D?) — each branch one variable
-        // with optional per-branch +/?/*; the whole group may carry
-        // any element quantifier ((B|C)+, (B|C){n,m}, ...)
-        val alts = Vector.newBuilder[PatVar]
+        // a group: alternation (B | C+ | D?) — each branch one
+        // variable with optional per-branch +/?/* — or a SEQUENCE
+        // (A B ...); either may carry any element quantifier
+        // ((B|C)+, (A B){n,m}, ...)
+        val branches = Vector.newBuilder[Vector[PatVar]]
         var more = true
-        while (more) { alts += parsePatVar(p); more = p.kw("|") }
+        while (more) {
+          val sq = Vector.newBuilder[PatVar]
+          while (p.peek.exists(t => t != "|" && t != ")"))
+            sq += parsePatVar(p)
+          val vs = sq.result()
+          if (vs.isEmpty) sys.error("MATCH_RECOGNIZE: empty group branch")
+          branches += vs
+          more = p.kw("|")
+        }
         p.expect(")")
-        val as = alts.result()
+        val bs = branches.result()
         val (gMin, gMax, gRel) = parseQuant(p)
-        // B{n,m} as a branch compiles to a repetition-counted
-        // self-loop (Cep.Step minReps/maxReps); the NFA gates the
-        // counts on the TRAILING consecutive run at the step, so the
-        // combo with a QUANTIFIED group ((B{n,m}|C)+, where group
-        // repetitions may re-enter the branch back to back) is
-        // handled too — a run of k Bs is legal iff it splits into
-        // whole repetitions each in [n, m]
-        pat += PatElem(as, gMin, gMax, gRel)
+        if (bs.size == 1 && bs.head.size > 1) {
+          // multi-variable sequence group (A B){n,m}: compiles to one
+          // cycling position (Cep.Step seqIdx/seqLen) whose iteration
+          // counter does the {n,m} bounding — no position copies
+          val vars = bs.head
+          if (!vars.forall(v => v.min == 1 && v.max == 1))
+            sys.error("MATCH_RECOGNIZE: per-variable quantifiers inside " +
+              "a sequence group are unsupported: " +
+              vars.map(_.name).mkString("(", " ", ")"))
+          pat += PatElem(vars, gMin, gMax, gRel, isSeq = true)
+        } else {
+          if (!bs.forall(_.size == 1))
+            sys.error("MATCH_RECOGNIZE: alternation of sequences is " +
+              "unsupported")
+          val as = bs.map(_.head)
+          // B{n,m} as a branch compiles to a repetition-counted
+          // self-loop (Cep.Step minReps/maxReps); the NFA gates the
+          // counts on the TRAILING consecutive run at the step, so the
+          // combo with a QUANTIFIED group ((B{n,m}|C)+, where group
+          // repetitions may re-enter the branch back to back) is
+          // handled too — a run of k Bs is legal iff it splits into
+          // whole repetitions each in [n, m]
+          pat += PatElem(as, gMin, gMax, gRel)
+        }
       } else {
         val name = p.next()
         val (mn, mx, rel) = parseQuant(p)
@@ -247,6 +282,10 @@ object MatchRecognize {
   /** VAR with an optional quantifier: `+[?]`, `*[?]`, `?`, `{n[,[m]]}`. */
   private def parsePatVar(p: P): PatVar = {
     val name = p.next()
+    // a non-identifier here would silently become a variable named
+    // "(" (nested groups) or a digit — fail fast instead
+    if (!(name.head.isLetter || name.head == '_'))
+      sys.error(s"MATCH_RECOGNIZE: expected a pattern variable, got $name")
     val (mn, mx, rel) = parseQuant(p)
     PatVar(name, mn, mx, rel)
   }
@@ -456,6 +495,27 @@ object MatchRecognize {
     // a run of k Bs must split into whole repetitions in [n, m].
     val positions: Vector[Vector[PosAlt]] =
       clause.pattern.iterator.flatMap { el =>
+        if (el.isSeq) {
+          // sequence group: ONE position whose k variables cycle
+          // (Cep.Step seqIdx/seqLen); minReps/maxReps carry the
+          // {n,m} iteration bounds directly (min 0 = a skippable
+          // position, one-iteration minimum once entered)
+          val k = el.alts.size
+          Iterator.single(el.alts.zipWithIndex.map { case (v, i) =>
+            PosAlt(v.name,
+              oneOrMore = true, // the cycle consumes through the loop path
+              optional = el.min == 0,
+              reluctant = el.reluctant,
+              groupLoop = false,
+              minReps = math.max(1, el.min),
+              maxReps = el.max,
+              emptyBranch = false,
+              elemReluctant = el.reluctant,
+              branchLoop = false, branchReluctant = false,
+              posSkip = el.min == 0,
+              seqIdx = i, seqLen = k)
+          })
+        } else {
         def pos(loop: Boolean, opt: Boolean): Vector[PosAlt] =
           el.alts.map { v =>
             PosAlt(v.name,
@@ -499,6 +559,7 @@ object MatchRecognize {
           ((1 to el.min).map(_ => pos(loop = false, opt = false)) ++
            (el.min until el.max).map(_ =>
              pos(loop = false, opt = true))).toVector
+        }
         }
       }.toVector
     val varIdx: Map[String, Set[Int]] = positions.flatten.map(_.name)
@@ -552,7 +613,9 @@ object MatchRecognize {
           elemReluctant = pa.elemReluctant,
           branchLoop = pa.branchLoop,
           branchReluctant = pa.branchReluctant,
-          posSkip = pa.posSkip)
+          posSkip = pa.posSkip,
+          seqIdx = pa.seqIdx,
+          seqLen = pa.seqLen)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)

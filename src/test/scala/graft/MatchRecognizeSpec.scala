@@ -101,17 +101,18 @@ class MatchRecognizeSpec extends SparkSpec {
       """)
     }
     assert(err2.getMessage.contains("expected AS"))
-    // multi-variable SEQUENCE groups are rejected loudly
+    // NESTED groups are rejected loudly (sequence groups themselves
+    // are supported as of round 9 — see the sequence-group tests)
     val err3 = intercept[RuntimeException] {
       MatchRecognize.run(rows, """
         PARTITION BY sym
         ORDER BY seq
         MEASURES A.price AS p
-        PATTERN ((A B)+)
+        PATTERN (((A B)+) C)
         DEFINE A AS price > 0
       """)
     }
-    assert(err3.getMessage.contains("expected )"))
+    assert(err3.getMessage.contains("expected a pattern variable"))
   }
 
   private def tape(events: (Long, String)*): org.apache.spark.sql.DataFrame =
@@ -383,6 +384,86 @@ class MatchRecognizeSpec extends SparkSpec {
       6L -> "d"), "A (B{2}|C){2} D", ms, defs) == Seq(Seq(2L, 5L, null, 6L)))
     assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "d"),
       "A (B{2}|C){2} D", ms, defs).isEmpty)
+  }
+
+  test("multi-variable sequence group (A B)+: session-shaped repetition") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, " +
+      "FIRST(A.seq) AS a0, LAST(B.seq) AS b1, D.seq AS d_seq"
+    def q(t: (Long, String)*) = mr(tape(t: _*), "X (A B)+ D", ms, defs)
+    // one iteration
+    assert(q(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d") ==
+      Seq(Seq(1L, 1L, 2L, 3L, 4L)))
+    // three iterations: strictly alternating a b a b a b
+    assert(q(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b",
+      6L -> "a", 7L -> "b", 8L -> "d") ==
+      Seq(Seq(3L, 3L, 2L, 7L, 8L)))
+    // a dangling A (iteration not closed) kills the attempt: x a b a d
+    assert(q(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "d").isEmpty)
+    // zero iterations is below the + minimum
+    assert(q(1L -> "x", 2L -> "d").isEmpty)
+    // two As in a row break the cycle
+    assert(q(1L -> "x", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "d").isEmpty)
+  }
+
+  test("sequence group quantifiers: (A B)?, (A B){2}, (A B){1,2}, (A B)*") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, FIRST(A.seq) AS a0, " +
+      "LAST(B.seq) AS b1, D.seq AS d_seq"
+    // optional: present and absent
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d"),
+      "X (A B)? D", ms, defs) == Seq(Seq(1L, 2L, 3L, 4L)))
+    assert(mr(tape(1L -> "x", 2L -> "d"), "X (A B)? D", ms, defs) ==
+      Seq(Seq(0L, null, null, 2L)))
+    // ? admits at most one iteration
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b",
+      6L -> "d"), "X (A B)? D", ms, defs).isEmpty)
+    // exact count {2}
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b",
+      6L -> "d"), "X (A B){2} D", ms, defs) == Seq(Seq(2L, 2L, 5L, 6L)))
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d"),
+      "X (A B){2} D", ms, defs).isEmpty)
+    // {1,2} takes both lengths
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d"),
+      "X (A B){1,2} D", ms, defs) == Seq(Seq(1L, 2L, 3L, 4L)))
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b",
+      6L -> "d"), "X (A B){1,2} D", ms, defs) == Seq(Seq(2L, 2L, 5L, 6L)))
+    // * admits zero
+    assert(mr(tape(1L -> "x", 2L -> "d"), "X (A B)* D", ms, defs) ==
+      Seq(Seq(0L, null, null, 2L)))
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b",
+      6L -> "d"), "X (A B)* D", ms, defs) == Seq(Seq(2L, 2L, 5L, 6L)))
+  }
+
+  test("sequence group at pattern end: greedy vs reluctant iteration count") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b'"
+    val ms = "COUNT(A.*) AS n_a, LAST(B.seq) AS b1"
+    val t = tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b")
+    // greedy +: both iterations; reluctant +?: one
+    assert(mr(t, "X (A B)+", ms, defs) == Seq(Seq(2L, 5L)))
+    assert(mr(t, "X (A B)+?", ms, defs) == Seq(Seq(1L, 3L)))
+    // a trailing half-iteration is simply not consumed
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a"),
+      "X (A B)+", ms, defs) == Seq(Seq(1L, 3L)))
+  }
+
+  test("sequence groups of three variables and unsupported shapes reject loudly") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "C AS name = 'c', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, LAST(C.seq) AS c1, D.seq AS d_seq"
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a",
+      6L -> "b", 7L -> "c", 8L -> "d"), "X (A B C){2} D", ms, defs) ==
+      Seq(Seq(2L, 7L, 8L)))
+    val mixed = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A B | C) D", ms, defs)
+    }
+    assert(mixed.getMessage.contains("alternation of sequences"))
+    val quantified = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A B+) D", ms, defs)
+    }
+    assert(quantified.getMessage.contains("sequence group"))
   }
 
   test("AFTER MATCH SKIP variants: overlapping vs non-overlapping match sets") {

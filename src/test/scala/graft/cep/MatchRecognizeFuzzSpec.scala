@@ -41,8 +41,11 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   // ---- pattern model (mirrors the front-end's PatElem/PatVar) ------
 
   private case class FVar(name: String, min: Int, max: Int, rel: Boolean)
+  /** `isSeq` = a multi-variable SEQUENCE group: `alts` is then the
+    * ordered variable list of one iteration (all plain), not
+    * alternation branches. */
   private case class FElem(alts: Vector[FVar], min: Int, max: Int,
-                           rel: Boolean)
+                           rel: Boolean, isSeq: Boolean = false)
 
   private def quantStr(min: Int, max: Int, rel: Boolean): String =
     (min, max) match {
@@ -56,7 +59,10 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def patternStr(elems: Vector[FElem]): String =
     elems.map { el =>
-      if (el.alts.size == 1 && el.alts.head.min == 1 &&
+      if (el.isSeq)
+        el.alts.map(_.name).mkString("(", " ", ")") +
+          quantStr(el.min, el.max, el.rel)
+      else if (el.alts.size == 1 && el.alts.head.min == 1 &&
         el.alts.head.max == 1)
         el.alts.head.name + quantStr(el.min, el.max, el.rel)
       else
@@ -102,10 +108,19 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     }
 
     // one group iteration: leftmost branch preferred; a min-0 branch
-    // contributes an EMPTY way at its own alternation rank
+    // contributes an EMPTY way at its own alternation rank. A
+    // SEQUENCE group iteration is deterministic: each variable
+    // consumes exactly one row, strictly contiguous, in order
     def oneIter(el: FElem, pos: Int,
                 acc: Bind): Iterator[(Int, Bind)] =
-      el.alts.iterator.flatMap(v => branchWays(v, pos, acc))
+      if (el.isSeq) {
+        if (pos + el.alts.length <= n &&
+          el.alts.indices.forall(i => sat(el.alts(i).name, pos + i)))
+          Iterator.single((pos + el.alts.length,
+            acc ++ el.alts.indices.map(i => (el.alts(i).name, pos + i))))
+        else Iterator.empty
+      }
+      else el.alts.iterator.flatMap(v => branchWays(v, pos, acc))
 
     def iters(el: FElem, done: Int, pos: Int,
               acc: Bind): Iterator[(Int, Bind)] = {
@@ -247,11 +262,19 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def genElem(rnd: Random, names: Seq[String]): FElem = {
     def pick() = names(rnd.nextInt(names.length))
-    if (rnd.nextInt(10) < 6) {
+    if (rnd.nextInt(10) < 5) {
       val v = genVar(rnd, pick())
       // a single variable carries ITS quantifier at element level
       // (the front-end parses B{2,3} as an element quantifier)
       FElem(Vector(FVar(v.name, 1, 1, rel = false)), v.min, v.max, v.rel)
+    } else if (rnd.nextInt(5) == 0) {
+      // multi-variable SEQUENCE group (A B){n,m}: plain vars (the
+      // front-end rejects per-variable quantifiers inside), any
+      // element quantifier; repeated names allowed ((A A), (B A B))
+      val k = 2 + rnd.nextInt(2)
+      val vars = Vector.fill(k)(FVar(pick(), 1, 1, rel = false))
+      val q = genVar(rnd, "_")
+      FElem(vars, q.min, q.max, q.rel, isSeq = true)
     } else {
       val k = 2 + rnd.nextInt(2)
       val branchNames = rnd.shuffle(names.toVector).take(k)
