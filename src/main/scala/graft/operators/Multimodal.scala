@@ -2182,6 +2182,57 @@ object Multimodal extends graft.QueryModule {
       .drop("__dh")
   }
 
+  /** In-stream audio dedup — [[imageDedupStream]]'s pattern for the
+    * audio modality: key the watermark-bounded dedup on a 64-bit fold
+    * of the track's sub-fingerprint sequence (plus its sample count),
+    * so container re-encodes AND uniform-gain copies collapse to the
+    * first arrival (gain leaves every fingerprint bit untouched —
+    * exactly, in integer math — so this is strictly stronger than
+    * byte-exact collapse). A near-dup whose fingerprints differ by
+    * one bit survives, by design — that is [[audioAdmitStream]]'s or
+    * the batch pair op's job. Decode runs once per row, map-side;
+    * state is delay × rate keys of 8 bytes each. */
+  def audioDedupStream(media: DataFrame, payload: Column, ts: Column,
+                       watermarkDelay: String): DataFrame = {
+    val hash = udf { bytes: Array[Byte] =>
+      val samples = parseWav(bytes).samples
+      var h = 1125899906842597L + samples.length
+      subFingerprints(samples).foreach { case (f, fp) =>
+        h = h * 31 + f
+        h = h * 1099511628211L + fp
+      }
+      h
+    }
+    graft.streaming.StreamAggs.dedupWithinWatermark(
+        media.withColumn("__afp", hash(payload)), ts, watermarkDelay, "__afp")
+      .drop("__afp")
+  }
+
+  /** In-stream video dedup — the same composition for video: the key
+    * is a 64-bit fold of the clip's per-frame dHash signature (plus
+    * frame count and geometry), so raw-DIB re-encodes and re-muxes
+    * collapse while an MJPEG re-encode of the same frames — a
+    * NEAR-dup after JPEG loss, exactly like the image twin's
+    * documented semantics — survives for the frozen gate or the
+    * batch pair op to catch. */
+  def videoDedupStream(media: DataFrame, payload: Column, ts: Column,
+                       watermarkDelay: String): DataFrame = {
+    val hash = udf { bytes: Array[Byte] =>
+      val s = parseAvi(bytes)
+      var h = 1125899906842597L + s.frames.length * 31L +
+        s.width * 7L + s.height
+      s.frames.foreach { f =>
+        val (lo, hi) = frameDHash(s, f, -1L)
+        h = h * 1099511628211L + lo
+        h = h * 1099511628211L + hi
+      }
+      h
+    }
+    graft.streaming.StreamAggs.dedupWithinWatermark(
+        media.withColumn("__vfp", hash(payload)), ts, watermarkDelay, "__vfp")
+      .drop("__vfp")
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

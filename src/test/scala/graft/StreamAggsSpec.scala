@@ -879,6 +879,99 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream audio dedup collapses gain-scaled copies across " +
+    "batches and keeps fingerprint-variant tracks") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val base = Array.tabulate(400)(t =>
+      (math.floorMod(t.toLong * t * 3 + t * 5 + 13, 1024) - 512).toShort)
+    // uniform gain leaves every fingerprint bit untouched (integer
+    // sign-of-energy-delta invariance) — a STRONGER dup than
+    // byte-exact, and the key must collapse it
+    val gained = base.map(s => (s * 2).toShort)
+    // a muted sample region must actually flip a fingerprint bit
+    // (energies are squares, so sign flips would be invisible)
+    val variant = base.clone()
+    (0 until 8).foreach(i => variant(200 + i) = 0)
+    assert(!Multimodal.subFingerprints(base).map(_._2).toSeq
+      .equals(Multimodal.subFingerprints(variant).map(_._2).toSeq),
+      "fixture vacuous: the variant fingerprints equal the base's")
+    assert(Multimodal.subFingerprints(base).map(_._2).toSeq ==
+      Multimodal.subFingerprints(gained).map(_._2).toSeq)
+    def wav(s: Array[Short]) = Multimodal.wavBytes(s, 8000)
+    val in = MemoryStream[(Long, Long, Array[Byte])]
+    val df = in.toDF().toDF("ts_ms", "media_id", "payload")
+    val q = Multimodal.audioDedupStream(df, col("payload"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .select("media_id")
+      .writeStream.format("memory").queryName("aud_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1000L, 1L, wav(base)),
+        (2000L, 2L, wav(gained)),  // gain-scaled copy → dup
+        (3000L, 3L, wav(variant))) // fingerprint differs → survives
+      q.processAllAvailable()
+      in.addData((4000L, 4L, wav(base))) // cross-batch copy → dup
+      q.processAllAvailable()
+      val got = spark.table("aud_dedup_out").as[Long].collect().toSet
+      assert(got == Set(1L, 3L),
+        s"got $got: gain copies must collapse, variants must survive")
+    } finally q.stop()
+  }
+
+  test("in-stream video dedup collapses signature-exact copies and " +
+    "keeps MJPEG re-encodes (near-dups by design)") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val (w, h) = (16, 12)
+    def frames(id: Long) =
+      (0 until 3).map(f => Multimodal.syntheticDibFrame(id, f, w, h))
+    // aviBytes wraps the given frame bytes verbatim: MJPEG payloads
+    // carry per-frame JPEGs of the SAME rasters (decode DIB → encode)
+    def jpegFrame(id: Long, f: Int): Array[Byte] = {
+      val dib = Multimodal.syntheticDibFrame(id, f, w, h)
+      val stride = (w * 3 + 3) & ~3
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (h - 1 - y) * stride + x * 3
+        img.setRGB(x, y, ((dib(o + 2) & 0xff) << 16) |
+          ((dib(o + 1) & 0xff) << 8) | (dib(o) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(id: Long, mjpeg: Boolean) =
+      if (mjpeg) Multimodal.aviBytes(
+        (0 until 3).map(f => jpegFrame(id, f)), w, h, fps = 25, mjpeg = true)
+      else Multimodal.aviBytes(frames(id), w, h, fps = 25, mjpeg = false)
+    val in = MemoryStream[(Long, Long, Array[Byte])]
+    val df = in.toDF().toDF("ts_ms", "media_id", "payload")
+    val q = Multimodal.videoDedupStream(df, col("payload"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .select("media_id")
+      .writeStream.format("memory").queryName("vid_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1000L, 1L, avi(7L, mjpeg = false)),
+        (2000L, 2L, avi(7L, mjpeg = false)), // signature-exact → dup
+        (3000L, 3L, avi(9L, mjpeg = false))) // different clip → survives
+      q.processAllAvailable()
+      in.addData(
+        (4000L, 4L, avi(7L, mjpeg = false)), // cross-batch copy → dup
+        (5000L, 5L, avi(7L, mjpeg = true))) // MJPEG re-encode: NEAR-dup,
+                                            // survives (the gate's job)
+      q.processAllAvailable()
+      val got = spark.table("vid_dedup_out").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L),
+        s"got $got: signature-exact copies must collapse; the lossy " +
+          "MJPEG re-encode must survive")
+    } finally q.stop()
+  }
+
   test("decode audit is stateless: streaming verdicts equal the batch " +
     "ones on the corrupted fixture") {
     import graft.operators.Multimodal
