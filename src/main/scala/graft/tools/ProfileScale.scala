@@ -33,6 +33,11 @@ object ProfileScale {
       spark.stop()
       return
     }
+    if (args.headOption.contains("gatefit")) {
+      runGateFit(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("pqprobe")) {
       // decompose q80's wall at an existing replica path: model fit
       // (runs at construction — driver collects per Lloyd round) vs
@@ -336,6 +341,74 @@ object ProfileScale {
     * warm run, the Bench discipline. SCALE.md records the crossover;
     * the `maxDriverEdges` default derives from it.
     */
+  /** Fit + probe cost of the three frozen media admission indexes at
+    * 1× and 10× reference size (SCALE.md rows): fit wall (the one
+    * decode pass + driver bucket build), index mass (buckets /
+    * entries), and the pure per-row PROBE rate against each index —
+    * the number that must NOT degrade with reference size for the
+    * stateless-gate scale story to hold (bucket caps bound per-probe
+    * work; reference growth adds buckets, not bucket depth, at
+    * constant dup density). */
+  private def runGateFit(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    def docs(n: Long) = spark.range(n).select(col("id").as("doc_id"))
+    def wall[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def probeRate(nProbes: Int)(probe: Int => Boolean): (Double, Long) = {
+      var hits = 0L
+      var i = 0
+      while (i < nProbes) { if (probe(i)) hits += 1; i += 1 } // warm
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < nProbes) { if (probe(i)) hits += 1; i += 1 }
+      (nProbes / ((System.nanoTime() - t0) / 1e9), hits)
+    }
+    for (n <- Seq(2000L, 20000L)) {
+      locally { // image
+        val (idx, tFit) = wall(
+          Multimodal.fitImageDupIndex(Multimodal.nearDupImageTable(docs(n))))
+        val entries = idx.buckets.map(_.length / 2).sum
+        val arriving = Multimodal.imageDHash(
+            Multimodal.nearDupImageTable(docs(n * 2)
+              .filter(col("doc_id") >= n)))
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val (rate, _) = probeRate(arriving.length)(i =>
+          idx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"image  n=$n%-6d fit ${tFit}%6.2f s  " +
+          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+      }
+      locally { // audio
+        val (idx, tFit) = wall(
+          Multimodal.fitAudioDupIndex(Multimodal.nearDupAudioTable(docs(n))))
+        val entries = idx.refSets.map(_.length).sum
+        val arriving = Multimodal.nearDupAudioTable(docs(n * 2)
+            .filter(col("doc_id") >= n)).collect()
+          .map(r => Multimodal.subFingerprints(
+            Multimodal.parseWav(r.payload).samples).map(_._2).distinct.sorted)
+        val (rate, _) = probeRate(arriving.length)(i => idx.hits(arriving(i)))
+        println(f"audio  n=$n%-6d fit ${tFit}%6.2f s  " +
+          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+      }
+      locally { // video
+        val (idx, tFit) = wall(
+          Multimodal.fitVideoDupIndex(Multimodal.nearDupVideoTable(docs(n))))
+        val entries = idx.refSigs.map(_.length / 2).sum
+        val arriving = Multimodal.videoDHashSignature(
+            Multimodal.nearDupVideoTable(docs(n * 2)
+              .filter(col("doc_id") >= n)))
+          .collect().map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+        val (rate, _) = probeRate(arriving.length)(i =>
+          idx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"video  n=$n%-6d fit ${tFit}%6.2f s  " +
+          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+      }
+    }
+  }
+
   private def runQ47Gate(spark: SparkSession, argKs: Seq[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
     // "k" = k disjoint prefix-remapped replicas (edge count scales
