@@ -1740,8 +1740,11 @@ object Multimodal extends graft.QueryModule {
     * mode). The bucket key space is 8 bands × 256 values, so the
     * frozen index holds ≤ 2048·cap hashes REGARDLESS of reference
     * corpus size — the cap discipline is what makes the broadcast
-    * bounded; a larger deployment widens the band width (more, finer
-    * bands) with the corpus, the standard LSH banding trade. */
+    * bounded; a larger deployment widens the keys with the corpus,
+    * the standard LSH banding trade. Measured saturation point
+    * (SCALE.md gatefit): ~20 000 references cap out 75% of this key
+    * space — [[WideImageDupIndex]] (band-PAIR keys, ~900× the space,
+    * identical recall guarantee) is the widening. */
   case class ImageDupIndex(maxDist: Int, maxBucket: Int,
                            buckets: Array[Array[Long]]) {
     /** true iff `hash` near-dups some reference image: a band-matching
@@ -1821,6 +1824,111 @@ object Multimodal extends graft.QueryModule {
   def imageAdmitStream(media: Dataset[MediaRecord], index: ImageDupIndex)
       : Dataset[MediaRecord] =
     imageAdmitStream(media,
+      media.sparkSession.sparkContext.broadcast(index))
+
+  /** [[ImageDupIndex]] with BAND-PAIR keys — the measured answer to
+    * the byte-band space saturating (`ProfileScale gatefit`: at
+    * 20 000 references, 75% of the 2048-key space's entries are
+    * stop-band drops and recall collapses). Keys are the C(8,2) = 28
+    * ordered pairs of the dHash's byte bands, 16 bits of value each
+    * (key space 28·65536 ≈ 1.8 M — ~900× the single-band space), so
+    * the same reference mass spreads across vastly more buckets
+    * before any cap bites. Recall stays pigeonhole-complete at the
+    * same `maxDist` ≤ 6: ≤ 6 bit errors over 8 bands leave ≥ 2 bands
+    * error-free, and some PAIR of clean bands is then a shared key.
+    * The trade is ×3.5 index mass (28 entries per reference instead
+    * of 8) and ×3.5 probe lookups — both measured orders of
+    * magnitude below the gate's decode cost. Verdicts are IDENTICAL
+    * to the single-band index wherever neither index drops a bucket
+    * (both are recall-complete and verify exact Hamming;
+    * spec-asserted on the fixture). */
+  case class WideImageDupIndex(maxDist: Int, maxBucket: Int,
+      buckets: java.util.HashMap[Integer, Array[Long]]) {
+    def hits(lo: Long, hi: Long): Boolean = {
+      var a = 0
+      while (a < 8) {
+        var b = a + 1
+        while (b < 8) {
+          val k = WideImageDupIndex.key(a, b, lo, hi)
+          val bk = buckets.get(k)
+          if (bk != null) {
+            var i = 0
+            while (i < bk.length) {
+              if (java.lang.Long.bitCount(bk(i) ^ lo) +
+                  java.lang.Long.bitCount(bk(i + 1) ^ hi) <= maxDist)
+                return true
+              i += 2
+            }
+          }
+          b += 1
+        }
+        a += 1
+      }
+      false
+    }
+  }
+
+  object WideImageDupIndex {
+    private def byteBand(k: Int, lo: Long, hi: Long): Int =
+      (((if (k < 4) lo >> (k * 8) else hi >> ((k - 4) * 8))) & 255L).toInt
+    /** pairIdx(a,b) << 16 | byte_a << 8 | byte_b, a < b. */
+    def key(a: Int, b: Int, lo: Long, hi: Long): Int = {
+      val pairIdx = a * 8 - a * (a + 1) / 2 + (b - a - 1)
+      (pairIdx << 16) | (byteBand(a, lo, hi) << 8) | byteBand(b, lo, hi)
+    }
+  }
+
+  /** Fit the wide index: the same one decode+hash pass as
+    * [[fitImageDupIndex]], bucketed on the 28 band-pair keys with the
+    * same cap discipline (singletons stay). Driver-side bucket build
+    * — the hashes must come down anyway and the key space is sparse
+    * (only occupied keys materialize in the HashMap). */
+  def fitWideImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
+                           maxBucket: Int = Dedup.DefaultMaxBucket)
+      : WideImageDupIndex = {
+    val hs = imageDHash(reference).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val byKey = new java.util.HashMap[Integer, java.util.ArrayList[java.lang.Long]]
+    hs.foreach { case (lo, hi) =>
+      var a = 0
+      while (a < 8) {
+        var b = a + 1
+        while (b < 8) {
+          val l = byKey.computeIfAbsent(WideImageDupIndex.key(a, b, lo, hi),
+            _ => new java.util.ArrayList[java.lang.Long])
+          l.add(lo); l.add(hi)
+          b += 1
+        }
+        a += 1
+      }
+    }
+    val buckets = new java.util.HashMap[Integer, Array[Long]]
+    byKey.forEach { (k, ls) =>
+      if (ls.size / 2 <= maxBucket)
+        buckets.put(k, Array.tabulate(ls.size)(ls.get(_).longValue()))
+    }
+    WideImageDupIndex(maxDist, maxBucket, buckets)
+  }
+
+  /** [[imageAdmitStream]] against the wide band-pair index — same
+    * stateless shape, same decode fast path. */
+  def imageAdmitStreamWide(media: Dataset[MediaRecord],
+      index: org.apache.spark.broadcast.Broadcast[WideImageDupIndex])
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bc = index
+    media.mapPartitions { it =>
+      it.filter { r =>
+        val (lo, hi) = dHashAny(r.payload, s"media ${r.media_id}")
+        !bc.value.hits(lo, hi)
+      }
+    }
+  }
+
+  def imageAdmitStreamWide(media: Dataset[MediaRecord],
+                           index: WideImageDupIndex): Dataset[MediaRecord] =
+    imageAdmitStreamWide(media,
       media.sparkSession.sparkContext.broadcast(index))
 
   // ---- streaming media admission: audio near-dup gate --------------------

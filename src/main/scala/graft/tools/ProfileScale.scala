@@ -380,6 +380,21 @@ object ProfileScale {
           idx.hits(arriving(i)._1, arriving(i)._2))
         println(f"image  n=$n%-6d fit ${tFit}%6.2f s  " +
           f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+        // the wide band-pair index at the same reference size: entries
+        // surviving the cap (vs the byte-band space saturating) and
+        // the dropped arriving near-dups (recall evidence)
+        val (widx, tFitW) = wall(Multimodal.fitWideImageDupIndex(
+          Multimodal.nearDupImageTable(docs(n))))
+        var entriesW = 0L
+        widx.buckets.forEach((_, b) => entriesW += b.length / 2)
+        val (rateW, hitsW) = probeRate(arriving.length)(i =>
+          widx.hits(arriving(i)._1, arriving(i)._2))
+        val (_, hitsN) = probeRate(arriving.length)(i =>
+          idx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"imageW n=$n%-6d fit ${tFitW}%6.2f s  " +
+          f"entries $entriesW%8d  probe ${rateW / 1000}%8.0f kprobes/s  " +
+          f"(gated: wide ${hitsW / 2}%d vs narrow ${hitsN / 2}%d " +
+          f"of ${arriving.length}%d)")
       }
       locally { // audio
         val (idx, tFit) = wall(

@@ -727,6 +727,52 @@ class StreamAggsSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("wide band-pair image index: verdicts equal the single-band " +
+    "index below the cap, and the key space spreads ~28x wider") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupImageTable(docs.limit(200))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val narrow = Multimodal.fitImageDupIndex(reference)
+    val wide = Multimodal.fitWideImageDupIndex(reference)
+    // both indexes are pigeonhole-complete at maxDist 6 and verify
+    // exact Hamming, so with no bucket capped their verdicts coincide
+    val nRefs = reference.count()
+    assert(narrow.buckets.forall(_.length / 2 <= 100) &&
+      wide.buckets.size() * 1L >= nRefs,
+      "fixture must stay below both caps for the parity to be exact")
+    val narrowAdmit = Multimodal.imageAdmitStream(arriving, narrow)
+      .select("media_id").as[Long].collect().toSet
+    val wideAdmit = Multimodal.imageAdmitStreamWide(arriving, wide)
+      .select("media_id").as[Long].collect().toSet
+    assert(wideAdmit == narrowAdmit,
+      s"wide and narrow verdicts diverge: ${
+        (wideAdmit -- narrowAdmit) ++ (narrowAdmit -- wideAdmit)}")
+    assert(narrowAdmit.nonEmpty && narrowAdmit.size < 100)
+    // the point of the wide index: the same reference mass occupies
+    // far more buckets, so the per-bucket load that triggers the
+    // stop-band cap is an order of magnitude lower
+    // (the 28/8 = 3.5x entry fan-out is the floor; shared near-dup
+    // hashes in the fixture keep the ratio near it at this scale)
+    val narrowOccupied = narrow.buckets.count(_.nonEmpty)
+    assert(wide.buckets.size() > narrowOccupied * 3,
+      s"wide ${wide.buckets.size()} vs narrow $narrowOccupied occupied")
+    // streaming parity on the wide gate
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val sq = Multimodal.imageAdmitStreamWide(in.toDS(), wide)
+      .select("media_id")
+      .writeStream.format("memory").queryName("imgw_admit_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arriving.collect().toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("imgw_admit_out").as[Long].collect().toSet
+      assert(stream == narrowAdmit)
+    } finally sq.stop()
+  }
+
   test("streaming audio admission gate: verdicts equal a brute-force " +
     "mirror of the frozen bucket/cap/Jaccard index, batch == stream") {
     import graft.operators.Multimodal
