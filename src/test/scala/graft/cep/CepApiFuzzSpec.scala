@@ -245,6 +245,48 @@ class CepApiFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"${Cases / 2} chunked-replay Pattern-API cases match one-shot run") {
+    // the streaming seam: NfaState carried across micro-batch-sized
+    // chunks with a zero-delay watermark expiry after each — must
+    // reproduce the one-shot batch run exactly (the
+    // MatchRecognizeFuzzSpec chunked discipline, on the DSL path)
+    val rnd = new Random(0x0DD5EED5L)
+    var cases = 0
+    while (cases < Cases / 2) {
+      val steps = genPattern(rnd)
+      val tape = genTape(rnd)
+      if (tape.nonEmpty) {
+        val withinMs: Option[Long] =
+          Some((1 + rnd.nextInt(5)) * TsStep)
+        val spec = build(steps, withinMs)
+        val nfa = new Cep.Nfa[Ev](spec, _.ts)
+        val evs = tape.zipWithIndex.map { case (c, r) => Ev(c, r, tsOf(r)) }
+        val oneShot = nfa.run(evs)._1.map(_.entries)
+        var st = Cep.NfaState.empty[Ev]
+        val got = Vector.newBuilder[Vector[(Int, Ev)]]
+        var i = 0
+        while (i < evs.length) {
+          val sz = 1 + rnd.nextInt(3)
+          val chunk = evs.slice(i, i + sz)
+          for (e <- chunk) {
+            val (s2, done, _) = nfa.onEvent(st, e)
+            st = s2
+            got ++= done.map(_.entries)
+          }
+          i += sz
+          val (s3, released, _) = nfa.expire(st, math.min(i, evs.length) * TsStep)
+          st = s3
+          got ++= released.map(_.entries)
+        }
+        got ++= nfa.flush(st)._2.map(_.entries)
+        assert(got.result() == oneShot.toVector,
+          s"\npattern $steps tape='$tape' within=$withinMs: " +
+            "chunked != one-shot")
+        cases += 1
+      }
+    }
+  }
+
   // a few hand-pinned anchors so a generator regression can't
   // silently gut the fuzz (the MatchRecognizeFuzzSpec discipline)
   test("hand anchors: followedBy greedy consumption vs followedByAny branching") {
