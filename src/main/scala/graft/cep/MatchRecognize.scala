@@ -243,10 +243,13 @@ object MatchRecognize {
           pat += PatElem(as, gMin, gMax, gRel)
         }
       } else {
-        val name = p.next()
-        val (mn, mx, rel) = parseQuant(p)
-        pat += PatElem(Vector(PatVar(name, 1, 1, reluctant = false)),
-          mn, mx, rel)
+        // parsePatVar's identifier guard applies here too: a stray
+        // token (e.g. the '?' of an unsupported reluctant bounded
+        // quantifier B{2,3}?) must fail fast, not silently become an
+        // always-true pattern variable
+        val v = parsePatVar(p)
+        pat += PatElem(Vector(PatVar(v.name, 1, 1, reluctant = false)),
+          v.min, v.max, v.reluctant)
       }
     }
 

@@ -1028,8 +1028,7 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val sets = media.mapPartitions { it =>
       it.flatMap { r =>
-        val fps = subFingerprints(parseWav(r.payload).samples)
-          .map(_._2).distinct.sorted
+        val fps = audioFpSet(r.payload)
         if (fps.isEmpty) None else Some((r.media_id, fps))
       }
     }.toDF("media_id", "es")
@@ -1124,15 +1123,33 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val s = parseAvi(r.payload)
-        val sig = s.frames.flatMap { f =>
-          val (lo, hi) = frameDHash(s, f, r.media_id)
-          Seq(lo, hi)
-        }
-        (r.media_id, s.frames.length, sig)
+        val (nf, sig) = clipSignature(r)
+        (r.media_id, nf, sig)
       }
     }.toDF("media_id", "nf", "sig")
   }
+
+  /** One clip's (frame count, interleaved [lo₀, hi₀, lo₁, hi₁, …]
+    * dHash signature) — the single demux+decode+hash definition the
+    * batch pair op (via [[videoDHashSignature]]), the frozen gate
+    * fit, and the streaming probe share; fit/serve/batch parity
+    * rests on bit-identical signatures, so the recipe must not
+    * fork. */
+  private def clipSignature(payload: Array[Byte],
+                            mediaId: Long): (Int, Array[Long]) = {
+    val s = parseAvi(payload)
+    val sig = new Array[Long](s.frames.length * 2)
+    var i = 0
+    while (i < s.frames.length) {
+      val (lo, hi) = frameDHash(s, s.frames(i), mediaId)
+      sig(2 * i) = lo
+      sig(2 * i + 1) = hi
+      i += 1
+    }
+    (s.frames.length, sig)
+  }
+  private def clipSignature(r: MediaRecord): (Int, Array[Long]) =
+    clipSignature(r.payload, r.media_id)
 
   /** One frame's dHash, by codec (shared by the signature and
     * containment paths). */
@@ -1637,6 +1654,14 @@ object Multimodal extends graft.QueryModule {
     }
   }
 
+  /** The SORTED DISTINCT sub-fingerprint set of one payload — the
+    * single definition the batch pair ops (q136/q141), the frozen
+    * gate fit, and the streaming probe all share: fit/serve/batch
+    * parity rests on these computing bit-identical sets, so the
+    * recipe must not fork. */
+  private[operators] def audioFpSet(payload: Array[Byte]): Array[Long] =
+    subFingerprints(parseWav(payload).samples).map(_._2).distinct.sorted
+
   /** Per-partition REAL WAV decode → sub-fingerprint rows
     * (media_id, frame_idx, subfp). Map-only — the only pass that
     * touches payload bytes; at 100 TB everything downstream of this
@@ -1674,8 +1699,7 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val sets = media.mapPartitions { it =>
       it.flatMap { r =>
-        val fps = subFingerprints(parseWav(r.payload).samples)
-          .map(_._2).distinct.sorted
+        val fps = audioFpSet(r.payload)
         if (fps.isEmpty) None else Some((r.media_id, fps))
       }
     }.toDF("media_id", "es")
@@ -1886,6 +1910,12 @@ object Multimodal extends graft.QueryModule {
   def fitWideImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
                            maxBucket: Int = Dedup.DefaultMaxBucket)
       : WideImageDupIndex = {
+    // ≥ 2 clean bands — the pair-key pigeonhole — needs ≤ 6 bit
+    // errors over 8 bands; the single-band index is complete to 7,
+    // so a 7 here would silently LOSE recall vs the narrow index
+    require(maxDist <= 6,
+      s"band-pair pigeonhole needs maxDist <= 6, got $maxDist " +
+        "(use the single-band ImageDupIndex up to 7)")
     val hs = imageDHash(reference).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     val byKey = new java.util.HashMap[Integer, java.util.ArrayList[java.lang.Long]]
@@ -2010,8 +2040,7 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val sets: Array[Array[Long]] = reference.mapPartitions { it =>
       it.flatMap { r =>
-        val fps = subFingerprints(parseWav(r.payload).samples)
-          .map(_._2).distinct.sorted
+        val fps = audioFpSet(r.payload)
         if (fps.isEmpty) None else Some(fps)
       }
     }.collect()
@@ -2048,8 +2077,7 @@ object Multimodal extends graft.QueryModule {
     val bc = index
     media.mapPartitions { it =>
       it.filter { r =>
-        val fps = subFingerprints(parseWav(r.payload).samples)
-          .map(_._2).distinct.sorted
+        val fps = audioFpSet(r.payload)
         !bc.value.hits(fps)
       }
     }
@@ -2133,12 +2161,8 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val sigs: Array[(Int, Array[Long])] = reference.mapPartitions { it =>
       it.flatMap { r =>
-        val s = parseAvi(r.payload)
-        if (s.frames.isEmpty) None
-        else Some((s.frames.length, s.frames.toArray.flatMap { f =>
-          val (lo, hi) = frameDHash(s, f, r.media_id)
-          Array(lo, hi)
-        }))
+        val (nf, sig) = clipSignature(r)
+        if (nf == 0) None else Some((nf, sig))
       }
     }.collect()
     val byBand = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
@@ -2170,12 +2194,8 @@ object Multimodal extends graft.QueryModule {
     val bc = index
     media.mapPartitions { it =>
       it.filter { r =>
-        val s = parseAvi(r.payload)
-        val sig = s.frames.toArray.flatMap { f =>
-          val (lo, hi) = frameDHash(s, f, r.media_id)
-          Array(lo, hi)
-        }
-        !bc.value.hits(s.frames.length, sig)
+        val (nf, sig) = clipSignature(r)
+        !bc.value.hits(nf, sig)
       }
     }
   }
@@ -2326,6 +2346,9 @@ object Multimodal extends graft.QueryModule {
   def videoDedupStream(media: DataFrame, payload: Column, ts: Column,
                        watermarkDelay: String): DataFrame = {
     val hash = udf { bytes: Array[Byte] =>
+      // one parse: this is a dedup KEY (any stable fold works), not
+      // the parity-critical signature the fit/probe/batch trio share
+      // through clipSignature
       val s = parseAvi(bytes)
       var h = 1125899906842597L + s.frames.length * 31L +
         s.width * 7L + s.height

@@ -101,6 +101,19 @@ class MatchRecognizeSpec extends SparkSpec {
       """)
     }
     assert(err2.getMessage.contains("expected AS"))
+    // a stray token at pattern-element level must fail fast too: the
+    // unsupported reluctant bounded quantifier B{2,3}? would otherwise
+    // silently turn '?' into an always-true pattern variable
+    val err2b = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS p
+        PATTERN (A B{2,3}? C)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(err2b.getMessage.contains("expected a pattern variable"))
     // NESTED groups are rejected loudly (sequence groups themselves
     // are supported as of round 9 — see the sequence-group tests)
     val err3 = intercept[RuntimeException] {
