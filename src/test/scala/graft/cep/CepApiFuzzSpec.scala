@@ -245,6 +245,113 @@ class CepApiFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"${Cases / 2} skip-strategy cases (relaxed contiguity) match " +
+    "the sequential-scan oracle") {
+    // the seam neither existing fuzz reaches: AFTER MATCH SKIP over
+    // RELAXED contiguity (the SQL fuzz's skip coverage is all-strict;
+    // the arm above is NoSkip-only). Scope: >= 1 Greedy/Reluctant
+    // loop and no AllMatches loops (slot-ranked, one preferred match
+    // per attempt) and no followedByAny (whose equal-priority
+    // multi-wins make per-attempt release sets ambiguous under skip)
+    // — then the engine's origin-ordered release + prune is exactly a
+    // sequential scan: preferred full-tape match from the first
+    // admissible start, jump per the strategy, repeat.
+    val rnd = new Random(0x5C1B5C1BL)
+    var cases = 0
+    while (cases < Cases / 2) {
+      val steps0 = genPattern(rnd)
+      val steps = steps0.zipWithIndex.map { case (s, i) =>
+        val noAny =
+          if (s.contig == Cep.FollowedByAny) s.copy(contig = Cep.FollowedBy)
+          else s
+        if (noAny.loop && i > 0 && noAny.quant == Cep.AllMatches)
+          noAny.copy(quant =
+            if (rnd.nextBoolean()) Cep.Greedy else Cep.Reluctant)
+        else if (noAny.loop && i == 0)
+          // begin() cannot carry a quantifier; a first-step loop would
+          // be an AllMatches loop — drop the loop instead
+          noAny.copy(loop = false)
+        else noAny
+      }
+      val expanded = expand(steps)
+      val ranked = expanded.exists(s => s.loop && s.quant != Cep.AllMatches)
+      val tape = genTape(rnd)
+      if (ranked && tape.nonEmpty) {
+        val stepNames = expanded.indices.map(i => s"S$i")
+        // skip strategies name the BUILDER step (copies share it)
+        val builderNames = steps.indices.map(i => s"S$i")
+        val (skip, jump) = rnd.nextInt(4) match {
+          case 0 => (Cep.SkipPastLastEvent,
+            (m: Vector[(Int, Int)], i: Int) => m.map(_._2).max + 1)
+          case 1 => (Cep.SkipToNextRow,
+            (m: Vector[(Int, Int)], i: Int) => i + 1)
+          case 2 =>
+            val nm = builderNames(rnd.nextInt(builderNames.length))
+            (Cep.SkipToLast(nm), (m: Vector[(Int, Int)], i: Int) => {
+              val vr = m.collect {
+                case (si, r) if nameOf(steps, si) == nm => r }
+              math.max(if (vr.isEmpty) m.map(_._2).max else vr.max, i + 1)
+            })
+          case 3 =>
+            val nm = builderNames(rnd.nextInt(builderNames.length))
+            (Cep.SkipToFirst(nm), (m: Vector[(Int, Int)], i: Int) => {
+              val vr = m.collect {
+                case (si, r) if nameOf(steps, si) == nm => r }
+              math.max(if (vr.isEmpty) m.map(_._2).max else vr.min, i + 1)
+            })
+        }
+        val withinMs: Option[Long] =
+          if (rnd.nextInt(4) == 0) Some((1 + rnd.nextInt(5)) * TsStep)
+          else None
+        val spec = build(steps, withinMs).afterMatchSkip(skip)
+        val nfa = new Cep.Nfa[Ev](spec, _.ts)
+        val evs = tape.zipWithIndex.map { case (c, r) => Ev(c, r, tsOf(r)) }
+        val got = nfa.run(evs)._1
+          .map(_.entries.map { case (si, e) => (si, e.row) }.toVector)
+        // sequential-scan oracle: preferred match per admissible start
+        val want = Vector.newBuilder[Vector[(Int, Int)]]
+        var i = 0
+        while (i < tape.length) {
+          val all = enumerate(expanded, tape, i, withinMs.getOrElse(0L))
+          if (all.isEmpty) i += 1
+          else {
+            val best = all.map(_._2).reduceLeft((a, b) =>
+              if (lexLtV(b, a)) b else a)
+            val m = all.collectFirst { case (bind, d) if d == best => bind }.get
+            want += m
+            i = jump(m, i)
+          }
+        }
+        assert(got == want.result(),
+          s"""pattern: $steps  skip: $skip  within: $withinMs
+             |tape   : $tape
+             |engine : ${canon(got)}
+             |oracle : ${canon(want.result())}""".stripMargin)
+        cases += 1
+      }
+    }
+  }
+
+  /** Builder-step name of an EXPANDED step index (times copies share
+    * their builder step's name, exactly as PatternSpec.times keeps
+    * the name on every copy). */
+  private def nameOf(steps: Vector[MStep], expandedIdx: Int): String = {
+    var i = expandedIdx
+    var b = 0
+    while (i >= steps(b).times) { i -= steps(b).times; b += 1 }
+    s"S$b"
+  }
+
+  private def lexLtV(a: Vector[Int], b: Vector[Int]): Boolean = {
+    val k = math.min(a.length, b.length)
+    var i = 0
+    while (i < k) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    a.length < b.length
+  }
+
   test(s"${Cases / 2} chunked-replay Pattern-API cases match one-shot run") {
     // the streaming seam: NfaState carried across micro-batch-sized
     // chunks with a zero-delay watermark expiry after each — must
