@@ -222,6 +222,10 @@ class CepApiFuzzSpec extends AnyFunSuite {
       .map(_ => letters(rnd.nextInt(letters.length))).mkString
   }
 
+  // default 2000 keeps the suite fast; crank via env for deep sweeps
+  // (round 9 close: 500k enumeration + 250k skip-strategy + 250k
+  // chunked cases green in one soak, alongside the SQL-path fuzz's
+  // 500k + 250k)
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
