@@ -150,7 +150,18 @@ object Cep {
     * `minReps`/`maxReps` bound it ((A B)? = 1/1 + optional,
     * (A B)+ = 1/−1, (A B){n,m} = n/m — no position copies, the
     * counter does the bounding). `quant` orders iterate-vs-leave at
-    * the last variable (greedy prefers another iteration). */
+    * the last variable (greedy prefers another iteration).
+    *
+    * A sequence branch may also share its position with OTHER
+    * alternation branches (`(A B | C)` — mixed groups): there the
+    * element quantifier expands into position COPIES like pure
+    * alternation, each sequence branch runs its cycle with
+    * minReps = maxReps = 1 (exactly one whole iteration per copy —
+    * the wrap edge is capped off), and in a loop copy the next group
+    * iteration opens through the `groupLoop` re-entry edges instead,
+    * which ranks same-branch re-entry against every other branch in
+    * alternation order. Sequence branches are entered (and
+    * re-entered) at variable 0 only. */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
@@ -316,10 +327,13 @@ object Cep {
     private def isSeq(s: Step[T]): Boolean = s.seqLen > 1
 
     /** The step the sequence-group cycle moves to from `s` (next
-      * variable, wrapping to variable 0 for a new iteration). */
+      * variable, wrapping to variable 0 of the SAME branch for a new
+      * iteration). Branch variables are consecutive steps, so this is
+      * index arithmetic — which keeps it correct when the position
+      * also holds OTHER alternation branches ((A B | C)). */
     private def seqNext(si: Int): Int = {
       val s = steps(si)
-      posSteps(posOf(si))((s.seqIdx + 1) % s.seqLen)
+      if (s.seqIdx < s.seqLen - 1) si + 1 else si - (s.seqLen - 1)
     }
 
     /** The open repetition at `s` is whole — the partial may advance,
@@ -446,11 +460,31 @@ object Cep {
         val advC = advWalkSeq(curPos + 1)
         val seq = Vector.newBuilder[Int] // step idx; -1 complete; -2 ext
         if (isSeq(cur)) {
-          // sequence-group cycle: the only move target is the next
-          // variable; at the last variable the wrap (a new iteration)
-          // vs leave tie is ordered by the group quantifier
+          // sequence-group cycle: mid-iteration the only move target
+          // is the next variable; at the last variable the
+          // iterate-again vs leave tie is ordered by the group
+          // quantifier. In a groupLoop position ((A B | C)+) the next
+          // iteration may instead pick ANY groupLoop alternative
+          // (branch switch or same-branch re-entry), ranked in
+          // alternation order with the leave walk spliced per the
+          // element flag — the same ordering the single-variable
+          // groupLoop case below uses (the wrap edge is capped off by
+          // maxReps = 1 there, so re-entry is the only iterate path)
           val nxt = seqNext(s)
           if (cur.seqIdx < cur.seqLen - 1) { seq += nxt; seq ++= advC }
+          else if (cur.groupLoop) {
+            var leaveDone = false
+            def leave(): Unit =
+              if (!leaveDone) { leaveDone = true; seq ++= advC }
+            if (cur.elemReluctant) leave()
+            for (j <- posSteps(curPos)
+                 if steps(j).groupLoop && steps(j).seqIdx <= 0) {
+              val st = steps(j)
+              if (st.emptyBranch && st.branchReluctant) { leave(); seq += j }
+              else { seq += j; if (st.emptyBranch) leave() }
+            }
+            leave()
+          }
           else if (cur.quant == Reluctant) { seq ++= advC; seq += nxt }
           else { seq += nxt; seq ++= advC }
         }
@@ -466,7 +500,10 @@ object Cep {
           def leave(): Unit = if (!leaveDone) { leaveDone = true; seq ++= advC }
           if (cur.branchLoop && !cur.branchReluctant) seq += -2
           if (cur.elemReluctant) leave()
-          for (j <- posSteps(curPos) if steps(j).groupLoop) {
+          // seqIdx <= 0: a sequence branch is re-entered at its first
+          // variable only (the cycle reaches the others)
+          for (j <- posSteps(curPos)
+               if steps(j).groupLoop && steps(j).seqIdx <= 0) {
             val st = steps(j)
             if (st.emptyBranch && st.branchReluctant) { leave(); seq += j }
             else { seq += j; if (st.emptyBranch) leave() }
@@ -543,6 +580,16 @@ object Cep {
             val nxt = seqNext(s)
             if (seqCanMove(cur, p.curRep) && steps(nxt).hit(e, p.entries))
               loopCh += ((nxt, p.curRep + 1, tab.target(nxt)))
+            // a whole iteration inside a quantified MIXED group
+            // ((A B | C)+) may open a new group repetition on any
+            // groupLoop alternative — branch switch or same-branch
+            // re-entry (the wrap above is capped off by maxReps = 1
+            // in that encoding); entry variables only
+            if (cur.groupLoop && done)
+              for (j <- posSteps(curPos)
+                   if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
+                     steps(j).hit(e, p.entries))
+                loopCh += ((j, 1, tab.target(j)))
           } else if (cur.oneOrMore) {
             val hitSelf = cur.hit(e, p.entries)
             if (cur.groupLoop) {
@@ -552,7 +599,7 @@ object Cep {
                   else math.min(tab.ext, tab.target(s))))
               if (done)
                 for (j <- posSteps(curPos)
-                     if steps(j).groupLoop &&
+                     if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
                        (j != s || !cur.branchLoop || isBounded(cur)) &&
                        steps(j).hit(e, p.entries))
                   loopCh += ((j, 1, tab.target(j)))

@@ -30,11 +30,14 @@ import org.apache.spark.sql.types.StructType
   * (Cep.Step minReps/maxReps trailing-run gates). Multi-variable
   * SEQUENCE groups (`(A B)+`, `(A B){n,m}` — session-shaped
   * patterns) compile to one cycling NFA position (Cep.Step
-  * seqIdx/seqLen) whose iteration counter does the bounding.
-  * Not supported: alternation of sequences (`(A B | C)`),
-  * per-variable quantifiers inside a sequence group (`(A B+)`), and
-  * empty matches (a pattern whose every position is optional
-  * matching zero rows).
+  * seqIdx/seqLen) whose iteration counter does the bounding, and may
+  * appear as alternation BRANCHES (`(A B | C)`, `(C | A B | D+)+` —
+  * mixed groups, expanded as position copies with one whole
+  * sequence iteration per copy; group repetitions may switch
+  * branches, per SQL).
+  * Not supported: per-variable quantifiers inside a sequence group
+  * (`(A B+)`), and empty matches (a pattern whose every position is
+  * optional matching zero rows).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -82,17 +85,22 @@ object MatchRecognize {
   private[cep] case class PatVar(name: String, min: Int, max: Int,
                                  reluctant: Boolean)
 
-  /** One pattern ELEMENT: a single variable, an alternation group, or
-    * — with `isSeq` — a multi-variable SEQUENCE group, with the
-    * element-level quantifier. `B{2,3}` is PatElem([B(1,1)], 2, 3);
-    * `(B|C)+` is PatElem([B(1,1), C(1,1)], 1, -1) — branches keep
-    * their own per-branch quantifiers (`(B+|C?)`), the element
-    * quantifier repeats the whole group. `(A B)+` is
-    * PatElem([A, B], 1, -1, isSeq = true): `alts` is then the ORDERED
-    * variable sequence of one iteration, not alternation branches. */
-  private[cep] case class PatElem(alts: Vector[PatVar], min: Int,
-                                  max: Int, reluctant: Boolean,
-                                  isSeq: Boolean = false)
+  /** One pattern ELEMENT: `branches` are the alternation branches of
+    * a group, each an ORDERED variable sequence; the element-level
+    * quantifier repeats the group. A single variable is one one-var
+    * branch (`B{2,3}` is PatElem([[B(1,1)]], 2, 3)); `(B|C)+` is two
+    * one-var branches — those keep their own per-branch quantifiers
+    * (`(B+|C?)`); a SEQUENCE group `(A B){n,m}` is ONE multi-var
+    * branch; `(A B | C)` mixes multi-var and one-var branches.
+    * Multi-var branches hold plain (1,1) variables only — the parser
+    * rejects per-variable quantifiers inside a sequence. */
+  private[cep] case class PatElem(branches: Vector[Vector[PatVar]],
+                                  min: Int, max: Int,
+                                  reluctant: Boolean) {
+    /** A single multi-variable branch — compiled to the cycling
+      * position whose iteration counter does the {n,m} bounding. */
+    def isPureSeq: Boolean = branches.size == 1 && branches.head.size > 1
+  }
 
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
@@ -218,37 +226,31 @@ object MatchRecognize {
         p.expect(")")
         val bs = branches.result()
         val (gMin, gMax, gRel) = parseQuant(p)
-        if (bs.size == 1 && bs.head.size > 1) {
-          // multi-variable sequence group (A B){n,m}: compiles to one
-          // cycling position (Cep.Step seqIdx/seqLen) whose iteration
-          // counter does the {n,m} bounding — no position copies
-          val vars = bs.head
-          if (!vars.forall(v => v.min == 1 && v.max == 1))
+        // a multi-variable (SEQUENCE) branch — alone ((A B){n,m}) or
+        // inside an alternation ((A B | C)) — holds plain variables
+        // only; per-variable quantifiers inside a sequence ((A B+))
+        // would need iters/run packed into Partial.curRep and are
+        // rejected fast (design notes in round-9 history)
+        for (br <- bs if br.size > 1)
+          if (!br.forall(v => v.min == 1 && v.max == 1))
             sys.error("MATCH_RECOGNIZE: per-variable quantifiers inside " +
               "a sequence group are unsupported: " +
-              vars.map(_.name).mkString("(", " ", ")"))
-          pat += PatElem(vars, gMin, gMax, gRel, isSeq = true)
-        } else {
-          if (!bs.forall(_.size == 1))
-            sys.error("MATCH_RECOGNIZE: alternation of sequences is " +
-              "unsupported")
-          val as = bs.map(_.head)
-          // B{n,m} as a branch compiles to a repetition-counted
-          // self-loop (Cep.Step minReps/maxReps); the NFA gates the
-          // counts on the TRAILING consecutive run at the step, so the
-          // combo with a QUANTIFIED group ((B{n,m}|C)+, where group
-          // repetitions may re-enter the branch back to back) is
-          // handled too — a run of k Bs is legal iff it splits into
-          // whole repetitions each in [n, m]
-          pat += PatElem(as, gMin, gMax, gRel)
-        }
+              br.map(_.name).mkString("(", " ", ")"))
+        // single-var branches: B{n,m} as a branch compiles to a
+        // repetition-counted self-loop (Cep.Step minReps/maxReps);
+        // the NFA gates the counts on the TRAILING consecutive run at
+        // the step, so the combo with a QUANTIFIED group
+        // ((B{n,m}|C)+, where group repetitions may re-enter the
+        // branch back to back) is handled too — a run of k Bs is
+        // legal iff it splits into whole repetitions each in [n, m]
+        pat += PatElem(bs, gMin, gMax, gRel)
       } else {
         // parsePatVar's identifier guard applies here too: a stray
         // token (e.g. the '?' of an unsupported reluctant bounded
         // quantifier B{2,3}?) must fail fast, not silently become an
         // always-true pattern variable
         val v = parsePatVar(p)
-        pat += PatElem(Vector(PatVar(v.name, 1, 1, reluctant = false)),
+        pat += PatElem(Vector(Vector(PatVar(v.name, 1, 1, reluctant = false))),
           v.min, v.max, v.reluctant)
       }
     }
@@ -498,13 +500,14 @@ object MatchRecognize {
     // a run of k Bs must split into whole repetitions in [n, m].
     val positions: Vector[Vector[PosAlt]] =
       clause.pattern.iterator.flatMap { el =>
-        if (el.isSeq) {
-          // sequence group: ONE position whose k variables cycle
+        if (el.isPureSeq) {
+          // pure sequence group: ONE position whose k variables cycle
           // (Cep.Step seqIdx/seqLen); minReps/maxReps carry the
           // {n,m} iteration bounds directly (min 0 = a skippable
           // position, one-iteration minimum once entered)
-          val k = el.alts.size
-          Iterator.single(el.alts.zipWithIndex.map { case (v, i) =>
+          val vars = el.branches.head
+          val k = vars.size
+          Iterator.single(vars.zipWithIndex.map { case (v, i) =>
             PosAlt(v.name,
               oneOrMore = true, // the cycle consumes through the loop path
               optional = el.min == 0,
@@ -519,9 +522,35 @@ object MatchRecognize {
               seqIdx = i, seqLen = k)
           })
         } else {
+        val nBr = el.branches.size
         def pos(loop: Boolean, opt: Boolean): Vector[PosAlt] =
-          el.alts.map { v =>
-            PosAlt(v.name,
+          el.branches.flatMap { br =>
+          if (br.size > 1) {
+            // a SEQUENCE branch inside an alternation ((A B | C)):
+            // k cycling steps sharing the position with the other
+            // branches, exactly ONE whole iteration per position
+            // copy (maxReps 1 caps off the wrap edge); in a loop
+            // copy the NEXT group iteration opens through the
+            // groupLoop re-entry instead, which ranks same-branch
+            // re-entry against every other branch in alternation
+            // order
+            val k = br.size
+            br.zipWithIndex.map { case (v, i) =>
+              PosAlt(v.name,
+                oneOrMore = true,
+                optional = opt,
+                reluctant = el.reluctant,
+                groupLoop = loop,
+                minReps = 1, maxReps = 1,
+                emptyBranch = false,
+                elemReluctant = loop && el.reluctant,
+                branchLoop = false, branchReluctant = false,
+                posSkip = opt,
+                seqIdx = i, seqLen = k)
+            }
+          } else {
+            val v = br.head
+            Vector(PosAlt(v.name,
               oneOrMore = v.max == -1 || v.max > 1 || loop,
               optional = v.min == 0 || opt,
               // the SELF-LOOP's governing flag: for a plain (max-1)
@@ -531,10 +560,10 @@ object MatchRecognize {
               // its own run (branch flag governs — (C|D*|A)+? still
               // extends a d-run greedily)
               reluctant =
-                if (loop && (v.max == 1 || el.alts.size == 1))
+                if (loop && (v.max == 1 || nBr == 1))
                   el.reluctant || v.reluctant
                 else v.reluctant,
-              groupLoop = loop && el.alts.size > 1,
+              groupLoop = loop && nBr > 1,
               minReps = math.max(1, v.min),
               // only genuinely bounded branches (max > 1) carry a cap:
               // maxReps >= 0 switches the NFA onto its per-event
@@ -552,8 +581,9 @@ object MatchRecognize {
               branchReluctant = v.reluctant,
               // the ELEMENT quantifier admits zero occurrences of
               // this position (optional copy / min-0 loop)
-              posSkip = opt)
+              posSkip = opt))
           }
+        }
         if (el.max == -1) {
           if (el.min <= 1) Vector(pos(loop = true, opt = el.min == 0))
           else (1 to el.min).iterator

@@ -469,14 +469,80 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a",
       6L -> "b", 7L -> "c", 8L -> "d"), "X (A B C){2} D", ms, defs) ==
       Seq(Seq(2L, 7L, 8L)))
-    val mixed = intercept[RuntimeException] {
-      mr(tape(1L -> "x"), "X (A B | C) D", ms, defs)
-    }
-    assert(mixed.getMessage.contains("alternation of sequences"))
     val quantified = intercept[RuntimeException] {
       mr(tape(1L -> "x"), "X (A B+) D", ms, defs)
     }
     assert(quantified.getMessage.contains("sequence group"))
+    val quantifiedMixed = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A B+ | C) D", ms, defs)
+    }
+    assert(quantifiedMixed.getMessage.contains("sequence group"))
+  }
+
+  test("alternation containing a sequence branch: (A B | C)") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "C AS name = 'c', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, LAST(C.seq) AS c1, D.seq AS d_seq"
+    def q(pat: String, t: (Long, String)*) = mr(tape(t: _*), pat, ms, defs)
+    // the sequence branch fires...
+    assert(q("X (A B | C) D",
+      1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d") ==
+      Seq(Seq(1L, null, 4L)))
+    // ...and the single-variable branch fires
+    assert(q("X (A B | C) D", 1L -> "x", 2L -> "c", 3L -> "d") ==
+      Seq(Seq(0L, 2L, 3L)))
+    // branch order in the pattern doesn't matter for reachability
+    assert(q("X (C | A B) D",
+      1L -> "x", 2L -> "a", 3L -> "b", 4L -> "d") ==
+      Seq(Seq(1L, null, 4L)))
+    // a half iteration of the sequence branch is no match
+    assert(q("X (A B | C) D", 1L -> "x", 2L -> "a", 3L -> "d").isEmpty)
+    assert(q("X (A B | C) D", 1L -> "x", 2L -> "d").isEmpty)
+    // a per-branch quantifier on a single-var branch still composes:
+    // C+ consumes the whole c-run in ONE group iteration
+    assert(mr(tape(1L -> "x", 2L -> "c", 3L -> "c", 4L -> "c", 5L -> "d"),
+      "X (A B | C+) D", "COUNT(C.*) AS n_c, D.seq AS d_seq", defs) ==
+      Seq(Seq(3L, 5L)))
+  }
+
+  test("SQL alternation preference is leftmost-branch, sequence branches included") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b"
+    val t = tape(1L -> "x", 2L -> "a", 3L -> "b")
+    // leftmost single-var branch beats the longer sequence branch
+    assert(mr(t, "X (A | A B)", ms, defs) == Seq(Seq(1L, 0L)))
+    // leftmost sequence branch beats the shorter single-var branch
+    assert(mr(t, "X (A B | A)", ms, defs) == Seq(Seq(1L, 1L)))
+  }
+
+  test("quantified mixed groups: (A B | C)+, (C | A B){2}, reluctant +?") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "C AS name = 'c', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(C.*) AS n_c, D.seq AS d_seq"
+    def q(pat: String, t: (Long, String)*) = mr(tape(t: _*), pat, ms, defs)
+    // iterations may switch branches: (A B), C, (A B)
+    assert(q("X (A B | C)+ D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "c", 5L -> "a", 6L -> "b", 7L -> "d") ==
+      Seq(Seq(2L, 1L, 7L)))
+    // same-branch re-entry back to back
+    assert(q("X (A B | C)+ D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "a", 5L -> "b", 6L -> "d") == Seq(Seq(2L, 0L, 6L)))
+    assert(q("X (A B | C)+ D", 1L -> "x", 2L -> "c", 3L -> "c",
+      4L -> "d") == Seq(Seq(0L, 2L, 4L)))
+    // a dangling sequence iteration kills the attempt
+    assert(q("X (A B | C)+ D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "a", 5L -> "d").isEmpty)
+    // exact count with a branch switch
+    assert(q("X (C | A B){2} D", 1L -> "x", 2L -> "c", 3L -> "a",
+      4L -> "b", 5L -> "d") == Seq(Seq(1L, 1L, 5L)))
+    assert(q("X (C | A B){2} D", 1L -> "x", 2L -> "c", 3L -> "d").isEmpty)
+    // greedy consumes the whole run; reluctant stops at the first
+    // completable iteration (pattern end makes one iteration enough)
+    val ccTape = Seq(1L -> "x", 2L -> "c", 3L -> "c")
+    assert(mr(tape(ccTape: _*), "X (C | A B)+", "COUNT(C.*) AS n_c", defs) ==
+      Seq(Seq(2L)))
+    assert(mr(tape(ccTape: _*), "X (C | A B)+?", "COUNT(C.*) AS n_c", defs) ==
+      Seq(Seq(1L)))
   }
 
   test("AFTER MATCH SKIP variants: overlapping vs non-overlapping match sets") {

@@ -41,11 +41,13 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   // ---- pattern model (mirrors the front-end's PatElem/PatVar) ------
 
   private case class FVar(name: String, min: Int, max: Int, rel: Boolean)
-  /** `isSeq` = a multi-variable SEQUENCE group: `alts` is then the
-    * ordered variable list of one iteration (all plain), not
-    * alternation branches. */
-  private case class FElem(alts: Vector[FVar], min: Int, max: Int,
-                           rel: Boolean, isSeq: Boolean = false)
+  /** `branches` mirrors the front-end: each branch is an ORDERED
+    * variable sequence — one one-var branch = a single variable, a
+    * single multi-var branch = a pure sequence group ((A B){n,m}),
+    * several branches = alternation, possibly MIXED ((A B | C)).
+    * Multi-var branches hold plain (1,1) vars only. */
+  private case class FElem(branches: Vector[Vector[FVar]], min: Int,
+                           max: Int, rel: Boolean)
 
   private def quantStr(min: Int, max: Int, rel: Boolean): String =
     (min, max) match {
@@ -59,15 +61,13 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def patternStr(elems: Vector[FElem]): String =
     elems.map { el =>
-      if (el.isSeq)
-        el.alts.map(_.name).mkString("(", " ", ")") +
-          quantStr(el.min, el.max, el.rel)
-      else if (el.alts.size == 1 && el.alts.head.min == 1 &&
-        el.alts.head.max == 1)
-        el.alts.head.name + quantStr(el.min, el.max, el.rel)
+      if (el.branches.size == 1 && el.branches.head.size == 1)
+        el.branches.head.head.name + quantStr(el.min, el.max, el.rel)
       else
-        el.alts.map(v => v.name + quantStr(v.min, v.max, v.rel))
-          .mkString("(", " | ", ")") + quantStr(el.min, el.max, el.rel)
+        el.branches.map { br =>
+          if (br.size > 1) br.map(_.name).mkString(" ")
+          else br.head.name + quantStr(br.head.min, br.head.max, br.head.rel)
+        }.mkString("(", " | ", ")") + quantStr(el.min, el.max, el.rel)
     }.mkString(" ")
 
   // ---- brute-force oracle ------------------------------------------
@@ -109,18 +109,20 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
     // one group iteration: leftmost branch preferred; a min-0 branch
     // contributes an EMPTY way at its own alternation rank. A
-    // SEQUENCE group iteration is deterministic: each variable
+    // SEQUENCE branch's iteration is deterministic: each variable
     // consumes exactly one row, strictly contiguous, in order
     def oneIter(el: FElem, pos: Int,
                 acc: Bind): Iterator[(Int, Bind)] =
-      if (el.isSeq) {
-        if (pos + el.alts.length <= n &&
-          el.alts.indices.forall(i => sat(el.alts(i).name, pos + i)))
-          Iterator.single((pos + el.alts.length,
-            acc ++ el.alts.indices.map(i => (el.alts(i).name, pos + i))))
-        else Iterator.empty
+      el.branches.iterator.flatMap { br =>
+        if (br.size > 1) {
+          if (pos + br.length <= n &&
+            br.indices.forall(i => sat(br(i).name, pos + i)))
+            Iterator.single((pos + br.length,
+              acc ++ br.indices.map(i => (br(i).name, pos + i))))
+          else Iterator.empty
+        }
+        else branchWays(br.head, pos, acc)
       }
-      else el.alts.iterator.flatMap(v => branchWays(v, pos, acc))
 
     def iters(el: FElem, done: Int, pos: Int,
               acc: Bind): Iterator[(Int, Bind)] = {
@@ -262,19 +264,22 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def genElem(rnd: Random, names: Seq[String]): FElem = {
     def pick() = names(rnd.nextInt(names.length))
+    // plain vars only (the front-end rejects per-variable quantifiers
+    // inside a sequence); repeated names allowed ((A A), (B A B))
+    def seqBranch(): Vector[FVar] = {
+      val k = 2 + rnd.nextInt(2)
+      Vector.fill(k)(FVar(pick(), 1, 1, rel = false))
+    }
     if (rnd.nextInt(10) < 5) {
       val v = genVar(rnd, pick())
       // a single variable carries ITS quantifier at element level
       // (the front-end parses B{2,3} as an element quantifier)
-      FElem(Vector(FVar(v.name, 1, 1, rel = false)), v.min, v.max, v.rel)
+      FElem(Vector(Vector(FVar(v.name, 1, 1, rel = false))),
+        v.min, v.max, v.rel)
     } else if (rnd.nextInt(5) == 0) {
-      // multi-variable SEQUENCE group (A B){n,m}: plain vars (the
-      // front-end rejects per-variable quantifiers inside), any
-      // element quantifier; repeated names allowed ((A A), (B A B))
-      val k = 2 + rnd.nextInt(2)
-      val vars = Vector.fill(k)(FVar(pick(), 1, 1, rel = false))
+      // pure multi-variable SEQUENCE group (A B){n,m}
       val q = genVar(rnd, "_")
-      FElem(vars, q.min, q.max, q.rel, isSeq = true)
+      FElem(Vector(seqBranch()), q.min, q.max, q.rel)
     } else {
       val k = 2 + rnd.nextInt(2)
       val branchNames = rnd.shuffle(names.toVector).take(k)
@@ -300,7 +305,15 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
         if (multiCopy && alts.exists(_.min == 0))
           alts.map(v => if (v.min == 0) v.copy(min = 1) else v)
         else alts
-      FElem(safeAlts, q.min, q.max, q.rel)
+      // round 10: ~1/3 of alternation groups swap one branch for a
+      // multi-variable SEQUENCE branch — the mixed-group arm
+      // ((A B | C), (C | A B | D+)+, (A B | C D){n,m})
+      val branches0 = safeAlts.map(v => Vector(v))
+      val branches =
+        if (rnd.nextInt(3) == 0)
+          branches0.updated(rnd.nextInt(branches0.size), seqBranch())
+        else branches0
+      FElem(branches, q.min, q.max, q.rel)
     }
   }
 
@@ -308,8 +321,9 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     * front-end rejects possibly-empty matches) and at least one
     * non-E variable appears (DEFINE must be non-empty). */
   private def admissible(elems: Vector[FElem]): Boolean =
-    elems.exists(el => el.min >= 1 && el.alts.forall(_.min >= 1)) &&
-      elems.exists(_.alts.exists(_.name != "E"))
+    elems.exists(el => el.min >= 1 &&
+      el.branches.forall(br => br.size > 1 || br.head.min >= 1)) &&
+      elems.exists(_.branches.exists(_.exists(_.name != "E")))
 
   private def genPattern(rnd: Random): Vector[FElem] = {
     val names = Seq("A", "B", "C", "D", "E")
@@ -350,7 +364,7 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     while (cases < Cases) {
       val elems = genPattern(rnd)
       val tape = genTape(rnd)
-      val vars = elems.flatMap(_.alts.map(_.name)).distinct.sorted
+      val vars = elems.flatMap(_.branches.flatten.map(_.name)).distinct.sorted
       val (skipClause, oSkip) = skipPair(rnd, vars)
       // ~1/3 of cases carry WITHIN INTERVAL 'k' SECOND; with rows
       // TsStep=0.7 s apart, k in 1..5 windows span 2..8 rows
@@ -391,7 +405,7 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
       val elems = genPattern(rnd)
       val tape = genTape(rnd)
       if (tape.nonEmpty) {
-        val vars = elems.flatMap(_.alts.map(_.name)).distinct.sorted
+        val vars = elems.flatMap(_.branches.flatten.map(_.name)).distinct.sorted
         val (skipClause, _) = skipPair(rnd, vars)
         val withinSec = 1 + rnd.nextInt(5)
         val c = MatchRecognize.compile(schema,
