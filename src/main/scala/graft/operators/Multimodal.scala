@@ -1868,6 +1868,14 @@ object Multimodal extends graft.QueryModule {
     * spec-asserted on the fixture). */
   case class WideImageDupIndex(maxDist: Int, maxBucket: Int,
       buckets: java.util.HashMap[Integer, Array[Long]]) {
+    // the pigeonhole-recall premise is a property of EVERY instance,
+    // not just the fit path: ≤ 6 bit errors over 8 bands leave ≥ 2
+    // clean bands, so some pair key is shared; constructing (or
+    // .copy()-ing) one with maxDist 7 would silently lose recall
+    // relative to the single-band index, which is complete to 7
+    require(maxDist <= 6,
+      s"band-pair pigeonhole needs maxDist <= 6, got $maxDist " +
+        "(use the single-band ImageDupIndex up to 7)")
     def hits(lo: Long, hi: Long): Boolean = {
       var a = 0
       while (a < 8) {
@@ -1900,42 +1908,47 @@ object Multimodal extends graft.QueryModule {
       val pairIdx = a * 8 - a * (a + 1) / 2 + (b - a - 1)
       (pairIdx << 16) | (byteBand(a, lo, hi) << 8) | byteBand(b, lo, hi)
     }
+    /** SQL twin of [[key]] over columns `hash_lo`/`hash_hi`: the 28
+      * band-pair keys of one hash as an array — lets the fit run the
+      * bucket cap DISTRIBUTED (one exchange on the pair keys) before
+      * anything comes to the driver. Bit-equality with [[key]] is
+      * property-pinned in StreamAggsSpec. */
+    val keysSql: String = """
+      flatten(transform(sequence(0, 6), a ->
+        transform(sequence(a + 1, 7), b ->
+          (a * 8 - (a * (a + 1)) div 2 + (b - a - 1)) * 65536
+          + ((case when a < 4 then shiftright(hash_lo, a * 8)
+                   else shiftright(hash_hi, (a - 4) * 8) end) & 255) * 256
+          + ((case when b < 4 then shiftright(hash_lo, b * 8)
+                   else shiftright(hash_hi, (b - 4) * 8) end) & 255))))"""
   }
 
   /** Fit the wide index: the same one decode+hash pass as
-    * [[fitImageDupIndex]], bucketed on the 28 band-pair keys with the
-    * same cap discipline (singletons stay). Driver-side bucket build
-    * — the hashes must come down anyway and the key space is sparse
-    * (only occupied keys materialize in the HashMap). */
+    * [[fitImageDupIndex]] and the SAME distributed cap discipline —
+    * explode the 28 pair keys per hash ([[WideImageDupIndex.keysSql]],
+    * bit-equal twin of the Scala key), one exchange on the keys,
+    * over-cap buckets filtered BEFORE the driver collect. The driver
+    * transfer is bounded by the surviving buckets (≤ occupied-keys·cap
+    * hashes), not by the reference corpus — the round-9 version
+    * collected every reference hash first, a linear transfer the
+    * narrow fit never paid (round-10 advice fix). */
   def fitWideImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
                            maxBucket: Int = Dedup.DefaultMaxBucket)
       : WideImageDupIndex = {
-    // ≥ 2 clean bands — the pair-key pigeonhole — needs ≤ 6 bit
-    // errors over 8 bands; the single-band index is complete to 7,
-    // so a 7 here would silently LOSE recall vs the narrow index
-    require(maxDist <= 6,
-      s"band-pair pigeonhole needs maxDist <= 6, got $maxDist " +
-        "(use the single-band ImageDupIndex up to 7)")
-    val hs = imageDHash(reference).collect()
-      .map(r => (r.getLong(1), r.getLong(2)))
-    val byKey = new java.util.HashMap[Integer, java.util.ArrayList[java.lang.Long]]
-    hs.foreach { case (lo, hi) =>
-      var a = 0
-      while (a < 8) {
-        var b = a + 1
-        while (b < 8) {
-          val l = byKey.computeIfAbsent(WideImageDupIndex.key(a, b, lo, hi),
-            _ => new java.util.ArrayList[java.lang.Long])
-          l.add(lo); l.add(hi)
-          b += 1
-        }
-        a += 1
-      }
-    }
+    // maxDist <= 6 (the pair-key pigeonhole) is enforced by the
+    // WideImageDupIndex constructor itself
+    val rows = imageDHash(reference)
+      .select(col("hash_lo"), col("hash_hi"),
+        explode(expr(WideImageDupIndex.keysSql)).as("k"))
+      .groupBy(col("k"))
+      .agg(collect_list(array(col("hash_lo"), col("hash_hi"))).as("hs"))
+      .filter(size(col("hs")) <= maxBucket)
+      .collect()
     val buckets = new java.util.HashMap[Integer, Array[Long]]
-    byKey.forEach { (k, ls) =>
-      if (ls.size / 2 <= maxBucket)
-        buckets.put(k, Array.tabulate(ls.size)(ls.get(_).longValue()))
+    rows.foreach { r =>
+      buckets.put(r.getLong(0).toInt,
+        r.getSeq[scala.collection.Seq[Long]](1)
+          .flatMap(p => Seq(p(0), p(1))).toArray)
     }
     WideImageDupIndex(maxDist, maxBucket, buckets)
   }
@@ -1988,7 +2001,7 @@ object Multimodal extends graft.QueryModule {
     * each shard its slice of the index, or run the batch pair op. */
   case class AudioDupIndex(threshold10: Int, maxBucket: Int,
                            refSets: Array[Array[Long]],
-                           buckets: java.util.HashMap[Long, Array[Int]]) {
+                           buckets: scala.collection.mutable.LongMap[Array[Int]]) {
     /** true iff the arriving track's distinct sorted sub-fingerprint
       * set `fps` near-dups some reference track under the exact q136
       * bucket/cap/Jaccard semantics. Empty sets never hit (signals
@@ -1997,7 +2010,7 @@ object Multimodal extends graft.QueryModule {
       val seen = new java.util.HashSet[Int]
       var i = 0
       while (i < fps.length) {
-        val b = buckets.get(fps(i))
+        val b = buckets.getOrNull(fps(i))
         if (b != null) {
           var k = 0
           while (k < b.length) {
@@ -2024,7 +2037,7 @@ object Multimodal extends graft.QueryModule {
       // min(shared) ∈ R, so its bucket exists unless the cap dropped
       // it — in which case batch never emits this pair (it is only
       // ever emitted at its smallest shared element)
-      shared > 0 && buckets.containsKey(minShared) &&
+      shared > 0 && buckets.contains(minShared) &&
         shared * 10 >= threshold10 * (s.length + r.length - shared)
     }
   }
@@ -2051,13 +2064,19 @@ object Multimodal extends graft.QueryModule {
           .add(idx)
       }
     }
-    val buckets = new java.util.HashMap[Long, Array[Int]]
+    // probe-side layout: primitive open-addressed long keys
+    // (scala.collection.mutable.LongMap) — a java.util.HashMap[Long,_]
+    // boxes every get() on the hot probe path (round-10 fix, shared
+    // with the video index where the cost was first measured)
+    val buckets = new scala.collection.mutable.LongMap[Array[Int]](
+      byFp.size * 2)
     byFp.forEach { (fp, ids) =>
       // singletons stay — admission matches a stream track against
       // ONE reference track (the fitImageDupIndex argument)
       if (ids.size <= maxBucket)
-        buckets.put(fp, Array.tabulate(ids.size)(ids.get(_).intValue()))
+        buckets.update(fp, Array.tabulate(ids.size)(ids.get(_).intValue()))
     }
+    buckets.repack()
     AudioDupIndex(threshold10, maxBucket, sets, buckets)
   }
 
@@ -2103,7 +2122,7 @@ object Multimodal extends graft.QueryModule {
     * cap — the batch one-emission discipline. */
   case class VideoDupIndex(maxDist: Int, maxBucket: Int,
                            refSigs: Array[Array[Long]],
-                           buckets: java.util.HashMap[Long, Array[Int]]) {
+                           buckets: scala.collection.mutable.LongMap[Array[Int]]) {
     /** true iff a clip with `nf` frames and interleaved signature
       * `sig` near-dups some reference clip. */
     def hits(nf: Int, sig: Array[Long]): Boolean = {
@@ -2111,7 +2130,7 @@ object Multimodal extends graft.QueryModule {
       val seen = new java.util.HashSet[Int]
       var j = 0
       while (j < nf * 8) {
-        val b = buckets.get(VideoDupIndex.key(nf, j, sigByteOf(sig, j)))
+        val b = buckets.getOrNull(VideoDupIndex.key(nf, j, sigByteOf(sig, j)))
         if (b != null) {
           var k = 0
           while (k < b.length) {
@@ -2131,7 +2150,7 @@ object Multimodal extends graft.QueryModule {
       first < nf * 8 && ham <= maxDist &&
         // both share the byte at `first`, so the bucket key exists
         // unless the cap dropped it — then batch loses the pair too
-        buckets.containsKey(VideoDupIndex.key(nf, first, sigByteOf(sig, first)))
+        buckets.contains(VideoDupIndex.key(nf, first, sigByteOf(sig, first)))
     }
   }
 
@@ -2174,11 +2193,17 @@ object Multimodal extends graft.QueryModule {
         j += 1
       }
     }
-    val buckets = new java.util.HashMap[Long, Array[Int]]
+    // primitive open-addressed probe layout (round-10 fix): the
+    // boxed-HashMap probe measured 51k/s at 2k refs and 34k/s at 20k
+    // (a fresh java.lang.Long per get(), nf*8 gets per probe); the
+    // LongMap layout removes the allocation from the hot loop
+    val buckets = new scala.collection.mutable.LongMap[Array[Int]](
+      byBand.size * 2)
     byBand.forEach { (k, ids) =>
       if (ids.size <= maxBucket)
-        buckets.put(k, Array.tabulate(ids.size)(ids.get(_).intValue()))
+        buckets.update(k, Array.tabulate(ids.size)(ids.get(_).intValue()))
     }
+    buckets.repack()
     VideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
   }
 
@@ -2300,13 +2325,19 @@ object Multimodal extends graft.QueryModule {
     * State is delay × rate keys of 8 bytes each; decode runs once per
     * row, map-side. */
   def imageDedupStream(media: DataFrame, payload: Column, ts: Column,
-                       watermarkDelay: String): DataFrame = {
-    val hash = udf { bytes: Array[Byte] =>
-      val (lo, hi) = dHashAny(bytes, "stream payload")
+                       watermarkDelay: String,
+                       id: Column = lit(-1L)): DataFrame = {
+    // `id` (default -1 = unattributed) rides into the decode error
+    // message, so ONE corrupt payload in a stream names its row
+    // instead of killing the query anonymously (round-10 advice fix,
+    // all three modality twins)
+    val hash = udf { (mediaId: Long, bytes: Array[Byte]) =>
+      val (lo, hi) = dHashAny(bytes,
+        if (mediaId == -1L) "stream payload" else s"media $mediaId")
       lo | (hi << 32)
     }
     graft.streaming.StreamAggs.dedupWithinWatermark(
-        media.withColumn("__dh", hash(payload)), ts, watermarkDelay, "__dh")
+        media.withColumn("__dh", hash(id, payload)), ts, watermarkDelay, "__dh")
       .drop("__dh")
   }
 
@@ -2321,9 +2352,17 @@ object Multimodal extends graft.QueryModule {
     * the batch pair op's job. Decode runs once per row, map-side;
     * state is delay × rate keys of 8 bytes each. */
   def audioDedupStream(media: DataFrame, payload: Column, ts: Column,
-                       watermarkDelay: String): DataFrame = {
-    val hash = udf { bytes: Array[Byte] =>
-      val samples = parseWav(bytes).samples
+                       watermarkDelay: String,
+                       id: Column = lit(-1L)): DataFrame = {
+    val hash = udf { (mediaId: Long, bytes: Array[Byte]) =>
+      // attribute decode failures to the row (imageDedupStream's
+      // `id` contract)
+      val samples =
+        try parseWav(bytes).samples
+        catch {
+          case e: Exception if mediaId != -1L => throw
+            new IllegalArgumentException(s"media $mediaId: ${e.getMessage}", e)
+        }
       var h = 1125899906842597L + samples.length
       subFingerprints(samples).foreach { case (f, fp) =>
         h = h * 31 + f
@@ -2332,7 +2371,7 @@ object Multimodal extends graft.QueryModule {
       h
     }
     graft.streaming.StreamAggs.dedupWithinWatermark(
-        media.withColumn("__afp", hash(payload)), ts, watermarkDelay, "__afp")
+        media.withColumn("__afp", hash(id, payload)), ts, watermarkDelay, "__afp")
       .drop("__afp")
   }
 
@@ -2344,23 +2383,32 @@ object Multimodal extends graft.QueryModule {
     * documented semantics — survives for the frozen gate or the
     * batch pair op to catch. */
   def videoDedupStream(media: DataFrame, payload: Column, ts: Column,
-                       watermarkDelay: String): DataFrame = {
-    val hash = udf { bytes: Array[Byte] =>
+                       watermarkDelay: String,
+                       id: Column = lit(-1L)): DataFrame = {
+    val hash = udf { (mediaId: Long, bytes: Array[Byte]) =>
       // one parse: this is a dedup KEY (any stable fold works), not
       // the parity-critical signature the fit/probe/batch trio share
-      // through clipSignature
-      val s = parseAvi(bytes)
-      var h = 1125899906842597L + s.frames.length * 31L +
-        s.width * 7L + s.height
-      s.frames.foreach { f =>
-        val (lo, hi) = frameDHash(s, f, -1L)
-        h = h * 1099511628211L + lo
-        h = h * 1099511628211L + hi
+      // through clipSignature. mediaId rides into every decode error
+      // (demux AND per-frame) so a failure names its row.
+      try {
+        val s = parseAvi(bytes)
+        var h = 1125899906842597L + s.frames.length * 31L +
+          s.width * 7L + s.height
+        s.frames.foreach { f =>
+          val (lo, hi) = frameDHash(s, f, mediaId)
+          h = h * 1099511628211L + lo
+          h = h * 1099511628211L + hi
+        }
+        h
+      } catch {
+        case e: Exception if mediaId != -1L &&
+            !String.valueOf(e.getMessage).startsWith(s"media $mediaId") =>
+          throw new IllegalArgumentException(
+            s"media $mediaId: ${e.getMessage}", e)
       }
-      h
     }
     graft.streaming.StreamAggs.dedupWithinWatermark(
-        media.withColumn("__vfp", hash(payload)), ts, watermarkDelay, "__vfp")
+        media.withColumn("__vfp", hash(id, payload)), ts, watermarkDelay, "__vfp")
       .drop("__vfp")
   }
 

@@ -34,7 +34,7 @@ object ProfileScale {
       return
     }
     if (args.headOption.contains("gatefit")) {
-      runGateFit(spark)
+      runGateFit(spark, args.drop(1))
       spark.stop()
       return
     }
@@ -349,9 +349,18 @@ object ProfileScale {
     * stateless-gate scale story to hold (bucket caps bound per-probe
     * work; reference growth adds buckets, not bucket depth, at
     * constant dup density). */
-  private def runGateFit(spark: SparkSession): Unit = {
+  /** `gatefit [sizes...] [image|audio|video...]` — numeric args are
+    * reference-set sizes (default 2000 20000); family names narrow
+    * the run (default all three). Round 10 added the knobs for the
+    * 100k-ref point and the audio 100× (200k) probe without paying
+    * all three fits at every size. */
+  private def runGateFit(spark: SparkSession, gfArgs: Seq[String]): Unit = {
     import graft.operators.Multimodal
     import org.apache.spark.sql.functions.col
+    val sizesArg = gfArgs.filter(_.forall(_.isDigit)).map(_.toLong)
+    val sizes = if (sizesArg.nonEmpty) sizesArg else Seq(2000L, 20000L)
+    val fams = gfArgs.filterNot(_.forall(_.isDigit)).toSet
+    def want(f: String) = fams.isEmpty || fams(f)
     def docs(n: Long) = spark.range(n).select(col("id").as("doc_id"))
     def wall[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -367,8 +376,8 @@ object ProfileScale {
       while (i < nProbes) { if (probe(i)) hits += 1; i += 1 }
       (nProbes / ((System.nanoTime() - t0) / 1e9), hits)
     }
-    for (n <- Seq(2000L, 20000L)) {
-      locally { // image
+    for (n <- sizes) {
+      if (want("image")) locally { // image
         val (idx, tFit) = wall(
           Multimodal.fitImageDupIndex(Multimodal.nearDupImageTable(docs(n))))
         val entries = idx.buckets.map(_.length / 2).sum
@@ -396,7 +405,7 @@ object ProfileScale {
           f"(gated: wide ${hitsW / 2}%d vs narrow ${hitsN / 2}%d " +
           f"of ${arriving.length}%d)")
       }
-      locally { // audio
+      if (want("audio")) locally { // audio
         val (idx, tFit) = wall(
           Multimodal.fitAudioDupIndex(Multimodal.nearDupAudioTable(docs(n))))
         val entries = idx.refSets.map(_.length).sum
@@ -408,7 +417,7 @@ object ProfileScale {
         println(f"audio  n=$n%-6d fit ${tFit}%6.2f s  " +
           f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
       }
-      locally { // video
+      if (want("video")) locally { // video
         val (idx, tFit) = wall(
           Multimodal.fitVideoDupIndex(Multimodal.nearDupVideoTable(docs(n))))
         val entries = idx.refSigs.map(_.length / 2).sum

@@ -1025,6 +1025,51 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wide index SQL pair keys are bit-equal to the Scala key " +
+    "(the distributed-cap fit premise)") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(0xA11CEL)
+    val hs = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val got = hs.toDF("hash_lo", "hash_hi")
+      .select(expr(Multimodal.WideImageDupIndex.keysSql).as("ks"))
+      .as[Seq[Long]].collect()
+    hs.zip(got).foreach { case ((lo, hi), ks) =>
+      val want = for (a <- 0 until 8; b <- a + 1 until 8)
+        yield Multimodal.WideImageDupIndex.key(a, b, lo, hi).toLong
+      assert(ks == want, f"keys diverge for lo=$lo%x hi=$hi%x")
+    }
+  }
+
+  test("dedup-stream decode failures name the offending row when an " +
+    "id column is passed") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def rootMessages(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+    val corrupt = Array.tabulate(20)(_.toByte) // RIFF magic cut short
+    def failureOf(
+        mk: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame,
+        label: String): Unit = {
+      val in = MemoryStream[(Long, Long, Array[Byte])]
+      val df = in.toDF().toDF("ts_ms", "media_id", "payload")
+      val q = mk(df, col("media_id"))
+        .writeStream.format("noop").start()
+      try {
+        in.addData((1000L, 41L, corrupt))
+        val e = intercept[Throwable] { q.processAllAvailable() }
+        assert(rootMessages(e).exists(_.contains("media 41")),
+          s"$label failure not attributed: ${rootMessages(e)}")
+      } finally q.stop()
+    }
+    failureOf((df, id) => Multimodal.videoDedupStream(df, col("payload"),
+      timestamp_millis(col("ts_ms")), "10 seconds", id = id), "video")
+    failureOf((df, id) => Multimodal.audioDedupStream(df, col("payload"),
+      timestamp_millis(col("ts_ms")), "10 seconds", id = id), "audio")
+    failureOf((df, id) => Multimodal.imageDedupStream(df, col("payload"),
+      timestamp_millis(col("ts_ms")), "10 seconds", id = id), "image")
+  }
+
   test("decode audit is stateless: streaming verdicts equal the batch " +
     "ones on the corrupted fixture") {
     import graft.operators.Multimodal
