@@ -307,6 +307,21 @@ object Cep {
       a
     }
 
+    // Empty-match contract (round 10, pinned): a pattern whose EVERY
+    // position is skippable can match zero rows. SQL:2016 would emit
+    // an empty match row per unmatched input row; this engine's
+    // event-driven NFA only ever starts an attempt on a consumed
+    // event, so it would silently emit NOTHING instead — reject at
+    // construction (FlinkCEP's contract for the same machine shape:
+    // it refuses patterns that can produce empty matches) rather
+    // than ship a silent semantic hole. Both surfaces route here:
+    // the SQL front-end re-checks at parse time for a friendlier
+    // error, the DSL hits this on the driver before any job runs.
+    require(steps.isEmpty || !allOptFrom(0),
+      "CEP pattern can match empty (every step optional): empty " +
+        "matches are unsupported - anchor the pattern with at least " +
+        "one required step")
+
     /** Any Greedy/Reluctant loop step, optional step, or alternation →
       * ties branch multiple ways and completions go through the
       * pending/priority machinery. */

@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.StructType
   * mixed groups, expanded as position copies with one whole
   * sequence iteration per copy; group repetitions may switch
   * branches, per SQL).
-  * Not supported: per-variable quantifiers inside a sequence group
-  * (`(A B+)`), and empty matches (a pattern whose every position is
-  * optional matching zero rows).
+  * Not supported, both REJECTED LOUDLY at parse time: per-variable
+  * quantifiers inside a sequence group (`(A B+)`), and empty-capable
+  * patterns (every element admitting zero rows — SQL:2016 would emit
+  * an empty match row per unmatched input row; FlinkCEP rejects the
+  * same class).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -280,7 +282,21 @@ object MatchRecognize {
       defines += v -> parseOr(p)
       more = p.kw(",")
     }
-    Clause(part, order, measures.result(), skip, pat.result(), withinMs,
+    val pattern = pat.result()
+    // Empty-match contract (round 10, pinned; the NFA enforces the
+    // same rule at construction — this is the friendlier parse-time
+    // spelling): a pattern every element of which admits zero rows
+    // (element min 0, or some single-variable branch with min 0 —
+    // (B?|C) matches empty through B?) can produce SQL:2016 empty
+    // matches, which this engine does not implement. Reject loudly
+    // instead of silently emitting no row where SQL would emit one.
+    if (pattern.nonEmpty && pattern.forall(el =>
+      el.min == 0 ||
+        el.branches.exists(br => br.size == 1 && br.head.min == 0)))
+      sys.error("MATCH_RECOGNIZE: the pattern can match empty (every " +
+        "element admits zero rows); empty matches are unsupported - " +
+        "anchor the pattern with at least one required element")
+    Clause(part, order, measures.result(), skip, pattern, withinMs,
       defines.result())
   }
 

@@ -2007,14 +2007,23 @@ object Multimodal extends graft.QueryModule {
       * bucket/cap/Jaccard semantics. Empty sets never hit (signals
       * too short to fingerprint pair with nothing in batch). */
     def hits(fps: Array[Long]): Boolean = {
-      val seen = new java.util.HashSet[Int]
+      // candidate dedup is a lazily-allocated BitSet over reference
+      // ids: the HashSet[Int] it replaces boxed an Integer per
+      // candidate on the probe hot path, and probes that touch no
+      // bucket (the common miss) allocate nothing at all
+      var seen: java.util.BitSet = null
       var i = 0
       while (i < fps.length) {
         val b = buckets.getOrNull(fps(i))
         if (b != null) {
+          if (seen == null) seen = new java.util.BitSet(refSets.length)
           var k = 0
           while (k < b.length) {
-            if (seen.add(b(k)) && verify(fps, refSets(b(k)))) return true
+            val id = b(k)
+            if (!seen.get(id)) {
+              seen.set(id)
+              if (verify(fps, refSets(id))) return true
+            }
             k += 1
           }
         }
@@ -2127,14 +2136,24 @@ object Multimodal extends graft.QueryModule {
       * `sig` near-dups some reference clip. */
     def hits(nf: Int, sig: Array[Long]): Boolean = {
       if (nf < 1) return false
-      val seen = new java.util.HashSet[Int]
+      // lazily-allocated BitSet dedup — same rationale as
+      // AudioDupIndex.hits: video buckets are FAT (8-bit band values
+      // collide heavily across clips, so a probe can walk thousands
+      // of candidates), and the HashSet[Int] this replaces boxed an
+      // Integer per candidate
+      var seen: java.util.BitSet = null
       var j = 0
       while (j < nf * 8) {
         val b = buckets.getOrNull(VideoDupIndex.key(nf, j, sigByteOf(sig, j)))
         if (b != null) {
+          if (seen == null) seen = new java.util.BitSet(refSigs.length)
           var k = 0
           while (k < b.length) {
-            if (seen.add(b(k)) && verify(nf, sig, refSigs(b(k)))) return true
+            val id = b(k)
+            if (!seen.get(id)) {
+              seen.set(id)
+              if (verify(nf, sig, refSigs(id))) return true
+            }
             k += 1
           }
         }

@@ -367,14 +367,36 @@ object ProfileScale {
       val a = body
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    // returns (probes/sec, hits of ONE pass over the probe set)
     def probeRate(nProbes: Int)(probe: Int => Boolean): (Double, Long) = {
       var hits = 0L
       var i = 0
       while (i < nProbes) { if (probe(i)) hits += 1; i += 1 } // warm
-      val t0 = System.nanoTime()
-      i = 0
-      while (i < nProbes) { if (probe(i)) hits += 1; i += 1 }
-      (nProbes / ((System.nanoTime() - t0) / 1e9), hits)
+      // a single pass over a 2k-probe set is an ~80 ms timed window —
+      // scheduler noise swung identical runs 3x (round-10 finding);
+      // repeat the set until the window is >= 1 s and report the best
+      // of two windows (the Bench min-of-two discipline). Timed
+      // passes keep a sink so the calls can't be dead-code-eliminated
+      // but do NOT touch the one-pass `hits` contract.
+      var sink = 0L
+      val passes = math.max(1, (1e9 / math.max(1.0, {
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < nProbes) { if (probe(i)) sink += 1; i += 1 }
+        (System.nanoTime() - t0).toDouble
+      })).toInt)
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        var p = 0
+        while (p < passes) {
+          i = 0
+          while (i < nProbes) { if (probe(i)) sink += 1; i += 1 }
+          p += 1
+        }
+        (passes.toLong * nProbes) / ((System.nanoTime() - t0) / 1e9)
+      }.max
+      if (sink == Long.MinValue) println("") // keep `sink` observable
+      (best, hits)
     }
     for (n <- sizes) {
       if (want("image")) locally { // image
@@ -402,7 +424,7 @@ object ProfileScale {
           idx.hits(arriving(i)._1, arriving(i)._2))
         println(f"imageW n=$n%-6d fit ${tFitW}%6.2f s  " +
           f"entries $entriesW%8d  probe ${rateW / 1000}%8.0f kprobes/s  " +
-          f"(gated: wide ${hitsW / 2}%d vs narrow ${hitsN / 2}%d " +
+          f"(gated: wide ${hitsW}%d vs narrow ${hitsN}%d " +
           f"of ${arriving.length}%d)")
       }
       if (want("audio")) locally { // audio

@@ -80,6 +80,28 @@ class CepSpec extends SparkSpec {
     assert(run("a", "x", "c").isEmpty)       // strict next still applies
   }
 
+  test("DSL all-optional patterns are rejected at Nfa construction " +
+    "(pinned empty-match contract, both surfaces)") {
+    val allOpt = Cep.begin[CepRow]("a") { (e, _) => e.name == "a" }
+      .optional
+    val e = intercept[IllegalArgumentException] {
+      new Cep.Nfa[CepRow](allOpt, _.tsMs)
+    }
+    assert(e.getMessage.contains("match empty"))
+    val twoOpt = Cep.begin[CepRow]("a") { (e, _) => e.name == "a" }
+      .optional
+      .followedBy("b", oneOrMore = true) { (e, _) => e.name == "b" }
+      .optional
+    val e2 = intercept[IllegalArgumentException] {
+      new Cep.Nfa[CepRow](twoOpt, _.tsMs)
+    }
+    assert(e2.getMessage.contains("match empty"))
+    // one required step anchors it
+    new Cep.Nfa[CepRow](
+      Cep.begin[CepRow]("a") { (e, _) => e.name == "a" }
+        .followedBy("b") { (e, _) => e.name == "b" }.optional, _.tsMs)
+  }
+
   test("DSL times(n, m) bounds repetitions of the last step") {
     def run(names: String*): Seq[Int] = {
       val rows = names.zipWithIndex.map { case (n, i) =>

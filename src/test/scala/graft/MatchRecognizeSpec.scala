@@ -545,6 +545,31 @@ class MatchRecognizeSpec extends SparkSpec {
       Seq(Seq(1L)))
   }
 
+  test("empty-capable patterns are rejected loudly (pinned contract: " +
+    "no SQL:2016 empty-match rows)") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "COUNT(B.*) AS n_b"
+    // every element admits zero rows -> SQL:2016 would emit an empty
+    // match per unmatched row; the engine rejects instead of silently
+    // emitting nothing (FlinkCEP's contract for the same machine)
+    for (pat <- Seq("B*", "A? B*", "(B? | C?)", "(A B)*",
+      "A{0,2} (B* | C?)", "B*?")) {
+      val e = intercept[RuntimeException] {
+        mr(tape(1L -> "b"), pat, ms, defs)
+      }
+      assert(e.getMessage.contains("match empty"),
+        s"$pat: ${e.getMessage}")
+    }
+    // one element that REQUIRES a row anchors the pattern - legal
+    // ((B?|C) does NOT anchor: its B? branch matches the position
+    // empty, so it counts as zero-row-capable above)
+    assert(mr(tape(1L -> "a", 2L -> "b"), "A B*", ms, defs) ==
+      Seq(Seq(1L)))
+    assert(mr(tape(1L -> "c"), "A? (B | C)", ms, defs) == Seq(Seq(0L)))
+    assert(mr(tape(1L -> "a", 2L -> "b"), "A? (A B)", ms, defs) ==
+      Seq(Seq(1L)))
+  }
+
   test("AFTER MATCH SKIP variants: overlapping vs non-overlapping match sets") {
     val rows = tape(1L -> "b", 2L -> "b", 3L -> "b", 4L -> "b")
     def run(skip: String): Seq[(Long, Long)] =

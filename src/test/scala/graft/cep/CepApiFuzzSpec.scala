@@ -36,13 +36,31 @@ import scala.util.Random
   * (stepIdx, rowIdx) bindings — order-free, because release order
   * interleaves attempts by resolution time.
   *
+  * Round 10 lifted the `optional` exclusion for the SLOT-RANKED
+  * subset: a third arm fuzzes `.optional` steps (multi-target
+  * advance walks, start fan-out, skip-ranked completions) against a
+  * walk-digit oracle, restricted to patterns with >= 1
+  * Greedy/Reluctant step — there every transition carries a STATIC
+  * slot digit, so "enumerate all completions, keep each attempt's
+  * lexicographic best" is release-timing-independent and provably
+  * the engine's released set. What remains out: optional steps on
+  * the PURE-AllMatches path, permanently — its consecutive tie
+  * ranks are assigned only at multi-fire events, so which
+  * completions survive depends on release ORDER (a pending match is
+  * dropped when a sibling that completed earlier wins), and a
+  * faithful oracle would have to replay the pending/priority
+  * machinery itself — asserting the implementation against a
+  * paraphrase of the implementation. That corner is hand-pinned
+  * instead (the optional-step hand anchors below + CepSpec's
+  * optional tests).
+  *
   * Deliberately out of scope (documented, not silently skipped):
   * single-step patterns (the engine's complete-per-event fast path is
   * a different, simpler machine — covered by CepSpec hand cases),
-  * `optional` steps on this path (optional + contiguity preference is
-  * exercised through the SQL fuzz's quantifier copies), skip
+  * `optional` steps on the pure-AllMatches path (above), skip
   * strategies other than NoSkip (sequential-release semantics are
-  * driven by the SQL fuzz across all three SQL strategies), and the
+  * driven by the SQL fuzz across all three SQL strategies; the skip
+  * arm here additionally keeps optional steps out of scope), and the
   * timeout side channel (hand-pinned in CepSpec).
   */
 class CepApiFuzzSpec extends AnyFunSuite {
@@ -50,9 +68,12 @@ class CepApiFuzzSpec extends AnyFunSuite {
   private case class Ev(sym: Char, row: Int, ts: Long)
 
   // model of one builder call; times >= 1 expands to that many copies
-  // (mirroring PatternSpec.times, which requires a non-loop step)
+  // (mirroring PatternSpec.times, which requires a non-loop step).
+  // `opt` models `.optional` and is only generated with times == 1
+  // (PatternSpec.times resets optional on its copies)
   private case class MStep(sym: Char, contig: Cep.Contiguity,
-                           loop: Boolean, quant: Cep.Quant, times: Int)
+                           loop: Boolean, quant: Cep.Quant, times: Int,
+                           opt: Boolean = false)
 
   private val TsStep = 700L
   private def tsOf(row: Int): Long = (row + 1) * TsStep
@@ -67,6 +88,7 @@ class CepApiFuzzSpec extends AnyFunSuite {
       (e, _) => hit(sym, e.sym)
     var spec = Cep.begin[Ev]("S0", steps.head.loop)(pred(steps.head.sym))
     if (steps.head.times > 1) spec = spec.times(steps.head.times)
+    if (steps.head.opt) spec = spec.optional
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
       val name = s"S$i"
       spec = st.contig match {
@@ -77,6 +99,7 @@ class CepApiFuzzSpec extends AnyFunSuite {
           spec.followedByAny(name, st.loop, st.quant)(pred(st.sym))
       }
       if (st.times > 1) spec = spec.times(st.times)
+      if (st.opt) spec = spec.optional
     }
     withinMs.fold(spec)(spec.within)
   }
@@ -84,10 +107,12 @@ class CepApiFuzzSpec extends AnyFunSuite {
   // the flat step list the engine actually runs (times expanded),
   // mirrored for the oracle
   private case class OStep(sym: Char, contig: Cep.Contiguity,
-                           loop: Boolean, quant: Cep.Quant)
+                           loop: Boolean, quant: Cep.Quant,
+                           opt: Boolean = false)
   private def expand(steps: Vector[MStep]): Vector[OStep] =
     steps.flatMap(st =>
-      Vector.fill(st.times)(OStep(st.sym, st.contig, st.loop, st.quant)))
+      Vector.fill(st.times)(OStep(st.sym, st.contig, st.loop, st.quant,
+        st.opt)))
 
   /** All completions of the attempt starting at `start`, each with
     * its preference-digit vector (one digit per consumed event after
@@ -356,6 +381,128 @@ class CepApiFuzzSpec extends AnyFunSuite {
     a.length < b.length
   }
 
+  // ---- optional-step arm (round 10) --------------------------------
+
+  /** Walk-digit oracle for patterns WITH `.optional` steps, valid on
+    * the slot-ranked subset (>= 1 Greedy/Reluctant step): mirrors the
+    * engine's static slot spaces for single-alternative positions —
+    * advWalkSeq (the advance walk through optional steps; the DSL's
+    * `.optional` sets neither emptyBranch nor posSkip, so the skip
+    * always ranks AFTER the consuming way), slotTables (extension
+    * first unless the step's own quantifier is Reluctant; the
+    * completion digit is the walk's all-optional terminal), and
+    * startSlots (the walk from position 0 fans the attempt out over
+    * every enterable start step). Released = each attempt's
+    * lexicographically-best completion(s): with a digit on EVERY
+    * transition, a pending completion and any live sibling compare
+    * coherently at all times, so the released set is release-timing
+    * independent — exactly why the arm restricts to slot-ranked
+    * patterns. */
+  private def oracleOpt(steps: Vector[OStep], tape: String,
+                        withinMs: Long): Seq[Vector[(Int, Int)]] = {
+    require(steps.exists(_.quant != Cep.AllMatches))
+    val n = steps.length
+    val walks: Vector[Vector[Int]] = {
+      val w = new Array[Vector[Int]](n + 1)
+      w(n) = Vector(-1)
+      for (j <- (n - 1) to 0 by -1)
+        w(j) = if (steps(j).opt) j +: w(j + 1) else Vector(j)
+      w.toVector
+    }
+    val allOptFrom =
+      Vector.tabulate(n + 1)(p => (p until n).forall(steps(_).opt))
+    // decision-slot list standing at step j: the step itself is the
+    // extension edge (engine slotTables uses the step index), then
+    // the advance walk; -1 is the completion terminal
+    def slots(j: Int): Vector[Int] =
+      if (!steps(j).loop) walks(j + 1)
+      else if (steps(j).quant == Cep.Reluctant) walks(j + 1) :+ j
+      else j +: walks(j + 1)
+    tape.indices.flatMap { start =>
+      val maxRow =
+        if (withinMs <= 0) tape.length - 1
+        else tape.indices.lastIndexWhere(r => tsOf(r) - tsOf(start) <= withinMs)
+      val buf = Vector.newBuilder[(Vector[(Int, Int)], Vector[Int])]
+      def explore(j: Int, i: Int, binding: Vector[(Int, Int)],
+                  digits: Vector[Int]): Unit = {
+        if (j == n - 1 && !steps(j).loop) return
+        val sl = slots(j)
+        val gov = if (j < n - 1) steps(j + 1).contig else steps(j).contig
+        var r = i + 1
+        var scanning = true
+        while (scanning && r <= maxRow) {
+          val choices = Vector.newBuilder[(Int, Int)]
+          if (steps(j).loop && hit(steps(j).sym, tape(r)))
+            choices += ((j, sl.indexOf(j)))
+          for (t <- walks(j + 1) if t >= 0 && hit(steps(t).sym, tape(r)))
+            choices += ((t, sl.indexOf(t)))
+          val cs = choices.result()
+          cs.foreach { case (t, d) =>
+            val nb = binding :+ ((t, r))
+            val nd = digits :+ d
+            if (allOptFrom(t + 1))
+              buf += ((nb, nd :+ slots(t).indexOf(-1)))
+            explore(t, r, nb, nd)
+          }
+          gov match {
+            case Cep.Next          => scanning = false
+            case Cep.FollowedBy    => if (cs.nonEmpty) scanning = false
+            case Cep.FollowedByAny => ()
+          }
+          r += 1
+        }
+      }
+      val w0 = walks(0)
+      for (t <- w0 if t >= 0 && hit(steps(t).sym, tape(start))) {
+        val b0 = Vector((t, start))
+        val d0 = Vector(w0.indexOf(t))
+        if (allOptFrom(t + 1)) buf += ((b0, d0 :+ slots(t).indexOf(-1)))
+        explore(t, start, b0, d0)
+      }
+      val all = buf.result()
+      if (all.isEmpty) Vector.empty
+      else {
+        val best = all.map(_._2)
+          .reduceLeft((a, b) => if (lexLtV(b, a)) b else a)
+        all.collect { case (bind, d) if d == best => bind }
+      }
+    }
+  }
+
+  /** Patterns for the optional arm: >= 1 optional step (times-1 only
+    * — PatternSpec.times resets optional on copies), >= 1 REQUIRED
+    * step (the engine rejects empty-capable patterns at
+    * construction), >= 1 Greedy/Reluctant loop (the slot-ranked
+    * restriction the oracle needs). */
+  private def genOptPattern(rnd: Random): Vector[MStep] = {
+    val cand = genPattern(rnd).map { s =>
+      if (s.times == 1 && rnd.nextInt(3) == 0) s.copy(opt = true) else s
+    }
+    val ok = cand.exists(_.opt) && cand.exists(!_.opt) &&
+      cand.exists(s => s.loop && s.quant != Cep.AllMatches)
+    if (ok) cand else genOptPattern(rnd)
+  }
+
+  test(s"${Cases / 2} optional-step cases (slot-ranked) match the " +
+    "walk-digit oracle") {
+    val rnd = new Random(0x0B7A11EDL)
+    var cases = 0
+    while (cases < Cases / 2) {
+      val steps = genOptPattern(rnd)
+      val tape = genTape(rnd)
+      val withinMs: Option[Long] =
+        if (rnd.nextInt(4) == 0) Some((1 + rnd.nextInt(5)) * TsStep) else None
+      val got = canon(runEngine(steps, tape, withinMs))
+      val want = canon(oracleOpt(expand(steps), tape, withinMs.getOrElse(0L)))
+      assert(got == want,
+        s"""pattern: $steps
+           |tape   : $tape  within: $withinMs
+           |engine : $got
+           |oracle : $want""".stripMargin)
+      cases += 1
+    }
+  }
+
   test(s"${Cases / 2} chunked-replay Pattern-API cases match one-shot run") {
     // the streaming seam: NfaState carried across micro-batch-sized
     // chunks with a zero-delay watermark expiry after each — must
@@ -414,6 +561,25 @@ class CepApiFuzzSpec extends AnyFunSuite {
     val nx = fb.updated(1, fb(1).copy(contig = Cep.Next))
     assert(canon(runEngine(nx, "axb", None)).isEmpty)
     assert(canon(runEngine(nx, "ab", None)) == Seq("0@0,1@1"))
+  }
+
+  test("hand anchors: optional steps on the PURE-AllMatches path (the " +
+    "corner the slot-ranked fuzz arm documents as out of scope)") {
+    // a (b?) * with relaxed contiguity: when b and the skip-to-*
+    // both fire on one event, the consecutive tie rank prefers
+    // consuming b, and the skip branch's already-completed match is
+    // pruned when the b-branch's completion releases
+    val p = Vector(
+      MStep('a', Cep.FollowedBy, loop = false, Cep.AllMatches, 1),
+      MStep('b', Cep.FollowedBy, loop = false, Cep.AllMatches, 1,
+        opt = true),
+      MStep('*', Cep.FollowedBy, loop = false, Cep.AllMatches, 1))
+    assert(canon(runEngine(p, "abc", None)) == Seq("0@0,1@1,2@2"))
+    // when b never fires the skip path is the only one
+    assert(canon(runEngine(p, "axc", None)) == Seq("0@0,2@1"))
+    // truncated input: the skip branch's completion survives the
+    // flush once the b branch can no longer complete
+    assert(canon(runEngine(p, "ab", None)) == Seq("0@0,2@1"))
   }
 
   test("hand anchors: AllMatches loop reports every length; Greedy only the longest") {
