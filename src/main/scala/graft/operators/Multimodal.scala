@@ -2226,6 +2226,147 @@ object Multimodal extends graft.QueryModule {
     VideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
   }
 
+  /** [[VideoDupIndex]] with WITHIN-FRAME BAND-PAIR keys — the
+    * [[WideImageDupIndex]] widening applied to the video key, built
+    * when round 10's gatefit charted the narrow (nf, band, byte)
+    * space cliffing at ~200k reference clips (57 → 6 k probes/s:
+    * surviving buckets ride the cap and every probe verifies
+    * thousands of candidates). Keys are the C(8,2) = 28 ordered
+    * byte-band pairs of EACH FRAME (16-bit values), so the key space
+    * per frame count is ~900× the narrow one and the same reference
+    * mass spreads out before the cap bites. Pigeonhole recall: ≤
+    * maxDist bit errors across nf frames leave some frame with ≤
+    * ⌊maxDist/nf⌋ errors; that frame has ≥ 2 clean bands — hence a
+    * clean shared pair key — whenever its error count ≤ 6, which is
+    * guaranteed iff maxDist ≤ 7·nf − 1. With the default maxDist =
+    * 12 the guarantee covers every clip of ≥ 2 frames; SINGLE-frame
+    * clips are complete only to maxDist 6 (the image bound — they
+    * ARE images), which the constructor documents rather than hides:
+    * fit with maxDist ≤ 6 if single-frame clips matter. The trade is
+    * ×3.5 index mass (28·nf entries per clip instead of 8·nf). */
+  case class WideVideoDupIndex(maxDist: Int, maxBucket: Int,
+      refSigs: Array[Array[Long]],
+      buckets: scala.collection.mutable.LongMap[Array[Int]]) {
+    // beyond 13, even two-frame clips lose the pigeonhole guarantee
+    require(maxDist <= 13,
+      s"within-frame band-pair pigeonhole needs maxDist <= 7*nf-1; " +
+        s"$maxDist exceeds the two-frame bound 13 (narrow " +
+        "VideoDupIndex has no such cap)")
+    def hits(nf: Int, sig: Array[Long]): Boolean = {
+      if (nf < 1) return false
+      var seen: java.util.BitSet = null
+      var f = 0
+      while (f < nf) {
+        var a = 0
+        while (a < 8) {
+          val va = sigByteOf(sig, f * 8 + a)
+          var b = a + 1
+          while (b < 8) {
+            val bk = buckets.getOrNull(WideVideoDupIndex.key(
+              nf, f, a, b, va, sigByteOf(sig, f * 8 + b)))
+            if (bk != null) {
+              if (seen == null) seen = new java.util.BitSet(refSigs.length)
+              var k = 0
+              while (k < bk.length) {
+                val id = bk(k)
+                if (!seen.get(id)) {
+                  seen.set(id)
+                  // exact total Hamming via the same fused walk the
+                  // narrow verify uses; a shared pair key implies a
+                  // matching band exists, so no `first` check needed
+                  if ((graft.functions.SigBandScore.score(sig,
+                    refSigs(id)) & 0xffffffffL) <= maxDist) return true
+                }
+                k += 1
+              }
+            }
+            b += 1
+          }
+          a += 1
+        }
+        f += 1
+      }
+      false
+    }
+  }
+
+  object WideVideoDupIndex {
+    /** nf << 40 | (frame·28 + pairIdx(a,b)) << 16 | byte_a << 8 |
+      * byte_b, a < b — frame count rides in the key (q137's
+      * equal-length alignment), then the frame-local pair. */
+    def key(nf: Int, f: Int, a: Int, b: Int, va: Int, vb: Int): Long = {
+      val pairIdx = a * 8 - a * (a + 1) / 2 + (b - a - 1)
+      (nf.toLong << 40) | ((f * 28 + pairIdx).toLong << 16) |
+        (va.toLong << 8) | vb.toLong
+    }
+  }
+
+  /** Fit the wide video index: the same one demux+decode+hash pass
+    * and driver-side bucket build as [[fitVideoDupIndex]] (signatures
+    * come down whole for the exact verify either way), bucketed on
+    * the 28·nf within-frame pair keys with the same cap discipline. */
+  def fitWideVideoDupIndex(reference: Dataset[MediaRecord],
+                           maxDist: Int = 12,
+                           maxBucket: Int = Dedup.DefaultMaxBucket)
+      : WideVideoDupIndex = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val sigs: Array[(Int, Array[Long])] = reference.mapPartitions { it =>
+      it.flatMap { r =>
+        val (nf, sig) = clipSignature(r)
+        if (nf == 0) None else Some((nf, sig))
+      }
+    }.collect()
+    val byKey = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
+    sigs.zipWithIndex.foreach { case ((nf, sig), idx) =>
+      var f = 0
+      while (f < nf) {
+        var a = 0
+        while (a < 8) {
+          val va = sigByteOf(sig, f * 8 + a)
+          var b = a + 1
+          while (b < 8) {
+            byKey.computeIfAbsent(WideVideoDupIndex.key(
+                nf, f, a, b, va, sigByteOf(sig, f * 8 + b)),
+              _ => new java.util.ArrayList[Integer]).add(idx)
+            b += 1
+          }
+          a += 1
+        }
+        f += 1
+      }
+    }
+    val buckets = new scala.collection.mutable.LongMap[Array[Int]](
+      byKey.size * 2)
+    byKey.forEach { (k, ids) =>
+      if (ids.size <= maxBucket)
+        buckets.update(k, Array.tabulate(ids.size)(ids.get(_).intValue()))
+    }
+    buckets.repack()
+    WideVideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
+  }
+
+  /** [[videoAdmitStream]] against the wide band-pair index — same
+    * stateless shape, same decode path. */
+  def videoAdmitStreamWide(media: Dataset[MediaRecord],
+      index: org.apache.spark.broadcast.Broadcast[WideVideoDupIndex])
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bc = index
+    media.mapPartitions { it =>
+      it.filter { r =>
+        val (nf, sig) = clipSignature(r)
+        !bc.value.hits(nf, sig)
+      }
+    }
+  }
+
+  def videoAdmitStreamWide(media: Dataset[MediaRecord],
+                           index: WideVideoDupIndex): Dataset[MediaRecord] =
+    videoAdmitStreamWide(media,
+      media.sparkSession.sparkContext.broadcast(index))
+
   /** Streaming video admission against the frozen index: demux +
     * decode each arriving payload (REAL RIFF/AVI path, raw-DIB or
     * MJPEG), signature it, admit unless the index reports a near-dup.

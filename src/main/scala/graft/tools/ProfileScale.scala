@@ -447,10 +447,24 @@ object ProfileScale {
             Multimodal.nearDupVideoTable(docs(n * 2)
               .filter(col("doc_id") >= n)))
           .collect().map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
-        val (rate, _) = probeRate(arriving.length)(i =>
+        val (rate, hitsN) = probeRate(arriving.length)(i =>
           idx.hits(arriving(i)._1, arriving(i)._2))
         println(f"video  n=$n%-6d fit ${tFit}%6.2f s  " +
-          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s  " +
+          f"(gated: $hitsN%d of ${arriving.length}%d)")
+        // the wide within-frame band-pair index at the same size
+        // (round 10: the widening lever for the narrow key's ~200k
+        // saturation cliff)
+        val (widx, tFitW) = wall(Multimodal.fitWideVideoDupIndex(
+          Multimodal.nearDupVideoTable(docs(n))))
+        var entriesW = 0L
+        widx.buckets.foreachValue(b => entriesW += b.length)
+        val (rateW, hitsW) = probeRate(arriving.length)(i =>
+          widx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"videoW n=$n%-6d fit ${tFitW}%6.2f s  " +
+          f"entries $entriesW%8d  probe ${rateW / 1000}%8.0f kprobes/s  " +
+          f"(gated: wide $hitsW%d vs narrow $hitsN%d " +
+          f"of ${arriving.length}%d)")
       }
     }
   }

@@ -1025,6 +1025,55 @@ class StreamAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wide band-pair video index: verdicts equal the narrow index " +
+    "below the cap, and the key space spreads ~28x wider") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupVideoTable(docs.limit(200))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val narrow = Multimodal.fitVideoDupIndex(reference)
+    val wide = Multimodal.fitWideVideoDupIndex(reference)
+    // with no bucket capped both indexes are recall-complete (every
+    // fixture clip has >= 2 frames, so maxDist 12 <= 7*nf-1) and
+    // verify the same exact Hamming — verdicts must coincide. Capping
+    // is only detectable at fit time by mass accounting: 8*nf narrow
+    // entries and 28*nf wide entries per reference clip
+    val frames = narrow.refSigs.map(_.length / 2L).sum
+    assert(narrow.buckets.values.map(_.length.toLong).sum == frames * 8,
+      "narrow index capped a bucket; the exact-parity premise is void")
+    assert(wide.buckets.values.map(_.length.toLong).sum == frames * 28,
+      "wide index capped a bucket; the exact-parity premise is void")
+    val narrowAdmit = Multimodal.videoAdmitStream(arriving, narrow)
+      .select("media_id").as[Long].collect().toSet
+    val wideAdmit = Multimodal.videoAdmitStreamWide(arriving, wide)
+      .select("media_id").as[Long].collect().toSet
+    assert(wideAdmit == narrowAdmit,
+      s"wide and narrow verdicts diverge: ${
+        (wideAdmit -- narrowAdmit) ++ (narrowAdmit -- wideAdmit)}")
+    assert(narrowAdmit.nonEmpty && narrowAdmit.size < 100)
+    assert(wide.buckets.size > narrow.buckets.size * 3,
+      s"wide ${wide.buckets.size} vs narrow ${narrow.buckets.size} keys")
+    // streaming parity on the wide gate
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val sq = Multimodal.videoAdmitStreamWide(in.toDS(), wide)
+      .select("media_id")
+      .writeStream.format("memory").queryName("vidw_admit_out")
+      .outputMode("append").start()
+    try {
+      in.addData(arriving.collect().toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("vidw_admit_out").as[Long].collect().toSet
+      assert(stream == narrowAdmit)
+    } finally sq.stop()
+    // the single-frame recall bound is a loud contract, not a footgun
+    val e = intercept[IllegalArgumentException] {
+      wide.copy(maxDist = 14)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("wide index SQL pair keys are bit-equal to the Scala key " +
     "(the distributed-cap fit premise)") {
     import graft.operators.Multimodal
