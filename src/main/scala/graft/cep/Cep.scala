@@ -161,7 +161,19 @@ object Cep {
     * iteration opens through the `groupLoop` re-entry edges instead,
     * which ranks same-branch re-entry against every other branch in
     * alternation order. Sequence branches are entered (and
-    * re-entered) at variable 0 only. */
+    * re-entered) at variable 0 only.
+    *
+    * `varMin`/`varMax` (round 10) carry a sequence VARIABLE's own
+    * quantifier (`(A B+)`, `(A B{2,3}) C`): within one group
+    * iteration the variable consumes a run of varMin..varMax events
+    * (`Partial.curRun` tracks the open run; `curRep` counts
+    * ITERATIONS for sequence steps — 1-based ordinal of the open
+    * iteration). Extension of the run ranks by the variable's own
+    * greed (`branchLoop`/`branchReluctant` carry it, the same fields
+    * a self-repeating alternation branch uses); the cycle may move
+    * on only once the run is whole. Zero-capable variables inside a
+    * sequence (`(A B?)`) stay unsupported — a skippable cycle slot
+    * is a different machine. */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,
@@ -177,7 +189,9 @@ object Cep {
                      branchReluctant: Boolean = false,
                      posSkip: Boolean = false,
                      seqIdx: Int = -1,
-                     seqLen: Int = 0) {
+                     seqLen: Int = 0,
+                     varMin: Int = 1,
+                     varMax: Int = 1) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -242,13 +256,18 @@ object Cep {
     * partials with different priorities and futures, so the
     * repetition boundary is explicit state, never inferred from the
     * trailing run (inference merges paths whose SQL preference
-    * differs).
+    * differs). For SEQUENCE-group steps `curRep` is instead the
+    * 1-based ordinal of the OPEN group iteration and `curRun` the
+    * open run length of the CURRENT variable (round 10 — needed once
+    * sequence variables carry their own quantifiers, `(A B+)`, so
+    * event count no longer determines the iteration count).
     */
   case class Partial[T](entries: Vector[(Int, T)], startTs: Long,
                         matched: Boolean = false,
                         origin: Long = -1L,
                         prio: Vector[Int] = Vector.empty,
-                        curRep: Int = 1) {
+                        curRep: Int = 1,
+                        curRun: Int = 1) {
     def stepIdx: Int = entries.last._1
     def events: Seq[T] = entries.map(_._2)
   }
@@ -341,34 +360,32 @@ object Cep {
 
     private def isSeq(s: Step[T]): Boolean = s.seqLen > 1
 
-    /** The step the sequence-group cycle moves to from `s` (next
-      * variable, wrapping to variable 0 of the SAME branch for a new
-      * iteration). Branch variables are consecutive steps, so this is
-      * index arithmetic — which keeps it correct when the position
-      * also holds OTHER alternation branches ((A B | C)). */
-    private def seqNext(si: Int): Int = {
-      val s = steps(si)
-      if (s.seqIdx < s.seqLen - 1) si + 1 else si - (s.seqLen - 1)
-    }
+    /** A sequence variable that repeats by itself (`(A B+)`,
+      * `(A B{2,3})`). */
+    private def seqVarLoop(s: Step[T]): Boolean =
+      s.varMax == -1 || s.varMax > 1
+
+    /** Variable 0 of the sequence branch `si` belongs to — branch
+      * variables are consecutive steps, so this is index arithmetic,
+      * which keeps it correct when the position also holds OTHER
+      * alternation branches ((A B | C)). */
+    private def seqVar0(si: Int): Int = si - steps(si).seqIdx
 
     /** The open repetition at `s` is whole — the partial may advance,
-      * switch branch, open a new repetition, or finish the match. For
-      * a sequence-group step: standing on the LAST variable with at
-      * least minReps whole iterations (curRep counts events at the
-      * position; the cycle makes curRep / seqLen exact there). */
-    private def repDone(s: Step[T], rep: Int): Boolean =
-      if (isSeq(s)) s.seqIdx == s.seqLen - 1 && rep / s.seqLen >= s.minReps
+      * switch branch, open a new repetition, or finish the match.
+      * For a sequence-group step: standing on the LAST variable with
+      * its own run whole and at least minReps iterations open
+      * (curRep is the 1-based ordinal of the open iteration, curRun
+      * the current variable's run — round 10, when sequence
+      * variables grew their own quantifiers). */
+    private def repDone(s: Step[T], rep: Int, run: Int): Boolean =
+      if (isSeq(s))
+        s.seqIdx == s.seqLen - 1 && run >= s.varMin && rep >= s.minReps
       else !isBounded(s) || rep >= s.minReps
 
     /** The open repetition may absorb one more event. */
     private def canExtend(s: Step[T], rep: Int): Boolean =
       s.maxReps < 0 || rep < s.maxReps
-
-    /** The sequence-group cycle at `s` may consume one more event:
-      * mid-iteration moves always may; a wrap into a new iteration
-      * needs headroom under the iteration cap. */
-    private def seqCanMove(s: Step[T], rep: Int): Boolean =
-      s.seqIdx < s.seqLen - 1 || s.maxReps < 0 || rep / s.seqLen < s.maxReps
 
     /** Advance-walk sequences: advWalkSeq(q0) lists, in SQL
       * backtracking preference order, every step enterable from
@@ -475,18 +492,24 @@ object Cep {
         val advC = advWalkSeq(curPos + 1)
         val seq = Vector.newBuilder[Int] // step idx; -1 complete; -2 ext
         if (isSeq(cur)) {
-          // sequence-group cycle: mid-iteration the only move target
-          // is the next variable; at the last variable the
-          // iterate-again vs leave tie is ordered by the group
-          // quantifier. In a groupLoop position ((A B | C)+) the next
-          // iteration may instead pick ANY groupLoop alternative
-          // (branch switch or same-branch re-entry), ranked in
-          // alternation order with the leave walk spliced per the
-          // element flag — the same ordering the single-variable
-          // groupLoop case below uses (the wrap edge is capped off by
-          // maxReps = 1 there, so re-entry is the only iterate path)
-          val nxt = seqNext(s)
-          if (cur.seqIdx < cur.seqLen - 1) { seq += nxt; seq ++= advC }
+          // sequence-group cycle. The VARIABLE's own quantifier
+          // ((A B+)) ranks extending its run: greedy extension before
+          // everything else, reluctant extension after everything —
+          // the positional-expansion reading ((A B+){2} ≡ A B+ A B+:
+          // B+ extends before the cycle moves on). Then mid-iteration
+          // the only cycle move is the next variable; at the last
+          // variable the iterate-again vs leave tie is ordered by the
+          // GROUP quantifier. In a groupLoop position ((A B | C)+)
+          // the next iteration may instead pick ANY groupLoop
+          // alternative (branch switch or same-branch re-entry),
+          // ranked in alternation order with the leave walk spliced
+          // per the element flag — the same ordering the
+          // single-variable groupLoop case below uses (the wrap edge
+          // is capped off by maxReps = 1 there, so re-entry is the
+          // only iterate path)
+          val vLoop = seqVarLoop(cur)
+          if (vLoop && !cur.branchReluctant) seq += s
+          if (cur.seqIdx < cur.seqLen - 1) { seq += (s + 1); seq ++= advC }
           else if (cur.groupLoop) {
             var leaveDone = false
             def leave(): Unit =
@@ -500,8 +523,9 @@ object Cep {
             }
             leave()
           }
-          else if (cur.quant == Reluctant) { seq ++= advC; seq += nxt }
-          else { seq += nxt; seq ++= advC }
+          else if (cur.quant == Reluctant) { seq ++= advC; seq += seqVar0(s) }
+          else { seq += seqVar0(s); seq ++= advC }
+          if (vLoop && cur.branchReluctant) seq += s
         }
         else if (!cur.oneOrMore) seq ++= advC
         else if (!cur.groupLoop) {
@@ -577,24 +601,35 @@ object Cep {
           val cur = steps(s)
           val curPos = posOf(s)
           val tab = slotTables(s)
-          val done = repDone(cur, p.curRep)
-          // loop choices (target, resulting open-rep length, slot):
-          // EXTEND the open repetition, or — once it is whole — open
-          // a NEW repetition on any groupLoop alternative (branch
-          // switch or same-branch re-entry). For a bounded branch
-          // these are distinct backtracking choices with different
-          // priorities and futures (2+2 vs 3+1 of E{2,3}); an
-          // unbounded branch's two roles collapse into one edge at
-          // the better rank
-          val loopCh = Vector.newBuilder[(Int, Int, Int)]
+          val done = repDone(cur, p.curRep, p.curRun)
+          // loop choices (target, new rep, new run, slot): EXTEND the
+          // open repetition, or — once it is whole — open a NEW
+          // repetition on any groupLoop alternative (branch switch or
+          // same-branch re-entry). For a bounded branch these are
+          // distinct backtracking choices with different priorities
+          // and futures (2+2 vs 3+1 of E{2,3}); an unbounded branch's
+          // two roles collapse into one edge at the better rank
+          val loopCh = Vector.newBuilder[(Int, Int, Int, Int)]
           if (isSeq(cur)) {
-            // sequence-group cycle: one deterministic move target —
-            // the next variable (wrapping into a new iteration only
-            // under the cap); the event binds to THAT variable's
-            // predicate, never the current one's
-            val nxt = seqNext(s)
-            if (seqCanMove(cur, p.curRep) && steps(nxt).hit(e, p.entries))
-              loopCh += ((nxt, p.curRep + 1, tab.target(nxt)))
+            // sequence-group cycle. Choices, each binding the event
+            // to ITS target variable's predicate: extend the current
+            // variable's own run ((A B+) — under the variable cap),
+            // move to the next variable (run whole), wrap into a new
+            // iteration (last variable, run whole, under the group
+            // cap)
+            if (seqVarLoop(cur) &&
+              (cur.varMax < 0 || p.curRun < cur.varMax) &&
+              cur.hit(e, p.entries))
+              loopCh += ((s, p.curRep, p.curRun + 1, tab.target(s)))
+            if (p.curRun >= cur.varMin) {
+              if (cur.seqIdx < cur.seqLen - 1) {
+                if (steps(s + 1).hit(e, p.entries))
+                  loopCh += ((s + 1, p.curRep, 1, tab.target(s + 1)))
+              } else if ((cur.maxReps < 0 || p.curRep < cur.maxReps) &&
+                steps(seqVar0(s)).hit(e, p.entries))
+                loopCh += ((seqVar0(s), p.curRep + 1, 1,
+                  tab.target(seqVar0(s))))
+            }
             // a whole iteration inside a quantified MIXED group
             // ((A B | C)+) may open a new group repetition on any
             // groupLoop alternative — branch switch or same-branch
@@ -604,12 +639,12 @@ object Cep {
               for (j <- posSteps(curPos)
                    if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
                      steps(j).hit(e, p.entries))
-                loopCh += ((j, 1, tab.target(j)))
+                loopCh += ((j, 1, 1, tab.target(j)))
           } else if (cur.oneOrMore) {
             val hitSelf = cur.hit(e, p.entries)
             if (cur.groupLoop) {
               if (cur.branchLoop && hitSelf && canExtend(cur, p.curRep))
-                loopCh += ((s, p.curRep + 1,
+                loopCh += ((s, p.curRep + 1, 1,
                   if (isBounded(cur)) tab.ext
                   else math.min(tab.ext, tab.target(s))))
               if (done)
@@ -617,9 +652,9 @@ object Cep {
                      if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
                        (j != s || !cur.branchLoop || isBounded(cur)) &&
                        steps(j).hit(e, p.entries))
-                  loopCh += ((j, 1, tab.target(j)))
+                  loopCh += ((j, 1, 1, tab.target(j)))
             } else if (hitSelf && canExtend(cur, p.curRep))
-              loopCh += ((s, p.curRep + 1, tab.target(s)))
+              loopCh += ((s, p.curRep + 1, 1, tab.target(s)))
           }
           val loops = loopCh.result()
           // advance targets: every alternative of the next position,
@@ -630,13 +665,13 @@ object Cep {
           val advCh =
             if (done)
               rankedTargets(curPos + 1, j => steps(j).hit(e, p.entries))
-                .map(j => (j, 1, tab.target(j)))
-            else Vector.empty[(Int, Int, Int)]
+                .map(j => (j, 1, 1, tab.target(j)))
+            else Vector.empty[(Int, Int, Int, Int)]
           val anyFired = loops.nonEmpty || advCh.nonEmpty
           // iteration order (only read by the legacy consecutive
           // ranking): loop before advance (greedy) or after
           // (reluctant); slot-ranked NFAs read the static slots
-          val ordered: Vector[(Int, Int, Int)] =
+          val ordered: Vector[(Int, Int, Int, Int)] =
             if (loops.isEmpty) advCh
             else if (cur.quant == Reluctant) advCh ++ loops
             else loops ++ advCh
@@ -648,7 +683,7 @@ object Cep {
           val ranked = !slotRanked && ordered.size > 1 &&
             !(loops.size == 1 && advCh.size == 1 && cur.quant == AllMatches)
           var r = 0
-          for ((j, newRep, digit) <- ordered) {
+          for ((j, newRep, newRun, digit) <- ordered) {
             val pr =
               if (slotRanked) p.prio :+ digit
               else if (ranked) p.prio :+ r
@@ -657,7 +692,8 @@ object Cep {
             val jPos = posOf(j)
             // a bounded branch is not a match boundary until its open
             // repetition is whole
-            val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), newRep)
+            val isFinal =
+              allOptFrom(jPos + 1) && repDone(steps(j), newRep, newRun)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
               // the completion's rank is the all-empty-suffix slot in
@@ -673,9 +709,9 @@ object Cep {
               completed += Pending(p.origin, prPend, newEntries)
               if (extendable) // a B+/B* tail (or optional suffix) extends
                 live += Partial(newEntries, p.startTs, matched = true,
-                  p.origin, prLive, newRep)
+                  p.origin, prLive, newRep, newRun)
             } else live += Partial(newEntries, p.startTs, p.matched,
-              p.origin, pr, newRep)
+              p.origin, pr, newRep, newRun)
             r += 1
           }
           // does the un-extended partial survive this event? At the
@@ -724,7 +760,7 @@ object Cep {
               val jPos = posOf(j)
               // one event consumed at j: final only if a single event
               // is a whole legal repetition (minReps 1)
-              val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), 1)
+              val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), 1, 1)
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
                 // same continuation-vs-complete slot arbitration as

@@ -30,16 +30,19 @@ import org.apache.spark.sql.types.StructType
   * (Cep.Step minReps/maxReps trailing-run gates). Multi-variable
   * SEQUENCE groups (`(A B)+`, `(A B){n,m}` — session-shaped
   * patterns) compile to one cycling NFA position (Cep.Step
-  * seqIdx/seqLen) whose iteration counter does the bounding, and may
+  * seqIdx/seqLen) whose iteration counter does the bounding, may
   * appear as alternation BRANCHES (`(A B | C)`, `(C | A B | D+)+` —
   * mixed groups, expanded as position copies with one whole
   * sequence iteration per copy; group repetitions may switch
-  * branches, per SQL).
-  * Not supported, both REJECTED LOUDLY at parse time: per-variable
-  * quantifiers inside a sequence group (`(A B+)`), and empty-capable
-  * patterns (every element admitting zero rows — SQL:2016 would emit
-  * an empty match row per unmatched input row; FlinkCEP rejects the
-  * same class).
+  * branches, per SQL), and their variables may carry their own
+  * min >= 1 quantifiers (`(A B+)`, `(A B{2,3}) C`, `(A+ B | C)+` —
+  * Cep.Partial.curRun tracks the variable's open run within the
+  * iteration).
+  * Not supported, both REJECTED LOUDLY at parse time: zero-capable
+  * variables inside a sequence group (`(A B?)` — a skippable cycle
+  * slot), and empty-capable patterns (every element admitting zero
+  * rows — SQL:2016 would emit an empty match row per unmatched
+  * input row; FlinkCEP rejects the same class).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -117,7 +120,8 @@ object MatchRecognize {
       minReps: Int, maxReps: Int, emptyBranch: Boolean,
       elemReluctant: Boolean, branchLoop: Boolean,
       branchReluctant: Boolean, posSkip: Boolean,
-      seqIdx: Int = -1, seqLen: Int = 0)
+      seqIdx: Int = -1, seqLen: Int = 0,
+      varMin: Int = 1, varMax: Int = 1)
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -229,14 +233,15 @@ object MatchRecognize {
         val bs = branches.result()
         val (gMin, gMax, gRel) = parseQuant(p)
         // a multi-variable (SEQUENCE) branch — alone ((A B){n,m}) or
-        // inside an alternation ((A B | C)) — holds plain variables
-        // only; per-variable quantifiers inside a sequence ((A B+))
-        // would need iters/run packed into Partial.curRep and are
-        // rejected fast (design notes in round-9 history)
+        // inside an alternation ((A B | C)) — may carry per-variable
+        // quantifiers with min >= 1 ((A B+), (A B{2,3}), round 10:
+        // Partial.curRun tracks the variable's open run). ZERO-capable
+        // variables ((A B?), (A B*)) would make a cycle slot
+        // skippable — a different machine — and are rejected fast.
         for (br <- bs if br.size > 1)
-          if (!br.forall(v => v.min == 1 && v.max == 1))
-            sys.error("MATCH_RECOGNIZE: per-variable quantifiers inside " +
-              "a sequence group are unsupported: " +
+          if (br.exists(_.min == 0))
+            sys.error("MATCH_RECOGNIZE: zero-capable variables inside " +
+              "a sequence group are unsupported (use min >= 1): " +
               br.map(_.name).mkString("(", " ", ")"))
         // single-var branches: B{n,m} as a branch compiles to a
         // repetition-counted self-loop (Cep.Step minReps/maxReps);
@@ -533,9 +538,14 @@ object MatchRecognize {
               maxReps = el.max,
               emptyBranch = false,
               elemReluctant = el.reluctant,
-              branchLoop = false, branchReluctant = false,
+              // the VARIABLE's own quantifier ((A B+)): branchLoop/
+              // branchReluctant order its run extension, varMin/
+              // varMax bound the run (Cep.Partial.curRun)
+              branchLoop = v.max == -1 || v.max > 1,
+              branchReluctant = v.reluctant,
               posSkip = el.min == 0,
-              seqIdx = i, seqLen = k)
+              seqIdx = i, seqLen = k,
+              varMin = v.min, varMax = v.max)
           })
         } else {
         val nBr = el.branches.size
@@ -560,9 +570,11 @@ object MatchRecognize {
                 minReps = 1, maxReps = 1,
                 emptyBranch = false,
                 elemReluctant = loop && el.reluctant,
-                branchLoop = false, branchReluctant = false,
+                branchLoop = v.max == -1 || v.max > 1,
+                branchReluctant = v.reluctant,
                 posSkip = opt,
-                seqIdx = i, seqLen = k)
+                seqIdx = i, seqLen = k,
+                varMin = v.min, varMax = v.max)
             }
           } else {
             val v = br.head
@@ -664,7 +676,9 @@ object MatchRecognize {
           branchReluctant = pa.branchReluctant,
           posSkip = pa.posSkip,
           seqIdx = pa.seqIdx,
-          seqLen = pa.seqLen)
+          seqLen = pa.seqLen,
+          varMin = pa.varMin,
+          varMax = pa.varMax)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)

@@ -469,14 +469,56 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a",
       6L -> "b", 7L -> "c", 8L -> "d"), "X (A B C){2} D", ms, defs) ==
       Seq(Seq(2L, 7L, 8L)))
-    val quantified = intercept[RuntimeException] {
-      mr(tape(1L -> "x"), "X (A B+) D", ms, defs)
+    // zero-capable variables inside a sequence stay rejected (a
+    // skippable cycle slot is a different machine)
+    val zeroCap = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A B?) D", ms, defs)
     }
-    assert(quantified.getMessage.contains("sequence group"))
-    val quantifiedMixed = intercept[RuntimeException] {
-      mr(tape(1L -> "x"), "X (A B+ | C) D", ms, defs)
+    assert(zeroCap.getMessage.contains("zero-capable"))
+    val zeroCapMixed = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A B* | C) D", ms, defs)
     }
-    assert(quantifiedMixed.getMessage.contains("sequence group"))
+    assert(zeroCapMixed.getMessage.contains("zero-capable"))
+  }
+
+  test("per-variable quantifiers inside sequence groups: (A B+), " +
+    "(A B{2}), (A+ B)") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "C AS name = 'c', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, D.seq AS d_seq"
+    def q(pat: String, t: (Long, String)*) = mr(tape(t: _*), pat, ms, defs)
+    // B+ absorbs the whole run inside one iteration
+    assert(q("X (A B+) D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "b", 6L -> "d") == Seq(Seq(1L, 3L, 6L)))
+    assert(q("X (A B+) D", 1L -> "x", 2L -> "a", 3L -> "d").isEmpty)
+    // bounded run: exactly two, a third b kills the strict attempt
+    assert(q("X (A B{2}) D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "d") == Seq(Seq(1L, 2L, 5L)))
+    assert(q("X (A B{2}) D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "d").isEmpty)
+    assert(q("X (A B{2}) D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "b", 6L -> "d").isEmpty)
+    // the quantified variable may be first in the cycle
+    assert(q("X (A+ B) D", 1L -> "x", 2L -> "a", 3L -> "a", 4L -> "b",
+      5L -> "d") == Seq(Seq(2L, 1L, 5L)))
+    // composed with a group quantifier: runs are PER ITERATION
+    assert(q("X (A B+){2} D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "a", 6L -> "b", 7L -> "d") == Seq(Seq(2L, 3L, 7L)))
+    // greedy group: two iterations preferred over one
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b", 5L -> "a",
+      6L -> "b"), "X (A B+){1,2}", "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b",
+      defs) == Seq(Seq(2L, 3L)))
+    // reluctant variable stops at the shortest completing run
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b"),
+      "X (A B+?)", "COUNT(B.*) AS n_b", defs) == Seq(Seq(1L)))
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b"),
+      "X (A B+)", "COUNT(B.*) AS n_b", defs) == Seq(Seq(2L)))
+    // inside a mixed alternation, quantified or not
+    assert(q("X (A B+ | C) D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "d") == Seq(Seq(1L, 2L, 5L)))
+    assert(mr(tape(1L -> "x", 2L -> "c", 3L -> "a", 4L -> "b", 5L -> "b",
+      6L -> "c", 7L -> "d"), "X (C | A B+)+ D",
+      "COUNT(C.*) AS n_c, COUNT(B.*) AS n_b", defs) == Seq(Seq(2L, 2L)))
   }
 
   test("alternation containing a sequence branch: (A B | C)") {

@@ -65,7 +65,9 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
         el.branches.head.head.name + quantStr(el.min, el.max, el.rel)
       else
         el.branches.map { br =>
-          if (br.size > 1) br.map(_.name).mkString(" ")
+          if (br.size > 1)
+            br.map(v => v.name + quantStr(v.min, v.max, v.rel))
+              .mkString(" ")
           else br.head.name + quantStr(br.head.min, br.head.max, br.head.rel)
         }.mkString("(", " | ", ")") + quantStr(el.min, el.max, el.rel)
     }.mkString(" ")
@@ -109,18 +111,20 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
     // one group iteration: leftmost branch preferred; a min-0 branch
     // contributes an EMPTY way at its own alternation rank. A
-    // SEQUENCE branch's iteration is deterministic: each variable
-    // consumes exactly one row, strictly contiguous, in order
+    // SEQUENCE branch's iteration chains its variables strictly
+    // contiguously, each consuming a run per ITS OWN quantifier
+    // (greedy = longest first; plain vars take exactly one row) —
+    // round 10, per-variable quantifiers inside sequence groups
+    def seqWays(vars: Vector[FVar], vi: Int, pos: Int,
+                acc: Bind): Iterator[(Int, Bind)] =
+      if (vi == vars.length) Iterator.single((pos, acc))
+      else branchWays(vars(vi), pos, acc).flatMap { case (p2, a2) =>
+        seqWays(vars, vi + 1, p2, a2)
+      }
     def oneIter(el: FElem, pos: Int,
                 acc: Bind): Iterator[(Int, Bind)] =
       el.branches.iterator.flatMap { br =>
-        if (br.size > 1) {
-          if (pos + br.length <= n &&
-            br.indices.forall(i => sat(br(i).name, pos + i)))
-            Iterator.single((pos + br.length,
-              acc ++ br.indices.map(i => (br(i).name, pos + i))))
-          else Iterator.empty
-        }
+        if (br.size > 1) seqWays(br, 0, pos, acc)
         else branchWays(br.head, pos, acc)
       }
 
@@ -264,11 +268,16 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def genElem(rnd: Random, names: Seq[String]): FElem = {
     def pick() = names(rnd.nextInt(names.length))
-    // plain vars only (the front-end rejects per-variable quantifiers
-    // inside a sequence); repeated names allowed ((A A), (B A B))
+    // vars may carry their own min >= 1 quantifiers ((A B+),
+    // (A B{2,3}) — round 10); zero-capable vars map to plain (the
+    // front-end rejects them inside a sequence); repeated names
+    // allowed ((A A), (B A B))
     def seqBranch(): Vector[FVar] = {
       val k = 2 + rnd.nextInt(2)
-      Vector.fill(k)(FVar(pick(), 1, 1, rel = false))
+      Vector.fill(k) {
+        val v = genVar(rnd, pick())
+        if (v.min == 0) FVar(v.name, 1, 1, rel = false) else v
+      }
     }
     if (rnd.nextInt(10) < 5) {
       val v = genVar(rnd, pick())
