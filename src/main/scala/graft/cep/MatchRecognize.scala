@@ -97,8 +97,9 @@ object MatchRecognize {
     * one-var branches — those keep their own per-branch quantifiers
     * (`(B+|C?)`); a SEQUENCE group `(A B){n,m}` is ONE multi-var
     * branch; `(A B | C)` mixes multi-var and one-var branches.
-    * Multi-var branches hold plain (1,1) variables only — the parser
-    * rejects per-variable quantifiers inside a sequence. */
+    * Multi-var branch variables may carry their own min >= 1
+    * quantifiers (`(A B+)`); the parser rejects zero-capable ones
+    * (`(A B?)`). */
   private[cep] case class PatElem(branches: Vector[Vector[PatVar]],
                                   min: Int, max: Int,
                                   reluctant: Boolean) {
@@ -706,6 +707,115 @@ object MatchRecognize {
         resolve(v, None, curVar = "", c.varIdx, m.entries).orNull }
       Row.fromSeq(key +: vals)
     }
+  }
+
+  /** STREAMING MATCH_RECOGNIZE (round 10): the same compiled clause +
+    * NFA run incrementally under flatMapGroupsWithState — partials
+    * survive micro-batches in GroupState, completed matches emit in
+    * Append mode, and the SQL surface stays IDENTICAL to the batch
+    * [[run]] (one row per match: partition column + measures; the
+    * engines cannot diverge — same parse, same position expansion,
+    * same Nfa). The reference's MATCH_RECOGNIZE is a streaming
+    * feature (`flink-sql/sql/dml/CEP.md` runs on an unbounded Ticker),
+    * so the batch-only runner was a real gap.
+    *
+    * Ordering contract (the [[CepStreaming.matchPattern]] one):
+    * event-time order WITHIN a micro-batch (rows sort by ORDER BY
+    * before feeding the NFA), arrival order ACROSS batches — size any
+    * upstream watermark to the expected disorder. `WITHIN` windows
+    * expire against the query's event-time watermark when one is
+    * declared upstream (pending greedy matches release, timed-out
+    * partials drop — the event-time-flush cadence); without a
+    * watermark they expire lazily on the next same-key event, and a
+    * permanently idle key retains its partials (document-matching
+    * behavior of the DSL runner; use the watermark).
+    *
+    * State per key: live partials + held-back matches, Kryo-encoded.
+    * Keys group by the STRING rendering of the partition value (one
+    * column, one type — injective), but output rows carry the
+    * original value.
+    *
+    * When the clause has `WITHIN` and the input declares an
+    * event-time watermark (on the ORDER BY column — the units must
+    * agree), partials also flush on EVENT-TIME TIMERS: a key whose
+    * window closes releases held-back greedy matches and drops dead
+    * partials even if it never receives another event (the
+    * [[CepStreaming.matchPatternEventTime]] cadence). Without a
+    * watermark, expiry is lazy — the next same-key event notices. */
+  def runStream(df: DataFrame, sql: String): DataFrame = {
+    val c = compile(df.schema, sql)
+    val partitionBy = c.clause.partitionBy
+    val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
+    val within = c.spec.withinMs
+    // plan-time facts, captured as vals: fn runs on executors where
+    // the Dataset does not deserialize
+    val streaming = df.isStreaming
+    // event-time timers need the query to carry a watermark; detect
+    // it on the input plan so batch inputs and unwatermarked streams
+    // keep the lazy-expiry path instead of failing analysis
+    val hasWatermark = streaming &&
+      df.queryExecution.logical.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e
+      }.isDefined
+    val useTimers = within.isDefined && hasWatermark
+    implicit val stEnc: org.apache.spark.sql.Encoder[Cep.NfaState[Row]] =
+      org.apache.spark.sql.Encoders.kryo[Cep.NfaState[Row]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(c.outSchema)
+    def fn(key: String, it: Iterator[Row],
+           state: org.apache.spark.sql.streaming.GroupState[Cep.NfaState[Row]])
+        : Iterator[Row] = {
+      var st = state.getOption.getOrElse(Cep.NfaState.empty[Row])
+      val out = Seq.newBuilder[Row]
+      def emit(m: Cep.MatchResult[Row]): Unit = {
+        val vals = c.clause.measures.map { case (v, _) =>
+          resolve(v, None, curVar = "", c.varIdx, m.entries).orNull }
+        out += Row.fromSeq(
+          m.entries.head._2.getAs[Any](partitionBy) +: vals)
+      }
+      for (e <- it.toSeq.sortBy(c.ordKey)) {
+        val (s2, done, _) = nfa.onEvent(st, e)
+        st = s2
+        done.foreach(emit) // SQL MR has no timeout side channel
+      }
+      if (!streaming) {
+        // batch input: fn runs once per key with all rows — end the
+        // attempt set exactly like the batch runner (flush releases
+        // held-back matches), so runStream(batch df) ≡ run(df)
+        val (s3, done) = nfa.flush(st)
+        st = s3
+        done.foreach(emit)
+      } else if (useTimers) {
+        // event-time flush: once the watermark passes startTs +
+        // within, no in-order event can extend a partial — drop it
+        // and release whatever its death unblocks
+        val (s3, done, _) = nfa.expire(st, state.getCurrentWatermarkMs())
+        st = s3
+        done.foreach(emit)
+      }
+      if (st.partials.isEmpty && st.pending.isEmpty) state.remove()
+      else {
+        state.update(st)
+        if (useTimers) {
+          val wm = state.getCurrentWatermarkMs()
+          val t =
+            if (st.partials.nonEmpty)
+              st.partials.map(_.startTs + within.get).min + 1
+            else wm + 1
+          state.setTimeoutTimestamp(math.max(t, wm + 1))
+        }
+      }
+      out.result().iterator
+    }
+    df.groupByKey(r => String.valueOf(r.getAs[Any](partitionBy)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        if (useTimers)
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
+        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
   }
 
   /** Run the clause over a DataFrame, returning one row per match:

@@ -754,4 +754,84 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(r.getAs[Timestamp]("bottom_tstamp").getTime == base + 7000L)
     assert(r.getAs[Timestamp]("end_tstamp").getTime == base + 8000L)
   }
+
+  test("runStream: streaming MATCH_RECOGNIZE equals the batch runner " +
+    "across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clause = """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES FIRST(A.seq) AS a0, COUNT(B.*) AS n_b, C.seq AS c_seq
+      PATTERN (A B+ C)
+      DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c'
+    """
+    // two keys interleaved; per-key arrival respects ORDER BY, rows
+    // split 3-per-micro-batch so partials cross batch boundaries
+    val rows = Seq(
+      (1L, "a", "S"), (2L, "b", "S"), (3L, "b", "S"), (4L, "c", "S"),
+      (1L, "a", "T"), (2L, "x", "T"), (3L, "a", "T"), (4L, "b", "T"),
+      (5L, "c", "T"),
+      (5L, "a", "S"), (6L, "b", "S"), (7L, "c", "S"))
+    val batch = MatchRecognize.run(rows.toDF("seq", "name", "sym"), clause)
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 3)
+    val in = MemoryStream[(Long, String, String)]
+    val q = MatchRecognize.runStream(
+        in.toDF().toDF("seq", "name", "sym"), clause)
+      .writeStream.format("memory").queryName("mr_stream_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(3).foreach { ch =>
+        in.addData(ch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mr_stream_out").collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+    // and on a BATCH DataFrame, runStream degrades to the batch runner
+    val viaStreamApi = MatchRecognize.runStream(
+      rows.toDF("seq", "name", "sym"), clause).collect().map(_.toSeq).toSet
+    assert(viaStreamApi == batch)
+  }
+
+  test("runStream WITHIN + watermark: an idle key's held-back match " +
+    "flushes on the event-time timer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    // pattern ends in a greedy loop, so the completed match is HELD
+    // while the loop could still extend — only the WITHIN expiry
+    // (driven by the watermark, advanced by the OTHER key) can
+    // release it once key S goes idle
+    val clause = """
+      PARTITION BY sym
+      ORDER BY ts
+      MEASURES FIRST(X.seq) AS x0, COUNT(B.*) AS n_b
+      PATTERN (X B+) WITHIN INTERVAL '2' SECOND
+      DEFINE X AS name = 'x', B AS name = 'b'
+    """
+    val in = MemoryStream[(Long, Long, String, String)]
+    val df = in.toDF().toDF("seq", "ts_ms", "name", "sym")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+    val q = MatchRecognize.runStream(df, clause)
+      .writeStream.format("memory").queryName("mr_within_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1000L, "x", "S"), (2L, 2000L, "b", "S"))
+      q.processAllAvailable()
+      // S's match is pending (B+ could extend); nothing emitted yet
+      assert(spark.table("mr_within_out").count() == 0)
+      // advance the watermark via key T, then one more batch so the
+      // timer fires with S idle
+      in.addData((3L, 10000L, "z", "T"))
+      q.processAllAvailable()
+      in.addData((4L, 11000L, "z", "T"))
+      q.processAllAvailable()
+      val got = spark.table("mr_within_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("S", 1L, 1L)), s"got ${got.mkString(",")}")
+    } finally q.stop()
+  }
 }
