@@ -759,8 +759,13 @@ object MatchRecognize {
           e
       }.isDefined
     val useTimers = within.isDefined && hasWatermark
+    // java serialization, not kryo: the state holds external Rows
+    // (GenericRowWithSchema), which kryo can only field-serialize by
+    // cracking JDK internals open (fails outside --add-opens JVMs);
+    // every class in NfaState[Row] is Serializable and the per-key
+    // state is small (live partials + held matches)
     implicit val stEnc: org.apache.spark.sql.Encoder[Cep.NfaState[Row]] =
-      org.apache.spark.sql.Encoders.kryo[Cep.NfaState[Row]]
+      org.apache.spark.sql.Encoders.javaSerialization[Cep.NfaState[Row]]
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(c.outSchema)
     def fn(key: String, it: Iterator[Row],

@@ -309,6 +309,29 @@ object ProfileStream {
       }, i => vidPool(i % 1000).copy(media_id = i))
     }
 
+    // streaming MATCH_RECOGNIZE (round 10): the doc-shaped A B+ C
+    // clause over `Keys` symbols, names cycling a,b,b,c per key so
+    // every key completes one match per 4 rows and SKIP PAST LAST ROW
+    // keeps state bounded — measures the flatMapGroupsWithState NFA
+    // path (Kryo NfaState round-trip + per-row onEvent + MEASURES
+    // resolution) against the same harness floor as the gates
+    locally {
+      val clause = """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES FIRST(A.seq) AS a0, COUNT(B.*) AS n_b, C.seq AS c_seq
+        PATTERN (A B+ C)
+        DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c'"""
+      bench[(Long, String, String)]("mrstream")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[(Long, String, String)]
+        ((rows: Seq[(Long, String, String)]) => { in.addData(rows); () },
+          graft.cep.MatchRecognize.runStream(
+            in.toDF().toDF("seq", "name", "sym"), clause))
+      }, i => ((i / Keys).toLong,
+        Seq("a", "b", "b", "c")(((i / Keys) % 4).toInt), s"k${i % Keys}"))
+    }
+
     spark.stop()
   }
 }
