@@ -1193,6 +1193,218 @@ object Similarity extends graft.QueryModule {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- streaming semantic admission: embedding near-dup gate ------------
+
+  /** Ascending-index dot product on plain arrays — the driver/probe
+    * twin of [[graft.functions.VectorExpressions.dotProduct]]'s fold
+    * (and the oracle's `list_reduce(list_prepend(0.0, …))`): same
+    * IEEE op sequence, so sign bits and cosines computed here are
+    * bit-equal to the batch plan's. */
+  private[operators] def dotScala(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Band `band`'s sign key of `v` over `perBand`-plane slices of
+    * `planes`: bit p = (v · planes(band·perBand + p)) > 0, tagged with
+    * the band index so distinct bands never share buckets. For
+    * band 0 / perBand 8 the untagged bits ARE [[lshBucket]]'s value. */
+  private def signKey(v: Array[Double], planes: Array[Array[Double]],
+                      band: Int, perBand: Int): Long = {
+    var key = 0L
+    var p = 0
+    while (p < perBand) {
+      if (dotScala(v, planes(band * perBand + p)) > 0) key |= 1L << p
+      p += 1
+    }
+    (band.toLong << 32) | key
+  }
+
+  /** Frozen embedding near-dup index for [[semanticAdmitStream]] — the
+    * admission-gate family's member for the EMBEDDING modality (text:
+    * `StreamAggs.bloomAdmitStream`/`decontamGate`; media:
+    * `Multimodal.imageAdmitStream`/`audioAdmitStream`/
+    * `videoAdmitStream`). Reference vectors are bucketed by banded
+    * sign-LSH keys: band b keys on the sign pattern of seeded
+    * hyperplanes [b·P, (b+1)·P) — the SAME md5-seeded matrix as
+    * [[lshBucket]], so the DEFAULT config (bands = 1, planesPerBand =
+    * 8) keys bit-identically to q35's bucket and gate rejections equal
+    * q35's batch pairs restricted to (arrival, reference)
+    * (spec-asserted, and hash-checked against a DuckDB NOT EXISTS
+    * oracle as q146). Every candidate is verified with the EXACT
+    * cosine, so extra bands can only add TRUE near-dup rejections,
+    * never a false positive.
+    *
+    * SCALE SHAPE: entries are exactly bands × references (one bucket
+    * per band per reference — content-size-independent, unlike the
+    * shingle/fingerprint indexes), so the broadcast is dominated by
+    * the vectors themselves (8·dims bytes each; ~51 MB at 100k refs ×
+    * 64 dims) — the media gates' curated-bounded-reference-set
+    * contract. Probe cost is the per-band bucket load in exact
+    * cosines: uniform bound refs/2^planesPerBand per band, but
+    * embedding corpora CLUSTER, so real buckets skew above it
+    * (measured in SCALE.md's gatefit table). `planesPerBand` is the
+    * load lever (16 → 65 536 keys per band), `bands` the recall
+    * lever — the standard banded-LSH trade. NO bucket cap: q35 has
+    * none (its 2^P key space is the bound), and a dropped bucket here
+    * would silently admit true near-dups with no batch analog to
+    * mirror. */
+  case class SemanticDupIndex(threshold: Double, bands: Int,
+                              planesPerBand: Int,
+                              planes: Array[Array[Double]],
+                              refVecs: Array[Array[Double]],
+                              refNorms: Array[Double],
+                              buckets: scala.collection.mutable.LongMap[Array[Int]]) {
+    /** true iff `v` cosine-near-dups (sim ≥ threshold) some reference
+      * sharing a band key with it. Zero-norm vectors never hit on
+      * either side (0/0 = NaN, and NaN ≥ threshold is false — the
+      * batch op's exact behavior). */
+    def hits(v: Array[Double]): Boolean = {
+      val nrm = math.sqrt(dotScala(v, v))
+      // candidate dedup across bands: lazily-allocated BitSet over
+      // reference positions (the audio/video probes' layout — misses
+      // allocate nothing)
+      var seen: java.util.BitSet = null
+      var band = 0
+      while (band < bands) {
+        val b = buckets.getOrNull(signKey(v, planes, band, planesPerBand))
+        if (b != null) {
+          if (seen == null) seen = new java.util.BitSet(refVecs.length)
+          var k = 0
+          while (k < b.length) {
+            val id = b(k)
+            if (!seen.get(id)) {
+              seen.set(id)
+              if (dotScala(v, refVecs(id)) / (nrm * refNorms(id)) >= threshold)
+                return true
+            }
+            k += 1
+          }
+        }
+        band += 1
+      }
+      false
+    }
+  }
+
+  /** Fit the frozen semantic index over a reference embedding frame
+    * (`embedding` column; null vectors are skipped — they never pair
+    * in batch either). ONE bounded collect: the vectors must come to
+    * the driver anyway for the exact verify (the audio-index
+    * argument), and each contributes exactly `bands` fixed-size index
+    * entries — no content-driven fan-out to cap. */
+  def fitSemanticDupIndex(embeddings: DataFrame, threshold: Double = 0.2,
+                          bands: Int = 1, planesPerBand: Int = 8)
+      : SemanticDupIndex = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(planesPerBand >= 1 && planesPerBand <= 32,
+      s"planesPerBand must be in [1, 32], got $planesPerBand")
+    // rows [0, 8) of this matrix ARE `planes` (same seeded formula),
+    // which is what makes the default config q35-bit-identical
+    val allPlanes: Array[Array[Double]] =
+      Array.tabulate(bands * planesPerBand, dims)((p, i) =>
+        (h32Scala(s"p${p}_$i") % 2001 - 1000) / 1000.0)
+    val refVecs: Array[Array[Double]] = embeddings
+      .select(asDouble(col("embedding")).as("emb"))
+      .where(col("emb").isNotNull)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val byKey = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
+    refVecs.zipWithIndex.foreach { case (v, idx) =>
+      var band = 0
+      while (band < bands) {
+        byKey.computeIfAbsent(signKey(v, allPlanes, band, planesPerBand),
+          _ => new java.util.ArrayList[Integer]).add(idx)
+        band += 1
+      }
+    }
+    // probe-side layout: primitive open-addressed long keys (the
+    // round-10 audio/video discipline)
+    val buckets =
+      new scala.collection.mutable.LongMap[Array[Int]](byKey.size * 2)
+    byKey.forEach { (key, ids) =>
+      buckets.update(key, Array.tabulate(ids.size)(ids.get(_).intValue()))
+    }
+    buckets.repack()
+    SemanticDupIndex(threshold, bands, planesPerBand, allPlanes, refVecs,
+      refVecs.map(v => math.sqrt(dotScala(v, v))), buckets)
+  }
+
+  /** Streaming semantic admission against the frozen index: admit each
+    * arriving row unless its embedding cosine-near-dups a reference.
+    * STATELESS per row — the media gates' shape verbatim: the index
+    * ships once per executor, no joins/shuffles/state/watermark; works
+    * identically on a batch frame (q146's spelling). Null embeddings
+    * admit (they never pair in batch). Arriving near-dups of EACH
+    * OTHER both admit (frozen index) — compose with
+    * [[semanticDedupStream]] for in-stream collapse. */
+  def semanticAdmitStream(stream: DataFrame, embCol: Column,
+                          index: org.apache.spark.broadcast.Broadcast[SemanticDupIndex])
+      : DataFrame = {
+    val bc = index
+    val hit = udf { (emb: Seq[Double]) =>
+      emb != null && bc.value.hits(emb.toArray)
+    }
+    stream.filter(!hit(embCol.cast("array<double>")))
+  }
+
+  def semanticAdmitStream(stream: DataFrame, embCol: Column,
+                          index: SemanticDupIndex): DataFrame =
+    semanticAdmitStream(stream, embCol,
+      stream.sparkSession.sparkContext.broadcast(index))
+
+  /** In-stream embedding dedup — the media dedup twins' composition
+    * for the embedding modality: key the watermark-bounded dedup on
+    * the 64-bit sign-LSH signature (planes [0, 64) of the same seeded
+    * matrix — an embedding SimHash), so byte-identical vectors AND
+    * perturbations too small to flip any of 64 signs collapse to the
+    * first arrival. A near-dup that flips even one sign survives, by
+    * design — that is [[semanticAdmitStream]]'s (reference set) or
+    * q35's (batch) job. State is delay × rate keys of 8 bytes each;
+    * the signature is one map-side 64-dot-product pass per row. `id`
+    * (default -1 = unattributed) rides into the null-embedding error
+    * so one bad row names itself instead of killing the query
+    * anonymously (the media twins' contract). */
+  def semanticDedupStream(stream: DataFrame, embCol: Column, ts: Column,
+                          watermarkDelay: String,
+                          id: Column = lit(-1L)): DataFrame = {
+    val signPlanes: Array[Array[Double]] = Array.tabulate(64, dims)((p, i) =>
+      (h32Scala(s"p${p}_$i") % 2001 - 1000) / 1000.0)
+    val sig = udf { (rowId: Long, emb: Seq[Double]) =>
+      if (emb == null) throw new IllegalArgumentException(
+        (if (rowId == -1L) "stream row" else s"vec $rowId") +
+          ": null embedding")
+      val v = emb.toArray
+      var key = 0L
+      var p = 0
+      while (p < 64) {
+        if (dotScala(v, signPlanes(p)) > 0) key |= 1L << p
+        p += 1
+      }
+      key
+    }
+    graft.streaming.StreamAggs.dedupWithinWatermark(
+        stream.withColumn("__esig", sig(id, embCol.cast("array<double>"))),
+        ts, watermarkDelay, "__esig")
+      .drop("__esig")
+  }
+
+  /** q146: the semantic admission gate as a batch query the DuckDB
+    * oracle can hash-check — the FIRST serving gate with a full SQL
+    * oracle (the media gates' codecs have no SQL spelling; this one is
+    * pure math). References are vec_id % 4 < 2, arrivals the rest; the
+    * output is the admitted arrivals' ids. Runs the ACTUAL gate — fit
+    * + semanticAdmitStream — not a batch re-derivation. */
+  def semanticAdmitQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = fitSemanticDupIndex(emb.filter(col("vec_id") % 4 < 2))
+    semanticAdmitStream(emb.filter(col("vec_id") % 4 >= 2),
+        col("embedding"), index)
+      .select(col("vec_id"))
+  }
+
   // ---- driver bindings -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1219,7 +1431,8 @@ object Similarity extends graft.QueryModule {
     "q118_diverse_sample" -> ((s, d) => diverseSample(Tables.embeddings(s, d))),
     "q120_semantic_decon" -> ((s, d) => semanticDecon(Tables.embeddings(s, d))),
     "q129_trunc_recall" -> ((s, d) => truncationRecall(Tables.embeddings(s, d))),
-    "q130_two_stage" -> ((s, d) => knnTwoStage(Tables.embeddings(s, d)))
+    "q130_two_stage" -> ((s, d) => knnTwoStage(Tables.embeddings(s, d))),
+    "q146_semantic_admit" -> ((s, d) => semanticAdmitQuery(s, d))
   )
 
   private val dotSql = (a: String, b: String) => s"""
@@ -1879,6 +2092,21 @@ object Similarity extends graft.QueryModule {
       SELECT doc_id, rn_lex, rn_dense, rrf,
              CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
                AS INT) AS rn
-      FROM scored"""
+      FROM scored""",
+    /* q146: the semantic admission gate — an arrival (vec_id % 4 >= 2)
+     * is admitted iff NO reference (vec_id % 4 < 2) shares its q35
+     * sign-LSH bucket with cosine >= 0.2. Spelled join + NOT IN, not
+     * NOT EXISTS: DuckDB cannot bind the cosine lambdas against a
+     * correlated outer column. */
+    "q146_semantic_admit" -> s"""
+      WITH $bucketsSql,
+      rej AS (
+        SELECT DISTINCT x.vec_id
+        FROM b x JOIN b y ON x.bucket = y.bucket
+        WHERE x.vec_id % 4 >= 2 AND y.vec_id % 4 < 2
+          AND ${cosSql("x.emb", "y.emb")} >= 0.2)
+      SELECT vec_id FROM b
+      WHERE vec_id % 4 >= 2
+        AND vec_id NOT IN (SELECT vec_id FROM rej)"""
   )
 }

@@ -1143,4 +1143,153 @@ class StreamAggsSpec extends SparkSpec {
       assert(batch.exists(!_._3) && batch.exists(_._3))
     } finally q.stop()
   }
+
+  // ---- streaming semantic (embedding) admission gate ---------------------
+
+  /** Brute-force mirror of the gate semantics from plain Scala math —
+    * no index code reused: ascending-order folds for dots, q35's
+    * 8-plane sign bucket, exact cosine. */
+  private def semanticMirror(sf: String)
+      : (Array[(Long, Array[Double])], Array[(Long, Array[Double])], Set[Long]) = {
+    def dotBf(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def bucketBf(v: Array[Double]): Long =
+      (0 until 8).map(p =>
+        if (dotBf(Similarity.planes(p), v) > 0) 1L << p else 0L).sum
+    def cosBf(a: Array[Double], b: Array[Double]): Double =
+      dotBf(a, b) / (math.sqrt(dotBf(a, a)) * math.sqrt(dotBf(b, b)))
+    val all = graft.core.Tables.embeddings(spark, s"/root/testdata/$sf")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val refs = all.filter(_._1 % 4 < 2)
+    val arrivals = all.filter(_._1 % 4 >= 2)
+    val expectedReject = arrivals.collect { case (id, v)
+      if refs.exists { case (_, r) =>
+        bucketBf(r) == bucketBf(v) && cosBf(r, v) >= 0.2 } => id
+    }.toSet
+    (refs, arrivals, expectedReject)
+  }
+
+  test("streaming semantic admission gate: default config equals the " +
+    "brute-force mirror AND the batch q35 cross pairs, batch == stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val (refs, arrivals, expectedReject) = semanticMirror("sf0.001")
+    assert(expectedReject.nonEmpty, "gate vacuous: nothing rejected")
+    assert(expectedReject.size < arrivals.length / 2,
+      s"gate degenerate: ${expectedReject.size}/${arrivals.length} rejected")
+    // the batch near-dup op agrees: its cross (arrival, reference)
+    // pairs name exactly the rejected arrivals
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val refIds = refs.map(_._1).toSet
+    val q35Reject = Similarity.cosineNearDupPairs(emb, 0.2)
+      .select("a", "b").as[(Long, Long)].collect()
+      .collect {
+        case (a, b) if refIds(a) && !refIds(b) => b
+        case (a, b) if refIds(b) && !refIds(a) => a
+      }.toSet
+    assert(q35Reject == expectedReject,
+      "brute-force mirror diverges from the batch q35 semantics")
+    val index = Similarity.fitSemanticDupIndex(
+      emb.filter(col("vec_id") % 4 < 2))
+    val expectedAdmit = arrivals.map(_._1).toSet -- expectedReject
+    val batchAdmit = Similarity.semanticAdmitStream(
+        emb.filter(col("vec_id") % 4 >= 2), col("embedding"), index)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchAdmit == expectedAdmit)
+    // streaming: same vectors through a MemoryStream, two batches
+    val in = MemoryStream[(Long, Seq[Float])]
+    val sq = Similarity.semanticAdmitStream(
+        in.toDF().toDF("vec_id", "embedding"), col("embedding"), index)
+      .select("vec_id")
+      .writeStream.format("memory").queryName("sem_admit_out")
+      .outputMode("append").start()
+    try {
+      val rows = arrivals.map { case (id, v) =>
+        (id, v.map(_.toFloat).toSeq) }
+      in.addData(rows.take(100).toSeq)
+      sq.processAllAvailable()
+      in.addData(rows.drop(100).toSeq)
+      sq.processAllAvailable()
+      val stream = spark.table("sem_admit_out").as[Long].collect().toSet
+      assert(stream == expectedAdmit, "stream verdicts diverge from batch")
+    } finally sq.stop()
+  }
+
+  test("semantic gate wide config (extra bands): rejections are a " +
+    "superset of the default's and every extra one is a true near-dup") {
+    val (refs, arrivals, defaultReject) = semanticMirror("sf0.001")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val wide = Similarity.fitSemanticDupIndex(
+      emb.filter(col("vec_id") % 4 < 2), bands = 4)
+    val wideAdmit = Similarity.semanticAdmitStream(
+        emb.filter(col("vec_id") % 4 >= 2), col("embedding"), wide)
+      .select("vec_id").as[Long].collect().toSet
+    val wideReject = arrivals.map(_._1).toSet -- wideAdmit
+    assert(defaultReject.subsetOf(wideReject),
+      "band 0 of the wide index must reproduce the default's rejections")
+    // extra bands may only add TRUE near-dups (exact cosine verify)
+    def dotBf(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val extras = wideReject -- defaultReject
+    extras.foreach { id =>
+      val v = arrivals.find(_._1 == id).get._2
+      assert(refs.exists { case (_, r) =>
+        dotBf(r, v) / (math.sqrt(dotBf(r, r)) * math.sqrt(dotBf(v, v))) >= 0.2
+      }, s"wide index rejected $id with no cosine-near reference")
+    }
+  }
+
+  test("in-stream semantic dedup collapses sign-stable copies across " +
+    "batches, keeps sign-flipping variants, names null-embedding rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val v1: Seq[Float] = Array.tabulate(64)(i =>
+      ((i * 37 + 11) % 41 - 20).toFloat / 7f).toSeq
+    val gained = v1.map(_ * 2.5f) // positive gain flips no sign bit
+    val flipped = v1.map(-_)      // negation flips every non-zero sign
+    val other: Seq[Float] = Array.tabulate(64)(i =>
+      ((i * 53 + 29) % 37 - 18).toFloat / 5f).toSeq
+    val in = MemoryStream[(Long, Long, Seq[Float])]
+    val df = in.toDF().toDF("ts_ms", "vec_id", "embedding")
+    val q = Similarity.semanticDedupStream(df, col("embedding"),
+        timestamp_millis(col("ts_ms")), "10 seconds")
+      .select("vec_id")
+      .writeStream.format("memory").queryName("sem_dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1000L, 1L, v1),
+        (2000L, 2L, v1),      // byte-identical → dup
+        (3000L, 3L, gained),  // sign-stable gain → dup
+        (4000L, 4L, flipped)) // every sign flips → survives
+      q.processAllAvailable()
+      in.addData(
+        (5000L, 5L, v1),      // cross-batch copy → dup
+        (6000L, 6L, other))
+      q.processAllAvailable()
+      val got = spark.table("sem_dedup_out").as[Long].collect().toSet
+      assert(got == Set(1L, 4L, 6L),
+        s"got $got: identical/gained copies must collapse, the " +
+          "sign-flipped variant must survive (signature-exact semantics)")
+    } finally q.stop()
+    // a null embedding names its row when an id column is passed
+    val in2 = MemoryStream[(Long, Long, Seq[Float])]
+    val df2 = in2.toDF().toDF("ts_ms", "vec_id", "embedding")
+    val q2 = Similarity.semanticDedupStream(df2, col("embedding"),
+        timestamp_millis(col("ts_ms")), "10 seconds", id = col("vec_id"))
+      .writeStream.format("noop").start()
+    try {
+      in2.addData((1000L, 7L, null: Seq[Float]))
+      val e = intercept[Throwable] { q2.processAllAvailable() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("vec 7")),
+        s"null-embedding failure not attributed: $msgs")
+    } finally q2.stop()
+  }
 }
