@@ -1233,7 +1233,7 @@ object Similarity extends graft.QueryModule {
     * [[lshBucket]], so the DEFAULT config (bands = 1, planesPerBand =
     * 8) keys bit-identically to q35's bucket and gate rejections equal
     * q35's batch pairs restricted to (arrival, reference)
-    * (spec-asserted, and hash-checked against a DuckDB NOT EXISTS
+    * (spec-asserted, and hash-checked against a DuckDB anti-join
     * oracle as q146). Every candidate is verified with the EXACT
     * cosine, so extra bands can only add TRUE near-dup rejections,
     * never a false positive.
@@ -1264,23 +1264,23 @@ object Similarity extends graft.QueryModule {
       * batch op's exact behavior). */
     def hits(v: Array[Double]): Boolean = {
       val nrm = math.sqrt(dotScala(v, v))
-      // candidate dedup across bands: lazily-allocated BitSet over
-      // reference positions (the audio/video probes' layout — misses
-      // allocate nothing)
-      var seen: java.util.BitSet = null
+      // NO cross-band candidate dedup, deliberately (unlike the
+      // audio/video probes' BitSet): a hit early-returns, and for a
+      // MISS a candidate repeats across bands only when an unrelated
+      // reference matches the probe in 2+ independent band keys
+      // (~bucketload/2^P extra verifies, ~1%) — while a
+      // reference-sized BitSet costs refs/8 bytes of zeroing per
+      // probe, which MEASURED as ~2/3 of the 16-plane config's probe
+      // time at 100k refs
       var band = 0
       while (band < bands) {
         val b = buckets.getOrNull(signKey(v, planes, band, planesPerBand))
         if (b != null) {
-          if (seen == null) seen = new java.util.BitSet(refVecs.length)
           var k = 0
           while (k < b.length) {
             val id = b(k)
-            if (!seen.get(id)) {
-              seen.set(id)
-              if (dotScala(v, refVecs(id)) / (nrm * refNorms(id)) >= threshold)
-                return true
-            }
+            if (dotScala(v, refVecs(id)) / (nrm * refNorms(id)) >= threshold)
+              return true
             k += 1
           }
         }
@@ -1332,6 +1332,59 @@ object Similarity extends graft.QueryModule {
       refVecs.map(v => math.sqrt(dotScala(v, v))), buckets)
   }
 
+  /** Codegen entry point for [[SemanticHit]] — a static forwarder the
+    * generated code calls (object methods on a top-level object
+    * compile to statics), so the emitted Java never names the nested
+    * index class. */
+  def semanticHitEval(
+      bc: org.apache.spark.broadcast.Broadcast[SemanticDupIndex],
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Boolean =
+    bc.value.hits(a.toDoubleArray())
+
+  /** The gate probe as a native codegen expression: null → false
+    * (admit), else one primitive bulk copy of the vector + the index
+    * probe. Measured equal to the Scala-UDF spelling in the semgate
+    * stream row (the MemoryStream array encode dominates both — see
+    * the sembase floor), but the node keeps the filter inside
+    * whole-stage codegen with the cast fused and skips the UDF's
+    * per-row Seq boxing (64 boxed doubles) — the cost that WOULD
+    * surface behind a cheaper source, e.g. a parquet scan. */
+  private case class SemanticHit(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      index: org.apache.spark.broadcast.Broadcast[SemanticDupIndex])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      v != null && semanticHitEval(index,
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("semIndex", index,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val childGen = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          ${ev.value} =
+            graft.operators.Similarity.semanticHitEval($bc, ${childGen.value});
+        }""", isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      copy(child = newChild)
+  }
+
   /** Streaming semantic admission against the frozen index: admit each
     * arriving row unless its embedding cosine-near-dups a reference.
     * STATELESS per row — the media gates' shape verbatim: the index
@@ -1343,11 +1396,10 @@ object Similarity extends graft.QueryModule {
   def semanticAdmitStream(stream: DataFrame, embCol: Column,
                           index: org.apache.spark.broadcast.Broadcast[SemanticDupIndex])
       : DataFrame = {
-    val bc = index
-    val hit = udf { (emb: Seq[Double]) =>
-      emb != null && bc.value.hits(emb.toArray)
-    }
-    stream.filter(!hit(embCol.cast("array<double>")))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hit = ColumnBridge.column(SemanticHit(
+      ColumnBridge.expression(embCol.cast("array<double>")), index))
+    stream.filter(!hit)
   }
 
   def semanticAdmitStream(stream: DataFrame, embCol: Column,
@@ -1403,6 +1455,55 @@ object Similarity extends graft.QueryModule {
     semanticAdmitStream(emb.filter(col("vec_id") % 4 >= 2),
         col("embedding"), index)
       .select(col("vec_id"))
+  }
+
+  /** splitmix64 finalizer folded to [-1, 1] — the seeded component
+    * generator behind the synthetic embedding fixture (the media
+    * fixtures' determinism discipline: same id → same vector on every
+    * executor and in the profiling harnesses, no RNG state). */
+  private def mix(x0: Long): Double = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    x.toDouble / Long.MaxValue
+  }
+
+  /** One fixture vector: groups of 4 ids share a base vector
+    * (component = mix(group, dim)); members 1-3 add per-member seeded
+    * noise at 0.12·member scale, landing them at cosine ≈ 0.99-0.95
+    * to the base — near-dup grade, but close enough to the sign-LSH
+    * boundaries that single-band bucket recall is genuinely imperfect
+    * (what the gatefit harness measures). */
+  def nearDupEmbedding(id: Long): Array[Float] = {
+    val grp = id / 4
+    val member = (id % 4).toInt
+    Array.tabulate(dims) { i =>
+      (mix(grp * 131 + i) + member * 0.12 * mix(id * 131 + i + 7919))
+        .toFloat
+    }
+  }
+
+  /** A fresh seeded perturbation of fixture vector `id` — an arriving
+    * near-dup that is NOT in the reference set (exact copies always
+    * share the bucket, so they measure nothing). */
+  def perturbedEmbedding(id: Long, seed: Long, scale: Double = 0.12)
+      : Array[Float] = {
+    val base = nearDupEmbedding(id)
+    Array.tabulate(base.length) { i =>
+      (base(i) + scale * mix(seed * 131 + i + 104729)).toFloat
+    }
+  }
+
+  /** Synthetic near-dup embedding table over a `doc_id` frame (the
+    * media `nearDup*Table` shape): (vec_id, embedding, label) rows,
+    * generated distributed and deterministic. */
+  def nearDupEmbeddingTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      (id, nearDupEmbedding(id).toSeq, (id / 4 % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
   }
 
   // ---- driver bindings -------------------------------------------------

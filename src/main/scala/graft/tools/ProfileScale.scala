@@ -466,6 +466,42 @@ object ProfileScale {
           f"(gated: wide $hitsW%d vs narrow $hitsN%d " +
           f"of ${arriving.length}%d)")
       }
+      if (want("semantic")) locally { // embedding gate (round 10)
+        import graft.operators.Similarity
+        // probe set: evens are FRESH perturbations of reference
+        // vectors (genuine planted near-dups not in the index — exact
+        // copies always share the bucket and measure nothing), odds
+        // are vectors from groups beyond the reference's
+        val arriving: Array[Array[Double]] = Array.tabulate(n.toInt) { i =>
+          (if (i % 2 == 0) Similarity.perturbedEmbedding(i.toLong, n + i)
+           else Similarity.nearDupEmbedding(2 * n + i))
+            .map(_.toDouble)
+        }
+        // threshold 0.6, not q35's 0.2: the fixture's vectors are iid
+        // uniform, where random BUCKET-MATES pass 0.2 ~40% of the time
+        // (same-sign-pattern bias on concentrated 64-dim cosines) and
+        // the fresh half would gate too — at 0.6 only the planted
+        // perturbations (cos 0.95-0.99) can pass, so gated/planted
+        // reads as pure bucket recall
+        // semant = q35-identical default; semanW = the recall lever
+        // (more 8-plane bands); semanP = the bucket-LOAD lever for big
+        // reference sets (16-plane bands: 65 536 keys per band, ~256x
+        // smaller buckets, recall re-bought with bands)
+        for ((label, bands, perBand) <- Seq(("semant", 1, 8),
+            ("semanW", 4, 8), ("semanP", 4, 16))) {
+          val (idx, tFit) = wall(Similarity.fitSemanticDupIndex(
+            Similarity.nearDupEmbeddingTable(docs(n)), threshold = 0.6,
+            bands = bands, planesPerBand = perBand))
+          var entries = 0L
+          idx.buckets.foreachValue(b => entries += b.length)
+          val (rate, hits) = probeRate(arriving.length)(i =>
+            idx.hits(arriving(i)))
+          println(f"$label n=$n%-6d fit ${tFit}%6.2f s  " +
+            f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s  " +
+            f"(gated: $hits%d of ${arriving.length}%d, " +
+            f"${arriving.length / 2}%d planted)")
+        }
+      }
     }
   }
 

@@ -309,6 +309,47 @@ object ProfileStream {
       }, i => vidPool(i % 1000).copy(media_id = i))
     }
 
+    // streaming semantic-admission gate: stateless like the media
+    // gates, but NO decode — the number is the MemoryStream encode +
+    // 8 sign dots + bucket probe + exact-cosine verifies per row,
+    // i.e. the gate family's pure-probe ceiling. 1000-vector pool,
+    // index fit on the first 500 ids; evens in the upper half are
+    // fresh perturbations of reference vectors so both the drop and
+    // admit paths run.
+    locally {
+      import graft.operators.Similarity
+      lazy val vecPool: IndexedSeq[Seq[Float]] =
+        (0 until 1000).map { id =>
+          (if (id < 500) Similarity.nearDupEmbedding(id.toLong)
+           else if (id % 2 == 0)
+             Similarity.perturbedEmbedding((id - 500).toLong, 5000L + id)
+           else Similarity.nearDupEmbedding(id.toLong + 1000L)).toSeq
+        }
+      lazy val gateIdx = Similarity.fitSemanticDupIndex(
+        Similarity.nearDupEmbeddingTable(
+          spark.range(500).select($"id".as("doc_id"))),
+        threshold = 0.6) // the gatefit harness's fixture-calibrated bar
+      // the vector-stream floor: the same (id, 64-float) rows with NO
+      // gate — MemoryStream's per-row array encode is most of the
+      // semgate number (the media gates' "decode-bound" framing, with
+      // source encode playing the decode role; the probe itself is
+      // measured single-threaded in the gatefit table)
+      bench[(Long, Seq[Float])]("sembase")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[(Long, Seq[Float])]
+        ((rows: Seq[(Long, Seq[Float])]) => { in.addData(rows); () },
+          in.toDF())
+      }, i => (i.toLong, vecPool(i % 1000)))
+      bench[(Long, Seq[Float])]("semgate")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[(Long, Seq[Float])]
+        ((rows: Seq[(Long, Seq[Float])]) => { in.addData(rows); () },
+          Similarity.semanticAdmitStream(
+            in.toDF().toDF("vec_id", "embedding"),
+            org.apache.spark.sql.functions.col("embedding"), gateIdx))
+      }, i => (i.toLong, vecPool(i % 1000)))
+    }
+
     // streaming MATCH_RECOGNIZE (round 10): the doc-shaped A B+ C
     // clause over `Keys` symbols, names cycling a,b,b,c per key so
     // every key completes one match per 4 rows and SKIP PAST LAST ROW
