@@ -371,16 +371,54 @@ object Cep {
       * alternation branches ((A B | C)). */
     private def seqVar0(si: Int): Int = si - steps(si).seqIdx
 
-    /** The open repetition at `s` is whole — the partial may advance,
-      * switch branch, open a new repetition, or finish the match.
-      * For a sequence-group step: standing on the LAST variable with
-      * its own run whole and at least minReps iterations open
-      * (curRep is the 1-based ordinal of the open iteration, curRun
-      * the current variable's run — round 10, when sequence
-      * variables grew their own quantifiers). */
-    private def repDone(s: Step[T], rep: Int, run: Int): Boolean =
+    /** Every variable after step `si` in its sequence branch is
+      * zero-capable (varMin 0) — standing at si with its own run
+      * whole then closes a whole ITERATION (round 10, zero-capable
+      * sequence variables: `(A B?)` is iteration-whole at A). True
+      * trivially at the last variable. */
+    private def allZeroAfter(si: Int): Boolean = {
+      val s = steps(si)
+      var j = si + 1
+      val end = si + (s.seqLen - s.seqIdx)
+      while (j < end) {
+        if (steps(j).varMin > 0) return false
+        j += 1
+      }
+      true
+    }
+
+    /** Ranked ENTRY variables of the sequence branch whose first
+      * variable is step `v0`: variable 0, plus — through zero-capable
+      * leading variables — later ones; each zero-capable variable's
+      * own greed orders entering it against everything after skipping
+      * it (greedy B?: consume before skip; reluctant B*?: skip
+      * first). Entry always consumes the event, so a trailing
+      * zero-capable variable contributes no extra way (an all-zero
+      * branch — an empty iteration — is rejected at parse). */
+    private def seqEntryWalk(v0: Int): Vector[Int] = {
+      val out = Vector.newBuilder[Int]
+      def scan(j: Int): Unit = {
+        val s = steps(j)
+        def skip(): Unit = if (s.seqIdx < s.seqLen - 1) scan(j + 1)
+        if (s.varMin == 0 && s.branchReluctant) { skip(); out += j }
+        else { out += j; if (s.varMin == 0) skip() }
+      }
+      scan(v0)
+      out.result()
+    }
+
+    /** The open repetition at `s` (step index `si`) is whole — the
+      * partial may advance, switch branch, open a new repetition, or
+      * finish the match. For a sequence-group step: the current
+      * variable's own run is whole, every LATER variable of the
+      * iteration is zero-capable (trivially so at the last variable),
+      * and at least minReps iterations are open (curRep is the
+      * 1-based ordinal of the open iteration, curRun the current
+      * variable's run — round 10, when sequence variables grew their
+      * own quantifiers). */
+    private def repDone(s: Step[T], si: Int, rep: Int, run: Int): Boolean =
       if (isSeq(s))
-        s.seqIdx == s.seqLen - 1 && run >= s.varMin && rep >= s.minReps
+        run >= s.varMin && allZeroAfter(si) && rep >= s.minReps
       else !isBounded(s) || rep >= s.minReps
 
     /** The open repetition may absorb one more event. */
@@ -429,20 +467,25 @@ object Cep {
               val s = steps(j)
               s.posSkip && s.elemReluctant
             }) rest()
-            // a sequence-group position is entered at variable 0 only
-            // (the cycle reaches the others); later variables are
-            // never entry targets
+            // a sequence-group branch is entered at variable 0, or —
+            // through zero-capable leading variables (round 10) — at
+            // a later variable, ranked by seqEntryWalk; a sequence
+            // branch is never emptyBranch (all-zero branches are
+            // rejected), so no empty-way splice applies to it
             for (j <- posSteps(q) if steps(j).seqIdx <= 0) {
               val s = steps(j)
-              // a single-branch loop ((B*)?-style) folds element and
-              // branch reluctance into one flag pair
-              val emptyFirst = s.branchReluctant ||
-                (s.elemReluctant && !s.groupLoop)
-              if (s.emptyBranch && emptyFirst) {
-                rest(); out += j
-              } else {
-                out += j
-                if (s.emptyBranch) rest()
+              if (isSeq(s)) out ++= seqEntryWalk(j)
+              else {
+                // a single-branch loop ((B*)?-style) folds element and
+                // branch reluctance into one flag pair
+                val emptyFirst = s.branchReluctant ||
+                  (s.elemReluctant && !s.groupLoop)
+                if (s.emptyBranch && emptyFirst) {
+                  rest(); out += j
+                } else {
+                  out += j
+                  if (s.emptyBranch) rest()
+                }
               }
             }
             // greedy ELEMENT skip (optional copies): after every
@@ -483,7 +526,7 @@ object Cep {
       * ((C|E{2}|A)+ standing on a whole E pair prefers C over a new
       * E pair, while below the cap extension wins). */
     private case class Slots(target: Map[Int, Int], complete: Int,
-                             ext: Int)
+                             ext: Int, fresh: Map[Int, Int])
 
     private val slotTables: Array[Slots] =
       Array.tabulate(steps.length) { s =>
@@ -509,22 +552,50 @@ object Cep {
           // only iterate path)
           val vLoop = seqVarLoop(cur)
           if (vLoop && !cur.branchReluctant) seq += s
-          if (cur.seqIdx < cur.seqLen - 1) { seq += (s + 1); seq ++= advC }
-          else if (cur.groupLoop) {
-            var leaveDone = false
-            def leave(): Unit =
-              if (!leaveDone) { leaveDone = true; seq ++= advC }
-            if (cur.elemReluctant) leave()
-            for (j <- posSteps(curPos)
-                 if steps(j).groupLoop && steps(j).seqIdx <= 0) {
-              val st = steps(j)
-              if (st.emptyBranch && st.branchReluctant) { leave(); seq += j }
-              else { seq += j; if (st.emptyBranch) leave() }
+          // the ITERATION-END continuation — reached where the cycle
+          // scan passes the last variable (directly at it, or through
+          // zero-capable trailing variables): a new group repetition
+          // (wrap for a pure group, any groupLoop alternative for a
+          // mixed one — NEW-repetition entries rank in the `fresh`
+          // namespace, -10 - step, so re-entering a step the same
+          // table also ranks as extend/enter keeps its own digit)
+          // and the leave walk, spliced per the group flags
+          def iterEnd(): Unit = {
+            if (cur.groupLoop) {
+              var leaveDone = false
+              def leave(): Unit =
+                if (!leaveDone) { leaveDone = true; seq ++= advC }
+              if (cur.elemReluctant) leave()
+              for (j <- posSteps(curPos)
+                   if steps(j).groupLoop && steps(j).seqIdx <= 0) {
+                val st = steps(j)
+                if (isSeq(st)) seq ++= seqEntryWalk(j).map(t => -10 - t)
+                else if (st.emptyBranch && st.branchReluctant) {
+                  leave(); seq += j
+                }
+                else { seq += j; if (st.emptyBranch) leave() }
+              }
+              leave()
+            } else {
+              val wrap = seqEntryWalk(seqVar0(s)).map(t => -10 - t)
+              if (cur.quant == Reluctant) { seq ++= advC; seq ++= wrap }
+              else { seq ++= wrap; seq ++= advC }
             }
-            leave()
           }
-          else if (cur.quant == Reluctant) { seq ++= advC; seq += seqVar0(s) }
-          else { seq += seqVar0(s); seq ++= advC }
+          // cycle scan from the next variable: enter it, or — when it
+          // is zero-capable — skip it per ITS own greed (round 10);
+          // a required variable stops the scan (the iteration cannot
+          // end before it)
+          def scanCycle(j: Int): Unit =
+            if (j >= s + (cur.seqLen - cur.seqIdx)) iterEnd()
+            else {
+              val st = steps(j)
+              if (st.varMin == 0 && st.branchReluctant) {
+                scanCycle(j + 1); seq += j
+              }
+              else { seq += j; if (st.varMin == 0) scanCycle(j + 1) }
+            }
+          scanCycle(s + 1)
           if (vLoop && cur.branchReluctant) seq += s
         }
         else if (!cur.oneOrMore) seq ++= advC
@@ -539,12 +610,16 @@ object Cep {
           def leave(): Unit = if (!leaveDone) { leaveDone = true; seq ++= advC }
           if (cur.branchLoop && !cur.branchReluctant) seq += -2
           if (cur.elemReluctant) leave()
-          // seqIdx <= 0: a sequence branch is re-entered at its first
-          // variable only (the cycle reaches the others)
+          // a sequence branch is re-entered at its first variable, or
+          // through zero-capable leading variables (seqEntryWalk) —
+          // NEW-repetition entries, ranked in the fresh namespace
           for (j <- posSteps(curPos)
                if steps(j).groupLoop && steps(j).seqIdx <= 0) {
             val st = steps(j)
-            if (st.emptyBranch && st.branchReluctant) { leave(); seq += j }
+            if (isSeq(st)) seq ++= seqEntryWalk(j).map(t => -10 - t)
+            else if (st.emptyBranch && st.branchReluctant) {
+              leave(); seq += j
+            }
             else { seq += j; if (st.emptyBranch) leave() }
           }
           leave()
@@ -552,8 +627,12 @@ object Cep {
         }
         val v = seq.result()
         val m = scala.collection.mutable.HashMap.empty[Int, Int]
-        for ((j, i) <- v.zipWithIndex if j >= 0 && !m.contains(j)) m(j) = i
-        Slots(m.toMap, v.indexOf(-1), v.indexOf(-2))
+        val fm = scala.collection.mutable.HashMap.empty[Int, Int]
+        for ((t, i) <- v.zipWithIndex) {
+          if (t >= 0) { if (!m.contains(t)) m(t) = i }
+          else if (t <= -10) { val j = -10 - t; if (!fm.contains(j)) fm(j) = i }
+        }
+        Slots(m.toMap, v.indexOf(-1), v.indexOf(-2), fm.toMap)
       }
 
     /** Start-decision slots: the advance walk from position 0. */
@@ -601,7 +680,7 @@ object Cep {
           val cur = steps(s)
           val curPos = posOf(s)
           val tab = slotTables(s)
-          val done = repDone(cur, p.curRep, p.curRun)
+          val done = repDone(cur, s, p.curRep, p.curRun)
           // loop choices (target, new rep, new run, slot): EXTEND the
           // open repetition, or — once it is whole — open a NEW
           // repetition on any groupLoop alternative (branch switch or
@@ -622,13 +701,27 @@ object Cep {
               cur.hit(e, p.entries))
               loopCh += ((s, p.curRep, p.curRun + 1, tab.target(s)))
             if (p.curRun >= cur.varMin) {
-              if (cur.seqIdx < cur.seqLen - 1) {
-                if (steps(s + 1).hit(e, p.entries))
-                  loopCh += ((s + 1, p.curRep, 1, tab.target(s + 1)))
-              } else if ((cur.maxReps < 0 || p.curRep < cur.maxReps) &&
-                steps(seqVar0(s)).hit(e, p.entries))
-                loopCh += ((seqVar0(s), p.curRep + 1, 1,
-                  tab.target(seqVar0(s))))
+              // enter a later variable of the SAME iteration —
+              // directly the next one, or any reachable through
+              // zero-capable skips (round 10)
+              val end = s + (cur.seqLen - cur.seqIdx)
+              var j = s + 1
+              var go = j < end
+              while (go) {
+                if (steps(j).hit(e, p.entries))
+                  loopCh += ((j, p.curRep, 1, tab.target(j)))
+                go = steps(j).varMin == 0 && j + 1 < end
+                j += 1
+              }
+              // iteration whole (trailing variables zero-capable or
+              // none left) → wrap into a new one, entering at any
+              // seqEntryWalk variable; mixed groups cap the wrap at
+              // maxReps 1 and re-enter through the groupLoop block
+              if (allZeroAfter(s) &&
+                (cur.maxReps < 0 || p.curRep < cur.maxReps))
+                for (t <- seqEntryWalk(seqVar0(s))
+                     if steps(t).hit(e, p.entries))
+                  loopCh += ((t, p.curRep + 1, 1, tab.fresh(t)))
             }
             // a whole iteration inside a quantified MIXED group
             // ((A B | C)+) may open a new group repetition on any
@@ -637,9 +730,14 @@ object Cep {
             // in that encoding); entry variables only
             if (cur.groupLoop && done)
               for (j <- posSteps(curPos)
-                   if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
-                     steps(j).hit(e, p.entries))
-                loopCh += ((j, 1, 1, tab.target(j)))
+                   if steps(j).groupLoop && steps(j).seqIdx <= 0) {
+                val st = steps(j)
+                if (isSeq(st)) {
+                  for (t <- seqEntryWalk(j) if steps(t).hit(e, p.entries))
+                    loopCh += ((t, 1, 1, tab.fresh(t)))
+                } else if (st.hit(e, p.entries))
+                  loopCh += ((j, 1, 1, tab.target(j)))
+              }
           } else if (cur.oneOrMore) {
             val hitSelf = cur.hit(e, p.entries)
             if (cur.groupLoop) {
@@ -650,9 +748,14 @@ object Cep {
               if (done)
                 for (j <- posSteps(curPos)
                      if steps(j).groupLoop && steps(j).seqIdx <= 0 &&
-                       (j != s || !cur.branchLoop || isBounded(cur)) &&
-                       steps(j).hit(e, p.entries))
-                  loopCh += ((j, 1, 1, tab.target(j)))
+                       (j != s || !cur.branchLoop || isBounded(cur))) {
+                  val st = steps(j)
+                  if (isSeq(st)) {
+                    for (t <- seqEntryWalk(j) if steps(t).hit(e, p.entries))
+                      loopCh += ((t, 1, 1, tab.fresh(t)))
+                  } else if (st.hit(e, p.entries))
+                    loopCh += ((j, 1, 1, tab.target(j)))
+                }
             } else if (hitSelf && canExtend(cur, p.curRep))
               loopCh += ((s, p.curRep + 1, 1, tab.target(s)))
           }
@@ -693,7 +796,7 @@ object Cep {
             // a bounded branch is not a match boundary until its open
             // repetition is whole
             val isFinal =
-              allOptFrom(jPos + 1) && repDone(steps(j), newRep, newRun)
+              allOptFrom(jPos + 1) && repDone(steps(j), j, newRep, newRun)
             val extendable = steps(j).oneOrMore || jPos < nPos - 1
             if (isFinal) {
               // the completion's rank is the all-empty-suffix slot in
@@ -760,7 +863,8 @@ object Cep {
               val jPos = posOf(j)
               // one event consumed at j: final only if a single event
               // is a whole legal repetition (minReps 1)
-              val isFinal = allOptFrom(jPos + 1) && repDone(steps(j), 1, 1)
+              val isFinal =
+                allOptFrom(jPos + 1) && repDone(steps(j), j, 1, 1)
               val extendable = steps(j).oneOrMore || jPos < nPos - 1
               if (isFinal) {
                 // same continuation-vs-complete slot arbitration as

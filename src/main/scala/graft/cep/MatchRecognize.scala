@@ -35,14 +35,16 @@ import org.apache.spark.sql.types.StructType
   * mixed groups, expanded as position copies with one whole
   * sequence iteration per copy; group repetitions may switch
   * branches, per SQL), and their variables may carry their own
-  * min >= 1 quantifiers (`(A B+)`, `(A B{2,3}) C`, `(A+ B | C)+` —
+  * quantifiers (`(A B+)`, `(A B{2,3}) C`, `(A+ B | C)+` —
   * Cep.Partial.curRun tracks the variable's open run within the
-  * iteration).
-  * Not supported, both REJECTED LOUDLY at parse time: zero-capable
-  * variables inside a sequence group (`(A B?)` — a skippable cycle
-  * slot), and empty-capable patterns (every element admitting zero
-  * rows — SQL:2016 would emit an empty match row per unmatched
-  * input row; FlinkCEP rejects the same class).
+  * iteration), ZERO-capable ones included (`(A B? C)`, `(A B*? C)` —
+  * the cycle scan and entry walks skip a zero-capable variable per
+  * its own greed; round 10).
+  * Not supported, both REJECTED LOUDLY at parse time: sequence
+  * branches whose EVERY variable is zero-capable (`(A? B*)` — the
+  * iteration matches empty), and empty-capable patterns (every
+  * element admitting zero rows — SQL:2016 would emit an empty match
+  * row per unmatched input row; FlinkCEP rejects the same class).
   *
   * Predicates support comparisons over `VAR.col`, pattern navigation
   * `LAST(VAR.col [, n])` / `FIRST(VAR.col [, n])`, the aggregates
@@ -97,9 +99,9 @@ object MatchRecognize {
     * one-var branches — those keep their own per-branch quantifiers
     * (`(B+|C?)`); a SEQUENCE group `(A B){n,m}` is ONE multi-var
     * branch; `(A B | C)` mixes multi-var and one-var branches.
-    * Multi-var branch variables may carry their own min >= 1
-    * quantifiers (`(A B+)`); the parser rejects zero-capable ones
-    * (`(A B?)`). */
+    * Multi-var branch variables may carry their own quantifiers
+    * (`(A B+)`, zero-capable `(A B? C)` included); the parser
+    * rejects only all-zero-capable branches (`(A? B*)`). */
   private[cep] case class PatElem(branches: Vector[Vector[PatVar]],
                                   min: Int, max: Int,
                                   reluctant: Boolean) {
@@ -235,14 +237,17 @@ object MatchRecognize {
         val (gMin, gMax, gRel) = parseQuant(p)
         // a multi-variable (SEQUENCE) branch — alone ((A B){n,m}) or
         // inside an alternation ((A B | C)) — may carry per-variable
-        // quantifiers with min >= 1 ((A B+), (A B{2,3}), round 10:
-        // Partial.curRun tracks the variable's open run). ZERO-capable
-        // variables ((A B?), (A B*)) would make a cycle slot
-        // skippable — a different machine — and are rejected fast.
+        // quantifiers, including ZERO-capable ones ((A B? C),
+        // (A B* C) — round 10: the NFA's cycle scan and entry walks
+        // skip a zero-capable variable per its own greed). The one
+        // rejected shape is a branch whose EVERY variable is
+        // zero-capable ((A? B*)): its iteration can match empty,
+        // which is the unsupported empty-match class.
         for (br <- bs if br.size > 1)
-          if (br.exists(_.min == 0))
-            sys.error("MATCH_RECOGNIZE: zero-capable variables inside " +
-              "a sequence group are unsupported (use min >= 1): " +
+          if (br.forall(_.min == 0))
+            sys.error("MATCH_RECOGNIZE: a sequence branch whose every " +
+              "variable is zero-capable can match empty; anchor it " +
+              "with at least one min >= 1 variable: " +
               br.map(_.name).mkString("(", " ", ")"))
         // single-var branches: B{n,m} as a branch compiles to a
         // repetition-counted self-loop (Cep.Step minReps/maxReps);

@@ -469,16 +469,19 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a",
       6L -> "b", 7L -> "c", 8L -> "d"), "X (A B C){2} D", ms, defs) ==
       Seq(Seq(2L, 7L, 8L)))
-    // zero-capable variables inside a sequence stay rejected (a
-    // skippable cycle slot is a different machine)
-    val zeroCap = intercept[RuntimeException] {
-      mr(tape(1L -> "x"), "X (A B?) D", ms, defs)
+    // zero-capable variables inside a sequence are SUPPORTED since
+    // round 10's second pass — they run instead of rejecting
+    val msAbd = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, D.seq AS d_seq"
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "d"), "X (A B?) D",
+      msAbd, defs) == Seq(Seq(1L, 0L, 3L)))
+    assert(mr(tape(1L -> "x", 2L -> "c", 3L -> "d"), "X (A B* | C) D",
+      ms, defs) == Seq(Seq(0L, 2L, 3L)))
+    // what stays rejected is the empty-capable class: a branch whose
+    // every variable is zero-capable
+    val allZero = intercept[RuntimeException] {
+      mr(tape(1L -> "x"), "X (A? B*) D", ms, defs)
     }
-    assert(zeroCap.getMessage.contains("zero-capable"))
-    val zeroCapMixed = intercept[RuntimeException] {
-      mr(tape(1L -> "x"), "X (A B* | C) D", ms, defs)
-    }
-    assert(zeroCapMixed.getMessage.contains("zero-capable"))
+    assert(allZero.getMessage.contains("can match empty"))
   }
 
   test("per-variable quantifiers inside sequence groups: (A B+), " +
@@ -833,5 +836,76 @@ class MatchRecognizeSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == Set(("S", 1L, 1L)), s"got ${got.mkString(",")}")
     } finally q.stop()
+  }
+
+  test("zero-capable variables inside sequence groups: skip, enter, " +
+    "trailing and leading optional variables") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, COUNT(C.*) AS n_c, " +
+      "FIRST(A.seq) AS a0, LAST(D.seq) AS d1"
+    // mid-iteration optional: present and absent
+    def m3(t: (Long, String)*) = mr(tape(t: _*), "(A B? C)",
+      "COUNT(B.*) AS n_b, FIRST(A.seq) AS a0, LAST(C.seq) AS c1", defs)
+    assert(m3(1L -> "a", 2L -> "c") == Seq(Seq(0L, 1L, 2L)))
+    assert(m3(1L -> "a", 2L -> "b", 3L -> "c") == Seq(Seq(1L, 1L, 3L)))
+    // two consecutive zero-capable variables: every subset
+    def m4(t: (Long, String)*) = mr(tape(t: _*), "(A B? C? D)", ms, defs)
+    assert(m4(1L -> "a", 2L -> "d") == Seq(Seq(1L, 0L, 0L, 1L, 2L)))
+    assert(m4(1L -> "a", 2L -> "b", 3L -> "d") ==
+      Seq(Seq(1L, 1L, 0L, 1L, 3L)))
+    assert(m4(1L -> "a", 2L -> "c", 3L -> "d") ==
+      Seq(Seq(1L, 0L, 1L, 1L, 3L)))
+    assert(m4(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d") ==
+      Seq(Seq(1L, 1L, 1L, 1L, 4L)))
+    // wrong order still fails (c then b breaks the cycle)
+    assert(m4(1L -> "a", 2L -> "c", 3L -> "b", 4L -> "d").isEmpty)
+  }
+
+  test("zero-capable sequence variables: trailing (A B?), leading " +
+    "(A? B), starred (A B*), and iteration wrap (A B?){2}") {
+    val defs = "A AS name = 'a', B AS name = 'b', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, FIRST(A.seq) AS a0, " +
+      "LAST(B.seq) AS b1"
+    // trailing zero-capable: the iteration is whole at A
+    def tr(t: (Long, String)*) = mr(tape(t: _*), "(A B?)", ms, defs)
+    assert(tr(1L -> "a") == Seq(Seq(1L, 0L, 1L, null)))
+    assert(tr(1L -> "a", 2L -> "b") == Seq(Seq(1L, 1L, 1L, 2L)))
+    // leading zero-capable: the group is enterable at B
+    def ld(t: (Long, String)*) = mr(tape(t: _*), "(A? B)", ms, defs)
+    assert(ld(1L -> "b") == Seq(Seq(0L, 1L, null, 1L)))
+    assert(ld(1L -> "a", 2L -> "b") == Seq(Seq(1L, 1L, 1L, 2L)))
+    // zero-or-more: greedy run
+    def st(t: (Long, String)*) = mr(tape(t: _*), "(A B*)", ms, defs)
+    assert(st(1L -> "a") == Seq(Seq(1L, 0L, 1L, null)))
+    assert(st(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b") ==
+      Seq(Seq(1L, 3L, 1L, 4L)))
+    // counted group whose first iteration skips B and wraps
+    assert(mr(tape(1L -> "a", 2L -> "a", 3L -> "b"), "(A B?){2}", ms,
+      defs) == Seq(Seq(2L, 1L, 1L, 3L)))
+  }
+
+  test("zero-capable sequence variables: reluctant skip preference " +
+    "and mixed-alternation re-entry") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    // E has no DEFINE: always true. Greedy (A E* C) absorbs the
+    // middle row into E; reluctant (A E*? C) prefers skipping E, so C
+    // binds the EARLIER row
+    val msE = "COUNT(E.*) AS n_e, LAST(C.seq) AS c1"
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "c"), "(A E* C)", msE,
+      defs) == Seq(Seq(1L, 3L)))
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "c"), "(A E*? C)", msE,
+      defs) == Seq(Seq(0L, 2L)))
+    // zero-capable inside a mixed alternation's sequence branch,
+    // re-entered across iterations
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, COUNT(C.*) AS n_c"
+    assert(mr(tape(1L -> "a", 2L -> "c", 3L -> "a", 4L -> "b"),
+      "(A B? | C)+", ms, defs) == Seq(Seq(2L, 1L, 1L)))
+    // an all-zero-capable branch is rejected loudly
+    val err = intercept[RuntimeException] {
+      mr(tape(1L -> "a"), "(A? B*)", "COUNT(A.*) AS n_a", defs)
+    }
+    assert(err.getMessage.contains("can match empty"))
   }
 }

@@ -45,7 +45,9 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     * variable sequence — one one-var branch = a single variable, a
     * single multi-var branch = a pure sequence group ((A B){n,m}),
     * several branches = alternation, possibly MIXED ((A B | C)).
-    * Multi-var branches hold plain (1,1) vars only. */
+    * Multi-var branch variables carry their own quantifiers,
+    * zero-capable included ((A B+), (A B? C)) — only an
+    * all-zero-capable branch is out (matches empty, rejected). */
   private case class FElem(branches: Vector[Vector[FVar]], min: Int,
                            max: Int, rel: Boolean)
 
@@ -268,16 +270,19 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
 
   private def genElem(rnd: Random, names: Seq[String]): FElem = {
     def pick() = names(rnd.nextInt(names.length))
-    // vars may carry their own min >= 1 quantifiers ((A B+),
-    // (A B{2,3}) — round 10); zero-capable vars map to plain (the
-    // front-end rejects them inside a sequence); repeated names
-    // allowed ((A A), (B A B))
+    // vars may carry their own quantifiers ((A B+), (A B{2,3}) —
+    // round 10), INCLUDING zero-capable ones ((A B? C), (A B*? C) —
+    // round 10's second pass); the one rejected shape is an
+    // all-zero-capable branch (its iteration matches empty), which
+    // the generator re-anchors; repeated names allowed ((A A),
+    // (B A B))
     def seqBranch(): Vector[FVar] = {
       val k = 2 + rnd.nextInt(2)
-      Vector.fill(k) {
-        val v = genVar(rnd, pick())
-        if (v.min == 0) FVar(v.name, 1, 1, rel = false) else v
-      }
+      val vs = Vector.fill(k)(genVar(rnd, pick()))
+      if (vs.forall(_.min == 0)) {
+        val i = rnd.nextInt(k)
+        vs.updated(i, vs(i).copy(min = 1))
+      } else vs
     }
     if (rnd.nextInt(10) < 5) {
       val v = genVar(rnd, pick())
