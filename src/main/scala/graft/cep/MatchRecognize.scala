@@ -337,7 +337,10 @@ object MatchRecognize {
       p.expect("}")
       if (m != -1 && (m < n || m < 1))
         sys.error(s"MATCH_RECOGNIZE: bad quantifier {$n,$m}")
-      (n, m, false)
+      // reluctant bounded quantifier ({n,m}?, {n,}? — round 10):
+      // prefer FEWER repetitions; the optional copies' skip ways
+      // hoist before their consuming ways (elemReluctant)
+      (n, m, p.kw("?"))
     } else (1, 1, false)
   }
 
@@ -575,7 +578,7 @@ object MatchRecognize {
                 groupLoop = loop,
                 minReps = 1, maxReps = 1,
                 emptyBranch = false,
-                elemReluctant = loop && el.reluctant,
+                elemReluctant = (loop || opt) && el.reluctant,
                 branchLoop = v.max == -1 || v.max > 1,
                 branchReluctant = v.reluctant,
                 posSkip = opt,
@@ -608,9 +611,11 @@ object MatchRecognize {
               // ordering of the skip choice, Cep.Step.emptyBranch
               emptyBranch = v.min == 0,
               // element-level reluctance reaches the loop/skip
-              // ordering only through a LOOP copy ((B|C)*?, (B|C)+?);
-              // ? and {n,m} have no reluctant spelling
-              elemReluctant = loop && el.reluctant,
+              // ordering through a LOOP copy ((B|C)*?, (B|C)+?) or —
+              // round 10, reluctant bounded quantifiers — an OPTIONAL
+              // copy ((B|C){n,m}?: the copy's skip way hoists before
+              // its consuming ways); ? has no reluctant spelling
+              elemReluctant = (loop || opt) && el.reluctant,
               branchLoop = v.max == -1 || v.max > 1,
               branchReluctant = v.reluctant,
               // the ELEMENT quantifier admits zero occurrences of

@@ -908,4 +908,39 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("can match empty"))
   }
+
+  test("reluctant bounded quantifiers: {n,m}? and {n,}? prefer fewer " +
+    "repetitions, on variables, groups, and branch variables") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val msB = "COUNT(B.*) AS n_b"
+    // B{2,3}? takes 2 of 3 bs (greedy takes all 3); the leftover b
+    // cannot reach min 2, so one match either way
+    assert(mr(tape(1L -> "b", 2L -> "b", 3L -> "b"), "B{2,3}?", msB,
+      defs) == Seq(Seq(2L)))
+    assert(mr(tape(1L -> "b", 2L -> "b", 3L -> "b"), "B{2,3}", msB,
+      defs) == Seq(Seq(3L)))
+    // E (no DEFINE) is always true: the reluctant bound stops at the
+    // minimum, the greedy one at the maximum
+    val msE = "COUNT(E.*) AS n_e"
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "x"), "A E{1,2}?", msE,
+      defs) == Seq(Seq(1L)))
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "x"), "A E{1,2}", msE,
+      defs) == Seq(Seq(2L)))
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "x", 4L -> "x"),
+      "A E{2,}?", msE, defs) == Seq(Seq(2L)))
+    assert(mr(tape(1L -> "a", 2L -> "x", 3L -> "x", 4L -> "x"),
+      "A E{2,}", msE, defs) == Seq(Seq(3L)))
+    // on an alternation group: two iterations preferred over three
+    val msBC = "COUNT(B.*) AS n_b, COUNT(C.*) AS n_c"
+    assert(mr(tape(1L -> "b", 2L -> "c", 3L -> "b"), "(B|C){2,3}?",
+      msBC, defs) == Seq(Seq(1L, 1L)))
+    assert(mr(tape(1L -> "b", 2L -> "c", 3L -> "b"), "(B|C){2,3}",
+      msBC, defs) == Seq(Seq(2L, 1L)))
+    // on a branch variable inside a sequence group: the b-run stops
+    // at its minimum when reluctant
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b"),
+      "(A B{2,3}?)", msB, defs) == Seq(Seq(2L)))
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b"),
+      "(A B{2,3})", msB, defs) == Seq(Seq(3L)))
+  }
 }

@@ -57,8 +57,10 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
       case (1, -1) => if (rel) "+?" else "+"
       case (0, -1) => if (rel) "*?" else "*"
       case (0, 1)  => "?"
-      case (n, -1) => s"{$n,}"
-      case (n, m)  => if (n == m) s"{$n}" else s"{$n,$m}"
+      // reluctant bounded spellings ({n,}?, {n,m}? — round 10)
+      case (n, -1) => s"{$n,}" + (if (rel) "?" else "")
+      case (n, m)  =>
+        (if (n == m) s"{$n}" else s"{$n,$m}") + (if (rel) "?" else "")
     }
 
   private def patternStr(elems: Vector[FElem]): String =
@@ -263,9 +265,11 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
       case 7 => FVar(name, 0, -1, rel = rnd.nextBoolean()) // * / *?
       case 8 =>
         val x = 1 + rnd.nextInt(3); FVar(name, x, x, rel = false) // {n}
-      case 9 =>
+      case 9 => // {n,m} / {n,m}? / {n,} / {n,}? (round 10: reluctant
+                // bounded quantifiers; {n}? would be meaningless)
         val lo = 1 + rnd.nextInt(2)
-        FVar(name, lo, lo + 1 + rnd.nextInt(2), rel = false) // {n,m}
+        val hi = if (rnd.nextInt(4) == 0) -1 else lo + 1 + rnd.nextInt(2)
+        FVar(name, lo, hi, rel = rnd.nextInt(3) == 0)
     }
 
   private def genElem(rnd: Random, names: Seq[String]): FElem = {
