@@ -102,14 +102,16 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("expected AS"))
     // a stray token at pattern-element level must fail fast too: the
-    // unsupported reluctant bounded quantifier B{2,3}? would otherwise
-    // silently turn '?' into an always-true pattern variable
+    // unsupported reluctant-OPTIONAL quantifier B?? (bounded
+    // reluctance {n,m}? landed in round 10; ?? did not) would
+    // otherwise silently turn the second '?' into an always-true
+    // pattern variable
     val err2b = intercept[RuntimeException] {
       MatchRecognize.run(rows, """
         PARTITION BY sym
         ORDER BY seq
         MEASURES A.price AS p
-        PATTERN (A B{2,3}? C)
+        PATTERN (A B?? C)
         DEFINE A AS price > 0
       """)
     }
