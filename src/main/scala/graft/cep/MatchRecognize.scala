@@ -79,6 +79,14 @@ object MatchRecognize {
   private[cep] case class Agg(fn: String, variable: String,
                               col: String) extends Val
   private[cep] case class Lit(v: Any) extends Val
+  /** `CLASSIFIER()` — the matched row's pattern variable: the row
+    * under evaluation's provisional variable in DEFINE (running
+    * semantics), the LAST matched row's variable in MEASURES (FINAL
+    * semantics, ONE ROW PER MATCH). SQL:2016, round 10. */
+  private[cep] case object Classifier extends Val
+  /** `MATCH_NUMBER()` — the 1-based sequential ordinal of the match
+    * within its partition (MEASURES only). */
+  private[cep] case object MatchNum extends Val
 
   private[cep] sealed trait Pred
   private[cep] case class Cmp(l: Val, op: String, r: Val) extends Pred
@@ -347,6 +355,10 @@ object MatchRecognize {
   private val aggFns = Set("SUM", "MIN", "MAX", "AVG", "COUNT")
 
   private def parseVal(p: P): Val = p.next() match {
+    case f if f.equalsIgnoreCase("CLASSIFIER") =>
+      p.expect("("); p.expect(")"); Classifier
+    case f if f.equalsIgnoreCase("MATCH_NUMBER") =>
+      p.expect("("); p.expect(")"); MatchNum
     case f if f.equalsIgnoreCase("LAST") || f.equalsIgnoreCase("FIRST") =>
       p.expect("(")
       val ref = p.next()
@@ -407,8 +419,23 @@ object MatchRecognize {
   private type Entry = (Int, Row)
 
   private def resolve(v: Val, candidate: Option[Row], curVar: String,
-      varIdx: Map[String, Set[Int]], entries: Vector[Entry]): Option[Any] = v match {
+      varIdx: Map[String, Set[Int]], entries: Vector[Entry],
+      matchNum: Long = 0L): Option[Any] = v match {
     case Lit(x) => Some(x)
+    case Classifier =>
+      // running semantics in DEFINE: the row under evaluation's
+      // provisional variable; FINAL in MEASURES: the last matched
+      // row's variable (ONE ROW PER MATCH)
+      if (candidate.isDefined) Some(curVar)
+      else entries.lastOption.map { case (i, _) =>
+        varIdx.collectFirst { case (name, idxs) if idxs(i) => name }
+          .getOrElse(sys.error(s"no variable for step $i"))
+      }
+    case MatchNum =>
+      if (candidate.isDefined)
+        sys.error("MATCH_RECOGNIZE: MATCH_NUMBER() is supported in " +
+          "MEASURES only, not DEFINE")
+      Some(matchNum)
     case ColRef("", col) => // unqualified: the row under evaluation
       candidate.flatMap(r => Option(r.getAs[Any](col)))
     case ColRef(variable, col) =>
@@ -639,6 +666,8 @@ object MatchRecognize {
       .map { case (n, xs) => n -> xs.map(_._2).toSet }
 
     def colType(v: Val): org.apache.spark.sql.types.DataType = v match {
+      case Classifier => org.apache.spark.sql.types.StringType
+      case MatchNum => org.apache.spark.sql.types.LongType
       case ColRef(_, c)  => schema(c).dataType
       case Nav(_, _, c, _) => schema(c).dataType
       case Agg("COUNT", _, _) => org.apache.spark.sql.types.LongType
@@ -708,13 +737,19 @@ object MatchRecognize {
   /** Pure per-key NFA walk over one partition's ORDER BY-sorted rows —
     * the body [[run]] maps over each key run, shared verbatim with the
     * fuzz harness. */
+  /** Streaming per-key state: the NFA state plus the running match
+    * count ([[runStream]] — MATCH_NUMBER() across micro-batches).
+    * Public: Encoders.javaSerialization refuses non-public classes. */
+  case class MrState(nfa: Cep.NfaState[Row], matchSeq: Long)
+
   private[cep] def matchKey(c: Compiled, key: Any,
                             ordered: Seq[Row]): Seq[Row] = {
     val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
     val (matches, _) = nfa.run(ordered)
-    matches.map { m =>
+    matches.zipWithIndex.map { case (m, i) =>
       val vals = c.clause.measures.map { case (v, _) =>
-        resolve(v, None, curVar = "", c.varIdx, m.entries).orNull }
+        resolve(v, None, curVar = "", c.varIdx, m.entries,
+          matchNum = i + 1L).orNull }
       Row.fromSeq(key +: vals)
     }
   }
@@ -774,18 +809,29 @@ object MatchRecognize {
     // cracking JDK internals open (fails outside --add-opens JVMs);
     // every class in NfaState[Row] is Serializable and the per-key
     // state is small (live partials + held matches)
-    implicit val stEnc: org.apache.spark.sql.Encoder[Cep.NfaState[Row]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Cep.NfaState[Row]]
+    // MATCH_NUMBER() numbering must survive micro-batches, so the
+    // per-key state carries the running match count next to the NFA
+    // state; when the clause uses it, an exhausted key keeps its
+    // 8-byte counter alive instead of being removed (the price of
+    // cross-batch numbering — without it, numbering restarts)
+    val usesMatchNum = c.clause.measures.exists(_._1 == MatchNum)
+    implicit val stEnc: org.apache.spark.sql.Encoder[MrState] =
+      org.apache.spark.sql.Encoders.javaSerialization[MrState]
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(c.outSchema)
     def fn(key: String, it: Iterator[Row],
-           state: org.apache.spark.sql.streaming.GroupState[Cep.NfaState[Row]])
+           state: org.apache.spark.sql.streaming.GroupState[MrState])
         : Iterator[Row] = {
-      var st = state.getOption.getOrElse(Cep.NfaState.empty[Row])
+      val st0 = state.getOption.getOrElse(
+        MrState(Cep.NfaState.empty[Row], 0L))
+      var st = st0.nfa
+      var matchSeq = st0.matchSeq
       val out = Seq.newBuilder[Row]
       def emit(m: Cep.MatchResult[Row]): Unit = {
+        matchSeq += 1
         val vals = c.clause.measures.map { case (v, _) =>
-          resolve(v, None, curVar = "", c.varIdx, m.entries).orNull }
+          resolve(v, None, curVar = "", c.varIdx, m.entries,
+            matchNum = matchSeq).orNull }
         out += Row.fromSeq(
           m.entries.head._2.getAs[Any](partitionBy) +: vals)
       }
@@ -809,9 +855,10 @@ object MatchRecognize {
         st = s3
         done.foreach(emit)
       }
-      if (st.partials.isEmpty && st.pending.isEmpty) state.remove()
+      if (st.partials.isEmpty && st.pending.isEmpty &&
+        (!usesMatchNum || matchSeq == 0)) state.remove()
       else {
-        state.update(st)
+        state.update(MrState(st, matchSeq))
         if (useTimers) {
           val wm = state.getCurrentWatermarkMs()
           val t =

@@ -911,6 +911,62 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(err.getMessage.contains("can match empty"))
   }
 
+  test("CLASSIFIER() and MATCH_NUMBER() in MEASURES; DEFINE running " +
+    "classifier; MEASURES-only MATCH_NUMBER errors in DEFINE") {
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"
+    val ms = "MATCH_NUMBER() AS mn, CLASSIFIER() AS clf, A.seq AS a0"
+    // two disjoint matches: per-partition 1-based numbering; the
+    // classifier is the LAST matched row's variable (FINAL semantics)
+    assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "c"),
+      "A (B|C)", ms, defs) ==
+      Seq(Seq(1L, "B", 1L), Seq(2L, "C", 3L)))
+    // running semantics in DEFINE: CLASSIFIER() is the row under
+    // evaluation's provisional variable, so B admits only itself
+    assert(mr(tape(1L -> "a", 2L -> "x"), "A B",
+      "MATCH_NUMBER() AS mn, CLASSIFIER() AS clf",
+      "A AS name = 'a', B AS CLASSIFIER() = 'B'") ==
+      Seq(Seq(1L, "B")))
+    // MATCH_NUMBER() has no running value mid-attempt: loud error
+    val err = intercept[Exception] {
+      mr(tape(1L -> "a", 2L -> "b"), "A B", "COUNT(*) AS n",
+        "A AS name = 'a', B AS MATCH_NUMBER() > 0")
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).contains("MEASURES only")))
+  }
+
+  test("MATCH_NUMBER() numbering survives micro-batches in runStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clause = """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS clf, A.seq AS a0
+      PATTERN (A B)
+      DEFINE A AS name = 'a', B AS name = 'b'
+    """
+    val in = MemoryStream[(Long, String, String)]
+    val q = MatchRecognize.runStream(
+        in.toDF().toDF("seq", "name", "sym"), clause)
+      .writeStream.format("memory").queryName("mr_mn_out")
+      .outputMode("append").start()
+    try {
+      // match 1 completes in batch 1; the key's state then holds only
+      // the counter; match 2 completes two batches later and must
+      // number 2, not restart at 1
+      in.addData((1L, "a", "S"), (2L, "b", "S"))
+      q.processAllAvailable()
+      in.addData((3L, "x", "S"))
+      q.processAllAvailable()
+      in.addData((4L, "a", "S"), (5L, "b", "S"))
+      q.processAllAvailable()
+      val got = spark.table("mr_mn_out").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == Set((1L, "B", 1L), (2L, "B", 4L)), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("reluctant bounded quantifiers: {n,m}? and {n,}? prefer fewer " +
     "repetitions, on variables, groups, and branch variables") {
     val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"

@@ -217,10 +217,13 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   /** (pattern var → (first, last, count)) per engine match row. */
   private def clauseSql(elems: Vector[FElem], skipClause: String,
       withinSec: Int, vars: Seq[String]): String = {
-    val measures = vars.flatMap(v => Seq(
+    val measures = (vars.flatMap(v => Seq(
       s"FIRST($v.seq) AS ${v.toLowerCase}_f",
       s"LAST($v.seq) AS ${v.toLowerCase}_l",
-      s"COUNT($v.* ) AS ${v.toLowerCase}_c")).mkString(", ")
+      s"COUNT($v.* ) AS ${v.toLowerCase}_c")) ++
+      // round 10: CLASSIFIER (last matched row's variable) and
+      // MATCH_NUMBER (1-based per-partition ordinal) ride every case
+      Seq("CLASSIFIER() AS clf", "MATCH_NUMBER() AS mn")).mkString(", ")
     val defines = vars.filter(_ != "E")
       .map(v => s"$v AS name = '${v.head.toLower}'").mkString(", ")
     val within =
@@ -238,21 +241,24 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     val c = MatchRecognize.compile(schema,
       clauseSql(elems, skipClause, withinSec, vars))
     MatchRecognize.matchKey(c, "S", rows(tape)).map { r =>
-      vars.zipWithIndex.map { case (v, i) =>
+      (vars.zipWithIndex.map { case (v, i) =>
         v -> (r.get(1 + 3 * i), r.get(2 + 3 * i),
           r.get(3 + 3 * i).asInstanceOf[Long])
-      }.toMap
+      } :+ ("_META" -> ((r.get(1 + 3 * vars.length),
+        r.get(2 + 3 * vars.length), 0L): (Any, Any, Long)))).toMap
     }
   }
 
-  private def oracleFingerprint(m: Bind,
-      vars: Seq[String]): Map[String, (Any, Any, Long)] =
-    vars.map { v =>
+  private def oracleFingerprint(m: Bind, vars: Seq[String],
+      matchNum: Long): Map[String, (Any, Any, Long)] =
+    (vars.map { v =>
       val vr = m.collect { case (`v`, row) => row }
       v -> (if (vr.isEmpty) (null, null, 0L)
             else ((vr.min + 1) * TsStep, (vr.max + 1) * TsStep,
               vr.size.toLong))
-    }.toMap
+    // CLASSIFIER = the LAST matched row's variable (consumed order);
+    // MATCH_NUMBER = the 1-based per-partition match ordinal
+    } :+ ("_META" -> ((m.last._1, matchNum, 0L): (Any, Any, Long)))).toMap
 
   // ---- generator ----------------------------------------------------
 
@@ -388,7 +394,8 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
       // TsStep=0.7 s apart, k in 1..5 windows span 2..8 rows
       val withinSec = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(5) else 0
       val expected = scan(elems, tape, oSkip, withinSec * 1000L)
-        .map(oracleFingerprint(_, vars))
+        .zipWithIndex.map { case (m, i) =>
+          oracleFingerprint(m, vars, i + 1L) }
       val got =
         try runEngine(elems, tape, skipClause, withinSec, vars)
         catch {
