@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.StructType
   * reference documents:
   *
   *   PARTITION BY col / ORDER BY col / MEASURES expr AS alias, ... /
-  *   ONE ROW PER MATCH /
+  *   {ONE ROW | ALL ROWS} PER MATCH (round 10: ALL ROWS emits every
+  *   matched input row + RUNNING measures; MEASURES also support
+  *   CLASSIFIER() and MATCH_NUMBER()) /
   *   AFTER MATCH SKIP {PAST LAST ROW | TO NEXT ROW |
   *                     TO LAST var | TO FIRST var}
   *   (defaulting to SKIP PAST LAST ROW when absent, per SQL:2016 —
@@ -66,7 +68,11 @@ import org.apache.spark.sql.types.StructType
   * `IS NULL` observes it — exactly what the doc's
   * `LAST(PRICE_DOWN.price, 1) IS NULL AND ...` bootstrap relies on.
   */
-object MatchRecognize {
+// Serializable: the runStream state function references module
+// methods (resolve/matchRows), so the lifted lambda captures the
+// module; it is stateless, and scalac's readResolve keeps it a
+// singleton on deserialization.
+object MatchRecognize extends Serializable {
 
   // ---- AST -----------------------------------------------------------
 
@@ -121,7 +127,7 @@ object MatchRecognize {
   private[cep] case class Clause(partitionBy: String, orderBy: String,
       measures: Seq[(Val, String)], skip: Cep.AfterMatchSkip,
       pattern: Seq[PatElem], withinMs: Option[Long],
-      defines: Map[String, Pred])
+      defines: Map[String, Pred], allRows: Boolean)
 
   /** One alternative of one expanded pattern POSITION — the flags a
     * [[Cep.Step]] needs, computed from the (branch, element)
@@ -203,7 +209,18 @@ object MatchRecognize {
       more = p.kw(",")
     }
 
-    p.kw("ONE") && { p.expect("ROW"); p.expect("PER"); p.expect("MATCH"); true }
+    // ONE ROW PER MATCH (default): partition col + measures, FINAL
+    // semantics. ALL ROWS PER MATCH (round 10): every matched input
+    // row rides out with the measures evaluated RUNNING — aggregates
+    // and FIRST/LAST over rows so far, CLASSIFIER() the current
+    // row's variable (SQL:2016's default semantics for this mode;
+    // the FINAL keyword is not parsed).
+    var allRows = false
+    if (p.kw("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+    else if (p.kw("ALL")) {
+      p.expect("ROWS"); p.expect("PER"); p.expect("MATCH")
+      allRows = true
+    }
 
     // SQL:2016 default (also Flink's and Trino's): AFTER MATCH SKIP
     // PAST LAST ROW — matches are disjoint unless the clause says
@@ -316,7 +333,7 @@ object MatchRecognize {
         "element admits zero rows); empty matches are unsupported - " +
         "anchor the pattern with at least one required element")
     Clause(part, order, measures.result(), skip, pattern, withinMs,
-      defines.result())
+      defines.result(), allRows)
   }
 
   /** VAR with an optional quantifier: `+[?]`, `*[?]`, `?`, `{n[,[m]]}`. */
@@ -685,10 +702,13 @@ object MatchRecognize {
       case Lit(_: Double) => org.apache.spark.sql.types.DoubleType
       case Lit(_)         => org.apache.spark.sql.types.LongType
     }
-    val outSchema = StructType(
-      schema(clause.partitionBy) +:
-        clause.measures.map { case (v, alias) =>
-          org.apache.spark.sql.types.StructField(alias, colType(v), true) })
+    val measureFields = clause.measures.map { case (v, alias) =>
+      org.apache.spark.sql.types.StructField(alias, colType(v), true) }
+    // ONE ROW PER MATCH: partition col + measures. ALL ROWS PER
+    // MATCH: every input column + measures (per SQL:2016)
+    val outSchema =
+      if (clause.allRows) StructType(schema.fields ++ measureFields)
+      else StructType(schema(clause.partitionBy) +: measureFields)
 
     val steps = positions.zipWithIndex.flatMap { case (alts, posIdx) =>
       alts.zipWithIndex.map { case (pa, a) =>
@@ -746,21 +766,46 @@ object MatchRecognize {
                             ordered: Seq[Row]): Seq[Row] = {
     val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
     val (matches, _) = nfa.run(ordered)
-    matches.zipWithIndex.map { case (m, i) =>
-      val vals = c.clause.measures.map { case (v, _) =>
-        resolve(v, None, curVar = "", c.varIdx, m.entries,
-          matchNum = i + 1L).orNull }
-      Row.fromSeq(key +: vals)
+    matches.zipWithIndex.flatMap { case (m, i) =>
+      matchRows(c, Some(key), m, i + 1L)
     }
   }
+
+  /** Output rows of one match: ONE ROW PER MATCH emits the partition
+    * key + FINAL measures; ALL ROWS PER MATCH emits every matched
+    * input row + RUNNING measures (aggregates and navigation over the
+    * match prefix ending at that row; CLASSIFIER() is the row's own
+    * variable). `key` is only consulted in ONE-ROW mode — ALL-ROWS
+    * output carries the partition column inside the input row. */
+  // private[cep], not private: the fully-private spelling makes the
+  // runStream state-function lambda capture the (non-serializable)
+  // module as the call receiver
+  private[cep] def matchRows(c: Compiled, key: Option[Any],
+      m: Cep.MatchResult[Row], matchNum: Long): Seq[Row] =
+    if (c.clause.allRows)
+      m.entries.indices.map { k =>
+        val prefix = m.entries.take(k + 1)
+        val vals = c.clause.measures.map { case (v, _) =>
+          resolve(v, None, curVar = "", c.varIdx, prefix,
+            matchNum = matchNum).orNull }
+        Row.fromSeq(m.entries(k)._2.toSeq ++ vals)
+      }
+    else {
+      val vals = c.clause.measures.map { case (v, _) =>
+        resolve(v, None, curVar = "", c.varIdx, m.entries,
+          matchNum = matchNum).orNull }
+      Seq(Row.fromSeq(key.getOrElse(
+        m.entries.head._2.getAs[Any](c.clause.partitionBy)) +: vals))
+    }
 
   /** STREAMING MATCH_RECOGNIZE (round 10): the same compiled clause +
     * NFA run incrementally under flatMapGroupsWithState — partials
     * survive micro-batches in GroupState, completed matches emit in
     * Append mode, and the SQL surface stays IDENTICAL to the batch
-    * [[run]] (one row per match: partition column + measures; the
+    * [[run]] (ONE ROW PER MATCH: partition column + measures; ALL
+    * ROWS PER MATCH: matched input rows + RUNNING measures; the
     * engines cannot diverge — same parse, same position expansion,
-    * same Nfa). The reference's MATCH_RECOGNIZE is a streaming
+    * same Nfa, same [[matchRows]] emission). The reference's MATCH_RECOGNIZE is a streaming
     * feature (`flink-sql/sql/dml/CEP.md` runs on an unbounded Ticker),
     * so the batch-only runner was a real gap.
     *
@@ -829,11 +874,7 @@ object MatchRecognize {
       val out = Seq.newBuilder[Row]
       def emit(m: Cep.MatchResult[Row]): Unit = {
         matchSeq += 1
-        val vals = c.clause.measures.map { case (v, _) =>
-          resolve(v, None, curVar = "", c.varIdx, m.entries,
-            matchNum = matchSeq).orNull }
-        out += Row.fromSeq(
-          m.entries.head._2.getAs[Any](partitionBy) +: vals)
+        out ++= matchRows(c, None, m, matchSeq)
       }
       for (e <- it.toSeq.sortBy(c.ordKey)) {
         val (s2, done, _) = nfa.onEvent(st, e)

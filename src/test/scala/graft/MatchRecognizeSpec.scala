@@ -967,6 +967,31 @@ class MatchRecognizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ALL ROWS PER MATCH: every matched input row rides out with " +
+    "RUNNING measures, per-row CLASSIFIER, batch == stream") {
+    val clause = """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS clf,
+               COUNT(B.*) AS n_b, FIRST(A.seq) AS a0
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE A AS name = 'a', B AS name = 'b'
+    """
+    val df = tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "a", 5L -> "b")
+    val got = MatchRecognize.run(df, clause).collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq(1L, "a", "S", 1L, "A", 0L, 1L),
+      Seq(2L, "b", "S", 1L, "B", 1L, 1L),
+      Seq(3L, "b", "S", 1L, "B", 2L, 1L),
+      Seq(4L, "a", "S", 2L, "A", 0L, 4L),
+      Seq(5L, "b", "S", 2L, "B", 1L, 4L)), s"got $got")
+    // the streaming runner on a batch frame degrades to run()
+    val viaStream = MatchRecognize.runStream(df, clause)
+      .collect().map(_.toSeq).toSet
+    assert(viaStream == got.toSet)
+  }
+
   test("reluctant bounded quantifiers: {n,m}? and {n,}? prefer fewer " +
     "repetitions, on variables, groups, and branch variables") {
     val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c'"

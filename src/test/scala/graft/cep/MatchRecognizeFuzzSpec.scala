@@ -412,6 +412,58 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** ALL ROWS PER MATCH differential (round 10): every matched input
+    * row rides out with RUNNING measures — per-row fingerprints
+    * (ORDER BY value, CLASSIFIER, MATCH_NUMBER, running per-var
+    * counts) against the oracle's per-row view of the same matches.
+    * The oracle needs no new search logic: the match set is scan()'s,
+    * and the running values are prefix folds of each binding. */
+  test(s"${Cases / 2} ALL ROWS PER MATCH cases match per-row oracle " +
+    "fingerprints") {
+    val rnd = new Random(0xA110053AL)
+    var cases = 0
+    while (cases < Cases / 2) {
+      val elems = genPattern(rnd)
+      val tape = genTape(rnd)
+      val vars = elems.flatMap(_.branches.flatten.map(_.name)).distinct.sorted
+      val (skipClause, oSkip) = skipPair(rnd, vars)
+      val withinSec = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(5) else 0
+      val expected = scan(elems, tape, oSkip, withinSec * 1000L)
+        .zipWithIndex.flatMap { case (m, mi) =>
+          m.indices.map { k =>
+            ((m(k)._2 + 1) * TsStep, m(k)._1, mi + 1L,
+              vars.map(v => m.take(k + 1).count(_._1 == v).toLong))
+          }
+        }
+      val measures = (vars.map(v =>
+        s"COUNT($v.* ) AS ${v.toLowerCase}_c") ++
+        Seq("CLASSIFIER() AS clf", "MATCH_NUMBER() AS mn")).mkString(", ")
+      val defines = vars.filter(_ != "E")
+        .map(v => s"$v AS name = '${v.head.toLower}'").mkString(", ")
+      val within =
+        if (withinSec <= 0) "" else s"WITHIN INTERVAL '$withinSec' SECOND"
+      val sql = s"""PARTITION BY sym ORDER BY seq
+          MEASURES $measures
+          ALL ROWS PER MATCH
+          $skipClause
+          PATTERN (${patternStr(elems)}) $within
+          DEFINE $defines"""
+      val c = MatchRecognize.compile(schema, sql)
+      // output row: input columns (sym, seq, name) then measures
+      val got = MatchRecognize.matchKey(c, "S", rows(tape)).map { r =>
+        (r.getLong(1), r.getString(3 + vars.length),
+          r.getLong(4 + vars.length),
+          vars.indices.map(i => r.getLong(3 + i)).toVector)
+      }
+      assert(got == expected.map { case (s, v, mn, cs) =>
+        (s, v, mn, cs.toVector) },
+        s"\nALL ROWS PATTERN (${patternStr(elems)}) tape='$tape' " +
+          s"skip='${if (skipClause.isEmpty) "<default>" else skipClause}'" +
+          s" within=${withinSec}s\n engine: $got\n oracle: $expected")
+      cases += 1
+    }
+  }
+
   /** Streaming-cadence differential: the SAME compiled NFA driven the
     * way the streaming operators drive it — events split across
     * micro-batch chunks with `expire(watermark)` between chunks (the
