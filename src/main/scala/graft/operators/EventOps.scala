@@ -172,6 +172,41 @@ object EventOps extends graft.QueryModule {
       .drop("run_id")
   }
 
+  /** q147: the MATCH_RECOGNIZE engine itself under the driver's oracle
+    * gate — ALL ROWS PER MATCH over the events table (round 10; until
+    * now the MR engine was spec/fuzz-verified but no driver query ran
+    * it). Per user in ts order, PATTERN (A B+) with B the
+    * strictly-falling step: every maximal falling streak yields ONE
+    * match whose A is the streak's (non-falling) predecessor row — so
+    * the match set is exactly the fall-islands of q18's rewrite, which
+    * is what makes a window-function DuckDB oracle possible for an
+    * engine DuckDB lacks. Output: the matched input rows + RUNNING
+    * measures (per-user match number, per-row CLASSIFIER, running B
+    * count, the anchor value).
+    *
+    * Determinism: ORDER BY ts_us — (user, ts) is tie-free at every
+    * generated SF (checked sf0.001/0.01/0.1); the fall comparison is
+    * the same IEEE `<` on both engines.
+    *
+    * SCALE SHAPE: the [[graft.cep.MatchRecognize.run]] plan — one
+    * hash-partition exchange on user_id + in-partition radix sort,
+    * then a linear per-key NFA walk; state per key is the open
+    * partial, bounded by the longest falling streak. */
+  def mrFallingAllRows(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("ts_ns div 1000").as("ts_us"), col("event_id"), col("value"))
+    graft.cep.MatchRecognize.run(e, """
+      PARTITION BY user_id
+      ORDER BY ts_us
+      MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS clf,
+               COUNT(B.*) AS n_b, A.value AS a_val
+      ALL ROWS PER MATCH
+      PATTERN (A B+)
+      DEFINE B AS (LAST(B.value, 1) IS NULL AND value < A.value)
+               OR value < LAST(B.value, 1)
+    """)
+  }
+
   /** As-of join: each purchase matched to the same user's most recent
     * view at or before it — the temporal-lookup operator (market-data
     * joins, feature backfill) the reference's interval join (J2)
@@ -272,7 +307,8 @@ object EventOps extends graft.QueryModule {
     "q16_cep_followedby"  -> ((s, d) => followedBy(Tables.events(s, d))),
     "q17_fraud"           -> ((s, d) => fraudAlerts(Tables.events(s, d))),
     "q18_falling_runs"    -> ((s, d) => fallingRuns(Tables.events(s, d))),
-    "q42_asof_join"       -> ((s, d) => asofJoin(Tables.events(s, d)))
+    "q42_asof_join"       -> ((s, d) => asofJoin(Tables.events(s, d))),
+    "q147_mr_all_rows"    -> ((s, d) => mrFallingAllRows(Tables.events(s, d)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -401,6 +437,42 @@ object EventOps extends graft.QueryModule {
       FROM r WHERE falls = 1
       GROUP BY user_id, run_id
       HAVING count(*) >= 2""",
+    /* q147: gaps-and-islands mirror of PATTERN (A B+) ALL ROWS PER
+     * MATCH — each group = one non-fall head (A) + its consecutive
+     * fall rows (B); groups with >= 1 fall are exactly the matches. */
+    "q147_mr_all_rows" -> """
+      WITH t AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+               CASE WHEN value < lag(value) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                 THEN 1 ELSE 0 END AS fall
+        FROM events),
+      r AS (
+        SELECT *, sum(1 - fall) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+        FROM t),
+      g AS (
+        SELECT *,
+               sum(fall) OVER (PARTITION BY user_id, grp) AS grp_falls,
+               sum(fall) OVER (PARTITION BY user_id, grp ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS nb,
+               first_value(value) OVER (PARTITION BY user_id, grp
+                                        ORDER BY ts_us
+                                        ROWS UNBOUNDED PRECEDING) AS av
+        FROM r),
+      m AS (
+        SELECT user_id, grp, min(ts_us) AS g_ts
+        FROM g WHERE grp_falls >= 1 GROUP BY 1, 2),
+      mnr AS (
+        SELECT user_id, grp,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY g_ts) AS mn
+        FROM m)
+      SELECT g.user_id, g.ts_us, g.event_id, g.value,
+             mnr.mn AS mn,
+             CASE WHEN g.fall = 0 THEN 'A' ELSE 'B' END AS clf,
+             CAST(g.nb AS BIGINT) AS n_b, g.av AS a_val
+      FROM g JOIN mnr ON g.user_id = mnr.user_id AND g.grp = mnr.grp""",
     "q42_asof_join" -> """
       WITH v AS (
         SELECT user_id, epoch_ns(ts) // 1000 AS v_ts,
