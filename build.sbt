@@ -38,6 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 145 queries the SAME cliff reappeared past 512m (q41 0.96 s
   // isolated vs 4.63 s in-sweep; 1g restores 0.59 s and takes the
   // sweep 119 -> 94 s) — the cache must scale with the query count,
-  // so keep headroom when adding query families.
-  "-XX:ReservedCodeCacheSize=1g",
+  // so keep headroom when adding query families. Round 10 (147
+  // queries): the in-sweep media cluster read 1.5-2.3x vs isolated
+  // (adjudicated weather, BENCHDRIFT round 10 pre-close) — the
+  // known early symptom — so the headroom grows with the two new
+  // queries.
+  "-XX:ReservedCodeCacheSize=1280m",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
