@@ -42,6 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries): the in-sweep media cluster read 1.5-2.3x vs isolated
   // (adjudicated weather, BENCHDRIFT round 10 pre-close) — the
   // known early symptom — so the headroom grows with the two new
-  // queries.
+  // queries. Round 11 MEASURED occupancy through a full 147x3
+  // sweep (jcmd sampling, BENCHDRIFT round 11): peak 139 MB of the
+  // 1280 MB reserve, full_count=0 — at this size the cache is no
+  // longer the binding constraint and in-sweep flags are box
+  // weather; keep 1280m (costs address space only) and re-measure
+  // if the query count grows past ~200. NOTE: sbt forks through an
+  // @argfile, so verify this flag with `jcmd <pid> VM.flags`, not
+  // /proc cmdline.
   "-XX:ReservedCodeCacheSize=1280m",
 ) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
