@@ -1230,11 +1230,14 @@ object Similarity extends graft.QueryModule {
     * `videoAdmitStream`). Reference vectors are bucketed by banded
     * sign-LSH keys: band b keys on the sign pattern of seeded
     * hyperplanes [b·P, (b+1)·P) — the SAME md5-seeded matrix as
-    * [[lshBucket]], so the DEFAULT config (bands = 1, planesPerBand =
-    * 8) keys bit-identically to q35's bucket and gate rejections equal
-    * q35's batch pairs restricted to (arrival, reference)
-    * (spec-asserted, and hash-checked against a DuckDB anti-join
-    * oracle as q146). Every candidate is verified with the EXACT
+    * [[lshBucket]], so the (1, 8) config (what AUTO resolves to below
+    * [[Similarity.semanticAutoWideRefs]] refs) keys bit-identically to
+    * q35's bucket and gate rejections equal q35's batch pairs
+    * restricted to (arrival, reference) (spec-asserted, and
+    * hash-checked against a DuckDB anti-join oracle as q146). At/above
+    * that ref count AUTO resolves to the semanP serving layout (4,
+    * 16), whose probe rate holds through 200k refs where (1, 8)
+    * decays linearly (SCALE.md gatefit table). Every candidate is verified with the EXACT
     * cosine, so extra bands can only add TRUE near-dup rejections,
     * never a false positive.
     *
@@ -1290,32 +1293,57 @@ object Similarity extends graft.QueryModule {
     }
   }
 
+  /** Past this reference count the AUTO layout (bands/planesPerBand
+    * left at 0) switches from the q35-bit-identical 1×8 default to the
+    * semanP serving config (4×16-plane bands): gatefit measures the
+    * 1×8 layout's probe decaying LINEARLY with refs (a 256-key space
+    * walks ~refs/256 exact cosines per probe — 1 275 probes/s at 200k)
+    * while 4×16 holds 146–447 k probes/s at ~98.5% recall (SCALE.md
+    * semantic table). Same discipline as `WideImageDupIndex` being
+    * "the ≥20k config" for images, applied to the fit default so a
+    * plain `fitSemanticDupIndex(refs)` at scale cannot silently get
+    * the decaying layout. */
+  val semanticAutoWideRefs = 20000
+
   /** Fit the frozen semantic index over a reference embedding frame
     * (`embedding` column; null vectors are skipped — they never pair
     * in batch either). ONE bounded collect: the vectors must come to
     * the driver anyway for the exact verify (the audio-index
     * argument), and each contributes exactly `bands` fixed-size index
-    * entries — no content-driven fan-out to cap. */
+    * entries — no content-driven fan-out to cap.
+    *
+    * `bands`/`planesPerBand` = 0 (the default) means AUTO, resolved
+    * per knob from the collected reference count: below
+    * [[semanticAutoWideRefs]] refs → the q35-bit-identical (1, 8);
+    * at/above → the semanP serving layout (4, 16). Pass explicit
+    * values to pin a layout (e.g. (1, 8) when q35 bucket
+    * bit-identity matters more than probe rate at scale — extra
+    * bands only ever ADD true near-dup rejections, so auto-widening
+    * never introduces a false positive). */
   def fitSemanticDupIndex(embeddings: DataFrame, threshold: Double = 0.2,
-                          bands: Int = 1, planesPerBand: Int = 8)
+                          bands: Int = 0, planesPerBand: Int = 0)
       : SemanticDupIndex = {
-    require(bands >= 1, s"bands must be >= 1, got $bands")
-    require(planesPerBand >= 1 && planesPerBand <= 32,
-      s"planesPerBand must be in [1, 32], got $planesPerBand")
-    // rows [0, 8) of this matrix ARE `planes` (same seeded formula),
-    // which is what makes the default config q35-bit-identical
-    val allPlanes: Array[Array[Double]] =
-      Array.tabulate(bands * planesPerBand, dims)((p, i) =>
-        (h32Scala(s"p${p}_$i") % 2001 - 1000) / 1000.0)
+    require(bands >= 0, s"bands must be >= 1 (or 0 = auto), got $bands")
+    require(planesPerBand >= 0 && planesPerBand <= 32,
+      s"planesPerBand must be in [1, 32] (or 0 = auto), got $planesPerBand")
     val refVecs: Array[Array[Double]] = embeddings
       .select(asDouble(col("embedding")).as("emb"))
       .where(col("emb").isNotNull)
       .collect().map(_.getSeq[Double](0).toArray)
+    val wide = refVecs.length >= semanticAutoWideRefs
+    val bandsR = if (bands == 0) { if (wide) 4 else 1 } else bands
+    val planesPerBandR =
+      if (planesPerBand == 0) { if (wide) 16 else 8 } else planesPerBand
+    // rows [0, 8) of this matrix ARE `planes` (same seeded formula),
+    // which is what makes the small-refs auto config q35-bit-identical
+    val allPlanes: Array[Array[Double]] =
+      Array.tabulate(bandsR * planesPerBandR, dims)((p, i) =>
+        (h32Scala(s"p${p}_$i") % 2001 - 1000) / 1000.0)
     val byKey = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
     refVecs.zipWithIndex.foreach { case (v, idx) =>
       var band = 0
-      while (band < bands) {
-        byKey.computeIfAbsent(signKey(v, allPlanes, band, planesPerBand),
+      while (band < bandsR) {
+        byKey.computeIfAbsent(signKey(v, allPlanes, band, planesPerBandR),
           _ => new java.util.ArrayList[Integer]).add(idx)
         band += 1
       }
@@ -1328,7 +1356,7 @@ object Similarity extends graft.QueryModule {
       buckets.update(key, Array.tabulate(ids.size)(ids.get(_).intValue()))
     }
     buckets.repack()
-    SemanticDupIndex(threshold, bands, planesPerBand, allPlanes, refVecs,
+    SemanticDupIndex(threshold, bandsR, planesPerBandR, allPlanes, refVecs,
       refVecs.map(v => math.sqrt(dotScala(v, v))), buckets)
   }
 

@@ -1245,6 +1245,45 @@ class StreamAggsSpec extends SparkSpec {
     }
   }
 
+  test("semantic fit AUTO layout: q35-identical (1,8) below the wide " +
+    "threshold, semanP (4,16) at/above it, explicit knobs always win") {
+    // small ref set (q146's class): AUTO must stay q35-bit-identical
+    val small = Similarity.fitSemanticDupIndex(
+      Similarity.nearDupEmbeddingTable(
+        spark.range(500).select($"id".as("doc_id"))), threshold = 0.6)
+    assert(small.bands == 1 && small.planesPerBand == 8,
+      s"small-refs AUTO must be the q35 layout, got " +
+        s"(${small.bands}, ${small.planesPerBand})")
+    // at the threshold: AUTO must pick the serving layout whose probe
+    // rate gatefit shows holding where (1,8) decays linearly
+    val refs = Similarity.nearDupEmbeddingTable(
+      spark.range(Similarity.semanticAutoWideRefs)
+        .select($"id".as("doc_id")))
+    val wideAuto = Similarity.fitSemanticDupIndex(refs, threshold = 0.6)
+    assert(wideAuto.bands == 4 && wideAuto.planesPerBand == 16,
+      s"wide-refs AUTO must be semanP, got " +
+        s"(${wideAuto.bands}, ${wideAuto.planesPerBand})")
+    // an explicit request pins the layout regardless of ref count
+    // (the documented bit-identity escape hatch), and each knob
+    // resolves independently when only one is explicit
+    val pinned = Similarity.fitSemanticDupIndex(refs, threshold = 0.6,
+      bands = 1, planesPerBand = 8)
+    assert(pinned.bands == 1 && pinned.planesPerBand == 8)
+    val mixed = Similarity.fitSemanticDupIndex(
+      Similarity.nearDupEmbeddingTable(
+        spark.range(500).select($"id".as("doc_id"))),
+      threshold = 0.6, bands = 4)
+    assert(mixed.bands == 4 && mixed.planesPerBand == 8,
+      "explicit bands with AUTO perBand on small refs is the semanW shape")
+    // band 0 of the pinned wide-refs index keys with planes [0,8) —
+    // the q35 matrix — so its rejections stay a subset story even at
+    // scale; spot-check one probe agrees between AUTO and pinned on a
+    // true near-dup (exact-cosine verify makes both hit-correct)
+    val probe = Similarity.nearDupEmbedding(1L).map(_.toDouble)
+    assert(wideAuto.hits(probe) && pinned.hits(probe),
+      "a fixture near-dup of ref group 0 must hit under both layouts")
+  }
+
   test("in-stream semantic dedup collapses sign-stable copies across " +
     "batches, keeps sign-flipping variants, names null-embedding rows") {
     implicit val sqlCtx = spark.sqlContext
