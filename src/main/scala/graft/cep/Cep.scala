@@ -172,8 +172,14 @@ object Cep {
     * greed (`branchLoop`/`branchReluctant` carry it, the same fields
     * a self-repeating alternation branch uses); the cycle may move
     * on only once the run is whole. Zero-capable variables inside a
-    * sequence (`(A B?)`) stay unsupported — a skippable cycle slot
-    * is a different machine. */
+    * sequence (`(A B?)`) are supported too (round 10's second pass:
+    * the cycle scan and entry walks skip a zero-capable slot per its
+    * own greed); per-variable quantifiers compose with the GROUP
+    * quantifier, bounded or unbounded (`(A B+){2}`, `(A B+)+` —
+    * curRep counts iterations, curRun the open variable run, so the
+    * two bounds gate independently; hand-anchored and fuzzed). The
+    * one rejected shape is a branch whose every variable is
+    * zero-capable (`(A? B*)` — an empty-capable iteration). */
   case class Step[T](name: String, contiguity: Contiguity,
                      oneOrMore: Boolean, pred: (T, Seq[T]) => Boolean,
                      quant: Quant = AllMatches,

@@ -704,6 +704,23 @@ object MatchRecognize extends Serializable {
     }
     val measureFields = clause.measures.map { case (v, alias) =>
       org.apache.spark.sql.types.StructField(alias, colType(v), true) }
+    // Measure aliases join the input columns (ALL ROWS) or the
+    // partition column (ONE ROW) in the output schema — a collision
+    // would build a StructType with duplicate field names, making
+    // every downstream getAs/select silently ambiguous. Fail at
+    // compile time (the parser's fail-fast contract) instead.
+    val aliases = clause.measures.map(_._2)
+    aliases.diff(aliases.distinct).distinct.headOption.foreach(a =>
+      sys.error(s"MATCH_RECOGNIZE: duplicate measure alias '$a'"))
+    val reserved =
+      if (clause.allRows) schema.fieldNames.toSeq
+      else Seq(clause.partitionBy)
+    aliases.intersect(reserved).headOption.foreach(a => sys.error(
+      s"MATCH_RECOGNIZE: measure alias '$a' collides with an " +
+        (if (clause.allRows) "input column (ALL ROWS PER MATCH emits " +
+          "every input column before the measures — rename the measure)"
+         else "the partition column (ONE ROW PER MATCH emits it first " +
+          "— rename the measure)")))
     // ONE ROW PER MATCH: partition col + measures. ALL ROWS PER
     // MATCH: every input column + measures (per SQL:2016)
     val outSchema =
@@ -757,10 +774,6 @@ object MatchRecognize extends Serializable {
   /** Pure per-key NFA walk over one partition's ORDER BY-sorted rows —
     * the body [[run]] maps over each key run, shared verbatim with the
     * fuzz harness. */
-  /** Streaming per-key state: the NFA state plus the running match
-    * count ([[runStream]] — MATCH_NUMBER() across micro-batches).
-    * Public: Encoders.javaSerialization refuses non-public classes. */
-  case class MrState(nfa: Cep.NfaState[Row], matchSeq: Long)
 
   private[cep] def matchKey(c: Compiled, key: Any,
                             ordered: Seq[Row]): Seq[Row] = {
@@ -820,10 +833,12 @@ object MatchRecognize extends Serializable {
     * permanently idle key retains its partials (document-matching
     * behavior of the DSL runner; use the watermark).
     *
-    * State per key: live partials + held-back matches, Kryo-encoded.
-    * Keys group by the STRING rendering of the partition value (one
-    * column, one type — injective), but output rows carry the
-    * original value.
+    * State per key: live partials + held-back matches, encoded as a
+    * Tungsten Row (the input schema is a plan-time fact, so entries
+    * nest as typed structs — no Java/Kryo serialization anywhere in
+    * the state path, round 11). Keys group by the STRING rendering of
+    * the partition value (one column, one type — injective), but
+    * output rows carry the original value.
     *
     * When the clause has `WITHIN` and the input declares an
     * event-time watermark (on the ORDER BY column — the units must
@@ -849,28 +864,74 @@ object MatchRecognize extends Serializable {
           e
       }.isDefined
     val useTimers = within.isDefined && hasWatermark
-    // java serialization, not kryo: the state holds external Rows
-    // (GenericRowWithSchema), which kryo can only field-serialize by
-    // cracking JDK internals open (fails outside --add-opens JVMs);
-    // every class in NfaState[Row] is Serializable and the per-key
-    // state is small (live partials + held matches)
     // MATCH_NUMBER() numbering must survive micro-batches, so the
     // per-key state carries the running match count next to the NFA
     // state; when the clause uses it, an exhausted key keeps its
     // 8-byte counter alive instead of being removed (the price of
     // cross-batch numbering — without it, numbering restarts)
     val usesMatchNum = c.clause.measures.exists(_._1 == MatchNum)
-    implicit val stEnc: org.apache.spark.sql.Encoder[MrState] =
-      org.apache.spark.sql.Encoders.javaSerialization[MrState]
-    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+    // State encoding (round 11): a ROW with the input schema nested
+    // inside — Tungsten/UnsafeRow-encoded through Encoders.row, the
+    // cheapest state encoder Spark offers. The previous spelling
+    // Java-serialized the whole NfaState[Row] per key per batch
+    // (kryo was no alternative: external GenericRowWithSchema rows
+    // defeat field serialization outside --add-opens JVMs). The
+    // input schema is a plan-time fact, so every partial/pending
+    // entry encodes as (step ordinals, input rows) against it —
+    // full rows, not a projection: ALL ROWS PER MATCH emits every
+    // input column of every matched row, possibly batches later.
+    val inSchema = df.schema
+    import org.apache.spark.sql.types._
+    val intsT = ArrayType(IntegerType, containsNull = false)
+    val rowsT = ArrayType(inSchema, containsNull = false)
+    val stateSchema = StructType(Seq(
+      StructField("matchSeq", LongType, nullable = false),
+      StructField("nextOrigin", LongType, nullable = false),
+      StructField("partials", ArrayType(StructType(Seq(
+        StructField("startTs", LongType, nullable = false),
+        StructField("matched", BooleanType, nullable = false),
+        StructField("origin", LongType, nullable = false),
+        StructField("prio", intsT, nullable = false),
+        StructField("curRep", IntegerType, nullable = false),
+        StructField("curRun", IntegerType, nullable = false),
+        StructField("steps", intsT, nullable = false),
+        StructField("rows", rowsT, nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("pending", ArrayType(StructType(Seq(
+        StructField("origin", LongType, nullable = false),
+        StructField("prio", intsT, nullable = false),
+        StructField("steps", intsT, nullable = false),
+        StructField("rows", rowsT, nullable = false))),
+        containsNull = false), nullable = false)))
+    def packState(st: Cep.NfaState[Row], matchSeq: Long): Row = Row(
+      matchSeq, st.nextOrigin,
+      st.partials.map(p => Row(p.startTs, p.matched, p.origin, p.prio,
+        p.curRep, p.curRun, p.entries.map(_._1), p.entries.map(_._2))),
+      st.pending.map(q => Row(q.origin, q.prio,
+        q.entries.map(_._1), q.entries.map(_._2))))
+    def unpackState(r: Row): (Cep.NfaState[Row], Long) = {
+      def entries(s: Row, stepsAt: Int): Vector[(Int, Row)] =
+        s.getSeq[Int](stepsAt).toVector
+          .zip(s.getSeq[Row](stepsAt + 1))
+      (Cep.NfaState(
+        r.getSeq[Row](2).map(p => Cep.Partial[Row](entries(p, 6),
+          p.getLong(0), p.getBoolean(1), p.getLong(2),
+          p.getSeq[Int](3).toVector, p.getInt(4), p.getInt(5))),
+        r.getSeq[Row](3).map(q => Cep.Pending[Row](q.getLong(0),
+          q.getSeq[Int](1).toVector, entries(q, 2))),
+        r.getLong(1)), r.getLong(0))
+    }
+    val stEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(stateSchema)
+    val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(c.outSchema)
     def fn(key: String, it: Iterator[Row],
-           state: org.apache.spark.sql.streaming.GroupState[MrState])
+           state: org.apache.spark.sql.streaming.GroupState[Row])
         : Iterator[Row] = {
-      val st0 = state.getOption.getOrElse(
-        MrState(Cep.NfaState.empty[Row], 0L))
-      var st = st0.nfa
-      var matchSeq = st0.matchSeq
+      val (st0, seq0) = state.getOption.map(unpackState).getOrElse(
+        (Cep.NfaState.empty[Row], 0L))
+      var st = st0
+      var matchSeq = seq0
       val out = Seq.newBuilder[Row]
       def emit(m: Cep.MatchResult[Row]): Unit = {
         matchSeq += 1
@@ -899,8 +960,14 @@ object MatchRecognize extends Serializable {
       if (st.partials.isEmpty && st.pending.isEmpty &&
         (!usesMatchNum || matchSeq == 0)) state.remove()
       else {
-        state.update(MrState(st, matchSeq))
-        if (useTimers) {
+        state.update(packState(st, matchSeq))
+        // counter-only state (MATCH_NUMBER retention after partials
+        // and pending drained) needs NO timer: it changes only when
+        // the key receives an event, and re-registering wm+1 here
+        // would wake every ever-matched key on every micro-batch
+        // forever. Pending-only state keeps the wm+1 wakeup — the
+        // next watermark advance is what releases held-back matches.
+        if (useTimers && (st.partials.nonEmpty || st.pending.nonEmpty)) {
           val wm = state.getCurrentWatermarkMs()
           val t =
             if (st.partials.nonEmpty)
@@ -917,7 +984,8 @@ object MatchRecognize extends Serializable {
         org.apache.spark.sql.streaming.OutputMode.Append,
         if (useTimers)
           org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
-        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(fn)
+        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        fn)(stEnc, outEnc)
       .toDF()
   }
 

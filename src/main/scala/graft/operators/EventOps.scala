@@ -439,12 +439,17 @@ object EventOps extends graft.QueryModule {
       HAVING count(*) >= 2""",
     /* q147: gaps-and-islands mirror of PATTERN (A B+) ALL ROWS PER
      * MATCH — each group = one non-fall head (A) + its consecutive
-     * fall rows (B); groups with >= 1 fall are exactly the matches. */
+     * fall rows (B); groups with >= 1 fall are exactly the matches.
+     * Every window (this lag included) orders by the µs key the
+     * engine's ORDER BY uses — one sort key on both sides, so a
+     * fixture with sub-µs ties cannot diverge the lag from the
+     * islands. (ts_us is tie-free per (user_id, ts_us) at every
+     * generated SF anyway — checked sf0.001/0.01/0.1.) */
     "q147_mr_all_rows" -> """
       WITH t AS (
         SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
                CASE WHEN value < lag(value) OVER
-                 (PARTITION BY user_id ORDER BY epoch_ns(ts))
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000)
                  THEN 1 ELSE 0 END AS fall
         FROM events),
       r AS (

@@ -130,6 +130,56 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(err3.getMessage.contains("expected a pattern variable"))
   }
 
+  test("measure alias collisions fail at compile time, not as a " +
+    "duplicate-field output schema") {
+    val rows = Seq((1L, 2L)).toDF("seq", "price").withColumn("sym",
+      org.apache.spark.sql.functions.lit("S"))
+    // ALL ROWS PER MATCH prepends every input column — a measure
+    // aliased to one of them would duplicate the field name
+    val e1 = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS price
+        ALL ROWS PER MATCH
+        PATTERN (A)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(e1.getMessage.contains("collides with an input column"))
+    // ONE ROW PER MATCH prepends only the partition column; a
+    // non-partition input name is a FINE alias there
+    val ok = MatchRecognize.run(rows, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES A.price AS price
+      PATTERN (A)
+      DEFINE A AS price > 0
+    """).collect()
+    assert(ok.map(_.toSeq).toSeq == Seq(Seq("S", 2L)))
+    val e2 = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS sym
+        PATTERN (A)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // two measures sharing an alias collide in either mode
+    val e3 = intercept[RuntimeException] {
+      MatchRecognize.run(rows, """
+        PARTITION BY sym
+        ORDER BY seq
+        MEASURES A.price AS p, COUNT(A.*) AS p
+        PATTERN (A)
+        DEFINE A AS price > 0
+      """)
+    }
+    assert(e3.getMessage.contains("duplicate measure alias"))
+  }
+
   private def tape(events: (Long, String)*): org.apache.spark.sql.DataFrame =
     events.map { case (seq, name) => (seq, name, "S") }
       .toDF("seq", "name", "sym")
@@ -524,6 +574,46 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(mr(tape(1L -> "x", 2L -> "c", 3L -> "a", 4L -> "b", 5L -> "b",
       6L -> "c", 7L -> "d"), "X (C | A B+)+ D",
       "COUNT(C.*) AS n_c, COUNT(B.*) AS n_b", defs) == Seq(Seq(2L, 2L)))
+  }
+
+  test("unbounded group quantifiers over per-variable quantifiers: " +
+    "(A B+)+, (A B+)*, (A+ B)+ — the last grammar residue") {
+    val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
+      "C AS name = 'c', D AS name = 'd'"
+    val ms = "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, D.seq AS d_seq"
+    def q(pat: String, t: (Long, String)*) = mr(tape(t: _*), pat, ms, defs)
+    // two iterations, the first absorbing a 2-run of B
+    assert(q("X (A B+)+ D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "a", 6L -> "b", 7L -> "d") == Seq(Seq(2L, 3L, 7L)))
+    // a trailing half-iteration (A with no B) kills every completion:
+    // leaving after iteration 1 needs D at the 'a', opening a second
+    // iteration needs B+ before the 'd'
+    assert(q("X (A B+)+ D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a",
+      5L -> "d").isEmpty)
+    // one iteration suffices ((A B+)+ degenerates to (A B+))
+    assert(q("X (A B+)+ D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "d") == Seq(Seq(1L, 1L, 4L)))
+    // * admits zero iterations
+    assert(q("X (A B+)* D", 1L -> "x", 2L -> "d") ==
+      Seq(Seq(0L, 0L, 2L)))
+    assert(q("X (A B+)* D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "d") == Seq(Seq(1L, 2L, 5L)))
+    // quantified variable first in the cycle
+    assert(q("X (A+ B)+ D", 1L -> "x", 2L -> "a", 3L -> "a", 4L -> "b",
+      5L -> "a", 6L -> "b", 7L -> "d") == Seq(Seq(3L, 2L, 7L)))
+    // greedy: a final all-optional tail prefers MORE iterations
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b"),
+      "X (A B+)+", "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b", defs) ==
+      Seq(Seq(2L, 2L)))
+    // reluctant group: fewest iterations that complete
+    assert(mr(tape(1L -> "x", 2L -> "a", 3L -> "b", 4L -> "a", 5L -> "b"),
+      "X (A B+)+?", "COUNT(A.*) AS n_a, COUNT(B.*) AS n_b", defs) ==
+      Seq(Seq(1L, 1L)))
+    // bounded-variable flavor under the unbounded group: (A B{2})+
+    assert(q("X (A B{2})+ D", 1L -> "x", 2L -> "a", 3L -> "b", 4L -> "b",
+      5L -> "a", 6L -> "b", 7L -> "b", 8L -> "d") == Seq(Seq(2L, 4L, 8L)))
+    assert(q("X (A B{2})+ D", 1L -> "x", 2L -> "a", 3L -> "b",
+      4L -> "d").isEmpty)
   }
 
   test("alternation containing a sequence branch: (A B | C)") {

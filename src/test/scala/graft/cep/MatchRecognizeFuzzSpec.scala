@@ -412,6 +412,50 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Targeted arm (round 11): the GROUP-quantifier × PER-VARIABLE-
+    * quantifier composition — every case contains a pure sequence
+    * group carrying a repeating group quantifier AND at least one
+    * variable with its own non-trivial quantifier (the `(A B+)+`
+    * class, which the round-10 verdict still listed as a residue;
+    * the machinery — curRep iteration ordinal × curRun variable run
+    * — had already landed, this arm pins it with volume). Rejection-
+    * sampled from the same generator, so the surrounding pattern
+    * shapes stay as diverse as the main arm's. */
+  test(s"${Cases / 2} quantified-seq-group cases ((A B+)+ class) " +
+    "match the oracle") {
+    val rnd = new Random(0x5E00C60FL)
+    def targetShape(elems: Vector[FElem]): Boolean =
+      elems.exists(el =>
+        el.branches.size == 1 && el.branches.head.size > 1 &&
+          (el.max == -1 || el.max > 1) &&
+          el.branches.head.exists(v => v.max != 1 || v.min != 1))
+    var cases = 0
+    while (cases < Cases / 2) {
+      val elems = Iterator.continually(genPattern(rnd))
+        .find(targetShape).get
+      val tape = genTape(rnd)
+      val vars = elems.flatMap(_.branches.flatten.map(_.name)).distinct.sorted
+      val (skipClause, oSkip) = skipPair(rnd, vars)
+      val withinSec = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(5) else 0
+      val expected = scan(elems, tape, oSkip, withinSec * 1000L)
+        .zipWithIndex.map { case (m, i) =>
+          oracleFingerprint(m, vars, i + 1L) }
+      val got =
+        try runEngine(elems, tape, skipClause, withinSec, vars)
+        catch {
+          case e: Throwable =>
+            fail(s"engine threw on PATTERN (${patternStr(elems)}) " +
+              s"tape='$tape' skip='$skipClause' within=$withinSec: $e")
+        }
+      assert(got == expected,
+        s"\nPATTERN (${patternStr(elems)}) tape='$tape' " +
+          s"skip='${if (skipClause.isEmpty) "<default>" else skipClause}'" +
+          s" within=${withinSec}s" +
+          s"\n engine: $got\n oracle: $expected")
+      cases += 1
+    }
+  }
+
   /** ALL ROWS PER MATCH differential (round 10): every matched input
     * row rides out with RUNNING measures — per-row fingerprints
     * (ORDER BY value, CLASSIFIER, MATCH_NUMBER, running per-var
