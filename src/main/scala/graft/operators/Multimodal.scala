@@ -1791,14 +1791,36 @@ object Multimodal extends graft.QueryModule {
     }
   }
 
+  /** Reference count past which the NARROW image/video indexes'
+    * measured recall collapse begins (SCALE.md gatefit: narrow image
+    * 20% recall at 100k refs, narrow video already missing 2/3 of
+    * true dups at 20k and 94% at 200k — bucket-cap survival, not
+    * index mass, is what saturates). The narrow fits LOG A WARNING at
+    * this size pointing at the wide fit (the types differ, so the fit
+    * cannot silently switch the way the semantic AUTO default does);
+    * the wide indexes hold ≥99.9% through 200k. */
+  private[operators] val NarrowMediaIndexWarnRefs = 20000L
+  private lazy val mediaLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Multimodal")
+
   /** Fit the frozen index: one map-only decode+hash pass over the
     * reference, one exchange on the 2048-key band space, a bounded
     * driver collect (≤ 2048·cap hashes by construction). Singleton
     * buckets stay — unlike the pair op, admission matches a stream
-    * image against ONE reference image. */
+    * image against ONE reference image. At ≥ 20k references prefer
+    * [[fitWideImageDupIndex]] — the narrow byte-band key's bucket
+    * survival collapses there (warned at fit time, SCALE.md). */
   def fitImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
                        maxBucket: Int = Dedup.DefaultMaxBucket)
       : ImageDupIndex = {
+    // cheap row count (no payload decode) — the warn gate only; the
+    // decode+hash pass below is the fit cost either way
+    val nRefs = reference.count()
+    if (nRefs >= NarrowMediaIndexWarnRefs)
+      mediaLog.warn(s"fitImageDupIndex over $nRefs references: the " +
+        "narrow byte-band index's recall collapses at this size " +
+        "(20% at 100k measured) - use fitWideImageDupIndex / " +
+        "imageAdmitStreamWide (>=99.9% recall through 200k)")
     val rows = imageDHash(reference)
       .select(col("media_id"), col("hash_lo"), col("hash_hi"),
         posexplode(expr("""concat(
@@ -2203,6 +2225,12 @@ object Multimodal extends graft.QueryModule {
         if (nf == 0) None else Some((nf, sig))
       }
     }.collect()
+    if (sigs.length >= NarrowMediaIndexWarnRefs)
+      mediaLog.warn(s"fitVideoDupIndex over ${sigs.length} references: " +
+        "the narrow (nf, band, byte) index's recall collapses at this " +
+        "size (2/3 of true dups missed at 20k, 94% at 200k measured) " +
+        "- use fitWideVideoDupIndex / videoAdmitStreamWide (>=99.9% " +
+        "recall through 200k)")
     val byBand = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
     sigs.zipWithIndex.foreach { case ((nf, sig), idx) =>
       var j = 0
