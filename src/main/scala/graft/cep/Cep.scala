@@ -171,7 +171,19 @@ object Cep {
     * iteration). Extension of the run ranks by the variable's own
     * greed (`branchLoop`/`branchReluctant` carry it, the same fields
     * a self-repeating alternation branch uses); the cycle may move
-    * on only once the run is whole. Zero-capable variables inside a
+    * on only once the run is whole.
+    *
+    * `elemId` (round 11) tags every step with the ordinal of the
+    * SOURCE pattern element its position was expanded from (-1 for
+    * DSL-built steps): the advance walk needs it to recognize a run
+    * of interchangeable optional copies of ONE reluctant bounded
+    * quantifier (`{n,m}?` expands to copies) and rank entering the
+    * NEAREST copy first — without it, the leave-first hoist also
+    * hoists deeper copies' entries, and a deep-entry twin that
+    * pre-commits to "no more iterations" can die where SQL/PCRE lazy
+    * backtracking would have succeeded through the near copy.
+    *
+    * Zero-capable variables inside a
     * sequence (`(A B?)`) are supported too (round 10's second pass:
     * the cycle scan and entry walks skip a zero-capable slot per its
     * own greed); per-variable quantifiers compose with the GROUP
@@ -197,7 +209,8 @@ object Cep {
                      seqIdx: Int = -1,
                      seqLen: Int = 0,
                      varMin: Int = 1,
-                     varMax: Int = 1) {
+                     varMax: Int = 1,
+                     elemId: Int = -1) {
     def hit(e: T, entries: Vector[(Int, T)]): Boolean =
       entryPred match {
         case Some(f) => f(e, entries)
@@ -456,23 +469,51 @@ object Cep {
     private val advWalkSeq: Array[Vector[Int]] =
       Array.tabulate(nPos + 1) { q0 =>
         val out = Vector.newBuilder[Int]
+        // position q is a RELUCTANT-optional quantifier copy (an
+        // optional copy of a reluctant bounded element, or a
+        // reluctant min-0 loop copy)
+        def relSkipPos(q: Int): Boolean = posSteps(q).exists { j =>
+          val s = steps(j)
+          s.posSkip && s.elemReluctant
+        }
         def scanPos(q: Int): Unit =
           if (q >= nPos) out += -1
+          else if (relSkipPos(q)) {
+            // reluctant ELEMENT skip ((B|C)*? loop copies, and the
+            // optional copies of a reluctant BOUNDED quantifier
+            // ((C|E)...{1,3}?): ZERO further iterations preferred
+            // over any alternative. For a bounded quantifier the
+            // expansion emits SEVERAL interchangeable optional
+            // copies of the same element — SQL/PCRE lazy
+            // backtracking has only one "iterate once more" choice,
+            // so the walk must (1) leave past the WHOLE copy run
+            // first, then (2) enter copies NEAREST-first: a naive
+            // rest()-first recursion ranks the DEEPEST copy's
+            // entries first, and that twin pre-commits to "no more
+            // iterations" and dies in futures the near copy
+            // survives (found by the round-11 200k-case fuzz soak:
+            // ((C | E+? | B){1,3}? B ...) preferred extending E+?
+            // over re-entering at C because the C-through-last-copy
+            // twin died and outranked the C-through-middle-copy
+            // path). Empty-branch splices inside the run are no-ops
+            // — the leave is already emitted first, which is the
+            // reluctant-position behavior the splice would pick.
+            var r = q
+            while (r + 1 < nPos && relSkipPos(r + 1) &&
+              steps(posSteps(r + 1).head).elemId >= 0 &&
+              steps(posSteps(r + 1).head).elemId ==
+                steps(posSteps(q).head).elemId) r += 1
+            scanPos(r + 1)
+            for (p <- q to r; j <- posSteps(p) if steps(j).seqIdx <= 0) {
+              val s = steps(j)
+              if (isSeq(s)) out ++= seqEntryWalk(j)
+              else out += j
+            }
+          }
           else {
             var restDone = false
             def rest(): Unit =
               if (!restDone) { restDone = true; scanPos(q + 1) }
-            // reluctant ELEMENT skip ((B|C)*?, (E?|A?)*? loop
-            // copies): ZERO iterations preferred over any
-            // alternative — keyed on the ELEMENT quantifier
-            // admitting zero occurrences (posSkip) AND being
-            // reluctant. A reluctant element with min 1
-            // ((C|D*|A)+?) has no element-level skip; it skips only
-            // via D*'s empty way at D's alternation rank
-            if (posSteps(q).exists { j =>
-              val s = steps(j)
-              s.posSkip && s.elemReluctant
-            }) rest()
             // a sequence-group branch is entered at variable 0, or —
             // through zero-capable leading variables (round 10) — at
             // a later variable, ranked by seqEntryWalk; a sequence

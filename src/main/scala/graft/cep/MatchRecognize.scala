@@ -572,9 +572,9 @@ object MatchRecognize extends Serializable {
     // copies keep their counts too ((B{n,m}|C)+): the NFA gates on
     // the trailing consecutive run, which group re-entry extends —
     // a run of k Bs must split into whole repetitions in [n, m].
-    val positions: Vector[Vector[PosAlt]] =
-      clause.pattern.iterator.flatMap { el =>
-        if (el.isPureSeq) {
+    val posElems: Vector[(Vector[PosAlt], Int)] =
+      clause.pattern.iterator.zipWithIndex.flatMap { case (el, elemIdx) =>
+        (if (el.isPureSeq) {
           // pure sequence group: ONE position whose k variables cycle
           // (Cep.Step seqIdx/seqLen); minReps/maxReps carry the
           // {n,m} iteration bounds directly (min 0 = a skippable
@@ -676,8 +676,13 @@ object MatchRecognize extends Serializable {
            (el.min until el.max).map(_ =>
              pos(loop = false, opt = true))).toVector
         }
-        }
+        // tag every emitted position with its source element's
+        // ordinal (Cep.Step.elemId): the NFA's advance walk needs it
+        // to rank a reluctant bounded quantifier's optional copies
+        // nearest-first
+        }).iterator.map(p => (p, elemIdx))
       }.toVector
+    val positions: Vector[Vector[PosAlt]] = posElems.map(_._1)
     val varIdx: Map[String, Set[Int]] = positions.flatten.map(_.name)
       .zipWithIndex.groupBy(_._1)
       .map { case (n, xs) => n -> xs.map(_._2).toSet }
@@ -755,7 +760,8 @@ object MatchRecognize extends Serializable {
           seqIdx = pa.seqIdx,
           seqLen = pa.seqLen,
           varMin = pa.varMin,
-          varMax = pa.varMax)
+          varMax = pa.varMax,
+          elemId = posElems(posIdx)._2)
       }
     }
     val spec = Cep.PatternSpec[Row](steps, clause.withinMs, clause.skip)

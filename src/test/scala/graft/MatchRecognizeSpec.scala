@@ -616,6 +616,55 @@ class MatchRecognizeSpec extends SparkSpec {
       4L -> "d").isEmpty)
   }
 
+  test("reluctant bounded group backtracking prefers the NEAREST " +
+    "optional copy (round-11 fuzz counterexamples)") {
+    // Found by the 200k-case soak: the advance walk's leave-first
+    // hoist also hoisted the DEEPEST optional copy's entries, so a
+    // path re-entering C through the LAST copy (which then died — no
+    // copies left for the needed third iteration) outranked the
+    // middle-copy path, handing the win to extending E+? instead.
+    // SQL/PCRE lazy order: leave first, then iterate-once-more with
+    // branches in alternation order (C before E), extension last.
+    val defs = "A AS name = 'a', B AS name = 'b', C AS name = 'c', " +
+      "D AS name = 'd'"
+    // tape c c d c x b c, SKIP TO NEXT ROW, WITHIN 4s: match 1 must
+    // be C,C,E(3-run),B — not C,E(4-run),B
+    val t1 = Seq((700L, "c"), (1400L, "c"), (2100L, "d"), (2800L, "c"),
+      (3500L, "x"), (4200L, "b"), (4900L, "c"))
+      .map { case (ts, n) => (ts, n, "S") }.toDF("seq", "name", "sym")
+    val m1 = MatchRecognize.run(t1, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES FIRST(C.seq) AS c0, COUNT(C.*) AS n_c,
+               COUNT(E.*) AS n_e, B.seq AS b_seq
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((C | E+? | B){1,3}? B (B? | E)+?)
+      WITHIN INTERVAL '4' SECOND
+      DEFINE """ + defs).collect().map(_.toSeq)
+    assert(m1.head == Seq("S", 700L, 2L, 3L, 4200L),
+      s"first match must bind C twice (got ${m1.head})")
+    // ALL ROWS twin: b x a c c d — iteration 3 must bind A (leftmost
+    // branch) at the 'a', not extend E+?; with SKIP TO LAST A that
+    // also creates the second match the un-bound-A run lost entirely
+    val t2 = Seq((700L, "b"), (1400L, "x"), (2100L, "a"), (2800L, "c"),
+      (3500L, "c"), (4200L, "d"))
+      .map { case (ts, n) => (ts, n, "S") }.toDF("seq", "name", "sym")
+    val m2 = MatchRecognize.run(t2, """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES CLASSIFIER() AS clf, MATCH_NUMBER() AS mn
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO LAST A
+      PATTERN ((A+? | B | E+?){1,3}? (C | D | C B A){3} B? (E? A | B+? | D+)?)
+      DEFINE """ + defs).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(m2.toSeq == Seq(
+      (700L, "B", 1L), (1400L, "E", 1L), (2100L, "A", 1L),
+      (2800L, "C", 1L), (3500L, "C", 1L), (4200L, "D", 1L),
+      (2100L, "A", 2L), (2800L, "C", 2L), (3500L, "C", 2L),
+      (4200L, "D", 2L)), s"got ${m2.toSeq}")
+  }
+
   test("alternation containing a sequence branch: (A B | C)") {
     val defs = "X AS name = 'x', A AS name = 'a', B AS name = 'b', " +
       "C AS name = 'c', D AS name = 'd'"
@@ -888,6 +937,49 @@ class MatchRecognizeSpec extends SparkSpec {
     val viaStreamApi = MatchRecognize.runStream(
       rows.toDF("seq", "name", "sym"), clause).collect().map(_.toSeq).toSet
     assert(viaStreamApi == batch)
+  }
+
+  test("runStream state round-trips NULL fields held across " +
+    "micro-batches (the Row state encoding's null path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // `tag` is unused by DEFINE but read by a MEASURE; its null on
+    // the A row must survive the batch-boundary state encode/decode
+    val clause = """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES A.tag AS a_tag, COUNT(B.*) AS n_b
+      PATTERN (A B+ C)
+      DEFINE A AS name = 'a', B AS name = 'b', C AS name = 'c'
+    """
+    val rows: Seq[(Long, String, String, java.lang.Long)] = Seq(
+      (1L, "a", "S", null),             // A with a NULL measure column
+      (2L, "b", "S", java.lang.Long.valueOf(7L)),
+      (3L, "b", "S", null),
+      (4L, "c", "S", java.lang.Long.valueOf(9L)),
+      (1L, "a", "T", java.lang.Long.valueOf(5L)), // non-null control
+      (2L, "b", "T", null),
+      (3L, "c", "T", null))
+    val df = rows.toDF("seq", "name", "sym", "tag")
+    val batch = MatchRecognize.run(df, clause)
+      .collect().map(_.toSeq).toSet
+    assert(batch == Set(Seq("S", null, 2L), Seq("T", 5L, 1L)))
+    val in = MemoryStream[(Long, String, String, java.lang.Long)]
+    val q = MatchRecognize.runStream(
+        in.toDF().toDF("seq", "name", "sym", "tag"), clause)
+      .writeStream.format("memory").queryName("mr_null_state_out")
+      .outputMode("append").start()
+    try {
+      // 2-row batches: every partial (incl. the null-tag A row)
+      // crosses at least one state encode/decode boundary
+      rows.grouped(2).foreach { ch =>
+        in.addData(ch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mr_null_state_out")
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
   }
 
   test("runStream WITHIN + watermark: an idle key's held-back match " +

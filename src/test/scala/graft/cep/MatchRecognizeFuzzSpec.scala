@@ -378,7 +378,11 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
     }
 
   // default 2000 keeps the suite fast; crank via env for deep sweeps
-  // (a 50k-case run was green when this spec landed)
+  // (a 50k-case run was green when this spec landed; the round-11
+  // 500k-case soak of this spec FOUND a real ordering bug the 20k
+  // tier had never hit — reluctant bounded-quantifier copies ranked
+  // deepest-first in the advance walk, Cep.scala advWalkSeq — fixed
+  // and re-soaked green at 500k here + 700k in the API twin)
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
