@@ -381,8 +381,9 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   // (a 50k-case run was green when this spec landed; the round-11
   // 500k-case soak of this spec FOUND a real ordering bug the 20k
   // tier had never hit — reluctant bounded-quantifier copies ranked
-  // deepest-first in the advance walk, Cep.scala advWalkSeq — fixed
-  // and re-soaked green at 500k here + 700k in the API twin)
+  // deepest-first in the advance walk, Cep.scala advWalkSeq — fixed,
+  // then re-soaked green at 2.5M cases in this spec (1M main arm +
+  // 500k × 3) plus 700k in the API twin)
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
