@@ -383,7 +383,7 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   // tier had never hit — reluctant bounded-quantifier copies ranked
   // deepest-first in the advance walk, Cep.scala advWalkSeq — fixed,
   // then re-soaked green at 2.5M cases in this spec (1M main arm +
-  // 500k × 3) plus 700k in the API twin)
+  // 500k × 3) plus 1.5M in the API twin (500k main + 250k × 4))
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
