@@ -382,8 +382,8 @@ class MatchRecognizeFuzzSpec extends AnyFunSuite {
   // 500k-case soak of this spec FOUND a real ordering bug the 20k
   // tier had never hit — reluctant bounded-quantifier copies ranked
   // deepest-first in the advance walk, Cep.scala advWalkSeq — fixed,
-  // then re-soaked green at 2.5M cases in this spec (1M main arm +
-  // 500k × 3) plus 1.5M in the API twin (500k main + 250k × 4))
+  // then re-soaked green at 7.5M cases in this spec (3M main arm +
+  // 1.5M × 3) plus 1.5M in the API twin (500k main + 250k × 4))
   private val Cases =
     sys.env.getOrElse("GRAFT_FUZZ_CASES", "2000").toInt
 
