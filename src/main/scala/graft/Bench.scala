@@ -16,7 +16,7 @@ object Bench {
     * from rounds before the anchor existed (r1-r6) fall back to raw
     * ratios, loudly labeled. */
   private def compare(oldPath: String, newPath: String): Unit = {
-    def parse(p: String): (Option[Double], Seq[(String, Double)]) = {
+    def parse(p: String): (Option[Double], Option[Double], Seq[(String, Double)]) = {
       val s = scala.io.Source.fromFile(p)
       // the driver's BENCH_r{N}.json wraps Bench's JSON line escaped
       // inside a "tail" field — unescape so one set of regexes reads
@@ -24,14 +24,25 @@ object Bench {
       val txt = (try s.mkString finally s.close()).replace("\\\"", "\"")
       val anchor = "\"anchor\":([0-9.]+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
+      val anchor2 = "\"anchor2\":([0-9.]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
       val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse("")
       val pairs = "\"(q[0-9]+)\":([0-9.]+)".r.findAllMatchIn(qs)
         .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-      (anchor, pairs)
+      (anchor, anchor2, pairs)
     }
-    val (aOld, qOld) = parse(oldPath)
-    val (aNew, qNew) = parse(newPath)
+    val (aOld0, a2Old, qOld) = parse(oldPath)
+    val (aNew0, a2New, qNew) = parse(newPath)
+    // Round-12 finding (BENCHDRIFT): sweeps are memory-subsystem-bound
+    // but the scalar codegen anchor tracks CPU drift, so it
+    // over-corrects (normalized totals read ~1.04-1.09 while raw
+    // totals are flat). When both artifacts carry the memory-bound
+    // co-anchor (anchor2, emitted from round 12 on), normalize by it.
+    val useA2 = a2Old.isDefined && a2New.isDefined
+    val (aOld, aNew) =
+      if (useA2) (a2Old, a2New) else (aOld0, aNew0)
+    if (useA2) println("normalizing by anchor2 (memory-bound co-anchor)")
     val anchored = aOld.isDefined && aNew.isDefined
     if (!anchored)
       println("WARN: anchor missing in " +
@@ -42,7 +53,9 @@ object Bench {
       if (anchored) sec / a.get else sec
     val oldMap = qOld.toMap
     val shared = qNew.filter { case (k, _) => oldMap.contains(k) }
-    val unit = if (anchored) "sec/anchor" else "sec RAW"
+    val unit =
+      if (useA2) "sec/anchor2"
+      else if (anchored) "sec/anchor" else "sec RAW"
     println(f"${"query"}%-6s ${"old"}%9s ${"new"}%9s  ratio   ($unit)")
     var flagged = List.empty[(String, Double)]
     shared.sortBy(_._1).foreach { case (k, vNew) =>
@@ -138,6 +151,40 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // Memory-bound co-anchor (round 12, BENCHDRIFT): the codegen
+    // anchor above tracks scalar-CPU drift, but full sweeps are
+    // memory-subsystem-bound, so it systematically over-corrects
+    // (three rounds of official pairs read normalized ~1.04-1.09 on
+    // flat raw totals). anchor2 is a 1 GiB random-stride walk — LCG
+    // indexing defeats the prefetcher, so the working set never fits
+    // cache and the time moves with DRAM subsystem state, the
+    // resource that actually varies under sweep contention. compare()
+    // prefers anchor2 when both artifacts carry it.
+    val anchor2 = {
+      val n = 1 << 27 // 128M longs = 1 GiB
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      def run(): Long = {
+        var s = 0L; var idx = 0; var j = 0
+        while (j < (1 << 26)) { // 64M loads
+          idx = (idx * 0x41C64E6D + 0x3039) & (n - 1)
+          s += a(idx)
+          j += 1
+        }
+        s
+      }
+      run() // warm: JIT + page faults out of the timing
+      val t = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val s = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (s == 42L) println(s) // defeat dead-code elimination
+        dt
+      }.min
+      t
+    }
     // Optional positional args narrow the run to named queries (local
     // debugging); the driver passes none and gets the full set.
     val only = args.toSet
@@ -202,14 +249,14 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + prec(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"anchor2":${cs(anchor2)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // degrade per-query precision before ever risking the window; the
     // headline total keeps ms precision in every shape
     val out = Seq[Double => String](cs,
       v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
       .map(line).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"queries":{},"sf":"$sfDir"}""")
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"anchor2":${cs(anchor2)},"queries":{},"sf":"$sfDir"}""")
     println(out)
     spark.stop()
   }

@@ -721,9 +721,10 @@ object MatchRecognize extends Serializable {
       if (clause.allRows) schema.fieldNames.toSeq
       else Seq(clause.partitionBy)
     aliases.intersect(reserved).headOption.foreach(a => sys.error(
-      s"MATCH_RECOGNIZE: measure alias '$a' collides with an " +
-        (if (clause.allRows) "input column (ALL ROWS PER MATCH emits " +
-          "every input column before the measures — rename the measure)"
+      s"MATCH_RECOGNIZE: measure alias '$a' collides with " +
+        (if (clause.allRows) "an input column (ALL ROWS PER MATCH " +
+          "emits every input column before the measures — rename the " +
+          "measure)"
          else "the partition column (ONE ROW PER MATCH emits it first " +
           "— rename the measure)")))
     // ONE ROW PER MATCH: partition col + measures. ALL ROWS PER
@@ -852,7 +853,16 @@ object MatchRecognize extends Serializable {
     * window closes releases held-back greedy matches and drops dead
     * partials even if it never receives another event (the
     * [[CepStreaming.matchPatternEventTime]] cadence). Without a
-    * watermark, expiry is lazy — the next same-key event notices. */
+    * watermark, expiry is lazy — the next same-key event notices.
+    *
+    * CHECKPOINT COMPATIBILITY: round 11 changed the state encoder
+    * from Java serialization to the Tungsten Row encoding above — a
+    * state-store format break. A `runStream` query checkpointed
+    * before that change CANNOT restore against this build (state
+    * schema/deserialization mismatch at restore); restart such a
+    * query from a FRESH checkpoint location. The Row-encoded format
+    * is schema-tracked by the state store from round 11 on, so future
+    * field additions fail loudly at restore instead of corrupting. */
   def runStream(df: DataFrame, sql: String): DataFrame = {
     val c = compile(df.schema, sql)
     val partitionBy = c.clause.partitionBy

@@ -1476,10 +1476,20 @@ object Similarity extends graft.QueryModule {
     * oracle (the media gates' codecs have no SQL spelling; this one is
     * pure math). References are vec_id % 4 < 2, arrivals the rest; the
     * output is the admitted arrivals' ids. Runs the ACTUAL gate — fit
-    * + semanticAdmitStream — not a batch re-derivation. */
+    * + semanticAdmitStream — not a batch re-derivation.
+    *
+    * The layout is PINNED to (1, 8): the DuckDB oracle SQL hardcodes
+    * the 1×8 bucketing, and AUTO would silently switch to (4, 16) at
+    * ≥[[semanticAutoWideRefs]] reference vectors — whose rejections
+    * are a strict superset — breaking the hash-identity contract the
+    * moment someone runs the oracle sweep on a replicated-embeddings
+    * scale (ProfileScale's 200k). AUTO stays the right default for
+    * serving callers; the oracle-checked query must be layout-stable
+    * regardless of data size. */
   def semanticAdmitQuery(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val index = fitSemanticDupIndex(emb.filter(col("vec_id") % 4 < 2))
+    val index = fitSemanticDupIndex(emb.filter(col("vec_id") % 4 < 2),
+      bands = 1, planesPerBand = 8)
     semanticAdmitStream(emb.filter(col("vec_id") % 4 >= 2),
         col("embedding"), index)
       .select(col("vec_id"))
