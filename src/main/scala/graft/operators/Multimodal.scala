@@ -1813,15 +1813,17 @@ object Multimodal extends graft.QueryModule {
   def fitImageDupIndex(reference: Dataset[MediaRecord], maxDist: Int = 6,
                        maxBucket: Int = Dedup.DefaultMaxBucket)
       : ImageDupIndex = {
-    // cheap row count (no payload decode) — the warn gate only; the
-    // decode+hash pass below is the fit cost either way
-    val nRefs = reference.count()
-    if (nRefs >= NarrowMediaIndexWarnRefs)
-      mediaLog.warn(s"fitImageDupIndex over $nRefs references: the " +
-        "narrow byte-band index's recall collapses at this size " +
-        "(20% at 100k measured) - use fitWideImageDupIndex / " +
-        "imageAdmitStreamWide (>=99.9% recall through 200k)")
-    val rows = imageDHash(reference)
+    // warn-gate ref count via an accumulator riding the decode+hash
+    // pass below — NOT a separate count() action, which would
+    // re-execute an uncached upstream pipeline once per fit (the
+    // video fit reuses its collected signatures for the same reason).
+    // Task retries can overcount an accumulator; acceptable for a
+    // log-threshold gate.
+    val refAcc = reference.sparkSession.sparkContext
+      .longAccumulator("graft.fitImageDupIndex.refCount")
+    import reference.sparkSession.implicits._
+    val counted = reference.map { r => refAcc.add(1L); r }
+    val rows = imageDHash(counted)
       .select(col("media_id"), col("hash_lo"), col("hash_hi"),
         posexplode(expr("""concat(
           transform(sequence(0, 3), b -> shiftright(hash_lo, b * 8) & 255),
@@ -1831,6 +1833,12 @@ object Multimodal extends graft.QueryModule {
       .agg(collect_list(array(col("hash_lo"), col("hash_hi"))).as("hs"))
       .filter(size(col("hs")) <= maxBucket)
       .collect()
+    val nRefs = refAcc.value
+    if (nRefs >= NarrowMediaIndexWarnRefs)
+      mediaLog.warn(s"fitImageDupIndex over $nRefs references: the " +
+        "narrow byte-band index's recall collapses at this size " +
+        "(20% at 100k measured) - use fitWideImageDupIndex / " +
+        "imageAdmitStreamWide (>=99.9% recall through 200k)")
     val buckets = Array.fill(2048)(Array.emptyLongArray)
     rows.foreach { r =>
       val slot = (r.getInt(0) << 8) + r.getLong(1).toInt
@@ -1975,6 +1983,55 @@ object Multimodal extends graft.QueryModule {
     WideImageDupIndex(maxDist, maxBucket, buckets)
   }
 
+  /** [[fitWideImageDupIndex]] with the REFERENCE-SHARDED cap budget
+    * ([[fitWideVideoDupIndexSharded]]'s recipe — see there for the
+    * rationale and the measured ceiling it lifts): references are
+    * hash-partitioned on `media_id` into `shards` groups (0 = auto
+    * via one extra count() action — pass an explicit count-derived
+    * value to skip it on an expensive uncached reference pipeline)
+    * and the bucket cap applies PER (key, shard), so the budget
+    * scales with the reference count. The cap itself still runs
+    * DISTRIBUTED — the explode/groupBy now keys on (pair-key, shard),
+    * same one exchange, and the driver transfer stays bounded by
+    * surviving (key, shard) slices (≤ cap entries each). Returns a
+    * plain [[WideImageDupIndex]] (merged bucket map, single key walk
+    * per probe); shards = 1 keeps the flat-cap survival rule. Image
+    * shard identity is xxhash64(media_id) — any deterministic
+    * spreading hash works; near-identical images with DIFFERENT ids
+    * spread across shards, which is what lets an exact-dup-heavy key
+    * keep up to cap·shards representatives instead of dropping. */
+  def fitWideImageDupIndexSharded(reference: Dataset[MediaRecord],
+                                  maxDist: Int = 6,
+                                  maxBucket: Int = Dedup.DefaultMaxBucket,
+                                  shards: Int = 0)
+      : WideImageDupIndex = {
+    require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
+    val nShards = resolveShards(shards,
+      if (shards > 0) 1L else reference.count())
+    val rows = imageDHash(reference)
+      .select(col("hash_lo"), col("hash_hi"),
+        pmod(xxhash64(col("media_id")), lit(nShards)).as("shard"),
+        explode(expr(WideImageDupIndex.keysSql)).as("k"))
+      .groupBy(col("k"), col("shard"))
+      .agg(collect_list(array(col("hash_lo"), col("hash_hi"))).as("hs"))
+      .filter(size(col("hs")) <= maxBucket)
+      .collect()
+    val merged = new java.util.HashMap[Integer, java.util.ArrayList[java.lang.Long]]
+    // deterministic merge order: shard-major within each key
+    rows.sortBy(r => (r.getLong(0), r.getLong(1))).foreach { r =>
+      val lst = merged.computeIfAbsent(r.getLong(0).toInt,
+        _ => new java.util.ArrayList[java.lang.Long])
+      r.getSeq[scala.collection.Seq[Long]](2).foreach { p =>
+        lst.add(p(0)); lst.add(p(1))
+      }
+    }
+    val buckets = new java.util.HashMap[Integer, Array[Long]]
+    merged.forEach { (k, lst) =>
+      buckets.put(k, Array.tabulate(lst.size)(lst.get(_).longValue()))
+    }
+    WideImageDupIndex(maxDist, maxBucket, buckets)
+  }
+
   /** [[imageAdmitStream]] against the wide band-pair index — same
     * stateless shape, same decode fast path. */
   def imageAdmitStreamWide(media: Dataset[MediaRecord],
@@ -2106,6 +2163,57 @@ object Multimodal extends graft.QueryModule {
       // ONE reference track (the fitImageDupIndex argument)
       if (ids.size <= maxBucket)
         buckets.update(fp, Array.tabulate(ids.size)(ids.get(_).intValue()))
+    }
+    buckets.repack()
+    AudioDupIndex(threshold10, maxBucket, sets, buckets)
+  }
+
+  /** [[fitAudioDupIndex]] with the REFERENCE-SHARDED cap budget
+    * ([[fitWideVideoDupIndexSharded]]'s recipe; auto shard count =
+    * ceil(n / [[MediaShardTargetRefs]])): reference tracks are
+    * hash-partitioned by collected index and the sub-fingerprint
+    * bucket cap applies per shard, so the budget scales with the
+    * reference count. One semantic delta from per-shard batch
+    * semantics, documented rather than hidden: the verify's
+    * one-emission check (`buckets.contains(minShared)`) consults the
+    * MERGED survivor map, so a candidate discovered through shard s
+    * can pass on shard t's survival of its smallest shared element —
+    * gate rejections are a SUPERSET of the per-shard union. For an
+    * admission gate that is the safe direction: the Jaccard verify
+    * itself stays exact, so every extra rejection is a genuine
+    * near-dup.
+    *
+    * The refSets mass (the exact-verify payload, ~8 B per reference
+    * FRAME) is untouched by sharding — the curated-bounded-set
+    * caveat on [[AudioDupIndex]] stands; sharding lifts the bucket
+    * RECALL ceiling, not the broadcast mass. */
+  def fitAudioDupIndexSharded(reference: Dataset[MediaRecord],
+                              threshold10: Int = 5,
+                              maxBucket: Int = Dedup.DefaultMaxBucket,
+                              shards: Int = 0)
+      : AudioDupIndex = {
+    require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val sets: Array[Array[Long]] = reference.mapPartitions { it =>
+      it.flatMap { r =>
+        val fps = audioFpSet(r.payload)
+        if (fps.isEmpty) None else Some(fps)
+      }
+    }.collect()
+    val nShards = resolveShards(shards, sets.length)
+    val byFp = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
+    sets.zipWithIndex.foreach { case (fps, idx) =>
+      fps.foreach { fp =>
+        byFp.computeIfAbsent(fp, _ => new java.util.ArrayList[Integer])
+          .add(idx)
+      }
+    }
+    val buckets = new scala.collection.mutable.LongMap[Array[Int]](
+      byFp.size * 2)
+    byFp.forEach { (fp, ids) =>
+      val kept = perShardCapFilter(ids, nShards, maxBucket)
+      if (kept != null) buckets.update(fp, kept)
     }
     buckets.repack()
     AudioDupIndex(threshold10, maxBucket, sets, buckets)
@@ -2332,11 +2440,51 @@ object Multimodal extends graft.QueryModule {
   /** Fit the wide video index: the same one demux+decode+hash pass
     * and driver-side bucket build as [[fitVideoDupIndex]] (signatures
     * come down whole for the exact verify either way), bucketed on
-    * the 28·nf within-frame pair keys with the same cap discipline. */
+    * the 28·nf within-frame pair keys with the same cap discipline.
+    * Equivalent to [[fitWideVideoDupIndexSharded]] at shards = 1 (it
+    * IS that call — one code path). */
   def fitWideVideoDupIndex(reference: Dataset[MediaRecord],
                            maxDist: Int = 12,
                            maxBucket: Int = Dedup.DefaultMaxBucket)
+      : WideVideoDupIndex =
+    fitWideVideoDupIndexSharded(reference, maxDist, maxBucket, shards = 1)
+
+  /** [[fitWideVideoDupIndex]] with a REFERENCE-SHARDED cap budget —
+    * the serving layout for reference sets past the single-cap
+    * envelope. Round 11 measured the wide index's ceiling (SCALE.md):
+    * at 2M adversarially dense refs the flat 100-entry bucket cap
+    * drops ~17% of genuine near-dups (bucket SURVIVAL, not index
+    * mass, is what saturates), while per ≤200k refs the same cap
+    * holds ≥99.9% recall. So: hash-partition the REFERENCE SET into
+    * `shards` groups (0 = auto, ceil(n / [[MediaShardTargetRefs]]) —
+    * each shard back on the measured ≤200k curve) and apply the
+    * bucket cap PER SHARD: key k keeps shard s's entries iff shard s
+    * contributed ≤ maxBucket of them. The cap budget then scales
+    * with the reference count while staying balanced across it (a
+    * flat cap raise keeps NOTHING of a key the moment one more ref
+    * crosses the line; the sharded budget keeps every surviving
+    * shard slice).
+    *
+    * The PROBE layout is unchanged: one merged bucket map, the same
+    * single key walk per probe — the "union of shard probes" gate
+    * collapsed into one lookup (probing S separate maps would pay S
+    * misses for every key that hits nowhere, the common case). The
+    * returned index is a plain [[WideVideoDupIndex]]; `hits`,
+    * admission, broadcast, and the parity specs all reuse it, and
+    * shards = 1 reproduces the flat-cap fit bit-identically.
+    *
+    * Cost: index mass grows toward the uncapped 28·nf entries per
+    * ref — at 2M refs ~90M entries, low-GBs broadcast. That is the
+    * documented trade for ≥99% recall past 1M refs; size executors
+    * for it, or fit shard-at-a-time (explicit `shards` + a filtered
+    * reference) and gate in sequential batch stages when one
+    * resident index is too big. */
+  def fitWideVideoDupIndexSharded(reference: Dataset[MediaRecord],
+                                  maxDist: Int = 12,
+                                  maxBucket: Int = Dedup.DefaultMaxBucket,
+                                  shards: Int = 0)
       : WideVideoDupIndex = {
+    require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
     val spark = reference.sparkSession
     import spark.implicits._
     val sigs: Array[(Int, Array[Long])] = reference.mapPartitions { it =>
@@ -2345,6 +2493,7 @@ object Multimodal extends graft.QueryModule {
         if (nf == 0) None else Some((nf, sig))
       }
     }.collect()
+    val nShards = resolveShards(shards, sigs.length)
     val byKey = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
     sigs.zipWithIndex.foreach { case ((nf, sig), idx) =>
       var f = 0
@@ -2367,11 +2516,72 @@ object Multimodal extends graft.QueryModule {
     val buckets = new scala.collection.mutable.LongMap[Array[Int]](
       byKey.size * 2)
     byKey.forEach { (k, ids) =>
-      if (ids.size <= maxBucket)
-        buckets.update(k, Array.tabulate(ids.size)(ids.get(_).intValue()))
+      val kept = perShardCapFilter(ids, nShards, maxBucket)
+      if (kept != null) buckets.update(k, kept)
     }
     buckets.repack()
     WideVideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
+  }
+
+  /** Reference count each shard of a sharded media index targets —
+    * the measured single-cap serving envelope (SCALE.md: wide video
+    * ≥99.9% recall through 200k refs per 100-entry cap; the 2M decade
+    * shows the cap becoming the recall limiter past ~1M). AUTO shard
+    * counts are ceil(nRefs / this). */
+  val MediaShardTargetRefs: Int = 200000
+
+  private def resolveShards(shards: Int, nRefs: Long): Int =
+    if (shards > 0) shards
+    else math.max(1L,
+      (nRefs + MediaShardTargetRefs - 1) / MediaShardTargetRefs).toInt
+
+  /** splitmix64 of the stable ref id → shard. Deterministic per fit
+    * (same refs, same shards → same index); spreads consecutive ids
+    * so a near-dup family doesn't pile into one shard's cap. */
+  private[operators] def shardOfId(id: Long, shards: Int): Int = {
+    if (shards == 1) return 0
+    var x = id + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    java.lang.Long.remainderUnsigned(x, shards).toInt
+  }
+
+  /** One bucket's per-shard cap: keep id iff its shard contributed
+    * ≤ maxBucket entries to this key (at shards = 1 this is exactly
+    * the flat drop-if-over-cap rule). Returns null when nothing
+    * survives — the bucket stays absent, same as the flat rule. */
+  private def perShardCapFilter(ids: java.util.ArrayList[Integer],
+                                shards: Int, maxBucket: Int): Array[Int] = {
+    if (shards == 1) {
+      if (ids.size > maxBucket) return null
+      return Array.tabulate(ids.size)(ids.get(_).intValue())
+    }
+    val cnt = new Array[Int](shards)
+    var i = 0
+    while (i < ids.size) {
+      cnt(shardOfId(ids.get(i).longValue(), shards)) += 1
+      i += 1
+    }
+    var kept = 0
+    i = 0
+    while (i < ids.size) {
+      if (cnt(shardOfId(ids.get(i).longValue(), shards)) <= maxBucket)
+        kept += 1
+      i += 1
+    }
+    if (kept == 0) return null
+    val out = new Array[Int](kept)
+    var o = 0
+    i = 0
+    while (i < ids.size) {
+      val id = ids.get(i).intValue()
+      if (cnt(shardOfId(id.toLong, shards)) <= maxBucket) {
+        out(o) = id; o += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** [[videoAdmitStream]] against the wide band-pair index — same

@@ -360,7 +360,14 @@ object ProfileScale {
     val sizesArg = gfArgs.filter(_.forall(_.isDigit)).map(_.toLong)
     val sizes = if (sizesArg.nonEmpty) sizesArg else Seq(2000L, 20000L)
     val fams = gfArgs.filterNot(_.forall(_.isDigit)).toSet
-    def want(f: String) = fams.isEmpty || fams(f)
+    def want(f: String) = (fams - "oracle").isEmpty || fams(f)
+    // the exact-recall oracle (uncapped index = ground truth) runs
+    // only when EXPLICITLY asked: at 1M+ refs the uncapped fit is a
+    // multi-GB driver structure and the miss probes walk fat buckets
+    def want1(f: String) = fams(f)
+    def pct(hits: Long, genuine: Long): String =
+      if (genuine == 0) "n/a"
+      else f"${hits * 100.0 / genuine}%.2f%%"
     def docs(n: Long) = spark.range(n).select(col("id").as("doc_id"))
     def wall[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -426,6 +433,29 @@ object ProfileScale {
           f"entries $entriesW%8d  probe ${rateW / 1000}%8.0f kprobes/s  " +
           f"(gated: wide ${hitsW}%d vs narrow ${hitsN}%d " +
           f"of ${arriving.length}%d)")
+        // the round-12 sharded cap budget at the same reference size
+        val nSh = ((n + 199999) / 200000).toInt
+        val (sidx, tFitS) = wall(Multimodal.fitWideImageDupIndexSharded(
+          Multimodal.nearDupImageTable(docs(n)), shards = nSh))
+        var entriesS = 0L
+        sidx.buckets.forEach((_, b) => entriesS += b.length / 2)
+        val (rateS, hitsS) = probeRate(arriving.length)(i =>
+          sidx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"imageS n=$n%-6d fit ${tFitS}%6.2f s  " +
+          f"entries $entriesS%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
+          f"(gated: sharded($nSh%d) ${hitsS}%d vs wide ${hitsW}%d " +
+          f"of ${arriving.length}%d)")
+        if (want1("oracle")) { // exact recall accounting: uncapped = truth
+          val (oidx, tFitO) = wall(Multimodal.fitWideImageDupIndexSharded(
+            Multimodal.nearDupImageTable(docs(n)),
+            maxBucket = Int.MaxValue, shards = 1))
+          val genuine = java.util.stream.IntStream.range(0, arriving.length)
+            .parallel()
+            .filter(i => oidx.hits(arriving(i)._1, arriving(i)._2)).count()
+          println(f"imageO n=$n%-6d fit ${tFitO}%6.2f s  genuine " +
+            f"$genuine%8d  recall: sharded ${pct(hitsS, genuine)}%s  " +
+            f"wide ${pct(hitsW, genuine)}%s  narrow ${pct(hitsN, genuine)}%s")
+        }
       }
       if (want("audio")) locally { // audio
         val (idx, tFit) = wall(
@@ -435,9 +465,30 @@ object ProfileScale {
             .filter(col("doc_id") >= n)).collect()
           .map(r => Multimodal.subFingerprints(
             Multimodal.parseWav(r.payload).samples).map(_._2).distinct.sorted)
-        val (rate, _) = probeRate(arriving.length)(i => idx.hits(arriving(i)))
+        val (rate, hitsA) = probeRate(arriving.length)(i => idx.hits(arriving(i)))
         println(f"audio  n=$n%-6d fit ${tFit}%6.2f s  " +
-          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s")
+          f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s  " +
+          f"(gated: $hitsA%d of ${arriving.length}%d)")
+        // the round-12 sharded cap budget at the same reference size
+        val nSh = ((n + 199999) / 200000).toInt
+        val (sidx, tFitS) = wall(Multimodal.fitAudioDupIndexSharded(
+          Multimodal.nearDupAudioTable(docs(n)), shards = nSh))
+        val (rateS, hitsS) = probeRate(arriving.length)(i =>
+          sidx.hits(arriving(i)))
+        println(f"audioS n=$n%-6d fit ${tFitS}%6.2f s  " +
+          f"entries $entries%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
+          f"(gated: sharded($nSh%d) $hitsS%d vs flat $hitsA%d " +
+          f"of ${arriving.length}%d)")
+        if (want1("oracle")) { // exact recall accounting: uncapped = truth
+          val (oidx, tFitO) = wall(Multimodal.fitAudioDupIndexSharded(
+            Multimodal.nearDupAudioTable(docs(n)),
+            maxBucket = Int.MaxValue, shards = 1))
+          val genuine = java.util.stream.IntStream.range(0, arriving.length)
+            .parallel().filter(i => oidx.hits(arriving(i))).count()
+          println(f"audioO n=$n%-6d fit ${tFitO}%6.2f s  genuine " +
+            f"$genuine%8d  recall: sharded ${pct(hitsS, genuine)}%s  " +
+            f"flat ${pct(hitsA, genuine)}%s")
+        }
       }
       if (want("video")) locally { // video
         val (idx, tFit) = wall(
@@ -465,6 +516,29 @@ object ProfileScale {
           f"entries $entriesW%8d  probe ${rateW / 1000}%8.0f kprobes/s  " +
           f"(gated: wide $hitsW%d vs narrow $hitsN%d " +
           f"of ${arriving.length}%d)")
+        // the round-12 sharded cap budget at the same reference size
+        val nSh = ((n + 199999) / 200000).toInt
+        val (sidx, tFitS) = wall(Multimodal.fitWideVideoDupIndexSharded(
+          Multimodal.nearDupVideoTable(docs(n)), shards = nSh))
+        var entriesS = 0L
+        sidx.buckets.foreachValue(b => entriesS += b.length)
+        val (rateS, hitsS) = probeRate(arriving.length)(i =>
+          sidx.hits(arriving(i)._1, arriving(i)._2))
+        println(f"videoS n=$n%-6d fit ${tFitS}%6.2f s  " +
+          f"entries $entriesS%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
+          f"(gated: sharded($nSh%d) $hitsS%d vs wide $hitsW%d " +
+          f"of ${arriving.length}%d)")
+        if (want1("oracle")) { // exact recall accounting: uncapped = truth
+          val (oidx, tFitO) = wall(Multimodal.fitWideVideoDupIndexSharded(
+            Multimodal.nearDupVideoTable(docs(n)),
+            maxBucket = Int.MaxValue, shards = 1))
+          val genuine = java.util.stream.IntStream.range(0, arriving.length)
+            .parallel()
+            .filter(i => oidx.hits(arriving(i)._1, arriving(i)._2)).count()
+          println(f"videoO n=$n%-6d fit ${tFitO}%6.2f s  genuine " +
+            f"$genuine%8d  recall: sharded ${pct(hitsS, genuine)}%s  " +
+            f"wide ${pct(hitsW, genuine)}%s  narrow ${pct(hitsN, genuine)}%s")
+        }
       }
       if (want("semantic")) locally { // embedding gate (round 10)
         import graft.operators.Similarity

@@ -1074,6 +1074,126 @@ class StreamAggsSpec extends SparkSpec {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("sharded wide video index: shards=1 is bit-identical to the " +
+    "flat fit; the per-shard cap budget recovers cap-dropped genuine " +
+    "dups without ever gating a non-dup") {
+    import graft.operators.Multimodal
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupVideoTable(docs.limit(400))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    // shards = 1 reproduces the flat fit bit-identically (same keys,
+    // same entries, same order) — the one-code-path claim
+    val flat = Multimodal.fitWideVideoDupIndex(reference)
+    val s1 = Multimodal.fitWideVideoDupIndexSharded(reference, shards = 1)
+    assert(flat.buckets.size == s1.buckets.size)
+    flat.buckets.foreach { case (k, v) =>
+      assert(java.util.Arrays.equals(v, s1.buckets.getOrNull(k)),
+        s"bucket $k diverges at shards=1") }
+    // cap 1 so the fixture actually over-caps: a group's two refs
+    // share near-identical signatures, so the flat rule drops their
+    // shared buckets whole while the sharded budget keeps the <=cap
+    // per-shard slices
+    val flatTiny = Multimodal.fitWideVideoDupIndexSharded(
+      reference, maxBucket = 1, shards = 1)
+    val shTiny = Multimodal.fitWideVideoDupIndexSharded(
+      reference, maxBucket = 1, shards = 3)
+    val truth = Multimodal.fitWideVideoDupIndexSharded(
+      reference, maxBucket = Int.MaxValue, shards = 1) // uncapped = exact
+    val sigs = Multimodal.videoDHashSignature(arriving).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val gatedFlat = sigs.filter(t => flatTiny.hits(t._2, t._3)).map(_._1).toSet
+    val gatedSh = sigs.filter(t => shTiny.hits(t._2, t._3)).map(_._1).toSet
+    val genuine = sigs.filter(t => truth.hits(t._2, t._3)).map(_._1).toSet
+    // per-key survivors are monotone in shards (a <=cap bucket's
+    // shard slices are each <=cap), so gating only ever widens...
+    assert(gatedFlat.subsetOf(gatedSh),
+      s"sharded lost flat-gated ids: ${gatedFlat -- gatedSh}")
+    // ...and the exact Hamming verify makes every widening genuine
+    assert(gatedSh.subsetOf(genuine),
+      s"sharded gated non-dups: ${gatedSh -- genuine}")
+    // the point of the budget: this fixture's over-cap keys hold real
+    // near-dups the flat rule was dropping
+    assert(gatedSh.size > gatedFlat.size,
+      s"cap never bit (flat ${gatedFlat.size}, sharded ${gatedSh.size}) " +
+        "- the recovery premise is untested")
+    assert(genuine.nonEmpty)
+  }
+
+  test("sharded wide image index: shards=1 matches the flat fit per " +
+    "key as a multiset; the per-shard cap budget is monotone and " +
+    "exact (distributed (key, shard) cap)") {
+    import graft.operators.Multimodal
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupImageTable(docs.limit(400))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val flat = Multimodal.fitWideImageDupIndex(reference)
+    val s1 = Multimodal.fitWideImageDupIndexSharded(reference, shards = 1)
+    // entry ORDER within a bucket comes from collect_list task order,
+    // so compare each bucket as a multiset of (lo, hi) pairs
+    def pairs(a: Array[Long]): Seq[(Long, Long)] =
+      a.grouped(2).map(p => (p(0), p(1))).toSeq.sorted
+    assert(flat.buckets.size == s1.buckets.size)
+    flat.buckets.forEach { (k, v) =>
+      assert(s1.buckets.containsKey(k) && pairs(v) == pairs(s1.buckets.get(k)),
+        s"bucket $k diverges at shards=1") }
+    val flatTiny = Multimodal.fitWideImageDupIndexSharded(
+      reference, maxBucket = 1, shards = 1)
+    val shTiny = Multimodal.fitWideImageDupIndexSharded(
+      reference, maxBucket = 1, shards = 3)
+    val truth = Multimodal.fitWideImageDupIndexSharded(
+      reference, maxBucket = Int.MaxValue, shards = 1)
+    val hs = Multimodal.imageDHash(arriving).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gatedFlat = hs.filter(t => flatTiny.hits(t._2, t._3)).map(_._1).toSet
+    val gatedSh = hs.filter(t => shTiny.hits(t._2, t._3)).map(_._1).toSet
+    val genuine = hs.filter(t => truth.hits(t._2, t._3)).map(_._1).toSet
+    assert(gatedFlat.subsetOf(gatedSh),
+      s"sharded lost flat-gated ids: ${gatedFlat -- gatedSh}")
+    assert(gatedSh.subsetOf(genuine),
+      s"sharded gated non-dups: ${gatedSh -- genuine}")
+    assert(gatedSh.size > gatedFlat.size,
+      s"cap never bit (flat ${gatedFlat.size}, sharded ${gatedSh.size}) " +
+        "- the recovery premise is untested")
+  }
+
+  test("sharded audio index: shards=1 is bit-identical to the flat " +
+    "fit; the per-shard budget widens gating only onto exact-Jaccard " +
+    "near-dups") {
+    import graft.operators.Multimodal
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupAudioTable(docs.limit(400))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    val flat = Multimodal.fitAudioDupIndex(reference)
+    val s1 = Multimodal.fitAudioDupIndexSharded(reference, shards = 1)
+    assert(flat.buckets.size == s1.buckets.size)
+    flat.buckets.foreach { case (k, v) =>
+      assert(java.util.Arrays.equals(v, s1.buckets.getOrNull(k)),
+        s"bucket $k diverges at shards=1") }
+    val flatTiny = Multimodal.fitAudioDupIndexSharded(
+      reference, maxBucket = 1, shards = 1)
+    val shTiny = Multimodal.fitAudioDupIndexSharded(
+      reference, maxBucket = 1, shards = 3)
+    val truth = Multimodal.fitAudioDupIndexSharded(
+      reference, maxBucket = Int.MaxValue, shards = 1)
+    val fps = arriving.collect().map(r => (r.media_id,
+      Multimodal.subFingerprints(
+        Multimodal.parseWav(r.payload).samples).map(_._2).distinct.sorted))
+    val gatedFlat = fps.filter(t => flatTiny.hits(t._2)).map(_._1).toSet
+    val gatedSh = fps.filter(t => shTiny.hits(t._2)).map(_._1).toSet
+    val genuine = fps.filter(t => truth.hits(t._2)).map(_._1).toSet
+    // audio's verify consults the MERGED survivor map for the
+    // one-emission check, so sharded gating is a superset of the
+    // per-shard union — still never past the exact-Jaccard truth
+    assert(gatedFlat.subsetOf(gatedSh),
+      s"sharded lost flat-gated ids: ${gatedFlat -- gatedSh}")
+    assert(gatedSh.subsetOf(genuine),
+      s"sharded gated non-dups: ${gatedSh -- genuine}")
+    assert(genuine.nonEmpty)
+  }
+
   test("wide index SQL pair keys are bit-equal to the Scala key " +
     "(the distributed-cap fit premise)") {
     import graft.operators.Multimodal
