@@ -862,8 +862,23 @@ object MatchRecognize extends Serializable {
     * schema/deserialization mismatch at restore); restart such a
     * query from a FRESH checkpoint location. The Row-encoded format
     * is schema-tracked by the state store from round 11 on, so future
-    * field additions fail loudly at restore instead of corrupting. */
-  def runStream(df: DataFrame, sql: String): DataFrame = {
+    * field additions fail loudly at restore instead of corrupting.
+    *
+    * `matchNumberRetention` (round 12): when the clause uses
+    * MATCH_NUMBER(), a key whose partials and pending have drained
+    * still keeps its 8-byte counter so cross-batch numbering stays
+    * exact — which on an unbounded key space means state grows with
+    * distinct ever-matched keys. Pass a retention to bound it: the
+    * counter is evicted once the watermark passes the key's last
+    * activity + retention (one event-time timeout per idle key, NOT
+    * a per-batch wakeup), and a later match on that key restarts
+    * numbering at 1 — the documented trade. Requires a watermark;
+    * without one the option is inert (lazy semantics throughout).
+    * See [[runStreamTws]] for the same contract on the native
+    * transformWithState API. */
+  def runStream(df: DataFrame, sql: String,
+                matchNumberRetention: Option[java.time.Duration] = None)
+      : DataFrame = {
     val c = compile(df.schema, sql)
     val partitionBy = c.clause.partitionBy
     val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
@@ -879,7 +894,19 @@ object MatchRecognize extends Serializable {
         case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
           e
       }.isDefined
-    val useTimers = within.isDefined && hasWatermark
+    val expireOn = within.isDefined && hasWatermark
+    // MATCH_NUMBER retention (round 12, the last unbounded-state
+    // story): counter-only state — a key whose partials and pending
+    // have drained but whose MATCH_NUMBER counter must survive —
+    // lives forever by default (exact cross-batch numbering on an
+    // unbounded key space grows with distinct ever-matched keys).
+    // With a retention, the counter is EVICTED once the watermark
+    // passes last-activity + retention: a later match on that key
+    // restarts numbering at 1, the documented trade. Needs a
+    // watermark (the eviction rides the event-time timeout).
+    val retentionMs = matchNumberRetention.map(_.toMillis)
+    val timeoutOn = hasWatermark &&
+      (within.isDefined || retentionMs.isDefined)
     // MATCH_NUMBER() numbering must survive micro-batches, so the
     // per-key state carries the running match count next to the NFA
     // state; when the clause uses it, an exhausted key keeps its
@@ -896,47 +923,7 @@ object MatchRecognize extends Serializable {
     // entry encodes as (step ordinals, input rows) against it —
     // full rows, not a projection: ALL ROWS PER MATCH emits every
     // input column of every matched row, possibly batches later.
-    val inSchema = df.schema
-    import org.apache.spark.sql.types._
-    val intsT = ArrayType(IntegerType, containsNull = false)
-    val rowsT = ArrayType(inSchema, containsNull = false)
-    val stateSchema = StructType(Seq(
-      StructField("matchSeq", LongType, nullable = false),
-      StructField("nextOrigin", LongType, nullable = false),
-      StructField("partials", ArrayType(StructType(Seq(
-        StructField("startTs", LongType, nullable = false),
-        StructField("matched", BooleanType, nullable = false),
-        StructField("origin", LongType, nullable = false),
-        StructField("prio", intsT, nullable = false),
-        StructField("curRep", IntegerType, nullable = false),
-        StructField("curRun", IntegerType, nullable = false),
-        StructField("steps", intsT, nullable = false),
-        StructField("rows", rowsT, nullable = false))),
-        containsNull = false), nullable = false),
-      StructField("pending", ArrayType(StructType(Seq(
-        StructField("origin", LongType, nullable = false),
-        StructField("prio", intsT, nullable = false),
-        StructField("steps", intsT, nullable = false),
-        StructField("rows", rowsT, nullable = false))),
-        containsNull = false), nullable = false)))
-    def packState(st: Cep.NfaState[Row], matchSeq: Long): Row = Row(
-      matchSeq, st.nextOrigin,
-      st.partials.map(p => Row(p.startTs, p.matched, p.origin, p.prio,
-        p.curRep, p.curRun, p.entries.map(_._1), p.entries.map(_._2))),
-      st.pending.map(q => Row(q.origin, q.prio,
-        q.entries.map(_._1), q.entries.map(_._2))))
-    def unpackState(r: Row): (Cep.NfaState[Row], Long) = {
-      def entries(s: Row, stepsAt: Int): Vector[(Int, Row)] =
-        s.getSeq[Int](stepsAt).toVector
-          .zip(s.getSeq[Row](stepsAt + 1))
-      (Cep.NfaState(
-        r.getSeq[Row](2).map(p => Cep.Partial[Row](entries(p, 6),
-          p.getLong(0), p.getBoolean(1), p.getLong(2),
-          p.getSeq[Int](3).toVector, p.getInt(4), p.getInt(5))),
-        r.getSeq[Row](3).map(q => Cep.Pending[Row](q.getLong(0),
-          q.getSeq[Int](1).toVector, entries(q, 2))),
-        r.getLong(1)), r.getLong(0))
-    }
+    val stateSchema = mrStateSchema(df.schema)
     val stEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(stateSchema)
     val outEnc: org.apache.spark.sql.Encoder[Row] =
@@ -944,8 +931,13 @@ object MatchRecognize extends Serializable {
     def fn(key: String, it: Iterator[Row],
            state: org.apache.spark.sql.streaming.GroupState[Row])
         : Iterator[Row] = {
-      val (st0, seq0) = state.getOption.map(unpackState).getOrElse(
+      val (st0, seq0) = state.getOption.map(unpackMrState).getOrElse(
         (Cep.NfaState.empty[Row], 0L))
+      // counter-only BEFORE this trigger's events/expiry: the
+      // retention decision below must not fire on a key whose
+      // partials drained only just now — that key's retention clock
+      // starts at THIS watermark
+      val wasCounterOnly = st0.partials.isEmpty && st0.pending.isEmpty
       var st = st0
       var matchSeq = seq0
       val out = Seq.newBuilder[Row]
@@ -965,7 +957,7 @@ object MatchRecognize extends Serializable {
         val (s3, done) = nfa.flush(st)
         st = s3
         done.foreach(emit)
-      } else if (useTimers) {
+      } else if (expireOn) {
         // event-time flush: once the watermark passes startTs +
         // within, no in-order event can extend a partial — drop it
         // and release whatever its death unblocks
@@ -973,23 +965,37 @@ object MatchRecognize extends Serializable {
         st = s3
         done.foreach(emit)
       }
-      if (st.partials.isEmpty && st.pending.isEmpty &&
-        (!usesMatchNum || matchSeq == 0)) state.remove()
-      else {
-        state.update(packState(st, matchSeq))
+      val counterOnly = st.partials.isEmpty && st.pending.isEmpty
+      if (counterOnly && (!usesMatchNum || matchSeq == 0)) state.remove()
+      else if (counterOnly && wasCounterOnly && retentionMs.isDefined &&
+        state.hasTimedOut) {
+        // the retention timeout fired on state that was ALREADY
+        // counter-only when it was armed: evict the counter
+        state.remove()
+      } else {
+        state.update(packMrState(st, matchSeq))
         // counter-only state (MATCH_NUMBER retention after partials
-        // and pending drained) needs NO timer: it changes only when
-        // the key receives an event, and re-registering wm+1 here
-        // would wake every ever-matched key on every micro-batch
-        // forever. Pending-only state keeps the wm+1 wakeup — the
-        // next watermark advance is what releases held-back matches.
-        if (useTimers && (st.partials.nonEmpty || st.pending.nonEmpty)) {
+        // and pending drained) needs NO per-batch timer: it changes
+        // only when the key receives an event, and re-registering
+        // wm+1 here would wake every ever-matched key on every
+        // micro-batch forever. Pending-only state keeps the wm+1
+        // wakeup — the next watermark advance is what releases
+        // held-back matches. With a retention configured, counter-
+        // only state arms ONE timeout at wm + retention (re-armed
+        // only when the key sees activity — sliding retention).
+        if (timeoutOn) {
           val wm = state.getCurrentWatermarkMs()
-          val t =
-            if (st.partials.nonEmpty)
-              st.partials.map(_.startTs + within.get).min + 1
-            else wm + 1
-          state.setTimeoutTimestamp(math.max(t, wm + 1))
+          if (within.isDefined && (st.partials.nonEmpty || st.pending.nonEmpty)) {
+            val t =
+              if (st.partials.nonEmpty)
+                st.partials.map(_.startTs + within.get).min + 1
+              else wm + 1
+            state.setTimeoutTimestamp(math.max(t, wm + 1))
+          } else if (counterOnly && retentionMs.isDefined) {
+            state.setTimeoutTimestamp(math.max(wm + retentionMs.get, wm + 1))
+          }
+          // partials/pending without WITHIN: lazy expiry, no timer
+          // (the documented DSL-runner behavior)
         }
       }
       out.result().iterator
@@ -998,11 +1004,229 @@ object MatchRecognize extends Serializable {
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append,
-        if (useTimers)
+        if (timeoutOn)
           org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
         else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
         fn)(stEnc, outEnc)
       .toDF()
+  }
+
+  /** The streaming state layout both stream runners share: the
+    * MATCH_NUMBER counter next to the NFA state (partials + pending
+    * + nextOrigin), every row nested against the input schema — a
+    * plan-time fact, so the whole value Tungsten-encodes through
+    * `Encoders.row` with no Java/Kryo serialization. */
+  private[cep] def mrStateSchema(inSchema: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    val intsT = ArrayType(IntegerType, containsNull = false)
+    val rowsT = ArrayType(inSchema, containsNull = false)
+    StructType(Seq(
+      StructField("matchSeq", LongType, nullable = false),
+      StructField("nextOrigin", LongType, nullable = false),
+      StructField("partials", ArrayType(StructType(Seq(
+        StructField("startTs", LongType, nullable = false),
+        StructField("matched", BooleanType, nullable = false),
+        StructField("origin", LongType, nullable = false),
+        StructField("prio", intsT, nullable = false),
+        StructField("curRep", IntegerType, nullable = false),
+        StructField("curRun", IntegerType, nullable = false),
+        StructField("steps", intsT, nullable = false),
+        StructField("rows", rowsT, nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("pending", ArrayType(StructType(Seq(
+        StructField("origin", LongType, nullable = false),
+        StructField("prio", intsT, nullable = false),
+        StructField("steps", intsT, nullable = false),
+        StructField("rows", rowsT, nullable = false))),
+        containsNull = false), nullable = false)))
+  }
+
+  private[cep] def packMrState(st: Cep.NfaState[Row], matchSeq: Long): Row =
+    Row(matchSeq, st.nextOrigin,
+      st.partials.map(p => Row(p.startTs, p.matched, p.origin, p.prio,
+        p.curRep, p.curRun, p.entries.map(_._1), p.entries.map(_._2))),
+      st.pending.map(q => Row(q.origin, q.prio,
+        q.entries.map(_._1), q.entries.map(_._2))))
+
+  private[cep] def unpackMrState(r: Row): (Cep.NfaState[Row], Long) = {
+    def entries(s: Row, stepsAt: Int): Vector[(Int, Row)] =
+      s.getSeq[Int](stepsAt).toVector
+        .zip(s.getSeq[Row](stepsAt + 1))
+    (Cep.NfaState(
+      r.getSeq[Row](2).map(p => Cep.Partial[Row](entries(p, 6),
+        p.getLong(0), p.getBoolean(1), p.getLong(2),
+        p.getSeq[Int](3).toVector, p.getInt(4), p.getInt(5))),
+      r.getSeq[Row](3).map(q => Cep.Pending[Row](q.getLong(0),
+        q.getSeq[Int](1).toVector, entries(q, 2))),
+      r.getLong(1)), r.getLong(0))
+  }
+
+  /** [[runStream]] on the NATIVE stateful API (`transformWithState`,
+    * Spark 4's successor to flatMapGroupsWithState): same compile,
+    * same NFA, same Tungsten Row state layout ([[mrStateSchema]]),
+    * same emission — the engines cannot diverge — with the timer
+    * bookkeeping on first-class `registerTimer`/`handleExpiredTimer`
+    * instead of the single GroupState timeout slot. WITHIN expiry
+    * and the `matchNumberRetention` counter eviction are explicit
+    * event-time timers here (state TTLConfig is processing-time-only
+    * in Spark — verified against the handle's validateTTLConfig — so
+    * watermark-driven eviction must ride timers on both APIs).
+    *
+    * Streaming runs require the RocksDB state store provider, the
+    * transformWithState backend requirement (the [[graft.streaming
+    * .StatefulTws]] note). A BATCH DataFrame delegates to [[run]] —
+    * batch transformWithState never fires timers, so the held-match
+    * flush that makes runStream(batch) ≡ run(batch) has no trigger
+    * point on this API; delegation gives the same contract exactly.
+    *
+    * Checkpoints are NOT interchangeable with [[runStream]]'s (a
+    * different operator with different state/timer stores); pick one
+    * runner per checkpoint location. */
+  def runStreamTws(df: DataFrame, sql: String,
+                   matchNumberRetention: Option[java.time.Duration] = None)
+      : DataFrame = {
+    if (!df.isStreaming) return run(df, sql)
+    val c = compile(df.schema, sql)
+    val partitionBy = c.clause.partitionBy
+    val nfa = new Cep.Nfa[Row](c.spec, r => c.ordKey(r).toLong)
+    val within = c.spec.withinMs
+    val hasWatermark = df.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e
+    }.isDefined
+    val retentionMs = matchNumberRetention.map(_.toMillis)
+    val timersOn = hasWatermark &&
+      (within.isDefined || retentionMs.isDefined)
+    val usesMatchNum = c.clause.measures.exists(_._1 == MatchNum)
+    val processor = new MrTwsProcessor(c, nfa, mrStateSchema(df.schema),
+      within, usesMatchNum, retentionMs, timersOn)
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    df.groupByKey(r => String.valueOf(r.getAs[Any](partitionBy)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(processor,
+        if (timersOn) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())(org.apache.spark.sql.Encoders.row(c.outSchema))
+      .toDF()
+  }
+
+  /** The [[runStreamTws]] state machine: one Row-encoded ValueState
+    * per key (identical layout to [[runStream]]'s GroupState value)
+    * plus one tracked event-time timer. Timer rule, shared with
+    * runStream: live partials → min(startTs) + within + 1; pending
+    * only → watermark + 1 (the next advance releases held matches);
+    * counter-only with a retention → watermark + retention (armed
+    * once per activity, sliding); otherwise none. */
+  private[cep] class MrTwsProcessor(c: Compiled, nfa: Cep.Nfa[Row],
+      stateSchema: StructType, withinMs: Option[Long],
+      usesMatchNum: Boolean, retentionMs: Option[Long], timersOn: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[Row] = _
+    // the one registered timer's timestamp, so re-arming can delete
+    // the stale one (registerTimer accumulates; GroupState's single
+    // timeout slot replaced implicitly)
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Row]("mr",
+        org.apache.spark.sql.Encoders.row(stateSchema), TTLConfig.NONE)
+      if (timersOn)
+        timerAt = getHandle.getValueState[Long]("timerAt",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def load(): (Cep.NfaState[Row], Long) =
+      if (st.exists()) unpackMrState(st.get())
+      else (Cep.NfaState.empty[Row], 0L)
+
+    /** Persist + retime after a trigger; returns nothing — the
+      * caller already holds the emitted rows. */
+    private def save(stNow: Cep.NfaState[Row], matchSeq: Long,
+                     wasCounterOnly: Boolean, timedOut: Boolean,
+                     wm: Long): Unit = {
+      val counterOnly = stNow.partials.isEmpty && stNow.pending.isEmpty
+      val drop =
+        (counterOnly && (!usesMatchNum || matchSeq == 0)) ||
+        (counterOnly && wasCounterOnly && retentionMs.isDefined && timedOut)
+      if (drop) {
+        st.clear()
+        if (timersOn && timerAt.exists()) {
+          getHandle.deleteTimer(timerAt.get()); timerAt.clear()
+        }
+        return
+      }
+      st.update(packMrState(stNow, matchSeq))
+      if (!timersOn) return
+      val want: Long =
+        if (withinMs.isDefined && stNow.partials.nonEmpty)
+          math.max(stNow.partials.map(_.startTs + withinMs.get).min + 1,
+            wm + 1)
+        else if (withinMs.isDefined && stNow.pending.nonEmpty) wm + 1
+        else if (counterOnly && retentionMs.isDefined)
+          math.max(wm + retentionMs.get, wm + 1)
+        else -1L
+      val have = if (timerAt.exists()) timerAt.get() else -1L
+      if (want != have) {
+        if (have != -1L) getHandle.deleteTimer(have)
+        if (want != -1L) getHandle.registerTimer(want)
+        if (want != -1L) timerAt.update(want) else timerAt.clear()
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[Row] = {
+      val (st0, seq0) = load()
+      val wasCounterOnly = st0.partials.isEmpty && st0.pending.isEmpty
+      var stNow = st0
+      var matchSeq = seq0
+      val out = Seq.newBuilder[Row]
+      def emit(m: Cep.MatchResult[Row]): Unit = {
+        matchSeq += 1
+        out ++= matchRows(c, None, m, matchSeq)
+      }
+      for (e <- rows.toSeq.sortBy(c.ordKey)) {
+        val (s2, done, _) = nfa.onEvent(stNow, e)
+        stNow = s2
+        done.foreach(emit)
+      }
+      if (withinMs.isDefined && timersOn) {
+        val (s3, done, _) =
+          nfa.expire(stNow, timerValues.getCurrentWatermarkInMs())
+        stNow = s3
+        done.foreach(emit)
+      }
+      save(stNow, matchSeq, wasCounterOnly, timedOut = false,
+        timerValues.getCurrentWatermarkInMs())
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row] = {
+      // the fired timer is consumed by the runtime; drop our record
+      // of it so save() doesn't delete a live re-registration
+      if (timerAt.exists()) timerAt.clear()
+      val (st0, seq0) = load()
+      val wasCounterOnly = st0.partials.isEmpty && st0.pending.isEmpty
+      var stNow = st0
+      var matchSeq = seq0
+      val out = Seq.newBuilder[Row]
+      def emit(m: Cep.MatchResult[Row]): Unit = {
+        matchSeq += 1
+        out ++= matchRows(c, None, m, matchSeq)
+      }
+      if (withinMs.isDefined) {
+        val (s3, done, _) =
+          nfa.expire(stNow, timerValues.getCurrentWatermarkInMs())
+        stNow = s3
+        done.foreach(emit)
+      }
+      save(stNow, matchSeq, wasCounterOnly, timedOut = true,
+        timerValues.getCurrentWatermarkInMs())
+      out.result().iterator
+    }
   }
 
   /** Run the clause over a DataFrame, returning one row per match:

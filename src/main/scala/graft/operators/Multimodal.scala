@@ -2170,7 +2170,8 @@ object Multimodal extends graft.QueryModule {
 
   /** [[fitAudioDupIndex]] with the REFERENCE-SHARDED cap budget
     * ([[fitWideVideoDupIndexSharded]]'s recipe; auto shard count =
-    * ceil(n / [[MediaShardTargetRefs]])): reference tracks are
+    * ceil(n / [[AudioShardTargetRefs]]) — audio's measured knee is
+    * 10× below video/image's): reference tracks are
     * hash-partitioned by collected index and the sub-fingerprint
     * bucket cap applies per shard, so the budget scales with the
     * reference count. One semantic delta from per-shard batch
@@ -2201,7 +2202,7 @@ object Multimodal extends graft.QueryModule {
         if (fps.isEmpty) None else Some(fps)
       }
     }.collect()
-    val nShards = resolveShards(shards, sets.length)
+    val nShards = resolveShards(shards, sets.length, AudioShardTargetRefs)
     val byFp = new java.util.HashMap[Long, java.util.ArrayList[Integer]]
     sets.zipWithIndex.foreach { case (fps, idx) =>
       fps.foreach { fp =>
@@ -2523,17 +2524,26 @@ object Multimodal extends graft.QueryModule {
     WideVideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
   }
 
-  /** Reference count each shard of a sharded media index targets —
-    * the measured single-cap serving envelope (SCALE.md: wide video
-    * ≥99.9% recall through 200k refs per 100-entry cap; the 2M decade
-    * shows the cap becoming the recall limiter past ~1M). AUTO shard
-    * counts are ceil(nRefs / this). */
+  /** Reference count each shard of a sharded VIDEO/IMAGE index
+    * targets — the measured single-cap serving envelope (SCALE.md
+    * round 12 exact-oracle tables: wide video 98.8% / wide image
+    * 98.4% recall at 200k refs per flat 100-entry cap; sharded at
+    * this target, 99.1% / 98.9% at 2M). AUTO shard counts are
+    * ceil(nRefs / this). */
   val MediaShardTargetRefs: Int = 200000
 
-  private def resolveShards(shards: Int, nRefs: Long): Int =
+  /** The AUDIO shard target — an order of magnitude below the
+    * video/image one, from the round-12 calibration (flat-cap exact
+    * recall: 97.8% at 20k, 85.4% at 50k, 76.8% at 100k, 59.5% at
+    * 200k — sub-fingerprint buckets over-cap far earlier than the
+    * band-pair key spaces because hot sub-fingerprints recur across
+    * a large fraction of tracks). */
+  val AudioShardTargetRefs: Int = 20000
+
+  private def resolveShards(shards: Int, nRefs: Long,
+                            target: Int = MediaShardTargetRefs): Int =
     if (shards > 0) shards
-    else math.max(1L,
-      (nRefs + MediaShardTargetRefs - 1) / MediaShardTargetRefs).toInt
+    else math.max(1L, (nRefs + target - 1) / target).toInt
 
   /** splitmix64 of the stable ref id → shard. Deterministic per fit
     * (same refs, same shards → same index); spreads consecutive ids

@@ -20,6 +20,11 @@ object ProfileScale {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // the 2M-ref audio fit collects ~1.05 GiB of fingerprint sets,
+      // over the 1g default cap (round 12; the fit itself documents
+      // this as the refSets broadcast-mass bound — a profiling tool
+      // measuring that bound must not die at it)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -470,7 +475,8 @@ object ProfileScale {
           f"entries $entries%8d  probe ${rate / 1000}%8.0f kprobes/s  " +
           f"(gated: $hitsA%d of ${arriving.length}%d)")
         // the round-12 sharded cap budget at the same reference size
-        val nSh = ((n + 199999) / 200000).toInt
+        // (audio's AUTO target is the calibrated 20k, not 200k)
+        val nSh = ((n + 19999) / 20000).toInt
         val (sidx, tFitS) = wall(Multimodal.fitAudioDupIndexSharded(
           Multimodal.nearDupAudioTable(docs(n)), shards = nSh))
         val (rateS, hitsS) = probeRate(arriving.length)(i =>

@@ -354,8 +354,9 @@ object ProfileStream {
     // clause over `Keys` symbols, names cycling a,b,b,c per key so
     // every key completes one match per 4 rows and SKIP PAST LAST ROW
     // keeps state bounded — measures the flatMapGroupsWithState NFA
-    // path (Kryo NfaState round-trip + per-row onEvent + MEASURES
-    // resolution) against the same harness floor as the gates
+    // path (Tungsten Row state round-trip since round 11 + per-row
+    // onEvent + MEASURES resolution) against the same harness floor
+    // as the gates
     locally {
       val clause = """
         PARTITION BY sym
@@ -368,6 +369,16 @@ object ProfileStream {
         val in = MemoryStream[(Long, String, String)]
         ((rows: Seq[(Long, String, String)]) => { in.addData(rows); () },
           graft.cep.MatchRecognize.runStream(
+            in.toDF().toDF("seq", "name", "sym"), clause))
+      }, i => ((i / Keys).toLong,
+        Seq("a", "b", "b", "c")(((i / Keys) % 4).toInt), s"k${i % Keys}"))
+      // the same clause on the native transformWithState runner
+      // (round 12) — requires --rocksdb (the TWS backend requirement)
+      if (rocksdb) bench[(Long, String, String)]("mrstreamtws")({ s =>
+        implicit val sq = s.sqlContext
+        val in = MemoryStream[(Long, String, String)]
+        ((rows: Seq[(Long, String, String)]) => { in.addData(rows); () },
+          graft.cep.MatchRecognize.runStreamTws(
             in.toDF().toDF("seq", "name", "sym"), clause))
       }, i => ((i / Keys).toLong,
         Seq("a", "b", "b", "c")(((i / Keys) % 4).toInt), s"k${i % Keys}"))

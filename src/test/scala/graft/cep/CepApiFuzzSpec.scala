@@ -58,6 +58,18 @@ import scala.util.Random
   * stays hand-pinned (the optional-step hand anchors below +
   * CepSpec's optional tests).
   *
+  * Round 12 DECISION, closing the question for good: the exclusion is
+  * PERMANENT. An exact released-set oracle for this corner must
+  * predict which pending completion a consecutive tie rank kills,
+  * and that rank is assigned by release TIME at multi-fire events —
+  * so any faithful oracle is forced to simulate the slot/pending/
+  * priority scheduler step by step, i.e. to re-state the unit under
+  * test (no release-order-free characterization of the set exists:
+  * two engines honoring the same documented contract may release
+  * different sets here, and FlinkCEP pins no order either). The
+  * soundness arm + hand anchors are therefore the strongest
+  * implementation-independent evidence this corner admits.
+  *
   * Deliberately out of scope (documented, not silently skipped):
   * single-step patterns (the engine's complete-per-event fast path is
   * a different, simpler machine — covered by CepSpec hand cases),
