@@ -159,8 +159,16 @@ object Bench {
     // indexing defeats the prefetcher, so the working set never fits
     // cache and the time moves with DRAM subsystem state, the
     // resource that actually varies under sweep contention. compare()
-    // prefers anchor2 when both artifacts carry it.
-    val anchor2 = {
+    // prefers anchor2 when both artifacts carry it. Skipped (emitted
+    // absent, compare falls back to the CPU anchor) when the driver
+    // heap can't hold the 1 GiB array with headroom — otherwise every
+    // bench invocation on a small-heap JVM dies with OOM before
+    // emitting any result at all.
+    val anchor2: Option[Double] = if (Runtime.getRuntime.maxMemory() < (5L << 29)) {
+      println("anchor2 skipped: max heap " +
+        (Runtime.getRuntime.maxMemory() >> 20) + " MiB < 2560 MiB floor")
+      None
+    } else Some {
       val n = 1 << 27 // 128M longs = 1 GiB
       val a = new Array[Long](n)
       var i = 0
@@ -245,18 +253,19 @@ object Bench {
     def cs(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = results.map(_._2).sum
+    val a2Field = anchor2.map(v => s""","anchor2":${cs(v)}""").getOrElse("")
     def line(prec: Double => String): String = {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + prec(v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"anchor2":${cs(anchor2)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)}$a2Field,"queries":$qs,"sf":"$sfDir"}"""
     }
     // degrade per-query precision before ever risking the window; the
     // headline total keeps ms precision in every shape
     val out = Seq[Double => String](cs,
       v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
       .map(line).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)},"anchor2":${cs(anchor2)},"queries":{},"sf":"$sfDir"}""")
+      .getOrElse(s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor":${cs(anchor)}$a2Field,"queries":{},"sf":"$sfDir"}""")
     println(out)
     spark.stop()
   }

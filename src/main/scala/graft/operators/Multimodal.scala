@@ -1835,7 +1835,8 @@ object Multimodal extends graft.QueryModule {
       .collect()
     val nRefs = refAcc.value
     if (nRefs >= NarrowMediaIndexWarnRefs)
-      mediaLog.warn(s"fitImageDupIndex over $nRefs references: the " +
+      mediaLog.warn(s"fitImageDupIndex over $nRefs references " +
+        "(post-fit check - the index was already built): the " +
         "narrow byte-band index's recall collapses at this size " +
         "(20% at 100k measured) - use fitWideImageDupIndex / " +
         "imageAdmitStreamWide (>=99.9% recall through 200k)")

@@ -481,8 +481,12 @@ object ProfileScale {
           Multimodal.nearDupAudioTable(docs(n)), shards = nSh))
         val (rateS, hitsS) = probeRate(arriving.length)(i =>
           sidx.hits(arriving(i)))
+        // sharded keeps strictly MORE bucket entries than the flat fit
+        // (per-shard cap budget) — chart its own mass, not the flat one's
+        var entriesS = 0L
+        sidx.buckets.foreachValue(b => entriesS += b.length)
         println(f"audioS n=$n%-6d fit ${tFitS}%6.2f s  " +
-          f"entries $entries%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
+          f"entries $entriesS%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
           f"(gated: sharded($nSh%d) $hitsS%d vs flat $hitsA%d " +
           f"of ${arriving.length}%d)")
         if (want1("oracle")) { // exact recall accounting: uncapped = truth

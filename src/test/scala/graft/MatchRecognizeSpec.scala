@@ -1381,4 +1381,40 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(mr(tape(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "b"),
       "(A B{2,3})", msB, defs) == Seq(Seq(3L)))
   }
+
+  test("unbounded MATCH_NUMBER warning fires once per streaming query " +
+    "without retention, and not with retention set or on batch input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clause = """
+      PARTITION BY sym
+      ORDER BY seq
+      MEASURES MATCH_NUMBER() AS mn, A.seq AS a0
+      PATTERN (A B)
+      DEFINE A AS name = 'a', B AS name = 'b'
+    """
+    def warns(body: => Any): Long = {
+      val before = MatchRecognize.unboundedMatchNumWarns.get()
+      body
+      MatchRecognize.unboundedMatchNumWarns.get() - before
+    }
+    def streamDf() = MemoryStream[(Long, String, String)]
+      .toDF().toDF("seq", "name", "sym")
+    val batchDf = Seq((1L, "a", "S"), (2L, "b", "S"))
+      .toDF("seq", "name", "sym")
+    val ret = Some(java.time.Duration.ofSeconds(5))
+    // fires: streaming + MATCH_NUMBER + no retention, both runners,
+    // exactly once each (at query construction, not per batch)
+    assert(warns(MatchRecognize.runStream(streamDf(), clause)) == 1L)
+    assert(warns(MatchRecognize.runStreamTws(streamDf(), clause)) == 1L)
+    // silent: retention set
+    assert(warns(MatchRecognize.runStream(streamDf(), clause, ret)) == 0L)
+    assert(warns(MatchRecognize.runStreamTws(streamDf(), clause, ret)) == 0L)
+    // silent: batch input (no cross-batch counter state at all)
+    assert(warns(MatchRecognize.runStream(batchDf, clause)) == 0L)
+    assert(warns(MatchRecognize.runStreamTws(batchDf, clause)) == 0L)
+    // silent: streaming clause that never names MATCH_NUMBER()
+    val noMn = clause.replace("MATCH_NUMBER() AS mn, ", "")
+    assert(warns(MatchRecognize.runStream(streamDf(), noMn)) == 0L)
+  }
 }
