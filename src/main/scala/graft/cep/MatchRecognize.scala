@@ -78,7 +78,7 @@ object MatchRecognize extends Serializable {
     org.slf4j.LoggerFactory.getLogger("graft.cep.MatchRecognize")
   /** Spec hook: count of unbounded-MATCH_NUMBER warnings emitted
     * (MatchRecognizeSpec asserts fire/no-fire without a log capture). */
-  private[cep] val unboundedMatchNumWarns =
+  private[graft] val unboundedMatchNumWarns =
     new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Round 13 (VERDICT r12 "what's wrong #3"): a STREAMING clause
@@ -957,7 +957,32 @@ object MatchRecognize extends Serializable {
       org.apache.spark.sql.Encoders.row(stateSchema)
     val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(c.outSchema)
-    def fn(key: String, it: Iterator[Row],
+    val fn = new MrGwsFn(c, nfa, streaming, expireOn, usesMatchNum,
+      retentionMs, within, timeoutOn)
+    df.groupByKey(r => String.valueOf(r.getAs[Any](partitionBy)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        if (timeoutOn)
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
+        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        fn)(stEnc, outEnc)
+      .toDF()
+  }
+
+  /** [[runStream]]'s per-key trigger function, extracted as a class
+    * (round 13) so the differential cadence-fuzz arm can drive it
+    * against [[MrTwsProcessor]] over the same simulated micro-batch
+    * schedule (via `TestGroupState`) — two independent runner
+    * implementations of one contract, one oracle. Production behavior
+    * is identical to the former local closure. */
+  private[cep] final class MrGwsFn(c: Compiled, nfa: Cep.Nfa[Row],
+      streaming: Boolean, expireOn: Boolean, usesMatchNum: Boolean,
+      retentionMs: Option[Long], within: Option[Long], timeoutOn: Boolean)
+      extends ((String, Iterator[Row],
+        org.apache.spark.sql.streaming.GroupState[Row]) => Iterator[Row])
+      with Serializable {
+    def apply(key: String, it: Iterator[Row],
            state: org.apache.spark.sql.streaming.GroupState[Row])
         : Iterator[Row] = {
       val (st0, seq0) = state.getOption.map(unpackMrState).getOrElse(
@@ -1029,15 +1054,6 @@ object MatchRecognize extends Serializable {
       }
       out.result().iterator
     }
-    df.groupByKey(r => String.valueOf(r.getAs[Any](partitionBy)))(
-        org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Append,
-        if (timeoutOn)
-          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout
-        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
-        fn)(stEnc, outEnc)
-      .toDF()
   }
 
   /** The streaming state layout both stream runners share: the

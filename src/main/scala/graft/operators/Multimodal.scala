@@ -2525,6 +2525,158 @@ object Multimodal extends graft.QueryModule {
     WideVideoDupIndex(maxDist, maxBucket, sigs.map(_._2), buckets)
   }
 
+  // ---- serving tables: past the single-broadcast ceiling -----------------
+
+  /** The sharded wide index's documented ceiling (SCALE.md round 12):
+    * index mass grows ~linearly in refs — 106.6M entries ≈ ~1.6 GB
+    * resident (12-16 B per bucket entry in the LongMap) at 2M video
+    * refs — so around a 1 GB broadcast budget (~64M entries) one
+    * resident index stops being the right shape. Past it, serve from
+    * [[videoServingTables]] — the same keys, cap rule and exact
+    * verify as distributed RELATIONS joined per batch, with no
+    * driver collect and no broadcast of the reference mass at all. */
+  val MediaServingBudgetEntries: Long = 64L * 1000 * 1000
+
+  /** The sharded wide VIDEO index re-expressed as two relations —
+    * the round-12 "band-partitioned serving shards" design, spelled
+    * Spark-first: instead of per-executor resident index singletons
+    * (a side-channel Spark cannot plan around), the bucket map
+    * becomes a `(key, ref_id)` TABLE and the verify corpus a
+    * `(ref_id, nf, sig)` TABLE; gating is then an ordinary shuffled
+    * equi-join Catalyst distributes, AQE balances, and a real cluster
+    * spills — nothing needs to fit on one executor, so the reference
+    * set scales with the CLUSTER, not with one broadcast budget.
+    *
+    * Same construction as [[fitWideVideoDupIndexSharded]]: one
+    * demux+decode+hash pass (persisted — it is both the key source
+    * and the verify corpus), the 28·nf within-frame pair keys from
+    * the SAME packing ([[WideVideoDupIndex.key]]), and the per-shard
+    * cap budget — key k keeps shard s's entries iff s contributed
+    * ≤ maxBucket of them, as one `groupBy(key, shard)` instead of a
+    * driver map build. The one deliberate delta: shards hash from the
+    * STABLE `media_id` ([[shardOfId]]), not the in-memory fit's
+    * collect-order ordinal — collect order does not exist here; both
+    * are valid budget assignments and the cap rule is unchanged
+    * (parity with the broadcast path is exact whenever no (key,
+    * shard) slice exceeds the cap, and statistical above it).
+    *
+    * Scale shape: decode pass is map-only; ONE exchange on (key,
+    * shard) builds the capped key table; nothing ever collects.
+    * `keys` is worth persisting (or writing bucketed BY key) — every
+    * served batch joins it. */
+  def videoServingTables(reference: Dataset[MediaRecord],
+                         maxDist: Int = 12,
+                         maxBucket: Int = Dedup.DefaultMaxBucket,
+                         shards: Int = 0): MediaServingTables = {
+    require(maxDist <= 13, "within-frame band-pair pigeonhole needs " +
+      s"maxDist <= 13, got $maxDist")
+    require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val sigs = videoDHashSignature(reference)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nShards = resolveShards(shards, sigs.count())
+    val keyRows = sigs.as[(Long, Int, Array[Long])].flatMap {
+      case (id, nf, sig) =>
+        val out = new Array[(Long, Long, Int)](28 * nf)
+        var o = 0
+        var f = 0
+        while (f < nf) {
+          var a = 0
+          while (a < 8) {
+            val va = sigByteOf(sig, f * 8 + a)
+            var b = a + 1
+            while (b < 8) {
+              out(o) = (WideVideoDupIndex.key(nf, f, a, b, va,
+                sigByteOf(sig, f * 8 + b)), id, shardOfId(id, nShards))
+              o += 1
+              b += 1
+            }
+            a += 1
+          }
+          f += 1
+        }
+        out.toSeq
+    }.toDF("key", "ref_id", "shard")
+    val keys = keyRows
+      .groupBy(col("key"), col("shard"))
+      .agg(collect_list(col("ref_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(col("key"), explode(col("ids")).as("ref_id"))
+    MediaServingTables(keys, sigs.toDF("ref_id", "nf", "sig"),
+      maxDist, maxBucket, nShards)
+  }
+
+  /** The two serving relations + the verify threshold. `unpersist()`
+    * releases the signature pass both tables derive from. */
+  case class MediaServingTables(keys: DataFrame, sigs: DataFrame,
+                                maxDist: Int, maxBucket: Int,
+                                shards: Int) {
+    def unpersist(): Unit = { sigs.unpersist(); () }
+  }
+
+  /** Video admission against [[videoServingTables]] — decision-
+    * identical to `videoAdmitStreamWide` over the equally-configured
+    * broadcast index (spec-asserted): admit an arriving clip unless
+    * SOME reference clip shares a surviving pair key (same nf — nf
+    * rides in the key) AND verifies at total Hamming ≤ maxDist (the
+    * same fused [[graft.functions.VectorExpressions.sigBandScore]]
+    * walk the batch pair op uses).
+    *
+    * Plan shape per batch: one decode pass over arriving media, a
+    * key explode, an equi-join on `key` (shuffled hash — the serving
+    * table is deliberately NOT broadcast; that ceiling is the reason
+    * this path exists), candidate dedup, one join back to each
+    * side's signatures, the codegen verify, and a left-anti join on
+    * `media_id`. Streaming: run inside `foreachBatch` — a
+    * distributed join per trigger is exactly what the
+    * past-the-broadcast regime costs; the stateless broadcast gate
+    * remains the right shape below [[MediaServingBudgetEntries]]. */
+  def videoAdmitServed(media: Dataset[MediaRecord],
+                       serving: MediaServingTables)
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val arrSigs = videoDHashSignature(media)
+      .toDF("arr_id", "arr_nf", "arr_sig")
+    val arrKeys = arrSigs.as[(Long, Int, Array[Long])].flatMap {
+      case (id, nf, sig) =>
+        val out = new Array[(Long, Long)](28 * nf)
+        var o = 0
+        var f = 0
+        while (f < nf) {
+          var a = 0
+          while (a < 8) {
+            val va = sigByteOf(sig, f * 8 + a)
+            var b = a + 1
+            while (b < 8) {
+              out(o) = (WideVideoDupIndex.key(nf, f, a, b, va,
+                sigByteOf(sig, f * 8 + b)), id)
+              o += 1
+              b += 1
+            }
+            a += 1
+          }
+          f += 1
+        }
+        out.toSeq
+    }.toDF("key", "arr_id")
+    val hit = arrKeys
+      .join(serving.keys, "key")
+      .select(col("arr_id"), col("ref_id")).distinct()
+      .join(serving.sigs.select(col("ref_id"), col("sig")), "ref_id")
+      .join(arrSigs.select(col("arr_id"), col("arr_sig")), "arr_id")
+      // shared pair key ⇒ a matching band exists; mask off the
+      // first-band word and gate on the total Hamming alone (the
+      // broadcast hits() contract)
+      .filter(graft.functions.VectorExpressions
+        .sigBandScore(col("arr_sig"), col("sig"))
+        .bitwiseAND(lit(0xffffffffL)) <= serving.maxDist)
+      .select(col("arr_id")).distinct()
+    media.join(hit, media("media_id") === hit("arr_id"), "left_anti")
+      .as[MediaRecord]
+  }
+
   /** Reference count each shard of a sharded VIDEO/IMAGE index
     * targets — the measured single-cap serving envelope (SCALE.md
     * round 12 exact-oracle tables: wide video 98.8% / wide image

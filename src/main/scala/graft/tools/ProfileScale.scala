@@ -538,6 +538,31 @@ object ProfileScale {
           f"entries $entriesS%8d  probe ${rateS / 1000}%8.0f kprobes/s  " +
           f"(gated: sharded($nSh%d) $hitsS%d vs wide $hitsW%d " +
           f"of ${arriving.length}%d)")
+        // round 13: the serving-TABLE join gate (past the broadcast
+        // ceiling) at the same reference size and shard count — fit
+        // is the distributed table build (no driver collect), gate is
+        // the full decode+explode+join+verify+anti-join batch over
+        // the arriving set (end-to-end rows/s, all cores — the number
+        // to hold against the broadcast gate's decode-bound stream
+        // rate)
+        val (stv, tFitJ) = wall(locally {
+          val t = Multimodal.videoServingTables(
+            Multimodal.nearDupVideoTable(docs(n)), shards = nSh)
+          t.keys.persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK).count() // materialize the capped build
+          t
+        })
+        val entriesJ = stv.keys.count()
+        val arrDs = Multimodal.nearDupVideoTable(
+          docs(n * 2).filter(col("doc_id") >= n))
+        val (admitJ, tGateJ) = wall(
+          Multimodal.videoAdmitServed(arrDs, stv).count())
+        val hitsJ = arriving.length - admitJ.toInt
+        println(f"videoJ n=$n%-6d fit ${tFitJ}%6.2f s  " +
+          f"entries $entriesJ%8d  gate ${tGateJ}%6.2f s = " +
+          f"${arriving.length / tGateJ / 1000}%6.1f krows/s  " +
+          f"(gated: serving $hitsJ%d vs sharded($nSh%d) $hitsS%d " +
+          f"of ${arriving.length}%d)")
         if (want1("oracle")) { // exact recall accounting: uncapped = truth
           val (oidx, tFitO) = wall(Multimodal.fitWideVideoDupIndexSharded(
             Multimodal.nearDupVideoTable(docs(n)),
@@ -546,9 +571,11 @@ object ProfileScale {
             .parallel()
             .filter(i => oidx.hits(arriving(i)._1, arriving(i)._2)).count()
           println(f"videoO n=$n%-6d fit ${tFitO}%6.2f s  genuine " +
-            f"$genuine%8d  recall: sharded ${pct(hitsS, genuine)}%s  " +
+            f"$genuine%8d  recall: serving ${pct(hitsJ, genuine)}%s  " +
+            f"sharded ${pct(hitsS, genuine)}%s  " +
             f"wide ${pct(hitsW, genuine)}%s  narrow ${pct(hitsN, genuine)}%s")
         }
+        stv.keys.unpersist(); stv.unpersist()
       }
       if (want("semantic")) locally { // embedding gate (round 10)
         import graft.operators.Similarity

@@ -1451,4 +1451,85 @@ class StreamAggsSpec extends SparkSpec {
         s"null-embedding failure not attributed: $msgs")
     } finally q2.stop()
   }
+
+  test("video serving tables: join-path admission equals the broadcast " +
+    "wide gate (exactly at shards=1 even over-cap), the sharded cap " +
+    "budget only widens gating with genuine dups, and the foreachBatch " +
+    "recipe matches the batch path") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupVideoTable(docs.limit(300))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    def admitted(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord])
+        : Set[Long] = ds.select("media_id").as[Long].collect().toSet
+    val arrIds = admitted(arriving)
+
+    // under-cap: serving == broadcast wide gate, any shard count
+    // (the cap never bites, so the shard-basis delta is invisible)
+    val wide = Multimodal.fitWideVideoDupIndex(reference)
+    val frames = wide.refSigs.map(_.length / 2L).sum
+    assert(wide.buckets.values.map(_.length.toLong).sum == frames * 28,
+      "fixture over-caps; the exact-parity premise is void")
+    val bcast = admitted(Multimodal.videoAdmitStreamWide(arriving, wide))
+    val st = Multimodal.videoServingTables(reference, shards = 3)
+    try {
+      assert(admitted(Multimodal.videoAdmitServed(arriving, st)) == bcast,
+        "serving-join admission diverges from the broadcast gate")
+      // uncapped serving mass = 28 keys per frame, the index identity
+      assert(st.keys.count() == frames * 28)
+
+      // foreachBatch recipe: the past-the-broadcast streaming shape
+      val in = MemoryStream[Multimodal.MediaRecord]
+      val got = scala.collection.mutable.Set.empty[Long]
+      val sq = in.toDS().writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+         _: Long) =>
+          got ++= admitted(Multimodal.videoAdmitServed(batch, st))
+          ()
+      }.start()
+      try {
+        in.addData(arriving.collect().toSeq)
+        sq.processAllAvailable()
+        assert(got.toSet == bcast, "foreachBatch admission diverged")
+      } finally sq.stop()
+    } finally st.unpersist()
+
+    // over-cap (cap 1): shards=1 serving is DECISION-IDENTICAL to the
+    // shards=1 broadcast index (same flat drop-if-over-cap rule, no
+    // shard basis in play), the sharded budget gates a strict
+    // superset, and the exact verify keeps every widening genuine
+    val flatTiny = Multimodal.fitWideVideoDupIndexSharded(
+      reference, maxBucket = 1, shards = 1)
+    val truth = Multimodal.fitWideVideoDupIndexSharded(
+      reference, maxBucket = Int.MaxValue, shards = 1)
+    val sv1 = Multimodal.videoServingTables(reference,
+      maxBucket = 1, shards = 1)
+    val sv3 = Multimodal.videoServingTables(reference,
+      maxBucket = 1, shards = 3)
+    try {
+      // with shards=1 every surviving key bucket is globally <= cap
+      assert(sv1.keys.groupBy("key").count()
+        .filter(col("count") > 1).isEmpty, "cap rule leaked at shards=1")
+      val servedFlat = admitted(Multimodal.videoAdmitServed(arriving, sv1))
+      val servedSh = admitted(Multimodal.videoAdmitServed(arriving, sv3))
+      val gatedFlatB = arrIds -- admitted(
+        Multimodal.videoAdmitStreamWide(arriving, flatTiny))
+      val gatedFlat = arrIds -- servedFlat
+      val gatedSh = arrIds -- servedSh
+      val sigs = Multimodal.videoDHashSignature(arriving).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      val genuine = sigs.filter(t => truth.hits(t._2, t._3)).map(_._1).toSet
+      assert(gatedFlat == gatedFlatB,
+        s"shards=1 serving != shards=1 index over-cap: ${
+          (gatedFlat -- gatedFlatB) ++ (gatedFlatB -- gatedFlat)}")
+      assert(gatedFlat.subsetOf(gatedSh),
+        s"sharded serving lost flat-gated ids: ${gatedFlat -- gatedSh}")
+      assert(gatedSh.subsetOf(genuine),
+        s"sharded serving gated non-dups: ${gatedSh -- genuine}")
+      assert(gatedSh.size > gatedFlat.size,
+        "cap never bit - the recovery premise is untested")
+    } finally { sv1.unpersist(); sv3.unpersist() }
+  }
 }
