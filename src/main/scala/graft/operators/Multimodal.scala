@@ -2598,13 +2598,28 @@ object Multimodal extends graft.QueryModule {
         }
         out.toSeq
     }.toDF("key", "ref_id", "shard")
+    // BUCKET-PER-ROW, signatures inline: the index's LongMap bucket
+    // becomes one (key, sigs[]) row, so serving is ONE equi-join
+    // where every arriving key meets AT MOST ONE row, verified with
+    // a short-circuiting `exists` over the bucket — the broadcast
+    // probe's first-hit early exit, distributed. The two rejected
+    // spellings both measured as bottlenecks on the all-dup fixture
+    // at 200k refs (~850 candidate refs per arriving clip): skinny
+    // keys + distinct pairs + two sig joins spent 102 s in the
+    // pair-distinct alone; entry-per-row with inline sigs turned the
+    // key join into a per-key cross product (SMJ replays the bucket
+    // per duplicate arriving key — 75 s). Bucket rows are unique per
+    // key, so the join output is bounded by the arriving key count.
+    val sigDf = sigs.toDF("ref_id", "nf", "sig")
     val keys = keyRows
       .groupBy(col("key"), col("shard"))
       .agg(collect_list(col("ref_id")).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
       .select(col("key"), explode(col("ids")).as("ref_id"))
-    MediaServingTables(keys, sigs.toDF("ref_id", "nf", "sig"),
-      maxDist, maxBucket, nShards)
+      .join(sigDf.select(col("ref_id"), col("sig")), "ref_id")
+      .groupBy(col("key"))
+      .agg(collect_list(col("sig")).as("sigs"))
+    MediaServingTables(keys, sigDf, maxDist, maxBucket, nShards)
   }
 
   /** The two serving relations + the verify threshold. `unpersist()`
@@ -2624,55 +2639,72 @@ object Multimodal extends graft.QueryModule {
     * walk the batch pair op uses).
     *
     * Plan shape per batch: one decode pass over arriving media, a
-    * key explode, an equi-join on `key` (shuffled hash — the serving
-    * table is deliberately NOT broadcast; that ceiling is the reason
-    * this path exists), candidate dedup, one join back to each
-    * side's signatures, the codegen verify, and a left-anti join on
-    * `media_id`. Streaming: run inside `foreachBatch` — a
-    * distributed join per trigger is exactly what the
-    * past-the-broadcast regime costs; the stateless broadcast gate
-    * remains the right shape below [[MediaServingBudgetEntries]]. */
+    * key explode carrying the arriving signature inline, ONE
+    * equi-join on `key` against the fat serving table (shuffled —
+    * the serving table is deliberately NOT broadcast; that ceiling
+    * is the reason this path exists), the fused codegen verify
+    * evaluated directly on each joined row, a map-side-combinable
+    * distinct on hit ids, and a left-anti join on `media_id`.
+    * Streaming: run inside `foreachBatch` — a distributed join per
+    * trigger is exactly what the past-the-broadcast regime costs;
+    * the stateless broadcast gate remains the right shape below
+    * [[MediaServingBudgetEntries]]. Cost scales with the batch's
+    * candidate density (a dup-heavy batch pays per genuine
+    * candidate; the broadcast probe's first-hit early exit has no
+    * relational analogue) — the measured worst case is the gatefit
+    * videoJ row's all-dup fixture. */
   def videoAdmitServed(media: Dataset[MediaRecord],
                        serving: MediaServingTables)
       : Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val arrSigs = videoDHashSignature(media)
-      .toDF("arr_id", "arr_nf", "arr_sig")
-    val arrKeys = arrSigs.as[(Long, Int, Array[Long])].flatMap {
-      case (id, nf, sig) =>
-        val out = new Array[(Long, Long)](28 * nf)
-        var o = 0
-        var f = 0
-        while (f < nf) {
-          var a = 0
-          while (a < 8) {
-            val va = sigByteOf(sig, f * 8 + a)
-            var b = a + 1
-            while (b < 8) {
-              out(o) = (WideVideoDupIndex.key(nf, f, a, b, va,
-                sigByteOf(sig, f * 8 + b)), id)
-              o += 1
-              b += 1
+    val arrKeys = videoDHashSignature(media)
+      .as[(Long, Int, Array[Long])].flatMap {
+        case (id, nf, sig) =>
+          val out = new Array[(Long, Long, Array[Long])](28 * nf)
+          var o = 0
+          var f = 0
+          while (f < nf) {
+            var a = 0
+            while (a < 8) {
+              val va = sigByteOf(sig, f * 8 + a)
+              var b = a + 1
+              while (b < 8) {
+                out(o) = (WideVideoDupIndex.key(nf, f, a, b, va,
+                  sigByteOf(sig, f * 8 + b)), id, sig)
+                o += 1
+                b += 1
+              }
+              a += 1
             }
-            a += 1
+            f += 1
           }
-          f += 1
-        }
         out.toSeq
-    }.toDF("key", "arr_id")
-    val hit = arrKeys
+      }.toDF("key", "arr_id", "arr_sig")
+    // Bucket the ARRIVING side per key too: the join is then
+    // bucket-to-bucket (≤ one output row per shared key, each
+    // carrying both arrays ONCE), and the probe runs as a nested
+    // higher-order filter/exists on that row — per arriving entry,
+    // walk the reference bucket until the first verifying signature
+    // (the broadcast probe's early exit), emit only the hits. The
+    // rejected spelling (entry-per-arr-row joining fat buckets)
+    // copied each up-to-3.2KB bucket onto EVERY matching arriving
+    // row — the join materialized tens of GB and measured 52 s of
+    // the 61 s gate at 200k refs on the all-dup fixture.
+    val arrBuckets = arrKeys.groupBy(col("key"))
+      .agg(collect_list(struct(col("arr_id"), col("arr_sig")))
+        .as("probes"))
+    val hit = arrBuckets
       .join(serving.keys, "key")
-      .select(col("arr_id"), col("ref_id")).distinct()
-      .join(serving.sigs.select(col("ref_id"), col("sig")), "ref_id")
-      .join(arrSigs.select(col("arr_id"), col("arr_sig")), "arr_id")
       // shared pair key ⇒ a matching band exists; mask off the
       // first-band word and gate on the total Hamming alone (the
       // broadcast hits() contract)
-      .filter(graft.functions.VectorExpressions
-        .sigBandScore(col("arr_sig"), col("sig"))
-        .bitwiseAND(lit(0xffffffffL)) <= serving.maxDist)
-      .select(col("arr_id")).distinct()
+      .select(explode(filter(col("probes"), p =>
+        exists(col("sigs"), s =>
+          graft.functions.VectorExpressions
+            .sigBandScore(p.getField("arr_sig"), s)
+            .bitwiseAND(lit(0xffffffffL)) <= serving.maxDist))).as("p"))
+      .select(col("p.arr_id")).distinct()
     media.join(hit, media("media_id") === hit("arr_id"), "left_anti")
       .as[MediaRecord]
   }

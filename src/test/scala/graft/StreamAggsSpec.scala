@@ -1478,7 +1478,8 @@ class StreamAggsSpec extends SparkSpec {
       assert(admitted(Multimodal.videoAdmitServed(arriving, st)) == bcast,
         "serving-join admission diverges from the broadcast gate")
       // uncapped serving mass = 28 keys per frame, the index identity
-      assert(st.keys.count() == frames * 28)
+      assert(st.keys.agg(sum(size(col("sigs")))).as[Long].head() ==
+        frames * 28)
 
       // foreachBatch recipe: the past-the-broadcast streaming shape
       val in = MemoryStream[Multimodal.MediaRecord]
@@ -1510,8 +1511,8 @@ class StreamAggsSpec extends SparkSpec {
       maxBucket = 1, shards = 3)
     try {
       // with shards=1 every surviving key bucket is globally <= cap
-      assert(sv1.keys.groupBy("key").count()
-        .filter(col("count") > 1).isEmpty, "cap rule leaked at shards=1")
+      assert(sv1.keys.filter(size(col("sigs")) > 1).isEmpty,
+        "cap rule leaked at shards=1")
       val servedFlat = admitted(Multimodal.videoAdmitServed(arriving, sv1))
       val servedSh = admitted(Multimodal.videoAdmitServed(arriving, sv3))
       val gatedFlatB = arrIds -- admitted(
