@@ -2008,7 +2008,7 @@ object Multimodal extends graft.QueryModule {
       : WideImageDupIndex = {
     require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
     val nShards = resolveShards(shards,
-      if (shards > 0) 1L else reference.count())
+      if (shards > 0) 1L else reference.count(), ImageShardTargetRefs)
     val rows = imageDHash(reference)
       .select(col("hash_lo"), col("hash_hi"),
         pmod(xxhash64(col("media_id")), lit(nShards)).as("shard"),
@@ -2709,13 +2709,20 @@ object Multimodal extends graft.QueryModule {
       .as[MediaRecord]
   }
 
-  /** Reference count each shard of a sharded VIDEO/IMAGE index
-    * targets — the measured single-cap serving envelope (SCALE.md
-    * round 12 exact-oracle tables: wide video 98.8% / wide image
-    * 98.4% recall at 200k refs per flat 100-entry cap; sharded at
-    * this target, 99.1% / 98.9% at 2M). AUTO shard counts are
-    * ceil(nRefs / this). */
+  /** Reference count each shard of a sharded VIDEO index targets —
+    * the measured single-cap serving envelope (SCALE.md round 12
+    * exact-oracle tables: wide video 98.8% recall at 200k refs per
+    * flat 100-entry cap; sharded at this target, 99.09% at 2M).
+    * AUTO shard counts are ceil(nRefs / this). */
   val MediaShardTargetRefs: Int = 200000
+
+  /** The IMAGE shard target — half the video one, from the round-13
+    * calibration: image's 21-bit pair-key space is structurally
+    * bounded (mass piles into ≤1.8M keys however many refs), so the
+    * video target left 2M-ref recall at 98.93%, under the ≥99% bar.
+    * At 100k/shard (20 shards at 2M) the measured exact recall is
+    * 99.94% for 1.32× the entry mass (40.7M vs 30.9M). */
+  val ImageShardTargetRefs: Int = 100000
 
   /** The AUDIO shard target — an order of magnitude below the
     * video/image one, from the round-12 calibration (flat-cap exact

@@ -440,11 +440,14 @@ object ProfileScale {
           f"of ${arriving.length}%d)")
         // the round-12 sharded cap budget at the same reference size;
         // SPARK_GRAFT_IMAGE_SHARD_TARGET overrides the per-shard ref
-        // target for calibration sweeps (round 13: the image knee
-        // hunt — the bounded 1.8M-key pair space piles mass earlier
-        // than video's nf-indexed space)
+        // target for calibration sweeps. Round 13 calibrated the
+        // default to the per-modality ImageShardTargetRefs=100k (the
+        // bounded 1.8M-key pair space piles mass earlier than
+        // video's nf-indexed space): 99.94% exact recall at 2M vs
+        // 98.93% at the video-shared 200k target.
         val imgTarget = sys.env
-          .getOrElse("SPARK_GRAFT_IMAGE_SHARD_TARGET", "200000").toInt
+          .getOrElse("SPARK_GRAFT_IMAGE_SHARD_TARGET",
+            Multimodal.ImageShardTargetRefs.toString).toInt
         val nSh = ((n + imgTarget - 1) / imgTarget).toInt
         val (sidx, tFitS) = wall(Multimodal.fitWideImageDupIndexSharded(
           Multimodal.nearDupImageTable(docs(n)), shards = nSh))
