@@ -2709,6 +2709,74 @@ object Multimodal extends graft.QueryModule {
       .as[MediaRecord]
   }
 
+  /** [[videoServingTables]]'s IMAGE twin — the same bucket-per-row
+    * relational layout over the C(8,2) = 28 band-pair keys
+    * ([[WideImageDupIndex.keysSql]], bit-equal to the Scala key,
+    * spec-asserted), the same per-(key, shard) cap rule (here the
+    * distributed groupBy the sharded image fit already ran — this
+    * just skips the driver collect and keeps the relation), shards
+    * hashed from the stable `media_id` exactly like the broadcast
+    * fit. `sigs` carries (media_id, hash_lo, hash_hi) — the decode
+    * pass, persisted.
+    *
+    * AUDIO has no serving twin BY MEASUREMENT, not omission: its
+    * verify needs each candidate's FULL sub-fingerprint set (exact
+    * Jaccard + smallest-shared-element survival), which cannot
+    * inline per bucket without quadratic mass, and its 2M-ref
+    * sharded broadcast fit measures 2.8 s at low-GB mass (SCALE.md
+    * round 12) — an order of magnitude inside the broadcast budget
+    * the serving layout exists to escape. */
+  def imageServingTables(reference: Dataset[MediaRecord],
+                         maxDist: Int = 6,
+                         maxBucket: Int = Dedup.DefaultMaxBucket,
+                         shards: Int = 0): MediaServingTables = {
+    require(maxDist <= 6,
+      s"band-pair pigeonhole needs maxDist <= 6, got $maxDist")
+    require(shards >= 0, s"shards must be >= 1 (or 0 = auto), got $shards")
+    val hashes = imageDHash(reference)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nShards = resolveShards(shards,
+      if (shards > 0) 1L else hashes.count(), ImageShardTargetRefs)
+    val keys = hashes
+      .select(col("hash_lo"), col("hash_hi"),
+        pmod(xxhash64(col("media_id")), lit(nShards)).as("shard"),
+        explode(expr(WideImageDupIndex.keysSql)).as("k"))
+      .groupBy(col("k"), col("shard"))
+      .agg(collect_list(struct(col("hash_lo").as("lo"),
+        col("hash_hi").as("hi"))).as("hs"))
+      .filter(size(col("hs")) <= maxBucket)
+      .select(col("k").as("key"), explode(col("hs")).as("h"))
+      .groupBy(col("key")).agg(collect_list(col("h")).as("hs"))
+    MediaServingTables(keys, hashes, maxDist, maxBucket, nShards)
+  }
+
+  /** Image admission against [[imageServingTables]] —
+    * decision-identical to `imageAdmitStreamWide` over the
+    * equally-configured broadcast index (spec-asserted): one decode
+    * pass, a SQL key explode, ONE shuffled key join, and a
+    * short-circuiting `exists` Hamming verify (`bit_count` of the
+    * XORed halves — the index's exact rule) on the joined bucket
+    * row. Streaming: `foreachBatch`, as for video. */
+  def imageAdmitServed(media: Dataset[MediaRecord],
+                       serving: MediaServingTables)
+      : Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val arrKeys = imageDHash(media)
+      .select(col("media_id").as("arr_id"),
+        col("hash_lo"), col("hash_hi"),
+        explode(expr(WideImageDupIndex.keysSql)).as("key"))
+    val hit = arrKeys
+      .join(serving.keys, "key")
+      .filter(exists(col("hs"), h =>
+        (bit_count(col("hash_lo").bitwiseXOR(h.getField("lo"))) +
+          bit_count(col("hash_hi").bitwiseXOR(h.getField("hi"))))
+          <= serving.maxDist))
+      .select(col("arr_id")).distinct()
+    media.join(hit, media("media_id") === hit("arr_id"), "left_anti")
+      .as[MediaRecord]
+  }
+
   /** Reference count each shard of a sharded VIDEO index targets —
     * the measured single-cap serving envelope (SCALE.md round 12
     * exact-oracle tables: wide video 98.8% recall at 200k refs per

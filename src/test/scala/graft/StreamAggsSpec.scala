@@ -1533,4 +1533,46 @@ class StreamAggsSpec extends SparkSpec {
         "cap never bit - the recovery premise is untested")
     } finally { sv1.unpersist(); sv3.unpersist() }
   }
+
+  test("image serving tables: join-path admission equals the broadcast " +
+    "wide gate EXACTLY at any shard count (same media_id shard basis), " +
+    "over-cap included") {
+    import graft.operators.Multimodal
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val all = Multimodal.nearDupImageTable(docs.limit(300))
+    val reference = all.filter(col("media_id") % 4 < 2)
+    val arriving = all.filter(col("media_id") % 4 >= 2)
+    def admitted(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRecord])
+        : Set[Long] = ds.select("media_id").as[Long].collect().toSet
+    // under-cap, any shards: equal to the wide broadcast gate
+    val wide = Multimodal.fitWideImageDupIndex(reference)
+    var wideEntries = 0L
+    wide.buckets.forEach((_, b) => wideEntries += b.length / 2)
+    assert(wideEntries == reference.count() * 28,
+      "fixture over-caps; the under-cap premise is void")
+    val bcast = admitted(Multimodal.imageAdmitStreamWide(arriving, wide))
+    val st = Multimodal.imageServingTables(reference, shards = 3)
+    try {
+      assert(admitted(Multimodal.imageAdmitServed(arriving, st)) == bcast,
+        "serving-join admission diverges from the broadcast gate")
+    } finally st.unpersist()
+    // over-cap (cap 1, shards 3): unlike video, the image broadcast
+    // fit shards on xxhash64(media_id) — the SAME basis serving uses —
+    // so the two paths must agree bucket-for-bucket even where the
+    // cap bites
+    val shTiny = Multimodal.fitWideImageDupIndexSharded(
+      reference, maxBucket = 1, shards = 3)
+    val svTiny = Multimodal.imageServingTables(reference,
+      maxBucket = 1, shards = 3)
+    try {
+      val gatedB = admitted(arriving) -- admitted(
+        Multimodal.imageAdmitStreamWide(arriving, shTiny))
+      val gatedS = admitted(arriving) -- admitted(
+        Multimodal.imageAdmitServed(arriving, svTiny))
+      assert(gatedS == gatedB,
+        s"serving != broadcast over-cap at shards=3: ${
+          (gatedS -- gatedB) ++ (gatedB -- gatedS)}")
+      assert(gatedB.nonEmpty, "cap never bit - the over-cap arm is vacuous")
+    } finally svTiny.unpersist()
+  }
 }
