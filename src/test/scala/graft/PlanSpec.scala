@@ -625,4 +625,34 @@ class PlanSpec extends SparkSpec {
         s"$name: CSE does not collapse the duplicated node: $common")
     }
   }
+
+  test("video serving gate keeps its past-the-broadcast shape: a " +
+    "shuffled key join (never a broadcast of the serving table) and " +
+    "a single left-anti back to the media") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val all = Multimodal.nearDupVideoTable(docs.limit(100))
+    val st = Multimodal.videoServingTables(
+      all.filter(col("media_id") % 2 === 0), shards = 1)
+    // at-scale stats: nothing is auto-broadcastable (the serving
+    // table at 2M refs is ~GBs — the whole reason this path exists);
+    // the fixture's tiny stats would otherwise broadcast everything
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(Multimodal.videoAdmitServed(
+          all.filter(col("media_id") % 2 === 1), st).toDF())
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"serving table broadcast despite the budget premise:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no shuffled key join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop shape leaked into the serving gate:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      st.unpersist()
+    }
+  }
 }
