@@ -34,6 +34,14 @@ if "--no-verify" not in flags:
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 con = duckdb.connect()
+# GRAFT_DUCKDB_MEM (e.g. "60GB"): cap DuckDB so a quadratic oracle
+# (the q137/q139 class) errors/spills instead of drawing the OS OOM
+# killer — which kills SILENTLY and can take concurrent JVMs with it.
+# sf1_sweep.py relies on this for per-query isolation on shared boxes.
+import os
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    con.sql(f"SET temp_directory='/tmp/graft_duckdb_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
