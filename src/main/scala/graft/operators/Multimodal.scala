@@ -271,23 +271,25 @@ object Multimodal extends graft.QueryModule {
     * decoder must read back (PNG and BMP are both lossless). */
   def syntheticImageBytes(width: Int, height: Int, seed: Long,
                           format: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // round 13: fill the packed RGB raster directly and encode with
+    // the from-scratch writers — same pixel function, same decoded
+    // raster, no per-pixel ColorModel dispatch, no ImageIO.write
+    // per-call setup (ProfileSynth: ~0.7 s/pass of the image-family
+    // queries was ImageIO encode overhead)
+    val px = new Array[Byte](width * 3 * height)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val r = math.floorMod(x * 7 + y * 3 + seed, 256).toInt
-        val g = math.floorMod(x * 5 + y * 11 + seed * 2, 256).toInt
-        val b = math.floorMod(x * 13 + y * 17 + seed * 3, 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val o = y * width * 3 + x * 3
+        px(o) = math.floorMod(x * 7 + y * 3 + seed, 256).toByte
+        px(o + 1) = math.floorMod(x * 5 + y * 11 + seed * 2, 256).toByte
+        px(o + 2) = math.floorMod(x * 13 + y * 17 + seed * 3, 256).toByte
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
-    bos.toByteArray
+    encodeImage(width, height, px, format)
   }
 
   /** Media table whose payloads are REAL encoded images: small
@@ -356,24 +358,23 @@ object Multimodal extends graft.QueryModule {
     * LAION-style pHash dedup pass, expressed Spark-first. */
   def nearDupImageBytes(w: Int, h: Int, grp: Long, member: Int,
                         format: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // round 13: direct raster fill + from-scratch encode (see
+    // [[syntheticImageBytes]]); pixel formulas unchanged
+    val px = new Array[Byte](w * 3 * h)
     val (qa, qb) = ((grp % 5 + 1).toInt, (grp % 3 + 1).toInt)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = math.floorMod(x * x * qa + y * 3 + grp * 11 + member, 256).toInt
-        val g = math.floorMod(x * 5 + y * y * qb + grp * 23 + member, 256).toInt
-        val b = math.floorMod(x * 13 + y * 17 + grp * 29 + member, 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val o = y * w * 3 + x * 3
+        px(o) = math.floorMod(x * x * qa + y * 3 + grp * 11 + member, 256).toByte
+        px(o + 1) = math.floorMod(x * 5 + y * y * qb + grp * 23 + member, 256).toByte
+        px(o + 2) = math.floorMod(x * 13 + y * 17 + grp * 29 + member, 256).toByte
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
-    bos.toByteArray
+    encodeImage(w, h, px, format)
   }
 
   def nearDupImageTable(documents: DataFrame): Dataset[MediaRecord] = {
@@ -657,6 +658,106 @@ object Multimodal extends graft.QueryModule {
       }
       (w, h, out)
     }
+
+  // ---- from-scratch image ENCODERS (round 13 optimization) --------------
+
+  /** Minimal deterministic 24-bit BMP writer — the exact canonical
+    * shape the fast decode paths ([[bmpDHashFast]]/[[bmpDecodeFast]])
+    * accept and ImageIO's own writer emits: BM magic, 40-byte
+    * BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows padded to 4
+    * bytes. Input raster: packed top-down RGB rows (the
+    * [[decodeRasterAny]] convention). Round-13 finding (ProfileSynth,
+    * sf0.1): ImageIO.write's per-call plugin setup was ~0.7 s of the
+    * 0.9 s image fixture-synthesis pass — the ENCODE twin of the
+    * round-7 decode finding (ImageIO per-call setup ≈ 85% of the
+    * gate's decode cost). Decoded-raster equality with the ImageIO
+    * writer path is spec-asserted, so every downstream hash/feature
+    * is bit-identical. */
+  private[graft] def encodeBmp24(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val out = new Array[Byte](size)
+    def i32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    i32(2, size); i32(10, 54); i32(14, 40); i32(18, w); i32(22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp; compression stays 0 = BI_RGB
+    i32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = y * w * 3 + x * 3
+        out(dst + x * 3) = px(o + 2) // RGB -> BGR
+        out(dst + x * 3 + 1) = px(o + 1)
+        out(dst + x * 3 + 2) = px(o)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal deterministic PNG writer: 8-bit truecolor (color type
+    * 2), non-interlaced, filter-0 rows, one zlib (BEST_SPEED) IDAT,
+    * correct chunk CRCs — inside what both [[pngDecodeFast]] and
+    * ImageIO accept. The BYTES differ from ImageIO's writer (filter
+    * choice and deflate level are an encoder's freedom; nothing in
+    * the repo or the oracles depends on payload bytes beyond
+    * decodability — q144's 20-byte truncation still fails the IHDR
+    * length check); the DECODED raster is identical, which is the
+    * contract every consumer (dHash, features, oracle formulas)
+    * depends on. Same round-13 ImageIO.write finding as
+    * [[encodeBmp24]]. */
+  private[graft] def encodePngRgb24(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val rowBytes = w * 3
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    var y = 0
+    while (y < h) { // filter byte 0 per row is the array's default 0
+      System.arraycopy(px, y * rowBytes, raw, y * (rowBytes + 1) + 1, rowBytes)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw); defl.finish()
+    val comp = new Array[Byte](raw.length + (raw.length >> 8) + 64)
+    var clen = 0
+    while (!defl.finished())
+      clen += defl.deflate(comp, clen, comp.length - clen)
+    defl.end()
+    val out = new Array[Byte](8 + 25 + 12 + clen + 12)
+    out(0) = 0x89.toByte; out(1) = 'P'; out(2) = 'N'; out(3) = 'G'
+    out(4) = 0x0d; out(5) = 0x0a; out(6) = 0x1a; out(7) = 0x0a
+    def be32(o: Int, v: Int): Unit = {
+      out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+      out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+    }
+    // writes length+type around data already placed at o+8, CRCs
+    // type+data, returns the next chunk's offset
+    def chunk(o: Int, typ: String, len: Int): Int = {
+      be32(o, len)
+      var k = 0
+      while (k < 4) { out(o + 4 + k) = typ.charAt(k).toByte; k += 1 }
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, o + 4, 4 + len)
+      be32(o + 8 + len, crc.getValue.toInt)
+      o + 12 + len
+    }
+    be32(16, w); be32(20, h)
+    out(24) = 8; out(25) = 2 // bit depth 8, truecolor; comp/filt/ilace 0
+    var o = chunk(8, "IHDR", 13)
+    System.arraycopy(comp, 0, out, o + 8, clen)
+    o = chunk(o, "IDAT", clen)
+    chunk(o, "IEND", 0)
+    out
+  }
+
+  private[graft] def encodeImage(w: Int, h: Int, px: Array[Byte],
+                                 format: String): Array[Byte] =
+    if (format == "png") encodePngRgb24(w, h, px) else encodeBmp24(w, h, px)
 
   /** Per-partition REAL decode → dHash. Map-only: at 100 TB this is
     * the only pass that touches payload bytes; everything downstream
@@ -1369,29 +1470,28 @@ object Multimodal extends graft.QueryModule {
         val g = id / 4; val m = (id % 4).toInt
         val (tx0, ty0, ntx, nty) = rects(m)
         val (w, h) = (ntx * TileW, nty * TileH)
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // round 13: direct raster fill + from-scratch encode (see
+        // [[syntheticImageBytes]]); pixel formulas unchanged
+        val px = new Array[Byte](w * 3 * h)
         var y = 0
         while (y < h) {
           val ty = ty0 + y / TileH; val ly = y % TileH
           var x = 0
           while (x < w) {
             val tx = tx0 + x / TileW; val lx = x % TileW
-            val r = math.floorMod(
-              lx * lx * (g % 5 + 1) + ly * 3 + tx * 31 + ty * 37 + g * 11, 256)
-            val gc = math.floorMod(
-              lx * 5 + ly.toLong * ly * (g % 3 + 1) + tx * 41 + ty * 43 + g * 23, 256)
-            val b = math.floorMod(
-              lx * 13 + ly * 17 + tx * 47 + ty * 53 + g * 29, 256)
-            img.setRGB(x, y, (r.toInt << 16) | (gc.toInt << 8) | b.toInt)
+            val o = y * w * 3 + x * 3
+            px(o) = math.floorMod(
+              lx * lx * (g % 5 + 1) + ly * 3 + tx * 31 + ty * 37 + g * 11, 256).toByte
+            px(o + 1) = math.floorMod(
+              lx * 5 + ly.toLong * ly * (g % 3 + 1) + tx * 41 + ty * 43 + g * 23, 256).toByte
+            px(o + 2) = math.floorMod(
+              lx * 13 + ly * 17 + tx * 47 + ty * 53 + g * 29, 256).toByte
             x += 1
           }
           y += 1
         }
         val fmt = if (id % 2 == 0) "png" else "bmp"
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, bos)
-        MediaRecord(id, fmt, w, h, bos.toByteArray)
+        MediaRecord(id, fmt, w, h, encodeImage(w, h, px, fmt))
       }
     }
   }

@@ -467,6 +467,40 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("from-scratch PNG/BMP encoders round-trip pixel-exactly " +
+    "through ImageIO AND the fast decode paths (round-13 encoders)") = {
+    val imgGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 32)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)
+    forAll(imgGen) { case (w, h, seed) =>
+      val r = new scala.util.Random(seed)
+      val px = new Array[Byte](w * 3 * h)
+      r.nextBytes(px)
+      def eq(d: (Int, Int, Array[Byte])): Boolean =
+        d._1 == w && d._2 == h && java.util.Arrays.equals(d._3, px)
+      def viaImageIO(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new Array[Byte](img.getWidth * 3 * img.getHeight)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val p = img.getRGB(x, y)
+          val o = (y * img.getWidth + x) * 3
+          out(o) = ((p >> 16) & 0xff).toByte
+          out(o + 1) = ((p >> 8) & 0xff).toByte
+          out(o + 2) = (p & 0xff).toByte
+        }
+        (img.getWidth, img.getHeight, out)
+      }
+      val png = Multimodal.encodePngRgb24(w, h, px)
+      val bmp = Multimodal.encodeBmp24(w, h, px)
+      eq(Multimodal.pngDecodeFast(png).get) &&
+        eq(Multimodal.bmpDecodeFast(bmp).get) &&
+        eq(viaImageIO(png)) && eq(viaImageIO(bmp))
+    }
+  }
+
   property("parseWav survives garbage and mutated containers") = {
     val valid = Multimodal.wavBytes(
       Array.tabulate(400)(t => ((t * 37) % 2048 - 1024).toShort), 8000)
