@@ -3065,15 +3065,36 @@ object Multimodal extends graft.QueryModule {
     import spark.implicits._
     val total = documents.count()
     def row(kind: String, groups: DataFrame): (String, Long, Long, Long) = {
+      spark.sparkContext.setJobDescription(s"q143 funnel: $kind groups")
       val dropped = groups
         .filter(col("media_id") =!= col("group_id")).count()
+      spark.sparkContext.setJobDescription(null)
       (kind, total, dropped, total - dropped)
     }
-    Seq(
-      row("image", imageDedupGroups(nearDupImageTable(documents))),
-      row("audio", audioDedupGroups(nearDupAudioTable(documents))),
-      row("video", videoDedupGroups(nearDupVideoTable(documents)))
-    ).toDF("kind", "n_total", "n_dropped", "n_kept")
+    // The three modality pipelines are INDEPENDENT jobs reduced to one
+    // count each; run them from a small thread pool so each pipeline's
+    // stage tail is back-filled by the next one's tasks instead of
+    // idling the executors (optimization-guide §2.6 — actions were
+    // only sequential because this driver code called them
+    // sequentially). Job descriptions are thread-local, so each job
+    // stays labeled; the assembled rows keep the fixed seq order, so
+    // the output is byte-identical to the sequential spelling.
+    // Measured (sf0.1, min-of-2 noop): 2.8 s sequential -> ~1.6 s.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future(
+            row("image", imageDedupGroups(nearDupImageTable(documents)))),
+          scala.concurrent.Future(
+            row("audio", audioDedupGroups(nearDupAudioTable(documents)))),
+          scala.concurrent.Future(
+            row("video", videoDedupGroups(nearDupVideoTable(documents)))))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    rows.toDF("kind", "n_total", "n_dropped", "n_kept")
       .withColumn("permille_kept", expr("n_kept * 1000 div n_total"))
   }
 
