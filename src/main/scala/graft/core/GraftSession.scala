@@ -32,6 +32,19 @@ object GraftSession {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Round-13 measurement (Profile13 minpart, OPTIMIZATION_r13.md):
+    // AQE's byte-based coalescing merges CPU-heavy but byte-light
+    // post-shuffle stages below the core count — a 1.3M-row pair set
+    // is ~20 MB, so the default 1 MB floor coalesces the per-pair
+    // jaccard/containment walks to a fraction of local[32] (q29
+    // 3.8 s -> 1.7-2.0 s with a smaller floor; q66/q128 similar).
+    // 128k keeps local parallelism at the core count for these
+    // stages while staying invisible at production scale, where
+    // post-shuffle partitions are far above 1 MB either way — the
+    // floor only matters in the small-bytes/heavy-CPU regime.
+    // Env-overridable for cluster deployments that want the default.
+    c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"))
     spark
   }
 
