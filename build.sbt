@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON out of the forked run's
+// stdout tail; sbt's default logger decorates every forked-stdout line
+// with "[info] ", which has broken that parse in all 13 rounds
+// (BENCH_r01-r13 parsed:null). Pass forked output through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
