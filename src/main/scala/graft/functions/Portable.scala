@@ -18,9 +18,12 @@ object Portable {
 
   /** 32-bit hash of a string via md5 prefix. Unsigned, fits a long.
     * DuckDB: `('0x' || substr(md5(s), 1, 8))::BIGINT`
+    * Evaluated as ONE generated node straight off the digest bytes
+    * ([[Md5PrefixLong]], round 14) — bit-identical to the composite
+    * `conv(substring(md5(c), 1, 8), 16, 10).cast("long")` spelling
+    * (property-pinned) without its four string round-trips per call.
     */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = HashExpressions.md5Prefix(c, 8)
 
   /** Seeded variant for hash families (minhash, LSH planes).
     * DuckDB: `('0x' || substr(md5(seed || '|' || s), 1, 8))::BIGINT`
@@ -34,8 +37,7 @@ object Portable {
     * sign-bit ambiguity between engines.
     * DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = HashExpressions.md5Prefix(c, 15)
 
   /** Whitespace-normalized lowercase text.
     * DuckDB: `trim(regexp_replace(lower(s), '\s+', ' ', 'g'))`
@@ -71,28 +73,21 @@ object Portable {
   def words(c: Column): Column = split(normText(c), " ")
 
   /** Consecutive n-gram "shingles" of a token array, joined with one
-    * space. Empty result when fewer than n tokens. Built as a
-    * zip_with fold over n shifted slices of the array: the `tokens`
-    * expression is evaluated once per SLICE (n+1 times per row), and
-    * the per-element lambdas touch only slice elements. The naive
-    * `transform(sequence(...), i => concat(element_at(tokens, i+j)))`
-    * spelling re-evaluates `tokens` inside the lambda — when callers
-    * inline `words(text)` (every shingle call site does), that
-    * re-runs the regex normalize + split once per ELEMENT per
-    * element_at: measured 50× the cost of this shape on the bench
-    * corpus.
+    * space. Empty result when fewer than n tokens. One fused codegen
+    * node ([[WordShingles]], round 14) — the previous zip_with fold
+    * over n shifted slices had no codegen (ArrayZipWith interprets a
+    * closure per element per fold step) and materialized n-1
+    * intermediate arrays per row; measured 0.47 s of every 0.59 s
+    * gram pass on the bench corpus. Output is bit-identical
+    * (property-pinned), and `tokens` now evaluates once per ROW.
+    * (History: the even older `transform(sequence(...), i =>
+    * concat(element_at(tokens, i+j)))` spelling re-ran the regex
+    * tokenize per element reference — 50× this shape.)
     * DuckDB: `list_transform(generate_series(1, len(w)-(n-1)),
     *            i -> array_to_string(w[i:i+(n-1)], ' '))`
     */
-  def shingles(tokens: Column, n: Int): Column = {
-    val len = size(tokens) - (n - 1)
-    val folded = (2 to n).foldLeft(slice(tokens, lit(1), len)) { (acc, j) =>
-      zip_with(acc, slice(tokens, lit(j), len),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(folded)
-  }
+  def shingles(tokens: Column, n: Int): Column =
+    HashExpressions.wordShingles(tokens, n)
 
   /** Exact decimal view of a double metric column: per-row cast is
     * deterministic (nearest-decimal of an identical double), and the

@@ -366,6 +366,78 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("Md5PrefixLong CODEGEN == interpreted == hex-parse spelling") = {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def hexPrefix(s: String, nibbles: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(nibbles), 16)
+    }
+    val exprs = Seq(8, 15).map(n => n -> graft.functions.Md5PrefixLong(
+      BoundReference(0, StringType, nullable = true), n))
+    val projs = exprs.map { case (n, e) =>
+      (n, e, GenerateUnsafeProjection.generate(Seq(e))) }
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("", " ", "héllo wörld", "日本語 の グラム", "a b c",
+        "split|42", "seed|x y z"))
+    forAll(strGen) { s =>
+      val row = InternalRow(UTF8String.fromString(s))
+      projs.forall { case (n, e, p) =>
+        val gen = p(row).getLong(0)
+        val interp = e.eval(row).asInstanceOf[Long]
+        // pins the direct-from-digest-bytes fold to the composite
+        // conv(substring(md5(s),1,n),16,10) spelling (and, at n=15,
+        // to Portable.h60Scala, the driver twin every serve path uses)
+        val want = hexPrefix(s, n)
+        gen == interp && gen == want &&
+          (n != 15 || gen == graft.functions.Portable.h60Scala(s))
+      }
+    }
+  }
+
+  property("WordShingles CODEGEN == interpreted == sliding-join mirror") = {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val exprs = Seq(2, 3, 5).map(n => n -> graft.functions.WordShingles(
+      BoundReference(0, ArrayType(StringType, containsNull = true), nullable = true), n))
+    val projs = exprs.map { case (n, e) =>
+      (n, e, GenerateUnsafeProjection.generate(Seq(e.children.head, e))) }
+    val tokGen = Gen.chooseNum(0, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf(
+        Gen.alphaNumStr, Gen.const(""), Gen.const(null: String),
+        Gen.oneOf("wörd", "日本", "a"))))
+    forAll(tokGen) { ts =>
+      val arr = new GenericArrayData(
+        ts.map(t => if (t == null) null else UTF8String.fromString(t): Any).toArray)
+      val row = InternalRow(arr, null)
+      projs.forall { case (n, e, p) =>
+        val genRow = p(row)
+        val gen =
+          if (genRow.isNullAt(1)) null
+          else genRow.getArray(1).toObjectArray(StringType)
+            .map(v => if (v == null) null else v.toString).toSeq
+        val interpV = e.eval(row)
+        val interp =
+          if (interpV == null) null
+          else interpV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(StringType)
+            .map(v => if (v == null) null else v.toString).toSeq
+        // mirror of the old zip_with-fold spelling: element i joins
+        // tokens i..i+n-1 with single spaces; any null token in the
+        // window nulls that element (concat semantics); fewer than n
+        // tokens -> empty array
+        val want: Seq[String] =
+          if (ts.length < n) Seq.empty
+          else ts.sliding(n).map(w =>
+            if (w.contains(null)) null else w.mkString(" ")).toSeq
+        gen == interp && gen == want
+      }
+    }
+  }
+
   property("SigBandScore CODEGEN == interpreted == plain-Scala mirror") = {
     val expr = graft.functions.SigBandScore(
       BoundReference(0, ArrayType(LongType), nullable = true),
