@@ -398,6 +398,24 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("md5 prefix identity: hash32(s) == hash60(s) >>> 28") = {
+    // both hashes are prefixes of ONE digest (8 vs 15 hex chars), so
+    // dropping the low 7 nibbles (28 bits) of the 60-bit value IS the
+    // 32-bit value — any op holding a 60-bit base can derive the
+    // 32-bit family without a second md5 pass (measured NOT worth a
+    // cache round-trip for q87 once the fused nodes landed, see
+    // OPTIMIZATION_r14.md, but the identity itself stays pinned)
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("", " ", "héllo wörld", "日本語 の グラム", "a b c"))
+    forAll(strGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(s)
+      (graft.functions.Md5PrefixLong.prefix(u, 15) >>> 28) ==
+        graft.functions.Md5PrefixLong.prefix(u, 8)
+    }
+  }
+
   property("WordShingles CODEGEN == interpreted == sliding-join mirror") = {
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
