@@ -474,19 +474,20 @@ object TextOps extends graft.QueryModule {
     * Docs appear in the output iff they share at least one n-gram,
     * with the doc's total gram count for a ratio.
     *
-    * `fusedProbe = Some(true)` switches to a frozen-index MAP-ONLY
-    * variant (one [[graft.functions.GramSetSharedCount]] call per
-    * doc against the fitContamIndex array — zero exchanges, zero
-    * joins, the exact shape the streaming gate serves from), with
-    * identical rows (parity-spec'd). It is NOT the default: the
-    * round-8 A/B (ProfileOps q125ab, sf0.1 + 10x replicas) measured
-    * it 0.5-0.6 s SLOWER per run — the separate driver job that
-    * freezes the index costs more than the gram explode + broadcast
-    * probe it eliminates, at every locally testable scale — and
-    * past broadcast scale the index cannot freeze on the driver
-    * either, so the join path is also the scale fallback. Kept for
-    * the serving-shape parity and for pipelines that already hold a
-    * frozen index.
+    * `fusedProbe` picks between a frozen-index MAP-ONLY variant (one
+    * [[graft.functions.GramSetSharedCount]] call per doc against the
+    * fitContamIndex array — zero exchanges, zero joins, the exact
+    * shape the streaming gate serves from) and the gram-explode +
+    * index-join formulation, with identical rows (parity-spec'd).
+    * DEFAULT (round 14): fused while the benchmark side sits under
+    * the broadcast-source gate, join past it — past broadcast scale
+    * the index cannot freeze on the driver, so the join path is the
+    * scale fallback either way. History: the round-8 A/B (ProfileOps
+    * q125ab) measured the fused path 0.5-0.6 s SLOWER per run and it
+    * was opt-in through round 13; the round-14 fused expression
+    * nodes (WordShingles + Md5PrefixLong) cut its per-row cost 3-4×
+    * and the same A/B now favors it (Profile14 q125: 0.64 s fused vs
+    * 0.75 s join for the report, 1.12 vs 1.39 for the apply).
     */
   def contamination(documents: DataFrame, benchSource: String = "src0",
                     n: Int = 5,
@@ -496,8 +497,8 @@ object TextOps extends graft.QueryModule {
     val small =
       benchDocs.queryExecution.optimizedPlan.stats.sizeInBytes <=
         Dedup.MaxBroadcastSourceBytes
-    if (fusedProbe.getOrElse(false)) {
-      // FUSED probe (opt-in; see the scaladoc's measured trade-off):
+    if (fusedProbe.getOrElse(small)) {
+      // FUSED probe (default under the gate; see the scaladoc):
       // freeze the benchmark grams as a sorted h60 array
       // (fitContamIndex — the exact structure the streaming gate
       // serves from) and count per-doc membership in ONE generated
@@ -566,12 +567,18 @@ object TextOps extends graft.QueryModule {
     * unchanged (60-bit gram hashes, distinct bench index, stats-gated
     * broadcast), then ONE bare-id drop set anti-joins the corpus
     * under the same gate — payloads move zero times. With
-    * `fusedProbe = Some(true)` the keep/drop decision instead fuses
-    * into the corpus scan itself — ONE map-only pass, zero
-    * exchanges, zero joins; the exact per-document decision
-    * [[graft.streaming.StreamAggs.decontamGate]] makes in-stream —
-    * measured SLOWER locally (the contamination scaladoc's A/B), so
-    * opt-in, not the default.
+    * `fusedProbe = Some(false)` the keep/drop decision runs as that
+    * report→anti-join composition; the DEFAULT (round 14) fuses it
+    * into the corpus scan itself while the benchmark side sits under
+    * the broadcast-source gate — ONE map-only pass, zero exchanges,
+    * zero joins; the exact per-document decision
+    * [[graft.streaming.StreamAggs.decontamGate]] makes in-stream.
+    * The round-8 A/B measured the fused path SLOWER (its shingle
+    * assembly and gram hash were interpreted then); with the round-14
+    * fused expression nodes it re-measured FASTER (Profile14 q125:
+    * fused 1.12 s vs join 1.39 s at sf0.1), and past the gate the
+    * index cannot freeze on the driver so the join path remains the
+    * scale fallback. Path equality is spec-asserted (OperatorsSpec).
     */
   def decontaminate(documents: DataFrame, benchSource: String = "src0",
                     n: Int = 5, maxSharePermille: Long = 100,
@@ -582,7 +589,7 @@ object TextOps extends graft.QueryModule {
     val small = documents.filter(col("source") === benchSource)
       .queryExecution.optimizedPlan.stats.sizeInBytes <=
       Dedup.MaxBroadcastSourceBytes
-    if (fusedProbe.getOrElse(false)) {
+    if (fusedProbe.getOrElse(small)) {
       val idx = fitContamIndex(documents, benchSource, n)
       val out = Seq(col("doc_id"), col("lang"), col("source"),
         col("n_chars"))
@@ -1203,23 +1210,113 @@ object TextOps extends graft.QueryModule {
     * localCheckpoint is executor-local.
     */
   def bpeTrain(documents: DataFrame, merges: Int = 8,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               maxDriverVocab: Long = MaxDriverVocab): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    bpeLoop(documents, merges, checkpointDir)._1
+    bpeLoop(documents, merges, checkpointDir, maxDriverVocab)._1
       .toDF("step", "lhs", "rhs", "merged", "n")
   }
 
+  /** Vocab-row ceiling for running the BPE merge rounds ON THE
+    * DRIVER: below it the whole loop is local (zero per-round Spark
+    * jobs); above it the distributed round loop runs (one vocab-keyed
+    * aggregate + argmax collect per round). The same size-gate
+    * discipline as [[graft.operators.Dedup.dedupGroups]]' union-find:
+    * the WORD table is model-sized (vocabulary, not corpus) in any
+    * sane corpus, the driver holds (word, pieces, freq) ≈ ~100 B/row
+    * → ~100 MB at the cap, and the mis-pick penalty is bounded (the
+    * distributed loop still works below the cap, just ~1 s slower at
+    * bench scale). Env-overridable for cluster tuning. */
+  private val MaxDriverVocab =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_DRIVER_VOCAB", "1000000").toLong
+
   /** The [[bpeTrain]] driver loop; also returns the final piece table
-    * (word, ps, freq) so [[bpeEncode]] can apply the learned merges. */
+    * (word, ps, freq) so [[bpeEncode]] can apply the learned merges.
+    *
+    * Round 14: the per-round work is VOCAB-sized (the corpus collapses
+    * to the distinct-word table before any round runs), so when the
+    * vocab fits [[MaxDriverVocab]] the merge rounds run on the driver
+    * — `merges` rounds of count-adjacent-pairs → argmax → rewrite over
+    * a local array, ZERO Spark jobs per round, vs one aggregate + one
+    * argmax collect job per round distributed (measured: the 8-round
+    * q101 spent ~1.2 s of its 1.31 s on per-round job overhead at
+    * sf0.1). Bit-equivalence: the local rewrite is
+    * `String.replace(" l r ", " lr ")` on the SAME padded piece
+    * string, and java.lang.String.replace, UTF8String.replace (what
+    * Spark's `replace` executes) and DuckDB's replace all share
+    * leftmost non-overlapping semantics (verified on the boundary-
+    * space case " a a a a " → " aa a a " in all three); the argmax
+    * order (n desc, l asc, r asc) compares ASCII pieces, where String
+    * ordering == UTF8String binary ordering. The distributed fallback
+    * path is unchanged and still exercised (OperatorsSpec forces it). */
   private def bpeLoop(documents: DataFrame, merges: Int,
-                      checkpointDir: Option[String])
+                      checkpointDir: Option[String],
+                      maxDriverVocab: Long = MaxDriverVocab)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val spark = documents.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     val wf0 = bpeInitState(documents)
+    // size gate in ONE job: limit(cap+1) — if fewer rows come back,
+    // those are ALL the rows, collected without a separate count pass
+    val probe =
+      if (maxDriverVocab <= 0) Array.empty[org.apache.spark.sql.Row]
+      else wf0.limit(maxDriverVocab.toInt + 1).collect()
+    if (maxDriverVocab > 0 && probe.length <= maxDriverVocab) {
+      val (out, state) = bpeLoopLocal(
+        probe.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+        merges)
+      import spark.implicits._
+      (out, spark.createDataset(state.toSeq).toDF("word", "ps", "freq"))
+    } else bpeLoopDistributed(wf0, merges, checkpointDir.isDefined)
+  }
+
+  /** All `merges` BPE rounds over a driver-local vocab. */
+  private def bpeLoopLocal(vocab0: Array[(String, String, Long)],
+                           merges: Int)
+      : (Seq[(Int, String, String, String, Long)],
+         Array[(String, String, Long)]) = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // get_stats: adjacent-piece counts, overlapping adjacencies
+      // counted, weighted by word freq — bpePairAgg's local twin
+      val counts = new java.util.HashMap[(String, String), Long]
+      vocab.foreach { case (_, ps, f) =>
+        val p = ps.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < p.length - 1) {
+          counts.merge((p(i), p(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val ((l, r), n) = best
+        out += ((step, l, r, l + r, n))
+        val (from, to) = (s" $l $r ", s" $l$r ")
+        vocab = vocab.map { case (w, ps, f) => (w, ps.replace(from, to), f) }
+        step += 1
+      }
+    }
+    (out.result(), vocab)
+  }
+
+  /** The pre-round-14 distributed round loop — the past-the-gate path
+    * for vocabularies too large to hold on the driver. */
+  private def bpeLoopDistributed(wf0: DataFrame, merges: Int,
+                                 reliable: Boolean)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     def leaf(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     var state = leaf(wf0)
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
@@ -1270,8 +1367,10 @@ object TextOps extends graft.QueryModule {
     */
   def bpeEncode(documents: DataFrame, merges: Int = 8,
                 broadcastVocab: Option[Boolean] = None,
-                checkpointDir: Option[String] = None): DataFrame = {
-    val (learned, state) = bpeLoop(documents, merges, checkpointDir)
+                checkpointDir: Option[String] = None,
+                maxDriverVocab: Long = MaxDriverVocab): DataFrame = {
+    val (learned, state) =
+      bpeLoop(documents, merges, checkpointDir, maxDriverVocab)
     require(learned.size == merges,
       s"bpeEncode: corpus exhausted adjacent pairs after ${learned.size} " +
         s"of $merges merges — lower `merges`")

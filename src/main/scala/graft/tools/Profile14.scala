@@ -17,7 +17,8 @@ object Profile14 {
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.GraftSession.configure(spark)
     val sections: Map[String, SparkSession => Unit] = Map(
-      "hash" -> hash, "words" -> wordsSection, "stages" -> stages)
+      "hash" -> hash, "words" -> wordsSection, "stages" -> stages,
+      "q125" -> q125, "q11" -> q11, "probe" -> probe)
     val run = if (args.isEmpty) sections.keys.toSeq.sorted else args.toSeq
     run.foreach { s =>
       println(s"== section $s")
@@ -94,5 +95,45 @@ object Profile14 {
       graft.operators.Dedup.minhashPairs(docs))
     time("q87 truth arm (ngramJaccardPairs)")(
       graft.operators.Dedup.ngramJaccardPairs(docs, 0.8))
+  }
+
+  /** q125 decontaminate: gram-explode + index join (the default)
+    * vs the fused frozen-index map-only probe — re-measured on the
+    * round-14 tree (the fused path's shingle+hash cost just dropped
+    * 3-4× with the fused expression nodes; the round-8 A/B that made
+    * the join path the default predates them). */
+  private def q125(spark: SparkSession): Unit = {
+    val docs = Tables.documents(spark, d)
+    docs.count()
+    time("q125 join path")(
+      graft.operators.TextOps.decontaminate(docs, fusedProbe = Some(false)))
+    time("q125 fused frozen-index probe (default, r14)")(
+      graft.operators.TextOps.decontaminate(docs, fusedProbe = Some(true)))
+    time("q55 contamination join path (default)")(
+      graft.operators.TextOps.contamination(docs, fusedProbe = Some(false)))
+    time("q55 contamination fused probe")(
+      graft.operators.TextOps.contamination(docs, fusedProbe = Some(true)))
+  }
+
+  /** q11 hot users: rank-window vs bounded TopK aggregate. */
+  private def q11(spark: SparkSession): Unit = {
+    val ev = Tables.events(spark, d)
+    ev.count()
+    time("q11 current")(graft.SparkEntry.queries("q11_hot_users")(spark, d))
+  }
+
+  /** probe/BPE family: where do the driver-loop seconds go —
+    * feature extraction+checkpoint, or the per-iteration jobs? */
+  private def probe(spark: SparkSession): Unit = {
+    val docs = Tables.documents(spark, d)
+    docs.count()
+    time("q102 probe_train whole")(
+      graft.SparkEntry.queries("q102_probe_train")(spark, d))
+    time("q110 probe_auc whole")(
+      graft.SparkEntry.queries("q110_probe_auc")(spark, d))
+    time("q101 bpe_train whole")(
+      graft.SparkEntry.queries("q101_bpe_train")(spark, d))
+    time("q103 bpe_encode whole")(
+      graft.SparkEntry.queries("q103_bpe_encode")(spark, d))
   }
 }

@@ -559,6 +559,26 @@ class OperatorsSpec extends SparkSpec {
       (4, "c", "d", "cd", 1L)))
   }
 
+  test("BPE driver-gate paths agree: local rounds == distributed rounds") {
+    import spark.implicits._
+    // boundary-space overlap cases included ("aaaa": the ' a a a a '
+    // string rewrite yields [aa, a, a], NOT the classic list-merge
+    // [aa, aa] — both paths and both engines share the string-replace
+    // definition, so the gate must preserve it exactly)
+    val docs = Seq((1L, "aaaa aaab abab ab aa a9 9a9a"),
+      (2L, "abab aaaa cdcd cd x7 aaab")).toDF("doc_id", "text")
+    val local = TextOps.bpeTrain(docs, merges = 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = TextOps.bpeTrain(docs, merges = 6, maxDriverVocab = 0)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist, s"gate paths diverge:\n$local\n$dist")
+    val encLocal = TextOps.bpeEncode(docs, merges = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val encDist = TextOps.bpeEncode(docs, merges = 4, maxDriverVocab = 0)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(encLocal == encDist, s"encode paths diverge:\n$encLocal\n$encDist")
+  }
+
   test("BPE encode: learned merges tokenize the corpus, fallback = 1 token") {
     // merges on this corpus: aa, ab, aaab, cd → aaab/ab/cd all encode
     // to ONE piece; the 1-char word "z" is outside the trainable

@@ -167,12 +167,23 @@ class PlanSpec extends SparkSpec {
     val repPlan = planOf(TextOps.repetitionSignals(Tables.documents(spark, sf)))
     assert(exchanges(TextOps.repetitionSignals(Tables.documents(spark, sf))) == 0)
     assert(!repPlan.contains("Join"), s"join crept in:\n$repPlan")
-    // contamination: benchmark index broadcast; training side only
-    // shuffles once, for its final per-doc count
+    // contamination DEFAULT (round 14, under the broadcast-source
+    // gate): the frozen-index fused probe — map-only, zero exchanges,
+    // zero joins, one GramSetSharedCount call per row
     val conPlan = planOf(TextOps.contamination(Tables.documents(spark, sf)))
-    assert(conPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$conPlan")
-    assert(exchanges(TextOps.contamination(Tables.documents(spark, sf))) == 2,
-      s"expected bench-distinct + per-doc count exchanges only:\n$conPlan")
+    assert(conPlan.contains("gramsetsharedcount"), s"not fused:\n$conPlan")
+    assert(!conPlan.contains("Join") &&
+      exchanges(TextOps.contamination(Tables.documents(spark, sf))) == 0,
+      s"fused contamination should be map-only:\n$conPlan")
+    // past-the-gate fallback keeps the join shape: benchmark index
+    // broadcast; training side only shuffles once, for its final
+    // per-doc count
+    val conJoin = planOf(TextOps.contamination(Tables.documents(spark, sf),
+      fusedProbe = Some(false)))
+    assert(conJoin.contains("BroadcastHashJoin"), s"no broadcast:\n$conJoin")
+    assert(exchanges(TextOps.contamination(Tables.documents(spark, sf),
+        fusedProbe = Some(false))) == 2,
+      s"expected bench-distinct + per-doc count exchanges only:\n$conJoin")
   }
 
   test("round-5 queries keep their scale shapes") {
