@@ -1473,14 +1473,25 @@ object TextOps extends graft.QueryModule {
     val docFeats =
       if (checkpointDir.isDefined) feats0.checkpoint(eager = true)
       else feats0.localCheckpoint(true)
-    val n = docFeats.count()
-    require(n > 0, "probeTrain: empty corpus")
-    val divisor = n * (1L << (lrShift - 1))
+    // n (the doc count) arrives WITH the first gradient collect — the
+    // bias occurrence count at j = 0 — instead of a separate count()
+    // job: iteration 1's gradients are w=0 products, independent of n,
+    // and the update divides only after the collect (round 14)
+    // iters == 0 (the zero-weight baseline) has no gradient collect to
+    // ride, so it keeps the explicit count for the empty-corpus guard
+    if (iters == 0)
+      require(docFeats.count() > 0, "probeTrain: empty corpus")
+    var divisor = 0L
     val w = Array.fill(buckets + 1)(0L)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val grads = probeGrad(docFeats, w.toSeq)
-        .as[(Int, java.math.BigDecimal)].collect()
-      grads.foreach { case (j, g) =>
+        .as[(Int, java.math.BigDecimal, Long)].collect()
+      if (it == 1) {
+        val n = grads.collectFirst { case (0, _, c) => c }.getOrElse(0L)
+        require(n > 0, "probeTrain: empty corpus")
+        divisor = n * (1L << (lrShift - 1))
+      }
+      grads.foreach { case (j, g, _) =>
         w(j) -= g.toBigInteger.longValueExact() / divisor
       }
     }
@@ -1603,7 +1614,12 @@ object TextOps extends graft.QueryModule {
         col("y") * ProbeScale).as("err"), col("js"))
       .select(explode(col("js")).as("j"), col("err"))
       .groupBy(col("j"))
-      .agg(sum(col("err").cast("decimal(38,0)")).as("g"))
+      // `c` rides the same aggregate: every doc carries exactly one
+      // bias occurrence (j = 0), so c at j = 0 IS the document count —
+      // probeTrainOn reads n from the first iteration's collect
+      // instead of running a separate count() job (round 14)
+      .agg(sum(col("err").cast("decimal(38,0)")).as("g"),
+        count(lit(1)).as("c"))
   }
 
   /** Scaled-integer sum of squared errors of a trained probe on the

@@ -18,7 +18,7 @@ object Profile14 {
     graft.core.GraftSession.configure(spark)
     val sections: Map[String, SparkSession => Unit] = Map(
       "hash" -> hash, "words" -> wordsSection, "stages" -> stages,
-      "q125" -> q125, "q11" -> q11, "probe" -> probe)
+      "q125" -> q125, "q11" -> q11, "probe" -> probe, "q83" -> q83)
     val run = if (args.isEmpty) sections.keys.toSeq.sorted else args.toSeq
     run.foreach { s =>
       println(s"== section $s")
@@ -135,5 +135,52 @@ object Profile14 {
       graft.SparkEntry.queries("q101_bpe_train")(spark, d))
     time("q103 bpe_encode whole")(
       graft.SparkEntry.queries("q103_bpe_encode")(spark, d))
+  }
+
+  /** q83 dsir_select: the explicit token-scale repartition(doc_id)
+    * (one raw exchange both consumers reuse) vs letting the
+    * (doc_id, source, b) groupBy exchange PARTIAL-AGGREGATED rows
+    * (smaller shuffle, still one reused exchange). */
+  private def q83(spark: SparkSession): Unit = {
+    val docs = Tables.documents(spark, d)
+    docs.count()
+    time("q83 current (repartition doc_id)")(
+      graft.SparkEntry.queries("q83_dsir_select")(spark, d))
+    def flog2(c: Column): Column = length(bin(c)) - 1
+    def variant(): DataFrame = {
+      val buckets = 4096; val topN = 100; val targetSource = "src0"
+      val perDoc = docs
+        .select(col("doc_id"), col("source"),
+          explode(shingles(words(col("text")), 2)).as("bg"))
+        .select(col("doc_id"), col("source"),
+          pmod(hash60(col("bg")), lit(buckets.toLong)).as("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val marginals = perDoc.groupBy(col("b"))
+        .agg(sum(col("n")).as("cr"),
+          sum(when(col("source") === targetSource, col("n"))).as("ct"))
+      val model = marginals
+        .select(col("b"),
+          (flog2(coalesce(col("ct"), lit(0L)) + 1) -
+            flog2(col("cr") + 1)).as("lam"))
+      val shift = marginals.agg(
+        (flog2(sum(col("cr")) + buckets) -
+          flog2(coalesce(sum(col("ct")), lit(0L)) + buckets)).as("c0"))
+      val scored = perDoc
+        .join(broadcast(model), "b")
+        .crossJoin(broadcast(shift))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_feats"),
+          sum(col("n") * (col("lam") + col("c0"))).as("logw"))
+      val top = scored.groupBy()
+        .agg(graft.functions.Aggregators.topK(topN)(
+          col("logw").cast("double"), col("doc_id")).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rn"))
+      scored.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("n_feats"), col("logw"), col("rn"))
+    }
+    time("q83 variant (natural partial-agg exchange)")(variant())
   }
 }
