@@ -674,6 +674,8 @@ object Multimodal extends graft.QueryModule {
     * writer path is spec-asserted, so every downstream hash/feature
     * is bit-identical. */
   private[graft] def encodeBmp24(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * 3 * h,
+      s"encodeBmp24: raster shape mismatch w=$w h=$h px=${px.length}")
     val stride = (w * 3 + 3) & ~3
     val size = 54 + stride * h
     val out = new Array[Byte](size)
@@ -714,6 +716,8 @@ object Multimodal extends graft.QueryModule {
     * depends on. Same round-13 ImageIO.write finding as
     * [[encodeBmp24]]. */
   private[graft] def encodePngRgb24(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * 3 * h,
+      s"encodePngRgb24: raster shape mismatch w=$w h=$h px=${px.length}")
     val rowBytes = w * 3
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
@@ -723,10 +727,18 @@ object Multimodal extends graft.QueryModule {
     }
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     defl.setInput(raw); defl.finish()
-    val comp = new Array[Byte](raw.length + (raw.length >> 8) + 64)
+    // raw + raw/256 + 64 exceeds deflate's worst-case stored-block
+    // expansion (raw + 5 bytes per 32 KiB block + header), so the
+    // fixed buffer suffices; the growth branch makes the bound
+    // explicit rather than relying on it (a full buffer would
+    // otherwise spin deflate() at 0 bytes forever)
+    var comp = new Array[Byte](raw.length + (raw.length >> 8) + 64)
     var clen = 0
-    while (!defl.finished())
+    while (!defl.finished()) {
+      if (clen == comp.length)
+        comp = java.util.Arrays.copyOf(comp, comp.length + (comp.length >> 1) + 64)
       clen += defl.deflate(comp, clen, comp.length - clen)
+    }
     defl.end()
     val out = new Array[Byte](8 + 25 + 12 + clen + 12)
     out(0) = 0x89.toByte; out(1) = 'P'; out(2) = 'N'; out(3) = 'G'
@@ -756,8 +768,12 @@ object Multimodal extends graft.QueryModule {
   }
 
   private[graft] def encodeImage(w: Int, h: Int, px: Array[Byte],
-                                 format: String): Array[Byte] =
-    if (format == "png") encodePngRgb24(w, h, px) else encodeBmp24(w, h, px)
+                                 format: String): Array[Byte] = format match {
+    case "png" => encodePngRgb24(w, h, px)
+    case "bmp" => encodeBmp24(w, h, px)
+    case other => throw new IllegalArgumentException(
+      s"encodeImage: unknown format '$other' (png|bmp)")
+  }
 
   /** Per-partition REAL decode → dHash. Map-only: at 100 TB this is
     * the only pass that touches payload bytes; everything downstream
@@ -3080,20 +3096,37 @@ object Multimodal extends graft.QueryModule {
     // stays labeled; the assembled rows keep the fixed seq order, so
     // the output is byte-identical to the sequential spelling.
     // Measured (sf0.1, min-of-2 noop): 2.8 s sequential -> ~1.6 s.
+    // Each arm runs under its own job group: if one arm fails, the
+    // other two are CANCELLED (not left running detached) before the
+    // failure propagates — Await on a failed Future.sequence would
+    // otherwise return immediately while orphan jobs keep the
+    // executors busy (round-13 advice item).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val arms = Seq[(String, () => DataFrame)](
+      ("image", () => imageDedupGroups(nearDupImageTable(documents))),
+      ("audio", () => audioDedupGroups(nearDupAudioTable(documents))),
+      ("video", () => videoDedupGroups(nearDupVideoTable(documents))))
     val rows =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(Seq(
-          scala.concurrent.Future(
-            row("image", imageDedupGroups(nearDupImageTable(documents)))),
-          scala.concurrent.Future(
-            row("audio", audioDedupGroups(nearDupAudioTable(documents)))),
-          scala.concurrent.Future(
-            row("video", videoDedupGroups(nearDupVideoTable(documents)))))),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val futures = arms.map { case (kind, mk) =>
+          scala.concurrent.Future {
+            spark.sparkContext.setJobGroup(s"q143-$kind",
+              s"q143 funnel: $kind groups", interruptOnCancel = true)
+            try row(kind, mk())
+            finally spark.sparkContext.clearJobGroup()
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures)
+            .recoverWith { case e =>
+              arms.foreach { case (kind, _) =>
+                spark.sparkContext.cancelJobGroup(s"q143-$kind") }
+              scala.concurrent.Future.failed(e)
+            }(scala.concurrent.ExecutionContext.global),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     rows.toDF("kind", "n_total", "n_dropped", "n_kept")
       .withColumn("permille_kept", expr("n_kept * 1000 div n_total"))
   }

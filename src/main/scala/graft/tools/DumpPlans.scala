@@ -36,7 +36,10 @@ object DumpPlans {
           formatted.getBytes("UTF-8"))
         println(s"dumped $name")
       } catch {
-        case e: Throwable => println(s"FAILED $name: ${e.getMessage}")
+        // NonFatal only: an OOM/fatal error must kill the tool, not
+        // print FAILED and continue in an undefined JVM state
+        case scala.util.control.NonFatal(e) =>
+          println(s"FAILED $name: ${e.getMessage}")
       }
       spark.catalog.clearCache()
     }

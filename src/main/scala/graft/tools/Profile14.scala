@@ -18,7 +18,8 @@ object Profile14 {
     graft.core.GraftSession.configure(spark)
     val sections: Map[String, SparkSession => Unit] = Map(
       "hash" -> hash, "words" -> wordsSection, "stages" -> stages,
-      "q125" -> q125, "q11" -> q11, "probe" -> probe, "q83" -> q83)
+      "q125" -> q125, "q11" -> q11, "probe" -> probe, "q83" -> q83,
+      "scanpar" -> scanpar)
     val run = if (args.isEmpty) sections.keys.toSeq.sorted else args.toSeq
     run.foreach { s =>
       println(s"== section $s")
@@ -182,5 +183,36 @@ object Profile14 {
         .select(col("doc_id"), col("n_feats"), col("logw"), col("rn"))
     }
     time("q83 variant (natural partial-agg exchange)")(variant())
+  }
+
+  /** Scan parallelism: every sf parquet is ONE row group, so the
+    * scan-side map work (tokenize/shingle/hash — the expensive part of
+    * every text query) runs in ONE task no matter the core count.
+    * Measure representative shapes with and without a round-robin
+    * repartition right after the scan. */
+  private def scanpar(spark: SparkSession): Unit = {
+    val docs = Tables.documents(spark, d)
+    docs.count()
+    val par = spark.sparkContext.defaultParallelism
+    def gramAgg(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode_outer(shingles(col("w"), 3)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), hash60(col("s")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    time("gram+hash+agg, scan-parallel (1 task)")(gramAgg(docs))
+    time(s"gram+hash+agg, repartition($par) first")(
+      gramAgg(docs.repartition(par)))
+    def mapOnly(src: DataFrame): DataFrame = src
+      .select(col("doc_id"),
+        size(shingles(words(col("text")), 3)).as("n"),
+        length(normText(col("text"))).as("len"))
+    time("map-only normalize pass, scan-parallel")(mapOnly(docs))
+    time(s"map-only normalize pass, repartition($par)")(
+      mapOnly(docs.repartition(par)))
+    time("q27 simhash whole, as-is")(
+      graft.SparkEntry.queries("q27_simhash")(spark, d))
+    time("q29 jaccard whole, as-is")(
+      graft.SparkEntry.queries("q29_jaccard_pairs")(spark, d))
   }
 }
